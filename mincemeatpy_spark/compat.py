@@ -1,0 +1,148 @@
+"""mincemeat-compatible ``mapreduce()`` API, Spark-native.
+
+Reproduces the reference's entire user contract (reference
+mincemeat.py:167-182, 284-290, 339-355; README.md:28-52) on the RDD API:
+
+- ``datasource``: any dict-like — ``iter(ds)`` yields keys, ``ds[k]``
+  yields values (reference mincemeat.py:306, 314).
+- ``mapfn(k, v)``: a generator/iterable of ``(k2, v2)`` pairs — flatMap
+  semantics, one input row to 0..n output pairs (reference
+  mincemeat.py:167-173, example.py:12-14).
+- ``collectfn(k, [v...]) -> v'`` (optional): map-side partial aggregate
+  applied once per map task per key; the reference re-wraps the result in a
+  1-element list so ``reducefn`` still sees a list (reference
+  mincemeat.py:174-176).  Here "per map task" becomes "per partition" —
+  the same contract at Spark's task granularity.
+- ``reducefn(k, [v...]) -> r``: sees ALL values of a key in one call
+  (reference mincemeat.py:179-182, 327-329).  Value order within the list
+  is non-deterministic in the reference (worker-arrival order, reference
+  mincemeat.py:347) and here (partition order) — callers must be
+  order-insensitive, exactly as the reference requires.
+- Returns the final ``{key: reduced_value}`` dict (reference
+  mincemeat.py:225, 355).
+
+What Spark gives us for free over the reference: distributed shuffle
+instead of all intermediate data in master RAM (reference
+mincemeat.py:344-347), speculative execution (reference
+mincemeat.py:317-333), task-retry fault tolerance, and cloudpickle closure
+shipping that — unlike the reference's marshal-of-bytecode (reference
+mincemeat.py:284-290, README.md:93-96) — captures closures and referenced
+globals, so ``import`` inside the function body is supported but no longer
+required.
+
+Scale note: ``mapreduce`` collects the final dict to the driver because
+that IS the reference's sink contract.  For 100 TB pipelines use the
+DataFrame operators in ``operators/`` and write to parquet; this API is
+the compatibility surface, not the scale path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Mapping
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+
+def _items(datasource: Any) -> list[tuple[Any, Any]]:
+    """Materialize the dict-like contract: iter() -> keys, [k] -> value."""
+    if isinstance(datasource, Mapping):
+        return list(datasource.items())
+    return [(k, datasource[k]) for k in datasource]
+
+
+def mapreduce(
+    spark: SparkSession,
+    datasource: Any,
+    mapfn: Callable[[Any, Any], Iterable[tuple[Any, Any]]],
+    reducefn: Callable[[Any, list[Any]], Any],
+    collectfn: Callable[[Any, list[Any]], Any] | None = None,
+    num_partitions: int | None = None,
+) -> dict[Any, Any]:
+    """Run one mincemeat-style map/reduce job; return ``{key: result}``.
+
+    ``reducefn`` is mandatory, as in the reference (a worker with
+    ``reducefn=None`` would crash at reference mincemeat.py:181).
+    """
+    if reducefn is None:
+        raise TypeError("reducefn is required (reference mincemeat.py:181)")
+
+    sc = spark.sparkContext
+    items = _items(datasource)
+    n_part = num_partitions or min(max(1, len(items)), sc.defaultParallelism)
+    rdd = sc.parallelize(items, n_part)
+
+    mapped = rdd.flatMap(lambda kv: mapfn(kv[0], kv[1]))
+
+    if collectfn is not None:
+        # Map-side combine: group per partition, apply collectfn once per
+        # key per partition (the reference's per-map-task combine,
+        # mincemeat.py:174-176).
+        cfn = collectfn
+
+        def _local_combine(part: Iterable[tuple[Any, Any]]):
+            acc: dict[Any, list[Any]] = {}
+            for k, v in part:
+                acc.setdefault(k, []).append(v)
+            for k, vs in acc.items():
+                yield k, cfn(k, vs)
+
+        mapped = mapped.mapPartitions(_local_combine, preservesPartitioning=False)
+
+    rfn = reducefn
+    reduced = (
+        mapped.groupByKey(numPartitions=n_part)
+        .map(lambda kv: (kv[0], rfn(kv[0], list(kv[1]))))
+    )
+    return dict(reduced.collect())
+
+
+# ---------------------------------------------------------------------------
+# Registry entry: the reference's canonical word-count job, run through the
+# compat API against the documents table (the "many gigabytes of text"
+# workload, reference README.md:76).
+# ---------------------------------------------------------------------------
+
+from mincemeatpy_spark.registry import register  # noqa: E402
+
+
+@register(
+    "compat_mapreduce_wordcount",
+    oracle="""
+        SELECT word, count(*) AS cnt
+        FROM (
+            SELECT unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+        """,
+    category="compat",
+    doc="Reference example.py word count via the mapreduce() compat API.",
+)
+def compat_mapreduce_wordcount(spark: SparkSession, sf_dir: str):
+    """Word count (reference example.py:12-18) through ``mapreduce()``.
+
+    The datasource is the documents table as a ``{doc_id: text}`` dict —
+    the exact shape of the reference's ``dict(enumerate(lines))`` fixture
+    (reference example.py:9-10), at table scale.
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+    from mincemeatpy_spark.tables import t
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+
+    def mapfn(k, v):
+        for w in v.split():
+            yield w, 1
+
+    def reducefn(k, vs):
+        return sum(vs)
+
+    result = mapreduce(spark, docs, mapfn, reducefn, collectfn=reducefn)
+    return spark.createDataFrame(
+        [(w, int(c)) for w, c in result.items()], schema="word string, cnt bigint"
+    )

@@ -1,0 +1,262 @@
+"""Aggregation operators.
+
+The reference's aggregation surface is ``collectfn`` (map-side partial
+aggregate, reference mincemeat.py:174-176) + ``reducefn`` (final per-key
+reduce, reference mincemeat.py:179-182).  In the DataFrame API Catalyst
+emits the same two-phase plan automatically — ``HashAggregate(partial)``
+→ shuffle on the group keys → ``HashAggregate(final)`` — with map-side
+combine always on, whole-stage codegen, and spill.  At 100 TB the partial
+aggregate is what keeps the shuffle small: only (#groups × #partitions)
+rows cross the wire, not the raw table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mincemeatpy_spark.operators._util import decavg, decsum, oracle_decavg, oracle_decsum
+from mincemeatpy_spark.registry import register
+from mincemeatpy_spark.tables import t
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+        SELECT l_returnflag,
+               l_linestatus,
+               {oracle_decsum('l_quantity')}                                        AS sum_qty,
+               {oracle_decsum('l_extendedprice')}                                   AS sum_base_price,
+               {oracle_decsum('l_extendedprice * (1 - l_discount)')}                AS sum_disc_price,
+               {oracle_decsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}  AS sum_charge,
+               {oracle_decavg('l_quantity')}                                        AS avg_qty,
+               {oracle_decavg('l_extendedprice')}                                   AS avg_price,
+               {oracle_decavg('l_discount')}                                        AS avg_disc,
+               count(*)                                                             AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+    doc="TPC-H Q1 pricing summary: the canonical wide multi-agg group-by.",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        decsum(F.col("l_quantity")).alias("sum_qty"),
+        decsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        decsum(disc_price).alias("sum_disc_price"),
+        decsum(charge).alias("sum_charge"),
+        decavg(F.col("l_quantity")).alias("avg_qty"),
+        decavg(F.col("l_extendedprice")).alias("avg_price"),
+        decavg(F.col("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="DISTINCT = group-by-all-columns; map-side partial dedup.",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "count_distinct",
+    oracle="""
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS n_cust,
+               count(*)                  AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+        """,
+    doc="Exact COUNT(DISTINCT): Catalyst plans expand + two-phase agg.",
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "approx_count_distinct",
+    oracle=None,  # HLL sketch values are engine-specific; rows-only check.
+    category="approximate",
+    doc="HyperLogLog++ approximate distinct — the 100 TB substitute for "
+    "exact COUNT(DISTINCT) when 2% error is acceptable (no expand, one pass).",
+)
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+    )
+
+
+@register(
+    "agg_minmax_dates",
+    oracle="""
+        SELECT l_linestatus,
+               min(l_shipdate)  AS first_ship,
+               max(l_shipdate)  AS last_ship,
+               min(l_quantity)  AS min_qty,
+               max(l_quantity)  AS max_qty
+        FROM lineitem
+        GROUP BY l_linestatus
+        """,
+    doc="MIN/MAX over timestamps and doubles (exact, order-independent).",
+)
+def agg_minmax_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+    )
+
+
+@register(
+    "rollup_agg",
+    oracle=f"""
+        SELECT o_orderstatus,
+               o_orderpriority,
+               count(*)                        AS n,
+               {oracle_decsum('o_totalprice')} AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+    doc="ROLLUP hierarchy: (a,b), (a), () subtotal rows with NULL fill.",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), decsum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+@register(
+    "cube_agg",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+    doc="CUBE: all 2^k grouping sets in one pass (Expand operator).",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "having_filter",
+    oracle="""
+        SELECT o_custkey, count(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) >= 8
+        """,
+    doc="HAVING = post-aggregation filter.",
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 8)
+    )
+
+
+@register(
+    "pivot_agg",
+    oracle=f"""
+        SELECT l_returnflag,
+               {oracle_decsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+               {oracle_decsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
+        FROM lineitem
+        GROUP BY l_returnflag
+        """,
+    doc="PIVOT: one output column per pivot value (conditional aggregate).",
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pivoted = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(decsum(F.col("l_quantity")))
+    )
+    return pivoted.withColumnRenamed("O", "qty_O").withColumnRenamed("F", "qty_F")
+
+
+@register(
+    "percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+               round(quantile_cont(l_quantity, 0.50), 4) AS q50,
+               round(quantile_cont(l_quantity, 0.75), 4) AS q75
+        FROM lineitem
+        GROUP BY l_returnflag
+        """,
+    doc="Exact interpolated percentiles (continuous); at 100 TB prefer "
+    "approx_percentile — see percentiles_approx.",
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("q50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("q75"),
+    )
+
+
+@register(
+    "percentiles_approx",
+    oracle=None,  # KLL/GK sketch is engine-specific; rows-only check.
+    category="approximate",
+    doc="approx_percentile: mergeable quantile sketch, the scale path.",
+)
+def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.percentile_approx("l_extendedprice", 0.5, 1000).alias("median_px"))
+    )
+
+
+@register(
+    "stats_moments",
+    oracle="""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4)                    AS sd_qty,
+               round(var_samp(l_quantity), 4)                       AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 4)          AS corr_qty_px,
+               round(covar_samp(l_quantity, l_discount), 6)         AS cov_qty_disc
+        FROM lineitem
+        GROUP BY l_returnflag
+        """,
+    doc="Second-moment statistics; rounded — merge order perturbs last ulps.",
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_px"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+    )

@@ -1,0 +1,122 @@
+"""Row-level relational operators: projection, filter, scalar functions.
+
+In the reference these are ``mapfn`` idioms — yield a transformed subset
+of the value, or yield nothing to filter (reference mincemeat.py:167-173;
+SURVEY.md §2b).  Here they are declarative ``select``/``filter`` so
+Catalyst pushes predicates and column pruning into the parquet scan —
+check ``.explain`` for ``PushedFilters`` / ``ReadSchema``; at 100 TB this
+is the difference between reading 2 columns of pages and reading 11.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mincemeatpy_spark.registry import register
+from mincemeatpy_spark.tables import t
+
+
+@register(
+    "projection_filter",
+    oracle="""
+        SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_quantity BETWEEN 25 AND 40 AND l_returnflag = 'R'
+        """,
+    doc="Predicate + projection, both pushed into the parquet scan.",
+)
+def projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").between(25, 40) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+
+
+@register(
+    "scalar_functions",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_brand)                    AS brand_u,
+               lower(p_type)                     AS type_l,
+               length(p_name)                    AS name_len,
+               round(p_retailprice * 1.1, 2)     AS bumped,
+               substring(p_type, 1, 5)           AS type5,
+               concat_ws('#', p_brand, p_type)   AS brand_type
+        FROM part
+        WHERE p_size < 15
+        """,
+    doc="String/math scalar functions, JVM-side (no Python UDFs).",
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_size") < 15)
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_u"),
+            F.lower("p_type").alias("type_l"),
+            F.length("p_name").alias("name_len"),
+            F.round(F.col("p_retailprice") * 1.1, 2).alias("bumped"),
+            F.substring("p_type", 1, 5).alias("type5"),
+            F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        )
+    )
+
+
+@register(
+    "case_when_null",
+    oracle="""
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'neg'
+                    WHEN c_acctbal < 5000 THEN 'mid'
+                    ELSE 'high' END                          AS bal_class,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), '(none)') AS seg_or_none,
+               (c_acctbal IS NULL)                           AS bal_is_null
+        FROM customer
+        """,
+    doc="CASE WHEN / NULLIF / COALESCE / IS NULL semantics.",
+)
+def case_when_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_class"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("(none)")).alias(
+            "seg_or_none"
+        ),
+        F.col("c_acctbal").isNull().alias("bal_is_null"),
+    )
+
+
+@register(
+    "date_functions",
+    oracle="""
+        SELECT o_orderkey,
+               year(o_orderdate)                               AS oy,
+               month(o_orderdate)                              AS om,
+               quarter(o_orderdate)                            AS oq,
+               date_trunc('month', o_orderdate)::TIMESTAMP     AS omonth,
+               date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS days_since,
+               o_orderdate + INTERVAL 3 MONTH                  AS plus3m
+        FROM orders
+        WHERE o_orderkey < 5000
+        """,
+    doc="Date/time scalar functions: extract, trunc, diff, interval math.",
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("oy"),
+        F.month("o_orderdate").alias("om"),
+        F.quarter("o_orderdate").alias("oq"),
+        F.date_trunc("month", "o_orderdate").alias("omonth"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH")).alias("plus3m"),
+    )

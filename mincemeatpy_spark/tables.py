@@ -1,0 +1,47 @@
+"""Parquet catalog for the test star schema.
+
+Mirrors the reference's only input abstraction — a dict-like keyed source
+read lazily one key at a time (reference mincemeat.py:306, 314) — with the
+Spark-native equivalent: columnar parquet scans with predicate pushdown and
+column pruning.  At 100 TB these scans are the single biggest lever:
+Catalyst prunes columns and pushes filters into the parquet reader, so a
+2-column projection over a 16-column table reads 2 columns' pages.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table from ``sf_dir``."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: t(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for the SQL API surface)."""
+    for name in TABLES:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)

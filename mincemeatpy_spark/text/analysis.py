@@ -1,0 +1,274 @@
+"""Text analysis operators over the documents corpus.
+
+This is the reference's native workload: its one published use-case is
+"word frequency lists for many gigabytes of text" (reference
+README.md:76) and its only test is a word count (reference
+example.py:12-18).  Everything here is built-in column expressions —
+JVM-side, whole-stage-codegen'd, no Python in the hot path — so a 100 TB
+corpus runs at scan speed: tokenize → explode → two-phase hash aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mincemeatpy_spark.registry import register
+from mincemeatpy_spark.tables import t
+
+# Python-regex & Java-regex compatible; mirrors str.split() in the
+# reference's mapfn (example.py:13).
+_WS = r"\s+"
+
+
+def tokens(col) -> F.Column:
+    """Whitespace tokens of a text column (flatMap analogue, O2)."""
+    return F.split(col, _WS)
+
+
+@register(
+    "wordcount",
+    oracle="""
+        SELECT word, count(*) AS cnt
+        FROM (
+            SELECT unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+        """,
+    category="text",
+    doc="FLAGSHIP: the reference's canonical word count (example.py:12-18), "
+    "Spark-native: scan → split/explode (flatMap) → partial agg → shuffle "
+    "→ final agg.  The reference's entire dataflow in one declarative plan.",
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "word_topk",
+    oracle="""
+        SELECT word, count(*) AS cnt
+        FROM (
+            SELECT unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+        ORDER BY cnt DESC, word
+        LIMIT 20
+        """,
+    category="text",
+    doc="Top-K words: aggregate then global top-k (TakeOrderedAndProject — "
+    "no full sort, heap per partition + merge).",
+)
+def word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        wordcount(spark, sf_dir)
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+@register(
+    "ngram_counts",
+    oracle="""
+        SELECT gram, count(*) AS cnt
+        FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(words) - 1),
+                       i -> words[i] || ' ' || words[i + 1])) AS gram
+            FROM (
+                SELECT string_split_regex(text, '\\s+') AS words
+                FROM documents
+            )
+            WHERE len(words) >= 2
+        )
+        GROUP BY gram
+        ORDER BY cnt DESC, gram
+        LIMIT 30
+        """,
+    category="text",
+    doc="Bigram counts via array transform over token indices — no UDF, "
+    "no shuffle before the aggregate.",
+)
+def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(tokens(F.col("text")).alias("words"))
+    grams = (
+        docs.filter(F.size("words") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(F.col("words"), i), F.element_at(F.col("words"), i + 1)
+                    ),
+                )
+            ).alias("gram")
+        )
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram"))
+        .limit(30)
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+        SELECT doc_id,
+               len(words)                                   AS n_tokens,
+               len(list_distinct(words))                    AS n_uniq,
+               round(len(list_distinct(words))::DOUBLE / len(words), 6)  AS uniq_ratio,
+               round(list_sum(list_transform(words, w -> length(w)))::DOUBLE
+                     / len(words), 6)                       AS avg_token_len
+        FROM (
+            SELECT doc_id, string_split_regex(text, '\\s+') AS words
+            FROM documents
+        )
+        WHERE len(words) > 0
+        """,
+    category="text",
+    doc="Per-document token statistics (token counting for pipeline "
+    "budgeting) — pure array expressions.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("words")
+    )
+    n_tokens = F.size("words")
+    n_uniq = F.size(F.array_distinct("words"))
+    total_len = F.aggregate(
+        F.transform(F.col("words"), lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    return docs.filter(n_tokens > 0).select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_uniq.alias("n_uniq"),
+        F.round(n_uniq.cast("double") / n_tokens, 6).alias("uniq_ratio"),
+        F.round(total_len.cast("double") / n_tokens, 6).alias("avg_token_len"),
+    )
+
+
+# Stopword lists for the language-ID heuristic (public, generic lists).
+_STOP = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "fr": ("le", "la", "et", "de", "un", "une", "est"),
+    "de": ("der", "die", "das", "und", "ein", "ist", "zu"),
+}
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+        SELECT doc_id, lang, h_en, h_fr, h_de,
+               CASE WHEN h_en >= h_fr AND h_en >= h_de THEN 'en'
+                    WHEN h_fr >= h_de THEN 'fr'
+                    ELSE 'de' END AS predicted_lang
+        FROM (
+            SELECT doc_id, lang,
+                   len(list_filter(words, w -> w IN ({_sql_list(_STOP['en'])}))) AS h_en,
+                   len(list_filter(words, w -> w IN ({_sql_list(_STOP['fr'])}))) AS h_fr,
+                   len(list_filter(words, w -> w IN ({_sql_list(_STOP['de'])}))) AS h_de
+            FROM (
+                SELECT doc_id, lang, string_split_regex(text, '\\s+') AS words
+                FROM documents
+            )
+        )
+        """,
+    category="text",
+    doc="Language-ID heuristic: stopword-hit scoring per language with a "
+    "deterministic argmax (no UDF; a real model would slot in as a "
+    "mapInPandas stage with the same shape).",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens(F.col("text")).alias("words")
+    )
+    hits = {
+        lang: F.size(F.filter(F.col("words"), lambda w: w.isin(*stop)))
+        for lang, stop in _STOP.items()
+    }
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        hits["en"].alias("h_en"),
+        hits["fr"].alias("h_fr"),
+        hits["de"].alias("h_de"),
+    )
+    return scored.withColumn(
+        "predicted_lang",
+        F.when((F.col("h_en") >= F.col("h_fr")) & (F.col("h_en") >= F.col("h_de")), "en")
+        .when(F.col("h_fr") >= F.col("h_de"), "fr")
+        .otherwise("de"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+        SELECT doc_id,
+               round(0.5 * stop_ratio + 0.3 * uniq_ratio
+                     + 0.2 * least(n_tokens / 100.0, 1.0), 6) AS quality
+        FROM (
+            SELECT doc_id,
+                   len(words)                          AS n_tokens,
+                   len(list_filter(words, w -> w IN ('the', 'a', 'and', 'of', 'to', 'in', 'is')))::DOUBLE
+                       / len(words)                    AS stop_ratio,
+                   len(list_distinct(words))::DOUBLE / len(words) AS uniq_ratio
+            FROM (
+                SELECT doc_id, string_split_regex(text, '\\s+') AS words
+                FROM documents
+            )
+            WHERE len(words) > 0
+        )
+        """,
+    category="text",
+    doc="Composite quality score (stopword ratio, lexical diversity, "
+    "length) — the filter stage of a training-data pipeline.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("words")
+    )
+    n_tokens = F.size("words")
+    stop_ratio = (
+        F.size(F.filter(F.col("words"), lambda w: w.isin(*_STOP["en"]))).cast("double")
+        / n_tokens
+    )
+    uniq_ratio = F.size(F.array_distinct("words")).cast("double") / n_tokens
+    length_term = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    return docs.filter(n_tokens > 0).select(
+        "doc_id",
+        F.round(0.5 * stop_ratio + 0.3 * uniq_ratio + 0.2 * length_term, 6).alias("quality"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+        """,
+    category="text",
+    doc="Document fingerprint: md5 of whitespace-normalized lowercase text "
+    "— the join key for exact dedup across shards (hash once, shuffle the "
+    "16-byte digest, never the document).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), _WS, " "))
+    return docs.select("doc_id", F.md5(normalized.cast("binary")).alias("fp"))
