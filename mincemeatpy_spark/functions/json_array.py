@@ -1,1 +1,185 @@
-"""(filled in later this round)"""
+"""JSON and array/nested-type functions.
+
+MR encoding in the reference: plain Python dicts/lists inside ``mapfn``
+(SURVEY.md §1.2, §2b).  Here: built-in JSON path extraction and array
+lambdas — evaluated JVM-side inside whole-stage codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from mincemeatpy_spark.operators._util import decsum, oracle_decsum
+from mincemeatpy_spark.registry import register
+from mincemeatpy_spark.tables import t
+
+
+@register(
+    "json_extract_agg",
+    oracle="""
+        SELECT event_type,
+               count(k)          AS n_with_k,
+               sum(k)            AS sum_k,
+               min(k)            AS min_k,
+               max(k)            AS max_k
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        GROUP BY event_type
+        """,
+    category="json",
+    doc="JSON path extraction (get_json_object) + typed cast + aggregate; "
+    "missing paths become NULL and drop out of count/sum.",
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "json_from_json_filter",
+    oracle="""
+        SELECT event_id, k
+        FROM (
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        WHERE k > 90
+        """,
+    category="json",
+    doc="from_json with an explicit schema → typed struct column → filter "
+    "on a struct field (the schema-on-read pattern for semi-structured "
+    "columns; at scale prefer an explicit schema over schema_of_json).",
+)
+def json_from_json_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = e.select("event_id", F.from_json("props", schema).alias("p"))
+    return parsed.select("event_id", F.col("p.k").alias("k")).filter(F.col("k") > 90)
+
+
+@register(
+    "array_vector_norms",
+    oracle="""
+        SELECT vec_id,
+               len(embedding) AS dim,
+               round(sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+               round(CAST(embedding[1] AS DOUBLE), 6)  AS first_dim,
+               round(CAST(embedding[64] AS DOUBLE), 6) AS last_dim
+        FROM embeddings
+        """,
+    category="array",
+    doc="Array lambdas over the embedding column: size, element access, "
+    "L2 norm via transform+aggregate — float32 cast to double first so "
+    "the sequential sum is bit-identical cross-engine.",
+)
+def array_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_dim"),
+        F.round(F.element_at("embedding", 64).cast("double"), 6).alias("last_dim"),
+    )
+
+
+@register(
+    "array_explode_pos",
+    oracle="""
+        SELECT doc_id, i - 1 AS pos, words[i] AS word
+        FROM (
+            SELECT doc_id, string_split_regex(text, '\\s+') AS words
+            FROM documents
+            WHERE doc_id < 5
+        ), UNNEST(generate_series(1, len(words))) AS u(i)
+        """,
+    category="array",
+    doc="posexplode: flatten with ordinal positions (the UDTF shape — one "
+    "row in, n indexed rows out).",
+)
+def array_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 5)
+        .select("doc_id", F.split("text", r"\s+").alias("words"))
+    )
+    return docs.select("doc_id", F.posexplode("words").alias("pos", "word"))
+
+
+@register(
+    "array_agg_sorted",
+    oracle="""
+        SELECT lang,
+               array_to_string(list_sort(list_distinct(array_agg(source))), ',') AS sources,
+               count(DISTINCT source) AS n_sources
+        FROM documents
+        GROUP BY lang
+        """,
+    category="array",
+    doc="collect_set + sort_array + join-to-string: deterministic array "
+    "aggregation rendered hashable.",
+)
+def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "array_zip_dot",
+    oracle="""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 6)
+                   AS dot
+        FROM embeddings a
+        JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id < 20
+        """,
+    category="array",
+    doc="zip_with dot product between consecutive vectors — the pairwise "
+    "kernel reused by the similarity operators.",
+)
+def array_zip_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") < 20).alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(dot, 6).alias("dot"),
+        )
+    )

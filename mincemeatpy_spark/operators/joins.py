@@ -1,1 +1,389 @@
-"""(filled in later this round)"""
+"""Join operators.
+
+In the reference every join is the classic MapReduce repartition join:
+tag rows by source in ``mapfn``, pair the tagged lists per key in
+``reducefn`` (SURVEY.md §2b; the reference itself names no join operator
+— it's an idiom over mincemeat.py O2+O4+O5).  Here each join category is
+a declarative ``df.join`` so Catalyst picks the physical strategy:
+
+- dimension tables → broadcast-hash (no shuffle of the fact side);
+- fact-fact equi-joins → sort-merge/shuffled-hash on the key, with AQE
+  skew-splitting — the 100 TB default;
+- small non-equi joins → broadcast nested-loop (only sane when one side
+  is tiny — every query here that uses BNLJ broadcasts a <100-row side);
+- as-of joins → union + ordered window scan (one shuffle, no join at
+  all) — the scalable encoding of ASOF.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from mincemeatpy_spark.operators._util import decsum, oracle_decsum
+from mincemeatpy_spark.registry import register
+from mincemeatpy_spark.tables import t
+
+
+@register(
+    "join_inner",
+    oracle=f"""
+        SELECT o.o_orderpriority,
+               count(*)                                              AS n_items,
+               {oracle_decsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        """,
+    category="join",
+    doc="Fact-fact equi-join on the shuffle key (sort-merge/shuffled-hash "
+    "under AQE), then two-phase aggregate.",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            decsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_broadcast_dims",
+    oracle=f"""
+        SELECT r.r_name, n.n_name,
+               count(*)                         AS n_cust,
+               {oracle_decsum('c.c_acctbal')}   AS total_bal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+        """,
+    category="join",
+    doc="Star-schema rollup with explicitly broadcast dimensions: zero "
+    "shuffle of the fact side before aggregation — the 100 TB pattern for "
+    "dim joins (dims are KBs; the fact scan streams through map-side).",
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            decsum(F.col("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+        SELECT c.c_mktsegment,
+               count(*)            AS n_rows,
+               count(o.o_orderkey) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment
+        """,
+    category="join",
+    doc="LEFT OUTER join: unmatched left rows survive with NULL right side "
+    "(count(col) vs count(*) makes the padding visible).",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+    category="join",
+    doc="LEFT SEMI join (EXISTS): right side reduced to its key set before "
+    "probing — no row multiplication, no right-side columns shuffled.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+    category="join",
+    doc="LEFT ANTI join (NOT EXISTS): the dedup/difference workhorse.",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+        SELECT coalesce(s.nationkey, c.nationkey) AS nationkey,
+               s.n_supp,
+               c.n_cust
+        FROM (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+              FROM supplier GROUP BY s_nationkey) s
+        FULL OUTER JOIN
+             (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+              FROM customer GROUP BY c_nationkey) c
+        ON s.nationkey = c.nationkey
+        """,
+    category="join",
+    doc="FULL OUTER join of two aggregates with NULL padding on both sides.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    c = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    joined = s.join(c, "nationkey", "full_outer")
+    # `using`-column join already coalesces the key in Spark & DuckDB alike
+    return joined.select("nationkey", "n_supp", "n_cust")
+
+
+@register(
+    "join_theta_pairs",
+    oracle="""
+        SELECT p1.p_size, count(*) AS n_pairs
+        FROM part p1
+        JOIN part p2
+          ON p1.p_size = p2.p_size
+         AND p1.p_partkey < p2.p_partkey
+         AND p1.p_retailprice < p2.p_retailprice
+        GROUP BY p1.p_size
+        """,
+    category="join",
+    doc="Theta join: equi component (p_size) carries the shuffle, "
+    "inequality predicates evaluate post-match — Catalyst plans an "
+    "equi-join + filter, NOT a nested loop.  At 100 TB a pure-inequality "
+    "join must be banded first (see join_range_band).",
+)
+def join_theta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p1 = t(spark, sf_dir, "part").alias("p1")
+    p2 = t(spark, sf_dir, "part").alias("p2")
+    cond = (
+        (F.col("p1.p_size") == F.col("p2.p_size"))
+        & (F.col("p1.p_partkey") < F.col("p2.p_partkey"))
+        & (F.col("p1.p_retailprice") < F.col("p2.p_retailprice"))
+    )
+    return (
+        p1.join(p2, cond)
+        .groupBy(F.col("p1.p_size").alias("p_size"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# Six fixed maintenance windows over the events month (deterministic).
+_WINDOWS = [
+    (i, dt.datetime(2024, 1, 2 + 5 * i, 6, 0, 0), dt.datetime(2024, 1, 2 + 5 * i, 18, 0, 0))
+    for i in range(6)
+]
+_WINDOWS_SQL = ", ".join(
+    f"({i}, TIMESTAMP '{s.isoformat(sep=' ')}', TIMESTAMP '{e.isoformat(sep=' ')}')"
+    for i, s, e in _WINDOWS
+)
+
+
+@register(
+    "join_range_interval",
+    oracle=f"""
+        SELECT w.win_id, e.event_type, count(*) AS n, {oracle_decsum('e.value')} AS total
+        FROM events e
+        JOIN (VALUES {_WINDOWS_SQL}) AS w(win_id, w_start, w_end)
+          ON e.ts >= w.w_start AND e.ts < w.w_end
+        GROUP BY w.win_id, e.event_type
+        """,
+    category="join",
+    doc="Interval/range join: events against time windows.  The window side "
+    "is tiny and broadcast, so the plan is a broadcast nested-loop — the "
+    "right call when one side fits in memory.  For big-big range joins, "
+    "band both sides to a common bucket key and equi-join on the band "
+    "(turning O(n*m) into O(n+m) shuffle) — see streaming/windows_batch "
+    "for the banded encoding.",
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = F.broadcast(
+        spark.createDataFrame(_WINDOWS, "win_id int, w_start timestamp, w_end timestamp")
+    )
+    return (
+        e.join(w, (e.ts >= w.w_start) & (e.ts < w.w_end))
+        .groupBy("win_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), decsum(F.col("value")).alias("total"))
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+        SELECT user_id, click_id, last_err_id, last_err_ts
+        FROM (
+            SELECT user_id,
+                   event_id AS click_id,
+                   event_type,
+                   last_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+                       OVER w AS last_err_id,
+                   last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+                       OVER w AS last_err_ts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        WHERE event_type = 'click'
+        """,
+    category="join",
+    doc="AS-OF join (each click matched to the most recent error at-or-"
+    "before it, per user) encoded as union + one ordered window scan: "
+    "ONE shuffle on user_id, no join, no row multiplication.  This is "
+    "the 100 TB encoding — a merge_asof per group (applyInPandas) does "
+    "the same work with Python in the loop; see join_asof_pandas.",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    err_id = F.when(F.col("event_type") == "error", F.col("event_id"))
+    err_ts = F.when(F.col("event_type") == "error", F.col("ts"))
+    return (
+        e.withColumn("last_err_id", F.last(err_id, ignorenulls=True).over(w))
+        .withColumn("last_err_ts", F.last(err_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            "last_err_id",
+            "last_err_ts",
+        )
+    )
+
+
+@register(
+    "join_asof_pandas",
+    oracle="""
+        SELECT user_id, click_id, last_err_id
+        FROM (
+            SELECT user_id,
+                   event_id AS click_id,
+                   event_type,
+                   last_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_err_id
+            FROM events
+        )
+        WHERE event_type = 'click'
+        """,
+    category="join",
+    doc="Same AS-OF semantics via applyInPandas + pandas.merge_asof per "
+    "user group: demonstrates the grouped-map UDF escape hatch (Arrow "
+    "batches, one group per call).  Slower than join_asof's pure-window "
+    "plan; kept as the pattern for asof logic TOO complex for windows.",
+)
+def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+
+    def asof_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        errs = pdf[pdf.event_type == "error"]
+        clicks = pdf[pdf.event_type == "click"]
+        # Positional as-of: most recent error at-or-before the click in
+        # (ts, event_id) order — identical to the window encoding.
+        err_ids = []
+        ei = 0
+        err_rows = errs[["ts", "event_id"]].values.tolist()
+        for ts, cid in clicks[["ts", "event_id"]].values.tolist():
+            while ei < len(err_rows) and (
+                (err_rows[ei][0] < ts) or (err_rows[ei][0] == ts and err_rows[ei][1] < cid)
+            ):
+                ei += 1
+            err_ids.append(err_rows[ei - 1][1] if ei > 0 else None)
+        out = pd.DataFrame(
+            {
+                "user_id": clicks.user_id.values,
+                "click_id": clicks.event_id.values,
+                "last_err_id": pd.array(err_ids, dtype="Int64"),
+            }
+        )
+        return out
+
+    return e.groupBy("user_id").applyInPandas(
+        asof_group, schema="user_id long, click_id long, last_err_id long"
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+        SELECT l.l_orderkey,
+               o.o_orderdate,
+               {oracle_decsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1999-01-01'
+          AND l.l_shipdate  > TIMESTAMP '1999-01-01'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+        """,
+    category="join",
+    doc="TPC-H Q3: selective dim filter → two fact joins → agg → top-k. "
+    "Catalyst pushes the segment filter into the customer scan and "
+    "broadcasts the filtered customer side under AQE.",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(decsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
