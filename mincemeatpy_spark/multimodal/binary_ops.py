@@ -1,1 +1,147 @@
-"""(filled in later this round)"""
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata.
+
+The container has no image/audio codecs, so the DECODE step is a
+deterministic stub (and ``decode_image_real`` raises
+``NotImplementedError`` until a codec is present) — but the Spark-side
+plumbing is real and tested: binary columns, byte-length/digest
+metadata, Arrow-batched ``mapInPandas`` decode with an explicit output
+schema, and frame-index expansion.  Swapping the stub for PIL/ffmpeg
+changes ONE function body, not the pipeline.
+
+At 100 TB: binary payloads ride in parquet alongside metadata columns;
+filters on metadata prune row groups without touching payload bytes;
+decode runs in mapInPandas so bytes stream batch-wise through Arrow and
+never materialize on the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mincemeatpy_spark.registry import register
+from mincemeatpy_spark.tables import t
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """Real image decode — requires an imaging library not present in
+    this container.  The mapInPandas pipeline below calls the stub
+    instead; swap it for this when PIL is available."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "use the deterministic stub (fake_decode_meta) instead"
+    )
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic stand-in for an image decoder: metadata derived
+    purely from the byte content, so tests and oracles are stable."""
+    n = len(payload)
+    width = n % 640 + 1
+    height = (n * 7) % 480 + 1
+    channels = 3
+    fmt = "png" if n % 2 == 0 else "jpg"
+    return width, height, channels, fmt
+
+
+@register(
+    "multimodal_ingest",
+    oracle="""
+        SELECT doc_id,
+               octet_length(text::BLOB)  AS n_bytes,
+               md5(text)                 AS digest
+        FROM documents
+        """,
+    category="multimodal",
+    doc="Ingest stage: opaque binary payload + byte length + content "
+    "digest.  The digest is the exact-dedup key for binary assets; the "
+    "length feeds partition sizing.",
+)
+def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.md5(payload).alias("digest"),
+    )
+
+
+@register(
+    "multimodal_decode_stub",
+    oracle="""
+        SELECT doc_id, width, height, channels, fmt
+        FROM (
+            SELECT doc_id,
+                   octet_length(text::BLOB) AS n,
+                   octet_length(text::BLOB) % 640 + 1        AS width,
+                   (octet_length(text::BLOB) * 7) % 480 + 1  AS height,
+                   3                                          AS channels,
+                   CASE WHEN octet_length(text::BLOB) % 2 = 0
+                        THEN 'png' ELSE 'jpg' END             AS fmt
+            FROM documents
+        )
+        """,
+    category="multimodal",
+    doc="Decode stage via mapInPandas: Arrow-batched binary in, typed "
+    "metadata out.  The decoder body is the deterministic stub "
+    "(fake_decode_meta) so the oracle can mirror it in SQL; a real "
+    "codec swaps in without touching the pipeline (explicit output "
+    "schema, per-batch iteration, no driver collect).",
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    # NOTE: the decoder must be self-contained (no references to this
+    # module) so cloudpickle ships it by value — executors may not have
+    # the package on their sys.path.
+    def _decode_one(payload: bytes) -> tuple[int, int, int, str]:
+        n = len(payload)
+        return n % 640 + 1, (n * 7) % 480 + 1, 3, ("png" if n % 2 == 0 else "jpg")
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            metas = [_decode_one(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": [m[0] for m in metas],
+                    "height": [m[1] for m in metas],
+                    "channels": [m[2] for m in metas],
+                    "fmt": [m[3] for m in metas],
+                }
+            )
+
+    return d.mapInPandas(
+        decode, schema="doc_id long, width int, height int, channels int, fmt string"
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        SELECT doc_id, unnest(generate_series(0, n_frames - 1, 5)) AS frame_idx
+        FROM (
+            SELECT doc_id, octet_length(text::BLOB) % 97 + 4 AS n_frames
+            FROM documents
+        )
+        """,
+    category="multimodal",
+    doc="Frame sampling for video payloads: frame count from metadata "
+    "(stubbed as a byte-length function), every-5th index expanded with "
+    "sequence+explode — one row per sampled frame, ready for a decode "
+    "stage keyed by (asset, frame_idx).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n_frames = F.length(F.col("text").cast("binary")) % 97 + 4
+    return d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(5))).alias("frame_idx"),
+    )

@@ -1,1 +1,202 @@
-"""(filled in later this round)"""
+"""Similarity search over the embeddings table.
+
+Two paths, as a 100 TB pipeline needs:
+
+- ``similarity_topk``: brute-force cosine top-k — O(Q*N) exact baseline;
+  right when the query set is small (broadcast queries, one pass over
+  the corpus, per-partition heaps).
+- ``similarity_ann_lsh``: random-hyperplane LSH — bucket vectors by the
+  sign pattern of 8 projections, search only within the bucket.  Work
+  scales with bucket collisions, not N^2.  Recall < 1 by construction,
+  but the pipeline is fully deterministic (hyperplanes derived from md5)
+  so even this ANN path is exactly oracle-checkable.
+
+The IVF alternative (k-means coarse quantizer + probe lists) slots into
+the same shape: replace the sign-bucket with a nearest-centroid id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as Wnd, functions as F
+
+from mincemeatpy_spark.registry import register
+from mincemeatpy_spark.tables import t
+
+_N_PLANES = 8
+_DIM = 64
+_POW2_60 = float(2**60)
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with double-cast vectors and L2 norms."""
+    e = t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+        F.sqrt(sq).alias("nrm"),
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+@register(
+    "similarity_topk",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   list_sum(list_transform(generate_series(1, len(q.e)),
+                        i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS cosine
+            FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        )
+        SELECT q_id, neighbor_id, rnk, round(cosine, 6) AS cosine
+        FROM (
+            SELECT q_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= 5
+        """,
+    category="similarity",
+    doc="Exact cosine top-5 neighbors for 10 query vectors: broadcast the "
+    "query side, one scan of the corpus, window top-k per query.",
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vecs(spark, sf_dir)
+    q = F.broadcast(v.filter(F.col("vec_id") < 10).alias("q"))
+    c = v.alias("c")
+    cos = _dot(F.col("q.e"), F.col("c.e")) / (F.col("q.nrm") * F.col("c.nrm"))
+    scored = q.join(c, F.col("c.vec_id") != F.col("q.vec_id")).select(
+        F.col("q.vec_id").alias("q_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        cos.alias("cosine"),
+    )
+    w = Wnd.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _planes(spark: SparkSession) -> DataFrame:
+    """Deterministic pseudo-random hyperplanes: weight(p,d) derived from
+    md5(p:d), uniform in [-1, 1) — reproducible in any engine."""
+    h = lambda col: F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return spark.range(_N_PLANES).select(
+        F.col("id").cast("int").alias("p"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_DIM)),
+            lambda d: (
+                h(F.concat(F.col("id").cast("string"), F.lit(":"), d.cast("string")))
+                / F.lit(_POW2_60)
+            )
+            * 2
+            - 1,
+        ).alias("w"),
+    )
+
+
+_ORACLE_PLANES = f"""
+        planes AS (
+            SELECT p, list(w ORDER BY d) AS w
+            FROM (
+                SELECT p, d,
+                       (('0x' || substring(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT
+                        / {_POW2_60!r}) * 2 - 1 AS w
+                FROM generate_series(0, {_N_PLANES - 1}) t(p),
+                     generate_series(1, {_DIM}) s(d)
+            )
+            GROUP BY p
+        )
+"""
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ),
+        {_ORACLE_PLANES},
+        sigs AS (
+            SELECT v.vec_id,
+                   sum(CASE WHEN list_sum(list_transform(generate_series(1, {_DIM}),
+                            i -> v.e[i] * planes.w[i])) > 0
+                            THEN (1::BIGINT << p) ELSE 0 END) AS sig
+            FROM v, planes
+            GROUP BY v.vec_id
+        ),
+        scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   list_sum(list_transform(generate_series(1, len(qv.e)),
+                        i -> qv.e[i] * cv.e[i])) / (qv.nrm * cv.nrm) AS cosine
+            FROM sigs q
+            JOIN sigs c ON q.sig = c.sig AND c.vec_id <> q.vec_id
+            JOIN v qv ON qv.vec_id = q.vec_id
+            JOIN v cv ON cv.vec_id = c.vec_id
+            WHERE q.vec_id < 10
+        )
+        SELECT q_id, neighbor_id, rnk, round(cosine, 6) AS cosine
+        FROM (
+            SELECT q_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= 5
+        """,
+    category="similarity",
+    doc="ANN top-5 via random-hyperplane LSH: 8 sign bits bucket the "
+    "corpus; candidates are bucket-mates only; exact cosine re-ranks "
+    "within the bucket.  Same output shape as similarity_topk with "
+    "recall < 1 — the scale path (shuffle is per-bucket, not all-pairs). "
+    "Deterministic md5-derived hyperplanes keep it oracle-checkable.",
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vecs(spark, sf_dir).cache()
+    planes = F.broadcast(_planes(spark))
+    proj = v.crossJoin(planes).select(
+        "vec_id",
+        F.when(_dot(F.col("e"), F.col("w")) > 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)"))
+        .otherwise(F.lit(0))
+        .alias("bit"),
+    )
+    sigs = proj.groupBy("vec_id").agg(F.sum("bit").alias("sig"))
+    sv = v.join(sigs, "vec_id")
+    q = sv.filter(F.col("vec_id") < 10).alias("q")
+    c = sv.alias("c")
+    cos = _dot(F.col("q.e"), F.col("c.e")) / (F.col("q.nrm") * F.col("c.nrm"))
+    scored = q.join(
+        c, (F.col("q.sig") == F.col("c.sig")) & (F.col("c.vec_id") != F.col("q.vec_id"))
+    ).select(
+        F.col("q.vec_id").alias("q_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        cos.alias("cosine"),
+    )
+    w = Wnd.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine"))
+    )

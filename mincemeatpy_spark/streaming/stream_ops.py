@@ -1,0 +1,135 @@
+"""Structured Streaming operators over the events stream.
+
+``readStream`` + event-time windows + watermarks + arbitrary state —
+the streaming forms of the batch queries in ``windows_batch`` (tests
+assert they produce identical results on the same fixture, which is the
+defining property of event-time processing).
+
+At scale: the file source here swaps for Kafka with no change to the
+aggregation plan; watermarks bound state size (late rows beyond the
+delay are dropped); ``applyInPandasWithState`` holds per-key state in
+the state store with timeouts for eviction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# events.parquet stores TIMESTAMP(NANOS) → read ts as long nanos
+# (spark.sql.legacy.parquet.nanosAsLong) and convert, as in tables.t.
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table as a file-source stream (one file = one micro-batch).
+
+    The file stream source requires a *directory*; the fixture is a single
+    parquet file, so stage it into a per-sf temp dir (idempotent).  In
+    production this is a watched landing directory or a Kafka topic.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    src = Path(sf_dir) / "events.parquet"
+    stage = (
+        Path(tempfile.gettempdir())
+        / "mincemeatpy_stream_src"
+        / hashlib.md5(str(src).encode()).hexdigest()[:12]
+    )
+    stage.mkdir(parents=True, exist_ok=True)
+    dst = stage / "events.parquet"
+    if not dst.exists():
+        shutil.copy(src, dst)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.format("parquet").schema(_EVENTS_SCHEMA).load(str(stage))
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
+    )
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling 1-hour counts with a watermark (streaming form of the
+    window_tumbling batch query)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+
+
+def session_counts_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Session windows (10-min gap) per user, streaming form."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("s_start"), "n")
+    )
+
+
+_STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
+_OUT_SCHEMA = T.StructType(
+    [T.StructField("user_id", T.LongType()), T.StructField("n_events", T.LongType())]
+)
+
+
+def running_counts_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event count kept in the
+    state store via applyInPandasWithState (the reference has no stateful
+    surface at all — this is the applyInPandasWithState capability the
+    north star requires)."""
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str, mode: str | None = None) -> DataFrame:
+    """Drive a streaming DataFrame over the (finite) file source to
+    completion into an in-memory table; return it as a batch DataFrame."""
+    if mode is None:
+        mode = "complete" if _has_agg(stream_df) else "append"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def _has_agg(df: DataFrame) -> bool:
+    # memory sink: aggregations stream in complete mode, stateful
+    # flatMapGroupsWithState-style ops in update/append.
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "Aggregate" in plan

@@ -1,1 +1,165 @@
-"""(filled in later this round)"""
+"""Event-time window operators (batch form, stream-equivalent).
+
+The reference is strictly batch — one-shot job, no streaming of any kind
+(reference mincemeat.py:294-297, 335-337; SURVEY.md §2b) — so this whole
+family is capability the rebuild ADDS.  Each operator here is the batch
+expression of a Structured Streaming aggregation; the streaming forms
+(readStream + watermark + the same groupBy) live in
+``streaming.stream_ops`` and are asserted equal to these in
+tests/test_streaming.py.  That equality is the point: event-time windows
+are deterministic functions of the data, not of arrival order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mincemeatpy_spark.operators._util import decsum, oracle_decsum
+from mincemeatpy_spark.registry import register
+from mincemeatpy_spark.tables import t
+
+
+@register(
+    "window_tumbling",
+    oracle=f"""
+        SELECT time_bucket(INTERVAL '1 hour', ts)                   AS w_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS w_end,
+               event_type,
+               count(*)                    AS n,
+               {oracle_decsum('value')}    AS total
+        FROM events
+        GROUP BY 1, 2, 3
+        """,
+    category="streaming",
+    doc="Tumbling 1-hour event-time windows: F.window(ts, '1 hour') — in "
+    "streaming mode the identical groupBy runs incrementally with a "
+    "watermark bounding state.",
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), decsum(F.col("value")).alias("total"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "window_sliding",
+    oracle="""
+        SELECT w_start, event_type, count(*) AS n
+        FROM (
+            SELECT time_bucket(INTERVAL '15 minutes', ts)
+                       - k * (INTERVAL '15 minutes') AS w_start,
+                   event_type
+            FROM events, (SELECT unnest(generate_series(0, 3)) AS k)
+        )
+        GROUP BY w_start, event_type
+        """,
+    category="streaming",
+    doc="Sliding windows (1 h size / 15 min slide): every event lands in "
+    "size/slide = 4 overlapping windows.  The oracle materializes the "
+    "same replication explicitly — which is also exactly how Spark plans "
+    "it (explode over window instances).",
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+
+
+@register(
+    "window_session",
+    oracle=f"""
+        WITH gaps AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM gaps
+        )
+        SELECT user_id,
+               min(ts)                          AS s_start,
+               max(ts) + INTERVAL 10 MINUTE     AS s_end,
+               count(*)                         AS n,
+               {oracle_decsum('value')}         AS total
+        FROM sess
+        GROUP BY user_id, sid
+        """,
+    category="streaming",
+    doc="Session windows (10-min gap) per user via session_window() — the "
+    "oracle is the classic gaps-and-islands encoding, proving the "
+    "semantics: a session ends when the next event is >= gap away; "
+    "session end = last event + gap.",
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), decsum(F.col("value")).alias("total"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "stateful_user_stats",
+    oracle="""
+        SELECT user_id,
+               count(*)                 AS n_events,
+               min(ts)                  AS first_ts,
+               max(ts)                  AS last_ts,
+               max(value)               AS max_value,
+               count(DISTINCT event_type) AS n_types
+        FROM events
+        GROUP BY user_id
+        """,
+    category="streaming",
+    doc="Arbitrary per-key stateful computation via applyInPandas (batch "
+    "twin of applyInPandasWithState — same grouping, same per-key pandas "
+    "frame; the streaming form in stream_ops adds a state handle and "
+    "timeouts).",
+)
+def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_type", "value")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [pdf.user_id.iloc[0]],
+                "n_events": [len(pdf)],
+                "first_ts": [pdf.ts.min()],
+                "last_ts": [pdf.ts.max()],
+                "max_value": [pdf.value.max()],
+                "n_types": [pdf.event_type.nunique()],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        stats,
+        schema="user_id long, n_events long, first_ts timestamp_ntz, "
+        "last_ts timestamp_ntz, max_value double, n_types long",
+    )

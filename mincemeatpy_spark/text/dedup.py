@@ -1,1 +1,392 @@
-"""(filled in later this round)"""
+"""Deduplication operators — the core of a training-data pipeline.
+
+Five dedup families over ``documents`` (+ one over ``embeddings``), each
+a named, oracle-checked operator.  The deterministic hash primitive
+shared by MinHash and SimHash is a 60-bit integer from the md5 hex
+prefix — bit-identical in Spark (``conv(substring(md5(x),1,15),16,10)``)
+and DuckDB (``('0x'||substring(md5(x),1,15))::BIGINT``), which is what
+makes the LSH pipelines fully oracle-checkable instead of rows-only.
+
+Scale design (100 TB):
+- exact dedup shuffles 16-byte digests, never documents;
+- the shingle inverted index (ngram_jaccard) is exact but quadratic in
+  hot shingles — at scale, cap document frequency per shingle or go
+  straight to MinHash-LSH;
+- MinHash-LSH shuffles (doc, band, signature) tuples — candidates are
+  band-bucket collisions only, verified with exact jaccard; this is the
+  linear-shuffle path that replaces the quadratic index at scale;
+- SimHash emits one 32-bit signature per doc; near-dup pairing then
+  band-joins on signature chunks exactly like MinHash bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from mincemeatpy_spark.registry import register
+from mincemeatpy_spark.tables import t
+
+# --- shared deterministic primitives -----------------------------------
+
+_WS = r"\s+"
+
+
+def _hash60(col: Column) -> Column:
+    """60-bit integer hash of a string, md5-derived (cross-engine exact)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("bigint")
+
+
+_ORACLE_H60 = "('0x' || substring(md5({x}), 1, 15))::BIGINT"
+
+
+def _shingles(words: Column) -> Column:
+    """Distinct 3-word shingles of a token array (needs >= 3 tokens)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+            ),
+        )
+    )
+
+
+_ORACLE_SHINGLES = """
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+        WHERE len(w) >= 3
+    )
+"""
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", _WS).alias("w")
+    )
+    return (
+        docs.filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(_shingles(F.col("w"))).alias("s"))
+    )
+
+
+# --- 1. exact dedup ----------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_dups
+        FROM documents
+        GROUP BY md5(text)
+        """,
+    category="dedup",
+    doc="Exact dedup: group by content digest, keep the lowest doc_id. "
+    "Only the 16-byte digest is shuffled — never the document body.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+@register(
+    "dedup_exact_kept",
+    oracle="""
+        SELECT doc_id
+        FROM (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+            FROM documents
+        )
+        WHERE doc_id = keeper
+        """,
+    category="dedup",
+    doc="The filter stage: documents surviving exact dedup (keep-first by "
+    "doc_id within each digest group) via a window min — no second join.",
+)
+def dedup_exact_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5(F.col("text").cast("binary")))
+    return (
+        d.withColumn("keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id")
+    )
+
+
+# --- 2. exact n-gram jaccard via shingle inverted index ----------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH {_ORACLE_SHINGLES},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT d1, d2,
+               round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = d1
+        JOIN sizes sb ON sb.doc_id = d2
+        WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.25
+        """,
+    category="dedup",
+    doc="Exact 3-gram Jaccard near-dup pairs via a shingle inverted index "
+    "(explode → self-equi-join on shingle → intersection counts).  Exact "
+    "but quadratic in hot shingles — the sf-small ground truth that "
+    "dedup_minhash_lsh approximates at scale.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_df(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("d1"))
+        .join(sb, F.col("sb.doc_id") == F.col("d2"))
+        .filter(jac >= 0.25)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- 3. MinHash + LSH --------------------------------------------------
+
+_N_HASHES = 16
+_BAND_SIZE = 4  # 4 bands of 4 → candidate if any band signature collides
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH {_ORACLE_SHINGLES},
+        seeds AS (SELECT unnest(generate_series(0, {_N_HASHES - 1})) AS seed),
+        hashed AS (
+            SELECT doc_id, seed,
+                   {_ORACLE_H60.format(x="s || ':' || seed")} AS h
+            FROM sh, seeds
+        ),
+        minh AS (SELECT doc_id, seed, min(h) AS minh FROM hashed GROUP BY doc_id, seed),
+        bands AS (
+            SELECT doc_id, seed // {_BAND_SIZE} AS band,
+                   string_agg(minh::VARCHAR, ',' ORDER BY seed) AS sig
+            FROM minh GROUP BY doc_id, seed // {_BAND_SIZE}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                        AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT c.d1, c.d2,
+               round(i.i::DOUBLE / (sa.n + sb.n - i.i), 6) AS jaccard
+        FROM cand c
+        JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+        JOIN sizes sa ON sa.doc_id = c.d1
+        JOIN sizes sb ON sb.doc_id = c.d2
+        """,
+    category="dedup",
+    doc="MinHash(16) + LSH(4 bands x 4 rows): shingle → seeded 60-bit "
+    "hashes → per-seed min → band signatures → bucket self-join for "
+    "candidates → exact-jaccard verification of candidates only.  The "
+    "linear-shuffle fuzzy-dedup path for 100 TB: work scales with "
+    "documents + bucket collisions, not document pairs.  Deterministic "
+    "md5-derived hashing makes even this LSH pipeline exactly "
+    "oracle-checkable.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_df(spark, sf_dir).cache()
+    seeds = F.broadcast(
+        spark.range(_N_HASHES).select(F.col("id").cast("int").alias("seed"))
+    )
+    hashed = sh.crossJoin(seeds).select(
+        "doc_id",
+        "seed",
+        _hash60(F.concat(F.col("s"), F.lit(":"), F.col("seed"))).alias("h"),
+    )
+    minh = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minh"))
+    bands = (
+        minh.withColumn("band", F.expr(f"seed div {_BAND_SIZE}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minh"))),
+                    lambda x: x["minh"].cast("string"),
+                ),
+            ).alias("sig")
+        )
+    )
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.sig") == F.col("bb.sig"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("d1"), F.col("bb.doc_id").alias("d2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        cand.join(inter, ["d1", "d2"])
+        .join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("d1"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("d2"))
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- 4. SimHash --------------------------------------------------------
+
+_SIM_BITS = 32
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, {_ORACLE_H60.format(x="tok")} AS h
+            FROM toks WHERE tok <> ''
+        ),
+        bits AS (
+            SELECT doc_id, bit,
+                   sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM hashed, (SELECT unnest(generate_series(0, {_SIM_BITS - 1})) AS bit)
+            GROUP BY doc_id, bit
+        )
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+        FROM bits
+        GROUP BY doc_id
+        """,
+    category="dedup",
+    doc="SimHash(32): per-token 60-bit hash, per-bit +/-1 majority vote "
+    "weighted by token frequency, signature = sign vector packed into an "
+    "int.  One small signature per doc; near-dup pairing then band-joins "
+    "signature chunks (hamming <= k) exactly like MinHash bands.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", _WS)).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    hashed = toks.select("doc_id", _hash60(F.col("tok")).alias("h"))
+    bits = F.broadcast(
+        spark.range(_SIM_BITS).select(F.col("id").cast("int").alias("bit"))
+    )
+    votes = (
+        hashed.crossJoin(bits)
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> bit) & 1 = 1"), F.lit(1)).otherwise(F.lit(-1))
+            ).alias("s")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )
+
+
+# --- 5. embedding cosine near-dup --------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_sum(list_transform(generate_series(1, len(a.e)),
+                     i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(generate_series(1, len(a.e)),
+              i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.4
+        """,
+    category="dedup",
+    doc="Embedding-cosine near-dup pairs, brute-force all-pairs (broadcast "
+    "nested loop) — correct at sf-small; the scale path buckets by LSH "
+    "hyperplane signs first (similarity_ann_lsh) so only bucket-mates "
+    "pair up.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    v = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+        F.sqrt(sq).alias("nrm"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,70 @@
+"""Structured Streaming: stream results must equal the batch twins on
+the same fixture (event-time determinism), and the custom stateful
+operator must hold state across the run.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mincemeatpy_spark.streaming import stream_ops
+from mincemeatpy_spark.streaming.windows_batch import window_tumbling, window_session
+from mincemeatpy_spark.tables import t
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return stream_ops.events_stream(spark, sf_dir)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_stream_is_actually_streaming(events):
+    assert events.isStreaming
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, events):
+    stream = stream_ops.run_to_completion(
+        stream_ops.tumbling_counts_stream(events), "tumbling_out"
+    )
+    batch = window_tumbling(spark, sf_dir).select("w_start", "event_type", "n")
+    assert _rows(stream, ["w_start", "event_type", "n"]) == _rows(
+        batch, ["w_start", "event_type", "n"]
+    )
+
+
+def test_session_stream_equals_batch(spark, sf_dir, events):
+    stream = stream_ops.run_to_completion(
+        stream_ops.session_counts_stream(events), "session_out"
+    )
+    batch = window_session(spark, sf_dir).select("user_id", "s_start", "n")
+    assert _rows(stream, ["user_id", "s_start", "n"]) == _rows(
+        batch, ["user_id", "s_start", "n"]
+    )
+
+
+def test_stateful_running_counts(spark, sf_dir, events):
+    out = stream_ops.run_to_completion(
+        stream_ops.running_counts_stateful(events), "stateful_out", mode="update"
+    )
+    # update-mode memory sink keeps every emission; the final row per user
+    # must equal the batch count.
+    final = (
+        out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    )
+    batch = (
+        t(spark, sf_dir, "events").groupBy("user_id").count()
+        .withColumnRenamed("count", "n_events")
+    )
+    assert _rows(final, ["user_id", "n_events"]) == _rows(batch, ["user_id", "n_events"])
+
+
+def test_watermark_drops_late_data(spark, events):
+    # A watermarked append-mode aggregation finalizes windows once the
+    # watermark passes; with a finite source all windows close.  Checks
+    # the watermark column is wired (plan contains EventTimeWatermark).
+    agg = stream_ops.tumbling_counts_stream(events, watermark="5 minutes")
+    assert "eventtimewatermark" in agg._jdf.queryExecution().analyzed().toString().lower()
