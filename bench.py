@@ -1,0 +1,73 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query executes fully (noop sink — JVM-side materialization, no
+driver collect) on local[$SPARK_GRAFT_CPUS].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mincemeatpy_spark.registry import load_all_queries
+from mincemeatpy_spark.session import get_spark
+
+# Representative spread: scan+agg, joins, windows, text, dedup/LSH,
+# similarity, sessionization, JSON.
+HEADLINE = [
+    "wordcount",
+    "tpch_q1_pricing_summary",
+    "join_inner",
+    "tpch_q3_shipping_priority",
+    "join_asof",
+    "window_running_sum",
+    "window_session",
+    "json_extract_agg",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("mincemeatpy-bench")
+
+    queries = load_all_queries()
+
+    # Warm up the JVM (classloading, codegen compiler) and the page cache
+    # so per-query timings measure the queries, not startup.
+    queries["tpch_q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = queries[name]
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

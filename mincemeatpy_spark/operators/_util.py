@@ -9,14 +9,14 @@ and bit-identical across engines, so the decimal cast sees identical
 inputs and the final double is bit-identical too.
 
 The oracle-side SQL must mirror the same shape:
-``CAST(SUM(CAST(expr AS DECIMAL(27,6))) AS DOUBLE)``.
+``CAST(SUM(CAST(expr AS DECIMAL(18,6))) AS DOUBLE)``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-DEC = "decimal(27,6)"
+DEC = "decimal(18,6)"
 
 
 def decsum(col: Column) -> Column:
@@ -31,7 +31,7 @@ def decavg(col: Column) -> Column:
 
 def oracle_decsum(expr: str) -> str:
     """DuckDB SQL mirror of :func:`decsum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE)"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
 
 
 def oracle_decavg(expr: str) -> str:

@@ -81,7 +81,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     oracle=f"""
         SELECT o_custkey, o_orderkey,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) OVER (
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS DOUBLE) AS running_total,
@@ -115,7 +115,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT o_custkey, o_orderkey,
                count(*) OVER w AS n_30d,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sum_30d
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_30d
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)

@@ -176,22 +176,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASHES = 16
 _BAND_SIZE = 4  # 4 bands of 4 → candidate if any band signature collides
 
+# One md5 per shingle; the 16 MinHash functions are affine transforms
+# h_i(x) = (x*a_i + b_i) mod P over the Mersenne prime P=2^31-1 (the
+# standard universal-hash family for MinHash).  Integer-exact in any
+# engine, and one digest per shingle instead of one per (shingle, seed).
+#
+# The 16 minima are computed as 16 aggregate columns in ONE groupBy —
+# no seed crossJoin, so the shuffle carries |shingle rows| partial aggs,
+# not 16x that.  (The first cut exploded per seed: 12M-row shuffle at
+# sf0.1 vs ~80k now.)
+_P = 2_147_483_647
+_A = [(i * 2654435761 + 1) % _P for i in range(_N_HASHES)]
+_B = [(i * 40503 + 17) % _P for i in range(_N_HASHES)]
+
+
+def _affine(i: int) -> str:
+    return f"(base * {_A[i]} + {_B[i]}) % {_P}"
+
+
+def _band_sig_sql(b: int) -> str:
+    """Band signature: comma-joined minima of the band's 4 seeds."""
+    parts = [f"m{i}::VARCHAR" for i in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE)]
+    return " || ',' || ".join(parts)
+
 
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
         WITH {_ORACLE_SHINGLES},
-        seeds AS (SELECT unnest(generate_series(0, {_N_HASHES - 1})) AS seed),
-        hashed AS (
-            SELECT doc_id, seed,
-                   {_ORACLE_H60.format(x="s || ':' || seed")} AS h
-            FROM sh, seeds
+        based AS (
+            SELECT doc_id, {_ORACLE_H60.format(x="s")} % {_P} AS base
+            FROM sh
         ),
-        minh AS (SELECT doc_id, seed, min(h) AS minh FROM hashed GROUP BY doc_id, seed),
+        minh AS (
+            SELECT doc_id,
+                   {", ".join(f"min({_affine(i)}) AS m{i}" for i in range(_N_HASHES))}
+            FROM based GROUP BY doc_id
+        ),
         bands AS (
-            SELECT doc_id, seed // {_BAND_SIZE} AS band,
-                   string_agg(minh::VARCHAR, ',' ORDER BY seed) AS sig
-            FROM minh GROUP BY doc_id, seed // {_BAND_SIZE}
+            {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_sig_sql(b)} AS sig FROM minh" for b in range(_N_HASHES // _BAND_SIZE))}
         ),
         cand AS (
             SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -223,27 +246,17 @@ _BAND_SIZE = 4  # 4 bands of 4 → candidate if any band signature collides
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_df(spark, sf_dir).cache()
-    seeds = F.broadcast(
-        spark.range(_N_HASHES).select(F.col("id").cast("int").alias("seed"))
+    based = sh.select("doc_id", (_hash60(F.col("s")) % _P).alias("base"))
+    minh = based.groupBy("doc_id").agg(
+        *[F.min(F.expr(_affine(i))).alias(f"m{i}") for i in range(_N_HASHES)]
     )
-    hashed = sh.crossJoin(seeds).select(
-        "doc_id",
-        "seed",
-        _hash60(F.concat(F.col("s"), F.lit(":"), F.col("seed"))).alias("h"),
+    n_bands = _N_HASHES // _BAND_SIZE
+    stack_args = ", ".join(
+        f"{b}, concat_ws(',', {', '.join(f'm{i}' for i in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE))})"
+        for b in range(n_bands)
     )
-    minh = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minh"))
-    bands = (
-        minh.withColumn("band", F.expr(f"seed div {_BAND_SIZE}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minh"))),
-                    lambda x: x["minh"].cast("string"),
-                ),
-            ).alias("sig")
-        )
+    bands = minh.selectExpr(
+        "doc_id", f"stack({n_bands}, {stack_args}) AS (band, sig)"
     )
     ba = bands.alias("ba")
     bb = bands.alias("bb")
@@ -258,17 +271,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Exact-jaccard verification restricted to LSH candidates: join the
+    # candidate pairs back to their shingle sets instead of building the
+    # full co-shingle pair index — verification work scales with
+    # |candidates|, not with all co-shingled pairs (the whole point of
+    # LSH at 100 TB).
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        cand.join(a, F.col("a.doc_id") == F.col("d1"))
+        .join(b, (F.col("b.doc_id") == F.col("d2")) & (F.col("b.s") == F.col("a.s")))
+        .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("i"))
     )
     jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
     return (
-        cand.join(inter, ["d1", "d2"])
-        .join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("d1"))
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("d1"))
         .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("d2"))
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
     )
