@@ -1,0 +1,94 @@
+"""Skew-handling operators: salting patterns for hot keys.
+
+The reference has the same skew problem in miniature: one reduce task
+per distinct key (reference mincemeat.py:327-329), so a hot key
+serializes onto one worker.  Spark's hash shuffle inherits that per-key
+locality — these operators show the two standard fixes, both of which
+produce results identical to the unsalted plan (which is exactly what
+the oracle checks):
+
+- two-phase aggregation: aggregate on (key, salt) first, then merge the
+  S partials per key — the hot key's work spreads over S tasks;
+- salted join: salt the fact side, replicate the (small) dim side S
+  times, join on (key, salt).
+
+AQE's skew-join splitting handles most cases automatically (enabled in
+session.py); explicit salting remains the tool for extreme single-key
+skew and for aggregations, where AQE doesn't split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mincemeatpy_spark.operators._util import decsum, oracle_decsum
+from mincemeatpy_spark.registry import register
+from mincemeatpy_spark.tables import t
+
+_S = 8  # salt fan-out
+
+
+@register(
+    "agg_skew_two_phase",
+    oracle=f"""
+        SELECT l_returnflag,
+               count(*) AS n,
+               {oracle_decsum('l_extendedprice')} AS total
+        FROM lineitem
+        GROUP BY l_returnflag
+        """,
+    category="skew",
+    doc="Two-phase salted aggregation over a 3-value key (extreme skew): "
+    "partial agg on (key, salt), final merge on key.  Decimal partials "
+    "re-sum exactly, so the result is identical to the direct group-by — "
+    "which is what the oracle asserts.",
+)
+def agg_skew_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    salted = li.withColumn("salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(_S)))
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("ps"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.sum("ps").cast("double").alias("total"),
+    )
+
+
+@register(
+    "join_skew_salted",
+    oracle=f"""
+        SELECT d.flag_name,
+               count(*) AS n,
+               {oracle_decsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+        FROM lineitem l
+        JOIN (VALUES ('A', 'returned'), ('N', 'not_returned'), ('R', 'refused'))
+             AS d(l_returnflag, flag_name)
+          ON l.l_returnflag = d.l_returnflag
+        GROUP BY d.flag_name
+        """,
+    category="skew",
+    doc="Salted join against a tiny dim on a 3-value (maximally skewed) "
+    "key: fact rows get salt in [0,S), the dim is replicated S times via "
+    "explode(sequence), and the join key becomes (key, salt) — the hot "
+    "key fans out over S reducers.  Result provably equals the plain "
+    "join.  (For a dim this small you'd broadcast instead; salting is "
+    "for when BOTH sides are too big to broadcast and one key is hot.)",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(_S))
+    )
+    dim = spark.createDataFrame(
+        [("A", "returned"), ("N", "not_returned"), ("R", "refused")],
+        "l_returnflag string, flag_name string",
+    ).withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_S - 1))))
+    return (
+        li.join(dim, ["l_returnflag", "salt"])
+        .groupBy("flag_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            decsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )

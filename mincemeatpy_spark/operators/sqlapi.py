@@ -1,0 +1,135 @@
+"""SQL-API surface: spark.sql over registered views — CTEs, GROUPING
+SETS, subqueries (scalar / IN / correlated-EXISTS), UNPIVOT.
+
+Catalyst compiles spark.sql and the DataFrame API to the same plans;
+these operators certify the SQL entry point itself plus the constructs
+that are awkward in the fluent API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mincemeatpy_spark.operators._util import oracle_decsum
+from mincemeatpy_spark.registry import register
+from mincemeatpy_spark.tables import register_views
+
+
+def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(query)
+
+
+_GROUPING_SETS = f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           {oracle_decsum('o_totalprice')} AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register(
+    "grouping_sets",
+    oracle=_GROUPING_SETS,
+    category="sqlapi",
+    doc="Explicit GROUPING SETS (by-status, by-priority, grand total) in "
+    "one pass — the general form of cube/rollup (Expand operator).",
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _GROUPING_SETS)
+
+
+_CTE_SCALAR_SUBQ = """
+    WITH avg_px AS (SELECT avg(o_totalprice) AS v FROM orders)
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT v FROM avg_px)
+"""
+
+
+@register(
+    "cte_scalar_subquery",
+    oracle=_CTE_SCALAR_SUBQ,
+    category="sqlapi",
+    doc="CTE + scalar subquery: orders above 2x the mean price.  The "
+    "scalar result broadcasts into the filter (no per-row subquery "
+    "execution).",
+)
+def cte_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _CTE_SCALAR_SUBQ)
+
+
+_IN_SUBQ = """
+    SELECT p_partkey, p_brand
+    FROM part
+    WHERE p_partkey IN (
+        SELECT l_partkey FROM lineitem WHERE l_quantity > 49
+    )
+"""
+
+
+@register(
+    "in_subquery",
+    oracle=_IN_SUBQ,
+    category="sqlapi",
+    doc="IN subquery — planned as a left-semi join on the subquery keys.",
+)
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _IN_SUBQ)
+
+
+_CORR_EXISTS = """
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity = 50
+    )
+"""
+
+
+@register(
+    "correlated_exists",
+    oracle=_CORR_EXISTS,
+    category="sqlapi",
+    doc="Correlated EXISTS — decorrelated by Catalyst into a semi-join "
+    "(no nested-loop re-execution per outer row).",
+)
+def correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _CORR_EXISTS)
+
+
+_UNPIVOT_SPARK = """
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        FROM lineitem WHERE l_orderkey < 100
+    )
+    UNPIVOT (val FOR metric IN (l_quantity AS qty, l_extendedprice AS px, l_discount AS disc))
+"""
+
+_UNPIVOT_ORACLE = """
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM (
+        SELECT l_orderkey, l_linenumber, 'qty' AS metric, l_quantity AS val
+        FROM lineitem WHERE l_orderkey < 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'px', l_extendedprice
+        FROM lineitem WHERE l_orderkey < 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'disc', l_discount
+        FROM lineitem WHERE l_orderkey < 100
+    )
+"""
+
+
+@register(
+    "unpivot_melt",
+    oracle=_UNPIVOT_ORACLE,
+    category="sqlapi",
+    doc="UNPIVOT (melt): wide metrics to long (metric, val) rows — the "
+    "inverse of pivot_agg; oracle spells it as the equivalent UNION ALL.",
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _UNPIVOT_SPARK)

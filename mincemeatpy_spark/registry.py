@@ -41,6 +41,11 @@ _QUERY_MODULES = (
     "mincemeatpy_spark.operators.windows",
     "mincemeatpy_spark.operators.setops",
     "mincemeatpy_spark.operators.sorting",
+    "mincemeatpy_spark.operators.skew",
+    "mincemeatpy_spark.operators.sqlapi",
+    "mincemeatpy_spark.operators.tpch",
+    "mincemeatpy_spark.functions.strings",
+    "mincemeatpy_spark.sources.readers",
     "mincemeatpy_spark.functions.json_array",
     "mincemeatpy_spark.functions.vector",
     "mincemeatpy_spark.text.analysis",

@@ -1,0 +1,137 @@
+"""Source/sink connectors: CSV, JSON, text, partitioned parquet.
+
+The reference's only source is the dict-like lazy datasource (reference
+mincemeat.py:306, 314) and its only sink is the driver dict (reference
+mincemeat.py:225).  The rebuild exposes the full Spark reader/writer
+surface; each roundtrip query below WRITES a format to a scratch dir and
+READS it back through the corresponding reader (explicit schemas — never
+inferSchema in production paths), with the parquet tables as oracle.
+
+Scale notes: CSV/JSON are row formats — no pushdown, no pruning, no
+stats; land data in parquet (columnar, min/max row-group stats) before
+analytics.  Partitioned parquet gives partition pruning: a filter on the
+partition column skips whole directories (asserted in tests/test_plans).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mincemeatpy_spark.operators._util import decsum, oracle_decsum
+from mincemeatpy_spark.registry import register
+from mincemeatpy_spark.tables import t
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "mincemeatpy_io", tag, name)
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle=f"""
+        SELECT n_regionkey, count(*) AS n, {oracle_decsum('n_nationkey')} AS key_sum
+        FROM nation
+        GROUP BY n_regionkey
+        """,
+    category="source",
+    doc="CSV sink + source roundtrip (header, explicit schema on read) — "
+    "values survive the text encoding exactly.",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "nation_csv")
+    t(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema("n_nationkey int, n_name string, n_regionkey int").option(
+        "header", True
+    ).csv(path)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        decsum(F.col("n_nationkey").cast("double")).alias("key_sum"),
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n, min(o_orderkey) AS min_key
+        FROM orders
+        WHERE o_orderkey < 1000
+        GROUP BY o_orderpriority
+        """,
+    category="source",
+    doc="JSON-lines sink + source roundtrip with an explicit schema "
+    "(schema-on-read; inference is a scan you don't want at 100 TB).",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "orders_json")
+    (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .json(path)
+    )
+    back = spark.read.schema("o_orderkey bigint, o_orderpriority string").json(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("min_key")
+    )
+
+
+@register(
+    "source_text_wordcount",
+    oracle="""
+        SELECT word, count(*) AS cnt
+        FROM (
+            SELECT unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+        ORDER BY cnt DESC, word
+        LIMIT 10
+        """,
+    category="source",
+    doc="Text sink + source: one line per document, read back with "
+    "spark.read.text — the reference's file-corpus use-case (reference "
+    "README.md:76, a dict-like of file contents) as a native text scan.",
+)
+def source_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "docs_text")
+    t(spark, sf_dir, "documents").select("text").write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    return (
+        lines.select(F.explode(F.split("value", r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(10)
+    )
+
+
+@register(
+    "sink_partitioned_parquet",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+        """,
+    category="source",
+    doc="Hive-style partitioned parquet sink (partitionBy=o_orderstatus) "
+    "read back with a partition filter — the filter prunes whole "
+    "directories before any IO (PartitionFilters in the scan; asserted "
+    "in tests/test_plans.py::test_partition_pruning).",
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "orders_part")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))

@@ -54,6 +54,15 @@ def test_topk_avoids_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_partition_pruning(spark, sf_dir):
+    # sink_partitioned_parquet reads back with a partition filter; the
+    # scan must prune directories (PartitionFilters), not data-filter.
+    df = QUERIES["sink_partitioned_parquet"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters:")[1].splitlines()[0]
+
+
 def test_wordcount_codegen(spark, sf_dir):
     # The flagship's hot path must be inside whole-stage codegen; AQE only
     # shows the final (codegen-annotated) plan after execution.
