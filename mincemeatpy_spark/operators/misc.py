@@ -1,0 +1,166 @@
+"""Remaining operator-surface corners: multiset set-ops, null-safe
+equality, explicit cross join, sampling, the RDD mapPartitions escape
+hatch, and map-typed columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mincemeatpy_spark.registry import register
+from mincemeatpy_spark.tables import t
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+        SELECT l_linenumber AS k FROM lineitem WHERE l_returnflag = 'A'
+        INTERSECT ALL
+        SELECT l_linenumber FROM lineitem WHERE l_returnflag = 'R'
+        """,
+    category="setop",
+    doc="INTERSECT ALL: multiset intersection — each key kept "
+    "min(count_left, count_right) times.",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_linenumber").alias("k"))
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_linenumber").alias("k"))
+    return a.intersectAll(r)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+        SELECT o_orderpriority AS k FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT ALL
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P'
+        """,
+    category="setop",
+    doc="EXCEPT ALL: multiset difference — counts subtract, not vanish.",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_orderpriority").alias("k"))
+    p = o.filter(F.col("o_orderstatus") == "P").select(F.col("o_orderpriority").alias("k"))
+    return f.exceptAll(p)
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+        SELECT a.p_partkey AS k1, b.p_partkey AS k2
+        FROM (SELECT p_partkey, nullif(p_size, 25) AS sz FROM part WHERE p_partkey < 200) a
+        JOIN (SELECT p_partkey, nullif(p_size, 25) AS sz FROM part WHERE p_partkey < 200) b
+          ON a.sz IS NOT DISTINCT FROM b.sz AND a.p_partkey < b.p_partkey
+        """,
+    category="join",
+    doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other instead of dropping out.",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 200)
+        .select("p_partkey", F.nullif(F.col("p_size"), F.lit(25)).alias("sz"))
+    )
+    a, b = p.alias("a"), p.alias("b")
+    return a.join(
+        b,
+        F.col("a.sz").eqNullSafe(F.col("b.sz"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(F.col("a.p_partkey").alias("k1"), F.col("b.p_partkey").alias("k2"))
+
+
+@register(
+    "cross_join_explicit",
+    oracle="""
+        SELECT r.r_name, n.n_name
+        FROM region r CROSS JOIN nation n
+        """,
+    category="join",
+    doc="Explicit Cartesian product (both sides tiny; Spark requires "
+    "crossJoin() or a config opt-in precisely because this is a scale "
+    "foot-gun).",
+)
+def cross_join_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = t(spark, sf_dir, "region").select("r_name")
+    n = t(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
+    "table_sample",
+    oracle=None,  # sampling RNG is engine-specific; rows-only check.
+    category="approximate",
+    doc="Bernoulli TABLESAMPLE with a fixed seed — reproducible within "
+    "Spark (same seed, same split), not across engines.",
+)
+def table_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .sample(fraction=0.1, seed=42)
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("o_orderkey").alias("first_key"))
+    )
+
+
+@register(
+    "rdd_mappartitions_agg",
+    oracle="""
+        SELECT count(*) AS n_rows, sum(o_orderkey) AS key_sum
+        FROM orders
+        """,
+    category="compat",
+    doc="The RDD mapPartitions escape hatch (per-partition imperative "
+    "Python, the reference's native execution shape) — partial results "
+    "per partition, merged to a deterministic total.  Kept for parity "
+    "with the reference's model; the DataFrame agg is the fast path.",
+)
+def rdd_mappartitions_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = t(spark, sf_dir, "orders").select("o_orderkey").rdd
+
+    def part_stats(it):
+        n, s = 0, 0
+        for row in it:
+            n += 1
+            s += row[0]
+        yield (n, s)
+
+    parts = rows.mapPartitions(part_stats).collect()
+    n_rows = sum(p[0] for p in parts)
+    key_sum = sum(p[1] for p in parts)
+    return spark.createDataFrame([(n_rows, key_sum)], "n_rows bigint, key_sum bigint")
+
+
+@register(
+    "map_column_ops",
+    oracle="""
+        SELECT lang,
+               n_by_src['src0' ][1] AS src0_n,
+               n_by_src['src19'][1] AS src19_n,
+               cardinality(n_by_src) AS n_keys
+        FROM (
+            SELECT lang, map(list(source ORDER BY source), list(n ORDER BY source)) AS n_by_src
+            FROM (SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source)
+            GROUP BY lang
+        )
+        """,
+    category="array",
+    doc="Map-typed column: build {source: count} per lang with "
+    "map_from_entries, then key lookup + key count (scalar projections "
+    "keep the result hashable cross-engine).",
+)
+def map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    per_src = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    m = per_src.groupBy("lang").agg(
+        F.map_from_entries(F.sort_array(F.collect_list(F.struct("source", "n")))).alias(
+            "n_by_src"
+        )
+    )
+    return m.select(
+        "lang",
+        F.element_at("n_by_src", "src0").alias("src0_n"),
+        F.element_at("n_by_src", "src19").alias("src19_n"),
+        F.size(F.map_keys("n_by_src")).alias("n_keys"),
+    )

@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "mincemeatpy_spark.operators.windows",
     "mincemeatpy_spark.operators.setops",
     "mincemeatpy_spark.operators.sorting",
+    "mincemeatpy_spark.operators.misc",
     "mincemeatpy_spark.operators.skew",
     "mincemeatpy_spark.operators.sqlapi",
     "mincemeatpy_spark.operators.tpch",

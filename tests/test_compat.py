@@ -48,6 +48,68 @@ def test_reducefn_required(spark):
         mapreduce(spark, CORPUS, mapfn, None)
 
 
+def test_closure_capture(spark):
+    # The reference ships ONLY bytecode (marshal of func_code, reference
+    # mincemeat.py:284-290) so closures/globals are lost and imports must
+    # live inside the function body (reference README.md:93-96).
+    # cloudpickle is strictly stronger: closures and referenced globals
+    # ship too.  This job is impossible under the reference's contract.
+    factor = 10
+
+    def mapfn(k, v):
+        for w in v.split():
+            yield w, factor  # closure variable
+
+    def reducefn(k, vs):
+        return sum(vs)
+
+    result = mapreduce(spark, {0: "x y x"}, mapfn, reducefn)
+    assert result == {"x": 20, "y": 10}
+
+
+def test_import_inside_function_still_works(spark):
+    # The reference REQUIRES imports inside the function body; we keep
+    # supporting that style (it must not break).
+    def mapfn(k, v):
+        import math
+
+        yield k, math.floor(v)
+
+    def reducefn(k, vs):
+        return sum(vs)
+
+    assert mapreduce(spark, {1: 2.7, 2: 3.2}, mapfn, reducefn) == {1: 2, 2: 3}
+
+
+def test_mapfn_generator_multi_emit(spark):
+    # flatMap semantics: one input row may yield 0..n pairs (reference
+    # mincemeat.py:167-173) — including zero (filtering).
+    def mapfn(k, v):
+        if v % 2 == 0:
+            yield "even", v
+            yield "all", v
+        # odd rows emit nothing
+
+    def reducefn(k, vs):
+        return sorted(vs)
+
+    result = mapreduce(spark, {i: i for i in range(6)}, mapfn, reducefn)
+    assert result == {"even": [0, 2, 4], "all": [0, 2, 4]}
+
+
+def test_reducefn_sees_all_values_of_key(spark):
+    # Per-key locality: reducefn gets ALL values of a key in one call
+    # (reference mincemeat.py:327-329) regardless of partitioning.
+    def mapfn(k, v):
+        yield v % 3, 1
+
+    def reducefn(k, vs):
+        return len(vs)
+
+    result = mapreduce(spark, {i: i for i in range(30)}, mapfn, reducefn, num_partitions=7)
+    assert result == {0: 10, 1: 10, 2: 10}
+
+
 def test_non_dict_datasource(spark):
     # Any dict-like: iter() -> keys, [k] -> value (reference mincemeat.py:306,314).
     class Source:

@@ -62,6 +62,46 @@ def test_stateful_running_counts(spark, sf_dir, events):
     assert _rows(final, ["user_id", "n_events"]) == _rows(batch, ["user_id", "n_events"])
 
 
+def test_stream_static_join(spark, sf_dir, events):
+    # Stream-static join: each micro-batch joins against the static dim
+    # without shuffling the static side per batch.
+    static_cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = events.join(static_cust, "user_id").groupBy("c_mktsegment").count()
+    out = stream_ops.run_to_completion(joined, "stream_static_out", mode="complete")
+
+    batch = (
+        t(spark, sf_dir, "events")
+        .join(static_cust, "user_id")
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert _rows(out, ["c_mktsegment", "count"]) == _rows(batch, ["c_mktsegment", "count"])
+
+
+def test_foreachbatch_sink(spark, events):
+    # foreachBatch: the exactly-once escape hatch for arbitrary sinks —
+    # here accumulating per-batch row counts driver-side.
+    seen = []
+
+    def sink(df, epoch_id):
+        seen.append((epoch_id, df.count()))
+
+    q = events.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sum(n for _, n in seen) == t(spark, stream_ops_sf_dir(), "events").count()
+
+
+def stream_ops_sf_dir():
+    from tests.conftest import SF_DIR
+
+    return SF_DIR
+
+
 def test_watermark_drops_late_data(spark, events):
     # A watermarked append-mode aggregation finalizes windows once the
     # watermark passes; with a finite source all windows close.  Checks
