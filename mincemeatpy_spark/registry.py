@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "mincemeatpy_spark.operators.skew",
     "mincemeatpy_spark.operators.sqlapi",
     "mincemeatpy_spark.operators.tpch",
+    "mincemeatpy_spark.operators.tpch_more",
     "mincemeatpy_spark.functions.strings",
     "mincemeatpy_spark.sources.readers",
     "mincemeatpy_spark.functions.json_array",

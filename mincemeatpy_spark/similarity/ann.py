@@ -11,8 +11,12 @@ Two paths, as a 100 TB pipeline needs:
   but the pipeline is fully deterministic (hyperplanes derived from md5)
   so even this ANN path is exactly oracle-checkable.
 
-The IVF alternative (k-means coarse quantizer + probe lists) slots into
-the same shape: replace the sign-bucket with a nearest-centroid id.
+- ``similarity_ann_ivf``: IVF (inverted-file) — a coarse quantizer
+  assigns every vector to its nearest centroid's posting list; a query
+  probes only the ``nprobe`` nearest lists.  Deterministic seed
+  centroids (the first K corpus vectors) stand in for the k-means
+  training step, which at 100 TB runs offline on a sample anyway; the
+  partition/probe plumbing — the part that matters at scale — is real.
 """
 
 from __future__ import annotations
@@ -194,6 +198,106 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.vec_id").alias("neighbor_id"),
         cos.alias("cosine"),
     )
+    w = Wnd.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+_IVF_K = 8       # coarse-quantizer centroids (posting lists)
+_IVF_NPROBE = 2  # lists searched per query
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT vec_id AS c_id, e AS ce, nrm AS cnrm FROM v
+            WHERE vec_id < {_IVF_K}
+        ),
+        aff AS (
+            SELECT v.vec_id, cent.c_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_sum(list_transform(generate_series(1, {_DIM}),
+                                    i -> v.e[i] * cent.ce[i])) / (v.nrm * cent.cnrm)
+                                DESC, cent.c_id) AS rn
+            FROM v, cent
+        ),
+        assign AS (SELECT vec_id, c_id AS list_id FROM aff WHERE rn = 1),
+        probe  AS (SELECT vec_id AS q_id, c_id AS list_id FROM aff
+                   WHERE rn <= {_IVF_NPROBE} AND vec_id < 10),
+        scored AS (
+            SELECT probe.q_id, a.vec_id AS neighbor_id,
+                   list_sum(list_transform(generate_series(1, {_DIM}),
+                        i -> qv.e[i] * cv.e[i])) / (qv.nrm * cv.nrm) AS cosine
+            FROM probe
+            JOIN assign a ON a.list_id = probe.list_id
+                         AND a.vec_id <> probe.q_id
+            JOIN v qv ON qv.vec_id = probe.q_id
+            JOIN v cv ON cv.vec_id = a.vec_id
+        )
+        SELECT q_id, neighbor_id, rnk, round(cosine, 6) AS cosine
+        FROM (
+            SELECT q_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= 5
+        """,
+    category="similarity",
+    doc="ANN top-5 via IVF: nearest-centroid posting lists + nprobe=2 "
+    "probing, exact cosine re-rank within the probed lists.  Work per "
+    "query is O(nprobe * N / K) instead of O(N); the corpus shuffles "
+    "once on list_id (at scale: write bucketed-by-list parquet and the "
+    "probe join prunes to 2 buckets).  Seed centroids keep the whole "
+    "pipeline deterministic, so recall is oracle-checkable exactly.",
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vecs(spark, sf_dir)
+    cent = F.broadcast(
+        v.filter(F.col("vec_id") < _IVF_K).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("e").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    # Affinity of every vector to every centroid (K is small, so this is
+    # a broadcast nested loop — K*N rows, never N^2).
+    aff_score = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    aff = v.crossJoin(cent).select(
+        "vec_id", "c_id", aff_score.alias("aff")
+    )
+    wa = Wnd.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("c_id"))
+    ranked = aff.withColumn("rn", F.row_number().over(wa))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", F.col("c_id").alias("list_id"))
+    probe = (
+        ranked.filter((F.col("rn") <= _IVF_NPROBE) & (F.col("vec_id") < 10))
+        .select(F.col("vec_id").alias("q_id"), F.col("c_id").alias("list_id"))
+    )
+    lists = v.join(assign, "vec_id")  # corpus partitioned by posting list
+    q = v.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cand = (
+        F.broadcast(probe.join(q, "q_id"))
+        .join(lists, "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))
+    scored = cand.select("q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
     w = Wnd.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
