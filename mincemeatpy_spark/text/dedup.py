@@ -191,7 +191,9 @@ _B = [(i * 40503 + 17) % _P for i in range(_N_HASHES)]
 
 
 def _affine(i: int) -> str:
-    return f"(base * {_A[i]} + {_B[i]}) % {_P}"
+    # base is the full 60-bit shingle hash; reduce mod P first so the
+    # multiply stays under 2^63 (2^31 * 2^32 headroom) in both engines.
+    return f"((base % {_P}) * {_A[i]} + {_B[i]}) % {_P}"
 
 
 def _band_sig_sql(b: int) -> str:
@@ -205,7 +207,7 @@ def _band_sig_sql(b: int) -> str:
     oracle=f"""
         WITH {_ORACLE_SHINGLES},
         based AS (
-            SELECT doc_id, {_ORACLE_H60.format(x="s")} % {_P} AS base
+            SELECT doc_id, {_ORACLE_H60.format(x="s")} AS base
             FROM sh
         ),
         minh AS (
@@ -222,10 +224,10 @@ def _band_sig_sql(b: int) -> str:
             JOIN bands b ON a.band = b.band AND a.sig = b.sig
                         AND a.doc_id < b.doc_id
         ),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM based GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            FROM based a JOIN based b ON a.base = b.base AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         )
         SELECT c.d1, c.d2,
@@ -242,13 +244,24 @@ def _band_sig_sql(b: int) -> str:
     "linear-shuffle fuzzy-dedup path for 100 TB: work scales with "
     "documents + bucket collisions, not document pairs.  Deterministic "
     "md5-derived hashing makes even this LSH pipeline exactly "
-    "oracle-checkable.",
+    "oracle-checkable.  Shingle strings die at the hash step: sizing and "
+    "candidate verification join on the 60-bit hash, so the cached/"
+    "shuffled working set is (doc_id, int64) — at 100 TB that's the "
+    "difference between shuffling bytes and shuffling the corpus.  (The "
+    "oracle joins on the identical hash, so results match exactly even "
+    "in the collision case.)",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_df(spark, sf_dir).cache()
-    based = sh.select("doc_id", (_hash60(F.col("s")) % _P).alias("base"))
+    based = (
+        _shingle_df(spark, sf_dir)
+        .select("doc_id", _hash60(F.col("s")).alias("base"))
+        .cache()
+    )
+    # One pass over the hashed shingles computes the 16 minima AND the
+    # set size — sizes ride along instead of a second 260k-row agg.
     minh = based.groupBy("doc_id").agg(
-        *[F.min(F.expr(_affine(i))).alias(f"m{i}") for i in range(_N_HASHES)]
+        *[F.min(F.expr(_affine(i))).alias(f"m{i}") for i in range(_N_HASHES)],
+        F.count(F.lit(1)).alias("n"),
     )
     n_bands = _N_HASHES // _BAND_SIZE
     stack_args = ", ".join(
@@ -259,7 +272,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", f"stack({n_bands}, {stack_args}) AS (band, sig)"
     )
     ba = bands.alias("ba")
-    bb = bands.alias("bb")
+    bb = F.broadcast(bands).alias("bb")
     cand = (
         ba.join(
             bb,
@@ -270,24 +283,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("ba.doc_id").alias("d1"), F.col("bb.doc_id").alias("d2"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = minh.select("doc_id", "n")
     # Exact-jaccard verification restricted to LSH candidates: join the
-    # candidate pairs back to their shingle sets instead of building the
-    # full co-shingle pair index — verification work scales with
-    # |candidates|, not with all co-shingled pairs (the whole point of
-    # LSH at 100 TB).
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # candidate pairs back to their (hashed) shingle sets instead of
+    # building the full co-shingle pair index — verification work scales
+    # with |candidates|, not with all co-shingled pairs (the whole point
+    # of LSH at 100 TB).  Candidate pairs and per-doc sizes are tiny
+    # relative to the shingle index, so both broadcast.
+    a = based.alias("a")
+    b = based.alias("b")
     inter = (
-        cand.join(a, F.col("a.doc_id") == F.col("d1"))
-        .join(b, (F.col("b.doc_id") == F.col("d2")) & (F.col("b.s") == F.col("a.s")))
+        F.broadcast(cand)
+        .join(a, F.col("a.doc_id") == F.col("d1"))
+        .join(b, (F.col("b.doc_id") == F.col("d2")) & (F.col("b.base") == F.col("a.base")))
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("i"))
     )
     jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
     return (
-        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("d1"))
-        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("d2"))
+        inter.join(F.broadcast(sizes).alias("sa"), F.col("sa.doc_id") == F.col("d1"))
+        .join(F.broadcast(sizes).alias("sb"), F.col("sb.doc_id") == F.col("d2"))
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
     )
 
