@@ -110,6 +110,43 @@ def running_counts_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_join_stream(
+    events: DataFrame, watermark: str = "1 hour", horizon: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: pair each click with same-user purchases
+    within ``horizon`` after it.
+
+    Both sides carry watermarks and the join condition bounds purchase
+    time relative to click time, so the state store can evict a click
+    once its horizon passes the watermark — without the time bound a
+    stream-stream join would buffer both streams forever.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select("user_id", "click_id", "click_ts", "purchase_ts", "purchase_value")
+
+
 def run_to_completion(stream_df: DataFrame, query_name: str, mode: str | None = None) -> DataFrame:
     """Drive a streaming DataFrame over the (finite) file source to
     completion into an in-memory table; return it as a batch DataFrame."""

@@ -163,3 +163,45 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="user_id long, n_events long, first_ts timestamp_ntz, "
         "last_ts timestamp_ntz, max_value double, n_types long",
     )
+
+
+@register(
+    "join_click_purchase_window",
+    oracle="""
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               c.ts       AS click_ts,
+               p.ts       AS purchase_ts,
+               p.value    AS purchase_value
+        FROM events c
+        JOIN events p
+          ON p.user_id = c.user_id
+         AND p.ts >  c.ts
+         AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        WHERE c.event_type = 'click'
+          AND p.event_type = 'purchase'
+        """,
+    category="streaming",
+    doc="Batch twin of the stream-stream interval join "
+    "(stream_ops.click_purchase_join_stream): clicks paired with "
+    "same-user purchases in the 10 minutes after — one equi-join on "
+    "user_id with a time-band residual.  In streaming mode the same "
+    "condition bounds join state so watermarks can evict old clicks; "
+    "test_streaming asserts batch == stream on the fixture.",
+)
+def join_click_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("user_id", "click_id", "click_ts", "purchase_ts", "purchase_value")

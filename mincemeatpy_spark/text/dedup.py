@@ -423,3 +423,104 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.4)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# --- 6. near-dup clustering (connected components) ---------------------
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, len(w) - 2),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+            FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+            WHERE len(w) >= 3
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        edges AS (
+            SELECT d1, d2
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = d1
+            JOIN sizes sb ON sb.doc_id = d2
+            WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.25
+        ),
+        sym AS (SELECT d1 AS u, d2 AS v FROM edges
+                UNION SELECT d2, d1 FROM edges),
+        reach(u, v) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+            UNION
+            SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        )
+        SELECT u AS doc_id, min(v) AS cluster_id, count(*) AS cluster_size
+        FROM reach GROUP BY u
+        """,
+    category="dedup",
+    doc="Near-dup clustering: connected components over the exact-jaccard "
+    "edge set (>= 0.25), by iterative min-label propagation — each round "
+    "every node adopts the smallest label in its neighborhood; converges "
+    "in <= diameter rounds (dup clusters are tiny, so 2-4 in practice). "
+    "This is the keep-one-per-cluster stage a 100 TB dedup pipeline runs "
+    "after LSH pairing; each round is one self-contained shuffle join, "
+    "the Spark-idiomatic form of GraphX's label propagation.  The oracle "
+    "is a recursive-CTE transitive closure — same fixpoint.  cluster_size "
+    "counts reachable docs (= cluster members for every member).",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    sym = (
+        edges.select(F.col("d1").alias("u"), F.col("d2").alias("v"))
+        .unionAll(edges.select(F.col("d2").alias("u"), F.col("d1").alias("v")))
+        .cache()
+    )
+    labels = (
+        sym.select("u")
+        .distinct()
+        .select("u", F.col("u").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    # Min-label propagation to fixpoint.  The iteration count is bounded
+    # by the largest cluster's diameter; each round localCheckpoints so
+    # the lineage (and thus the physical plan) stays flat.  (On a real
+    # cluster use checkpoint() on reliable storage instead.)
+    for _ in range(32):
+        lab_v = labels.select(
+            F.col("u").alias("lv"), F.col("label").alias("vlabel")
+        )
+        neighbor_min = (
+            sym.join(lab_v, F.col("v") == F.col("lv"))
+            .groupBy(F.col("u").alias("nu"))
+            .agg(F.min("vlabel").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, F.col("u") == F.col("nu"), "left_outer")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.select(F.col("u").alias("cu"), F.col("label").alias("clabel"))
+            .join(labels, F.col("cu") == F.col("u"))
+            .filter(F.col("clabel") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    csize = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(F.broadcast(csize), "label")
+        .select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"), "cluster_size")
+    )

@@ -108,3 +108,18 @@ def test_watermark_drops_late_data(spark, events):
     # the watermark column is wired (plan contains EventTimeWatermark).
     agg = stream_ops.tumbling_counts_stream(events, watermark="5 minutes")
     assert "eventtimewatermark" in agg._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_stream_stream_interval_join(spark, sf_dir, events):
+    # Stream-stream join: both sides watermarked, time-banded condition
+    # so click state is evictable; result must equal the batch twin.
+    out = stream_ops.run_to_completion(
+        stream_ops.click_purchase_join_stream(events),
+        "stream_stream_out",
+        mode="append",
+    )
+    from mincemeatpy_spark.registry import load_all_queries
+
+    batch = load_all_queries()["join_click_purchase_window"].fn(spark, sf_dir)
+    cols = ["user_id", "click_id", "click_ts", "purchase_ts", "purchase_value"]
+    assert _rows(out, cols) == _rows(batch, cols)
