@@ -73,3 +73,58 @@ def test_wordcount_codegen(spark, sf_dir):
     # aggregate and the generate/filter must carry them.
     assert "*(1) HashAggregate" in plan
     assert "*(1) Generate" in plan or "*(1) Filter" in plan
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    # The EXISTS subquery must plan as one semi join (no aggregate-then-
+    # join-back, no BNLJ despite the non-equi conjunct on shipdate).
+    plan = _plan("tpch_q4_priority_check", spark, sf_dir)
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q5_dims_broadcast(spark, sf_dir):
+    # nation and region are hinted broadcast; the fact-side joins may
+    # shuffle but the dimension chain must not.
+    plan = _plan("tpch_q5_local_supplier", spark, sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q10_topk_no_global_sort(spark, sf_dir):
+    plan = _plan("tpch_q10_returned_items", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    # the returnflag filter must reach the lineitem parquet scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q17_decorrelated_to_broadcast(spark, sf_dir):
+    # The correlated per-part average must run as broadcast joins over the
+    # (tiny) aggregate, not re-shuffle the fact twice.
+    plan = _plan("tpch_q17_small_qty_revenue", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q18_having_is_semi_join(spark, sf_dir):
+    plan = _plan("tpch_q18_large_volume", spark, sf_dir)
+    assert "LeftSemi" in plan
+
+
+def test_q22_anti_join(spark, sf_dir):
+    plan = _plan("tpch_q22_dormant_customers", spark, sf_dir)
+    assert "LeftAnti" in plan
+
+
+def test_q1_agg_stays_in_codegen(spark, sf_dir):
+    # The fixed-point long accumulators must keep the whole aggregate
+    # inside whole-stage codegen (the reason decsum is not a decimal sum).
+    df = QUERIES["tpch_q1_pricing_summary"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(1) HashAggregate" in plan
+
+
+def test_ivf_probe_join_broadcasts_queries(spark, sf_dir):
+    # The IVF probe side (queries x nprobe) is tiny and must broadcast;
+    # the corpus/posting-list side must never be broadcast or looped.
+    plan = _plan("similarity_ann_ivf", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
