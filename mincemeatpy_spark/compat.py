@@ -146,3 +146,70 @@ def compat_mapreduce_wordcount(spark: SparkSession, sf_dir: str):
     return spark.createDataFrame(
         [(w, int(c)) for w, c in result.items()], schema="word string, cnt bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Drop-in class surface: the reference's Server/Client API verbatim, so a
+# mincemeat user can switch imports and run their existing script.
+# ---------------------------------------------------------------------------
+
+
+class Server:
+    """Drop-in for the reference's ``Server`` (reference mincemeat.py:208-242,
+    README.md:28-41): assign ``datasource`` / ``mapfn`` / ``reducefn`` /
+    ``collectfn`` attributes, call ``run_server(password=...)``, get the
+    ``{key: reduced_value}`` dict back.
+
+    Differences, all strict upgrades and documented:
+    - execution is a Spark job, not a TCP master/worker mesh, so
+      ``password`` and ``port`` are accepted for signature parity and
+      ignored (cluster auth is ``spark.authenticate``, reference O13);
+    - workers are Spark executors — there is no separate worker process
+      to launch (reference O8/O11 are the scheduler's job);
+    - closures and referenced globals ship with the functions
+      (cloudpickle), so imports inside the function body (reference
+      README.md:93-96) are supported but no longer required.
+    """
+
+    def __init__(self, spark: SparkSession | None = None) -> None:
+        self.spark = spark
+        self.datasource: Any = None
+        self.mapfn: Callable[[Any, Any], Iterable[tuple[Any, Any]]] | None = None
+        self.reducefn: Callable[[Any, list[Any]], Any] | None = None
+        self.collectfn: Callable[[Any, list[Any]], Any] | None = None
+
+    def run_server(self, password: str = "", port: int | None = None) -> dict[Any, Any]:
+        """Run the job; returns the result dict (reference mincemeat.py:225).
+
+        ``password``/``port`` are parity no-ops (see class docstring).
+        """
+        del password, port
+        if self.mapfn is None:
+            raise TypeError("mapfn is required (reference mincemeat.py:169)")
+        spark = self.spark
+        if spark is None:
+            from mincemeatpy_spark.session import get_spark
+
+            spark = get_spark("mincemeat-compat-server")
+        return mapreduce(
+            spark, self.datasource, self.mapfn, self.reducefn, self.collectfn
+        )
+
+
+class Client:
+    """Parity stub for the reference's ``Client`` (reference
+    mincemeat.py:130-150, README.md:83-89).  Spark manages its own
+    executors, so there is no worker process for user code to run;
+    ``conn()`` explains instead of hanging.
+    """
+
+    def __init__(self) -> None:
+        self.password = ""
+
+    def conn(self, server: str, port: int | None = None) -> None:
+        raise NotImplementedError(
+            "Workers are Spark executors managed by the cluster manager; "
+            "there is no separate worker to connect (reference O8/O11/O15 "
+            "are built into Spark). Submit jobs via Server.run_server() or "
+            "mapreduce()."
+        )

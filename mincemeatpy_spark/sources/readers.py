@@ -135,3 +135,25 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(path)
     back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
     return back.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle=f"""
+        SELECT c_mktsegment, count(*) AS n, {oracle_decsum('c_acctbal')} AS bal_sum
+        FROM customer
+        GROUP BY c_mktsegment
+        """,
+    category="source",
+    doc="ORC sink + source roundtrip — Spark's second columnar format; "
+    "same pushdown/pruning machinery as parquet (the scan-side plan "
+    "properties are format-independent).",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "customer_orc")
+    t(spark, sf_dir, "customer").write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        decsum(F.col("c_acctbal")).alias("bal_sum"),
+    )

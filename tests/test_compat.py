@@ -120,3 +120,44 @@ def test_non_dict_datasource(spark):
             return CORPUS[k]
 
     assert mapreduce(spark, Source(), mapfn, reducefn) == EXPECTED
+
+
+def test_server_class_drop_in(spark):
+    # The reference's example.py, verbatim against the compat Server
+    # (reference example.py:4-25, smoke.sh golden dict).
+    from mincemeatpy_spark import compat
+
+    data = [
+        "Humpty Dumpty sat on a wall",
+        "Humpty Dumpty had a great fall",
+        "All the King's horses and all the King's men",
+        "Couldn't put Humpty together again",
+    ]
+    datasource = dict(enumerate(data))
+
+    def mapfn(k, v):
+        for w in v.split():
+            yield w, 1
+
+    def reducefn(k, vs):
+        return sum(vs)
+
+    s = compat.Server(spark)
+    s.datasource = datasource
+    s.mapfn = mapfn
+    s.reducefn = reducefn
+    results = s.run_server(password="changeme")
+    assert results["Humpty"] == 3
+    assert results["the"] == 2
+    assert sum(results.values()) == sum(len(line.split()) for line in data)
+
+
+def test_client_stub_explains(spark):
+    from mincemeatpy_spark import compat
+
+    c = compat.Client()
+    c.password = "changeme"
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        c.conn("localhost")
