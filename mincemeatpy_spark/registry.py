@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "mincemeatpy_spark.functions.vector",
     "mincemeatpy_spark.text.analysis",
     "mincemeatpy_spark.text.dedup",
+    "mincemeatpy_spark.text.pipeline",
     "mincemeatpy_spark.similarity.ann",
     "mincemeatpy_spark.multimodal.binary_ops",
     "mincemeatpy_spark.streaming.windows_batch",

@@ -157,3 +157,50 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         decsum(F.col("c_acctbal")).alias("bal_sum"),
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle=f"""
+        SELECT o.o_orderstatus, count(*) AS n,
+               {oracle_decsum('l.l_extendedprice')} AS price_sum
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus
+        """,
+    category="source",
+    doc="Bucketed tables co-locate the join: orders and lineitem are both "
+    "written bucketBy(8, orderkey) + sortBy, so the sort-merge join reads "
+    "matching buckets side-by-side with NO shuffle exchange and no "
+    "per-bucket sort (asserted in test_plans).  At 100 TB this is the "
+    "difference between shuffling the fact table on every join and "
+    "shuffling it once at ingest.  The merge hint forces SMJ so the "
+    "exchange-free property is visible (broadcast would hide it here at "
+    "test scale).",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hl
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    to, tl = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+    for name, src, key in ((to, "orders", "o_orderkey"), (tl, "lineitem", "l_orderkey")):
+        if not spark.catalog.tableExists(name):
+            (
+                t(spark, sf_dir, src)
+                .write.mode("overwrite")
+                .option("path", _scratch(sf_dir, name))
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+    o = spark.table(to)
+    li = spark.table(tl)
+    return (
+        o.hint("merge")
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            decsum(F.col("l_extendedprice")).alias("price_sum"),
+        )
+    )

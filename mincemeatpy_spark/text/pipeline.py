@@ -1,0 +1,101 @@
+"""End-to-end training-corpus preparation pipeline.
+
+The composite a 100 TB pre-training data pipeline actually runs, as one
+declarative plan: quality gate → exact dedup → near-dup removal → kept
+corpus with stats.  Each stage is an operator that also exists (and is
+oracle-checked) standalone in ``text.analysis`` / ``text.dedup``; this
+query proves they compose — the reference's equivalent would be four
+chained MapReduce jobs with intermediate materialization (reference
+mincemeat.py:294-297 allows exactly one map+reduce per job), where here
+Catalyst fuses the whole thing and the corpus is scanned once per
+distinct shuffle key, not once per stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from mincemeatpy_spark.registry import register
+from mincemeatpy_spark.tables import t
+from mincemeatpy_spark.text.analysis import tokens
+from mincemeatpy_spark.text.dedup import _ORACLE_SHINGLES, dedup_ngram_jaccard
+
+
+@register(
+    "pipeline_training_corpus",
+    oracle=f"""
+        WITH stats AS (
+            SELECT doc_id, text,
+                   len(words) AS n_tokens,
+                   len(list_distinct(words))::DOUBLE / len(words) AS uniq_ratio
+            FROM (SELECT doc_id, text,
+                         string_split_regex(text, '\\s+') AS words
+                  FROM documents)
+            WHERE len(words) > 0
+        ),
+        quality AS (
+            SELECT * FROM stats
+            WHERE n_tokens >= 5 AND uniq_ratio >= 0.3
+        ),
+        exact_kept AS (
+            SELECT doc_id
+            FROM (SELECT doc_id,
+                         min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+                  FROM documents)
+            WHERE doc_id = keeper
+        ),
+        {_ORACLE_SHINGLES},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        near_dup_losers AS (
+            SELECT DISTINCT d2
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = d1
+            JOIN sizes sb ON sb.doc_id = d2
+            WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.25
+        )
+        SELECT q.doc_id, q.n_tokens, round(q.uniq_ratio, 6) AS uniq_ratio
+        FROM quality q
+        JOIN exact_kept e ON e.doc_id = q.doc_id
+        WHERE q.doc_id NOT IN (SELECT d2 FROM near_dup_losers)
+        """,
+    category="text",
+    doc="Composite corpus-prep pipeline: token-stat quality gate "
+    "(>= 5 tokens, uniq_ratio >= 0.3) → exact-dedup keeper filter "
+    "(window min over content digest) → near-dup removal (left-anti "
+    "against the exact-jaccard losers, the higher doc_id of each pair). "
+    "One plan, one corpus scan per shuffle key; the anti-join side is "
+    "pairs only, so it broadcasts.",
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens(F.col("text")).alias("words")
+    )
+    n_tokens = F.size("words")
+    uniq_ratio = F.size(F.array_distinct("words")).cast("double") / n_tokens
+    quality = (
+        docs.filter(n_tokens > 0)
+        .select("doc_id", "text", n_tokens.alias("n_tokens"), uniq_ratio.alias("uniq_ratio"))
+        .filter((F.col("n_tokens") >= 5) & (F.col("uniq_ratio") >= 0.3))
+    )
+    # Keeper is the min doc_id within each digest group over the FULL
+    # corpus (a quality-rejected keeper still shadows its duplicates) —
+    # mirrors the oracle's exact_kept CTE.
+    keeper = F.min("doc_id").over(W.partitionBy(F.md5(F.col("text").cast("binary"))))
+    exact_kept = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("keeper", keeper)
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select(F.col("doc_id").alias("kept_id"))
+    )
+    losers = dedup_ngram_jaccard(spark, sf_dir).select(F.col("d2").alias("loser_id")).distinct()
+    return (
+        quality.join(exact_kept, quality.doc_id == F.col("kept_id"), "left_semi")
+        .join(F.broadcast(losers), F.col("doc_id") == F.col("loser_id"), "left_anti")
+        .select("doc_id", "n_tokens", F.round("uniq_ratio", 6).alias("uniq_ratio"))
+    )

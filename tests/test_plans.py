@@ -128,3 +128,17 @@ def test_ivf_probe_join_broadcasts_queries(spark, sf_dir):
     # the corpus/posting-list side must never be broadcast or looped.
     plan = _plan("similarity_ann_ivf", spark, sf_dir)
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    # Both sides bucketed+sorted by the join key: the sort-merge join must
+    # read buckets directly — no ShuffleExchange, no Sort before the join.
+    df = QUERIES["join_bucketed_colocated"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    # The only exchange allowed is the post-join aggregation's (on
+    # o_orderstatus); nothing may re-partition on the join keys.
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount" in plan
