@@ -145,3 +145,112 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(5))).alias("frame_idx"),
     )
+
+
+@register(
+    "multimodal_resize_stub",
+    oracle="""
+        SELECT doc_id, width, height,
+               CAST(floor(width  * least(224.0 / width, 224.0 / height) + 0.5) AS INT) AS out_w,
+               CAST(floor(height * least(224.0 / width, 224.0 / height) + 0.5) AS INT) AS out_h
+        FROM (
+            SELECT doc_id,
+                   octet_length(text::BLOB) % 640 + 1        AS width,
+                   (octet_length(text::BLOB) * 7) % 480 + 1  AS height
+            FROM documents
+        )
+        """,
+    category="multimodal",
+    doc="Decode+resize fused in ONE mapInPandas pass (one Arrow round "
+    "trip, the shape a real PIL/opencv stage uses): stub-decode dims, "
+    "then fit-to-224-box scaling.  floor(x + 0.5) keeps the rounding "
+    "identical across engines (python round() is banker's; SQL round() "
+    "is half-up).",
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def decode_resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(bytes(b))
+                w, h = n % 640 + 1, (n * 7) % 480 + 1
+                scale = min(224.0 / w, 224.0 / h)
+                rows.append(
+                    (doc_id, w, h, math.floor(w * scale + 0.5), math.floor(h * scale + 0.5))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "out_w", "out_h"]
+            )
+
+    return d.mapInPandas(
+        decode_resize,
+        schema="doc_id long, width int, height int, out_w int, out_h int",
+    )
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle="""
+        SELECT doc_id, frame_no,
+               list_sum(list_transform(
+                   split(substr(text, frame_no * 256 + 1, 256), ''),
+                   c -> ascii(c))) AS energy,
+               length(substr(text, frame_no * 256 + 1, 256)) AS n_samples
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(0,
+                       CAST(ceil(octet_length(text::BLOB) / 256.0) AS INT) - 1)) AS frame_no
+            FROM documents
+            WHERE octet_length(text::BLOB) > 0
+        )
+        """,
+    category="multimodal",
+    doc="Audio feature-extract plumbing: payload bytes framed into 256-"
+    "sample windows, per-frame energy (sum of sample values) via numpy "
+    "over Arrow batches in mapInPandas — the exact shape of a real "
+    "spectral/DSP stage (frombuffer -> per-window reduce -> one row per "
+    "frame).  The fixture payload is ASCII text, so the oracle mirrors "
+    "byte values with ascii() in SQL.",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def energy(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            out_doc, out_frame, out_energy, out_n = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(b), dtype=np.uint8)
+                if samples.size == 0:
+                    continue
+                for f in range(0, (samples.size + 255) // 256):
+                    win = samples[f * 256 : (f + 1) * 256]
+                    out_doc.append(doc_id)
+                    out_frame.append(f)
+                    out_energy.append(int(win.sum()))
+                    out_n.append(int(win.size))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "frame_no": out_frame,
+                    "energy": out_energy,
+                    "n_samples": out_n,
+                }
+            )
+
+    return d.mapInPandas(
+        energy, schema="doc_id long, frame_no int, energy bigint, n_samples int"
+    )
