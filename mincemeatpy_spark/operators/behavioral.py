@@ -1,0 +1,100 @@
+"""Behavioral analytics over the events stream-shaped table: funnel
+conversion and cohort retention.
+
+In the reference's model each of these is a two-job MapReduce chain
+(per-user reduce to collect an event timeline, then a global reduce over
+the per-user outcomes — reference mincemeat.py O2+O4+O5 twice); here
+both collapse to one conditional-aggregation plan with a single shuffle
+on user_id, then a tiny final aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mincemeatpy_spark.registry import register
+from mincemeatpy_spark.tables import t
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+                   min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT
+            CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_signup,
+            CAST(sum(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_click_after,
+            CAST(sum(CASE WHEN t_click > t_signup AND t_purchase > t_click
+                          THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_purchase_after
+        FROM u
+        """,
+    category="behavioral",
+    doc="Ordered funnel signup → click → purchase: one shuffle on user_id "
+    "builds per-user stage timestamps (min per stage via conditional "
+    "aggregation), then a single-row rollup counts users whose stages "
+    "occur in order.  NULL stage times fail the > comparison, so missing "
+    "stages drop out without explicit null handling.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+
+    def stage(name: str):
+        return F.min(F.when(F.col("event_type") == name, F.col("ts")))
+
+    u = e.groupBy("user_id").agg(
+        stage("signup").alias("t_signup"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    ordered_click = F.col("t_click") > F.col("t_signup")
+    ordered_purchase = ordered_click & (F.col("t_purchase") > F.col("t_click"))
+    return u.agg(
+        F.sum(F.when(F.col("t_signup").isNotNull(), 1).otherwise(0)).alias("n_signup"),
+        F.sum(F.when(ordered_click, 1).otherwise(0)).alias("n_click_after"),
+        F.sum(F.when(ordered_purchase, 1).otherwise(0)).alias("n_purchase_after"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        )
+        SELECT f.cohort_day,
+               datediff('day', f.cohort_day, a.d) AS day_offset,
+               count(*) AS n_active
+        FROM activity a
+        JOIN first_seen f ON f.user_id = a.user_id
+        GROUP BY f.cohort_day, day_offset
+        """,
+    category="behavioral",
+    doc="Cohort retention triangle: cohort = first active day per user; "
+    "each (cohort, day-offset) cell counts distinct users active that "
+    "day.  first_seen is |users| rows, so it broadcasts back onto the "
+    "distinct-activity set — the fact shuffles once (user_id), never on "
+    "the cohort key.",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    activity = e.distinct()
+    first_seen = activity.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        activity.join(F.broadcast(first_seen), "user_id")
+        .groupBy("cohort_day", F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -44,6 +44,7 @@ _QUERY_MODULES = (
     "mincemeatpy_spark.operators.misc",
     "mincemeatpy_spark.operators.skew",
     "mincemeatpy_spark.operators.sqlapi",
+    "mincemeatpy_spark.operators.behavioral",
     "mincemeatpy_spark.operators.tpch",
     "mincemeatpy_spark.operators.tpch_more",
     "mincemeatpy_spark.functions.strings",

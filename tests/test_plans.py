@@ -142,3 +142,14 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "Exchange hashpartitioning(l_orderkey" not in plan
     assert "Bucketed: true" in plan
     assert "SelectedBucketsCount" in plan
+
+
+def test_plan_report_module(spark, sf_dir):
+    # plans.inspect is the plan-IR window test_plans uses informally;
+    # check its structured report on a known query.
+    from mincemeatpy_spark.plans import plan_report
+
+    rep = plan_report(QUERIES["tpch_q5_local_supplier"].fn(spark, sf_dir))
+    assert all("PushedFilters" in s for s in rep["scans"])
+    assert "BroadcastHashJoin" in rep["joins"]
+    assert rep["n_exchanges"] <= 3  # fact shuffles only, never dims
