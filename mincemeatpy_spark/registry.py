@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "mincemeatpy_spark.functions.strings",
     "mincemeatpy_spark.sources.readers",
     "mincemeatpy_spark.functions.json_array",
+    "mincemeatpy_spark.functions.udfs",
     "mincemeatpy_spark.functions.vector",
     "mincemeatpy_spark.text.analysis",
     "mincemeatpy_spark.text.dedup",
