@@ -98,3 +98,36 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"))
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "downsample_ohlc",
+    oracle="""
+        SELECT event_type,
+               time_bucket(INTERVAL '1 hour', ts) AS hour,
+               arg_min(value, ts)  AS open,
+               max(value)          AS high,
+               min(value)          AS low,
+               arg_max(value, ts)  AS close,
+               count(*)            AS n
+        FROM events
+        GROUP BY event_type, hour
+        """,
+    category="behavioral",
+    doc="Time-series OHLC downsample: hourly open/high/low/close per "
+    "event type via min_by/max_by on the event timestamp — the "
+    "continuous-aggregate / rollup shape, one two-phase hash aggregate "
+    "(min_by partials carry (value, ts) pairs, so no window or "
+    "self-join).  ts is unique per (event_type, hour) group in the "
+    "fixture, so arg-extremes are deterministic.",
+)
+def downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    return e.groupBy("event_type", hour).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -161,3 +161,32 @@ def test_client_stub_explains(spark):
 
     with _pytest.raises(NotImplementedError):
         c.conn("localhost")
+
+
+def test_file_backed_lazy_datasource(spark, tmp_path):
+    # The reference's published use-case (reference README.md:76): a
+    # dict-like over file paths whose __getitem__ reads contents lazily,
+    # streaming a corpus without materializing it up front.
+    files = {}
+    for i, line in enumerate(["spark spark flint", "flint spark"]):
+        p = tmp_path / f"doc{i}.txt"
+        p.write_text(line)
+        files[str(p)] = p
+
+    class FileCorpus:
+        def __init__(self, paths):
+            self.paths = list(paths)
+            self.reads = 0
+
+        def __iter__(self):
+            return iter(self.paths)
+
+        def __getitem__(self, path):
+            self.reads += 1
+            with open(path) as f:
+                return f.read()
+
+    src = FileCorpus(files)
+    result = mapreduce(spark, src, mapfn, reducefn)
+    assert result == {"spark": 3, "flint": 2}
+    assert src.reads == 2  # one lazy read per key, as in the reference
