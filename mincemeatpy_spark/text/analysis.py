@@ -272,3 +272,44 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), _WS, " "))
     return docs.select("doc_id", F.md5(normalized.cast("binary")).alias("fp"))
+
+
+# GPT-2-style pre-tokenizer regex (simplified, ASCII): contraction
+# suffixes, letter runs, digit runs, punctuation runs.  Java and RE2
+# agree on this subset (no lookarounds), so Spark and the DuckDB oracle
+# tokenize identically.
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+@register(
+    "text_bpe_token_stats",
+    oracle=f"""
+        SELECT doc_id,
+               len(toks)                                 AS n_bpe_tokens,
+               len(list_filter(toks, t -> t ~ '^[0-9]+$'))       AS n_number,
+               len(list_filter(toks, t -> t ~ '^[A-Za-z]+$'))    AS n_word,
+               len(list_filter(toks, t -> t ~ '^''(s|t|re|ve|m|ll|d)$')) AS n_contraction
+        FROM (
+            SELECT doc_id,
+                   regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}') AS toks
+            FROM documents
+        )
+        """,
+    category="text",
+    doc="BPE-ish token counting: a GPT-2-style pre-tokenizer regex "
+    "(contractions / letter runs / digit runs / punctuation runs) via "
+    "regexp_extract_all — the token-budget estimator a training "
+    "pipeline runs before the real BPE merge table, entirely JVM-side.",
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    def n_matching(pat: str):
+        return F.size(F.filter(toks, lambda x: x.rlike(pat)))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        n_matching("^[0-9]+$").alias("n_number"),
+        n_matching("^[A-Za-z]+$").alias("n_word"),
+        n_matching("^'(s|t|re|ve|m|ll|d)$").alias("n_contraction"),
+    )

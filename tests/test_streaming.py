@@ -123,3 +123,13 @@ def test_stream_stream_interval_join(spark, sf_dir, events):
     batch = load_all_queries()["join_click_purchase_window"].fn(spark, sf_dir)
     cols = ["user_id", "click_id", "click_ts", "purchase_ts", "purchase_value"]
     assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_streaming_dedup_with_watermark(spark, sf_dir, events):
+    # State-store dedup: dropDuplicates on the event key under a
+    # watermark (bounded state); must equal batch distinct-by-key.
+    dedup = events.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    out = stream_ops.run_to_completion(dedup, "stream_dedup_out", mode="append")
+    n_stream = out.count()
+    n_batch = t(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert n_stream == n_batch
