@@ -47,6 +47,7 @@ _QUERY_MODULES = (
     "mincemeatpy_spark.operators.behavioral",
     "mincemeatpy_spark.operators.tpch",
     "mincemeatpy_spark.operators.tpch_more",
+    "mincemeatpy_spark.operators.tpch_rest",
     "mincemeatpy_spark.functions.strings",
     "mincemeatpy_spark.sources.readers",
     "mincemeatpy_spark.functions.json_array",
