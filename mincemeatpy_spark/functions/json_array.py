@@ -183,3 +183,36 @@ def array_zip_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot, 6).alias("dot"),
         )
     )
+
+
+@register(
+    "json_variant_ops",
+    oracle="""
+        SELECT e.event_type,
+               count(*) AS n,
+               CAST(sum(CAST(json_extract(e.props, '$.k') AS INTEGER)) AS BIGINT)
+                   AS k_sum,
+               max(CAST(json_extract(e.props, '$.k') AS INTEGER)) AS k_max
+        FROM events e
+        GROUP BY e.event_type
+        """,
+    category="json",
+    doc="Spark 4 VariantType path for semi-structured data: parse_json "
+    "into a Variant column once, then typed variant_get extraction — "
+    "the open-schema alternative to from_json's fixed StructType.  "
+    "Variant stores a parsed binary form, so repeated field reads skip "
+    "re-tokenizing the JSON text (the big win when one 100 TB scan "
+    "feeds many extractions).  Extracted ints aggregate exactly.",
+)
+def json_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").withColumn("v", F.parse_json(F.col("props")))
+    k = F.variant_get(F.col("v"), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+    )

@@ -260,3 +260,45 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_px"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
     )
+
+
+@register(
+    "agg_reaggregate_monthly",
+    oracle=f"""
+        WITH daily AS (
+            SELECT l_returnflag,
+                   CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
+                   {oracle_decsum('l_extendedprice * (1 - l_discount)')} AS day_rev,
+                   count(*) AS day_n
+            FROM lineitem
+            GROUP BY l_returnflag, day)
+        SELECT l_returnflag,
+               CAST(date_trunc('month', day) AS TIMESTAMP) AS month,
+               {oracle_decsum('day_rev')} AS month_rev,
+               CAST(sum(day_n) AS BIGINT) AS month_n
+        FROM daily
+        GROUP BY l_returnflag, month
+        """,
+    category="aggregation",
+    doc="Incremental re-aggregation — the materialized-rollup pattern for "
+    "100 TB pipelines: aggregate once at fine grain (per returnflag/day; "
+    "in production that output is a partitioned parquet rollup written "
+    "daily), then answer coarser queries by merging the partials "
+    "(monthly = exact sum of daily sums and counts), never rescanning "
+    "the fact.  Works because sum/count are mergeable; the fixed-point "
+    "sums keep the two-level total bit-equal to a one-level aggregate.",
+)
+def agg_reaggregate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag", F.date_trunc("day", F.col("l_shipdate")).alias("day")
+    ).agg(
+        decsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("day_rev"),
+        F.count(F.lit(1)).alias("day_n"),
+    )
+    return daily.groupBy(
+        "l_returnflag", F.date_trunc("month", F.col("day")).alias("month")
+    ).agg(
+        decsum(F.col("day_rev")).alias("month_rev"),
+        F.sum("day_n").alias("month_n"),
+    )

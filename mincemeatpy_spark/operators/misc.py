@@ -164,3 +164,46 @@ def map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("n_by_src", "src19").alias("src19_n"),
         F.size(F.map_keys("n_by_src")).alias("n_keys"),
     )
+
+
+@register(
+    "sample_stratified_hash",
+    oracle="""
+        SELECT lang, count(*) AS n_kept, min(doc_id) AS first_doc
+        FROM (SELECT lang, doc_id,
+                     ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                         % 1000 AS bucket
+              FROM documents)
+        WHERE (lang = 'en' AND bucket < 100)
+           OR (lang <> 'en' AND bucket < 500)
+        GROUP BY lang
+        """,
+    category="relational",
+    doc="Deterministic stratified sampling via content hashing instead "
+    "of an RNG: md5(doc_id) mod 1000 against a per-stratum rate "
+    "(downsample the majority language to 10%, keep 50% elsewhere — "
+    "the standard corpus-rebalancing move).  Unlike sample()/sampleBy(), "
+    "the kept set is a pure function of the data — independent of "
+    "partitioning, task count, and engine — so it is reproducible "
+    "across reruns and cluster sizes, and incremental: new data can be "
+    "sampled later with the same rule and stays consistent.  No "
+    "shuffle until the tiny per-lang count.",
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    keep = ((F.col("lang") == "en") & (bucket < 100)) | (
+        (F.col("lang") != "en") & (bucket < 500)
+    )
+    return (
+        d.filter(keep)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("first_doc"))
+    )

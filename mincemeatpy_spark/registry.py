@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "mincemeatpy_spark.functions.udfs",
     "mincemeatpy_spark.functions.vector",
     "mincemeatpy_spark.text.analysis",
+    "mincemeatpy_spark.text.scoring",
     "mincemeatpy_spark.text.dedup",
     "mincemeatpy_spark.text.pipeline",
     "mincemeatpy_spark.similarity.ann",

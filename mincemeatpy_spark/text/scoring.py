@@ -1,0 +1,172 @@
+"""Corpus-statistics scoring operators — repetition, TF-IDF salience,
+stopword profiles.
+
+These extend the reference's native workload (word frequency over text,
+reference README.md:76, example.py:12-18) into the quality-scoring ops a
+training-data pipeline runs before dedup/filtering.  Everything is
+built-in column expressions over explode + two-phase hash aggregates —
+no Python in the hot path, so the corpus runs at scan speed and each
+operator is one or two key-shuffles regardless of corpus size.
+
+Determinism note: every ratio here is a single IEEE double division of
+exactly-represented integers (token counts), so Spark and DuckDB produce
+bit-identical values and the oracle hash-compare is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from mincemeatpy_spark.registry import register
+from mincemeatpy_spark.tables import t
+from mincemeatpy_spark.text.analysis import tokens
+
+# One row per non-empty token: (doc, token) — the shared first stage.
+_TOKS_SQL = """
+    SELECT doc_id, lang, word
+    FROM (SELECT doc_id, lang,
+                 unnest(string_split_regex(text, '\\s+')) AS word
+          FROM documents)
+    WHERE word <> ''
+"""
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+
+
+@register(
+    "text_repetition_score",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct,
+               CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS rep_ratio
+        FROM (SELECT doc_id, word, count(*) AS c
+              FROM ({_TOKS_SQL})
+              GROUP BY doc_id, word)
+        GROUP BY doc_id
+        """,
+    category="text",
+    doc="Repetition scoring (the 'most-common-word ratio' quality filter "
+    "from web-corpus pipelines): per document, total tokens, distinct "
+    "tokens, and the share of the single most frequent token.  Two "
+    "chained hash aggregates — (doc,word) then doc — both partial+final; "
+    "the second reuses the first's doc_id clustering, and nothing is "
+    "per-row Python.  Highly repetitive docs (high rep_ratio) are the "
+    "ones a quality gate drops.",
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_word = (
+        _toks(spark, sf_dir)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.max("c").cast("double") / F.sum("c")).alias("rep_ratio"),
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle=f"""
+        WITH wc AS (SELECT doc_id, word, count(*) AS tf
+                    FROM ({_TOKS_SQL})
+                    GROUP BY doc_id, word),
+        df AS (SELECT word, count(*) AS df FROM wc GROUP BY word),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, word, score
+        FROM (SELECT wc.doc_id, wc.word,
+                     CAST(wc.tf AS DOUBLE) * n.n_docs / df.df AS score,
+                     row_number() OVER (
+                         PARTITION BY wc.doc_id
+                         ORDER BY CAST(wc.tf AS DOUBLE) * n.n_docs / df.df DESC,
+                                  wc.word) AS rk
+              FROM wc JOIN df USING (word) CROSS JOIN n)
+        WHERE rk <= 3
+        """,
+    category="text",
+    doc="Top-3 salient terms per document by rational TF-IDF "
+    "(tf * n_docs / doc_freq — a plain ratio instead of log-idf so the "
+    "score is a deterministic IEEE expression, no libm variance between "
+    "engines).  Plan: (doc,word) aggregate, word-level doc-frequency "
+    "aggregate broadcast back (|vocab| rows, tiny vs the corpus), 1-row "
+    "n_docs broadcast, then a per-doc row_number window.  The fact-sized "
+    "shuffle happens once, on (doc,word).",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = (
+        _toks(spark, sf_dir)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = F.broadcast(wc.groupBy("word").agg(F.count(F.lit(1)).alias("df")))
+    n = F.broadcast(
+        t(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    score = F.col("tf").cast("double") * F.col("n_docs") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(
+        score.desc(), F.col("word")
+    )
+    return (
+        wc.join(df, "word")
+        .crossJoin(n)
+        .withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "word", "score")
+    )
+
+
+@register(
+    "text_stopword_profile",
+    oracle=f"""
+        WITH toks AS ({_TOKS_SQL}),
+        top10 AS (SELECT word
+                  FROM (SELECT word, count(*) AS c FROM toks GROUP BY word
+                        ORDER BY c DESC, word LIMIT 10))
+        SELECT lang,
+               count(*) AS n_tokens,
+               CAST(sum(CASE WHEN word IN (SELECT word FROM top10)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+               CAST(sum(CASE WHEN word IN (SELECT word FROM top10)
+                             THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+               AS stop_ratio
+        FROM toks
+        GROUP BY lang
+        """,
+    category="text",
+    doc="Stopword-ratio quality signal per language, with the stopword "
+    "list derived from the corpus itself (global top-10 tokens) rather "
+    "than hardcoded — the standard bootstrap when no curated list "
+    "exists for a language.  The top-10 is a TakeOrderedAndProject over "
+    "the word aggregate, broadcast back as a 10-row marker join "
+    "(left outer + flag, so both stop and non-stop tokens count in one "
+    "pass).  Corpus-sized data shuffles once, on word.",
+)
+def text_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _toks(spark, sf_dir)
+    top10 = F.broadcast(
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("word"))
+        .limit(10)
+        .select("word", F.lit(1).alias("is_stop"))
+    )
+    return (
+        toks.join(top10, "word", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("is_stop"), F.lit(0))).alias("n_stop"),
+            (
+                F.sum(F.coalesce(F.col("is_stop"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("stop_ratio"),
+        )
+    )

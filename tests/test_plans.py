@@ -153,3 +153,38 @@ def test_plan_report_module(spark, sf_dir):
     assert all("PushedFilters" in s for s in rep["scans"])
     assert "BroadcastHashJoin" in rep["joins"]
     assert rep["n_exchanges"] <= 3  # fact shuffles only, never dims
+
+
+def test_q2_window_not_over_fact(spark, sf_dir):
+    # Q2's correlated-max decorrelation: part and the nation/region chain
+    # broadcast; the only sort-merge-eligible work is the derived
+    # part-supplier relation, and the final top-k is a TakeOrdered.
+    plan = _plan("tpch_q2_min_cost_supplier", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q9_part_filter_pushed_and_broadcast(spark, sf_dir):
+    # The selective p_name LIKE filter must reach the part scan, and the
+    # filtered part side must broadcast into the fact.
+    plan = _plan("tpch_q9_product_profit", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "StringContains(p_name,red)" in plan.replace(" ", "").replace("'", "")
+
+
+def test_q11_single_fact_scan(spark, sf_dir):
+    # The grand-total threshold must come from a reused per-part aggregate
+    # (1-row broadcast), not a second scan+aggregate of the fact.
+    plan = _plan("tpch_q11_important_stock", spark, sf_dir)
+    assert plan.count("lineitem.parquet") <= 2  # value agg + threshold reuse
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q16_blacklist_is_anti_join(spark, sf_dir):
+    plan = _plan("tpch_q16_supplier_counts", spark, sf_dir)
+    assert "LeftAnti" in plan
+
+
+def test_q20_nested_in_is_semi_join(spark, sf_dir):
+    plan = _plan("tpch_q20_excess_shippers", spark, sf_dir)
+    assert plan.count("LeftSemi") >= 2  # part filter AND qualifying suppliers
