@@ -20,19 +20,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mincemeatpy_spark.registry import load_all_queries
 from mincemeatpy_spark.session import get_spark
 
-# Representative spread: scan+agg, joins, windows, text, dedup/LSH,
-# similarity, sessionization, JSON.
+# Representative spread: scan+agg, joins (broadcast-heavy Q9 and
+# decorrelated Q21 included), windows, text, dedup/LSH, similarity,
+# sessionization, JSON, and the fused corpus-prep pipeline.
 HEADLINE = [
     "wordcount",
     "tpch_q1_pricing_summary",
     "join_inner",
     "tpch_q3_shipping_priority",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
     "join_asof",
     "window_running_sum",
     "window_session",
     "json_extract_agg",
     "dedup_minhash_lsh",
     "similarity_topk",
+    "pipeline_training_corpus",
 ]
 
 

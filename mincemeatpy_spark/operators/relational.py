@@ -120,3 +120,35 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH")).alias("plus3m"),
     )
+
+
+@register(
+    "try_arithmetic",
+    oracle="""
+        SELECT l_linenumber,
+               count(*) AS n,
+               CAST(sum(CASE WHEN l_discount = 0 THEN NULL
+                             ELSE CAST(round(l_extendedprice / l_discount) AS BIGINT)
+                        END) AS BIGINT) AS ratio_sum,
+               CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_div_zero
+        FROM lineitem
+        GROUP BY l_linenumber
+        """,
+    category="relational",
+    doc="Error-safe arithmetic (try_divide): division by zero yields NULL "
+    "instead of failing the job — the ANSI-mode-safe idiom for derived "
+    "ratios over dirty data, where one bad row must not kill a 100 TB "
+    "job.  Nulls then drop out of the aggregate, and the null count is "
+    "surfaced alongside so data quality stays observable.  (Oracle "
+    "mirrors try_divide with an explicit CASE; the rounded-to-integer "
+    "ratio keeps the sum exact cross-engine.)",
+)
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    ratio = F.try_divide(F.col("l_extendedprice"), F.col("l_discount"))
+    return li.groupBy("l_linenumber").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(ratio).cast("bigint")).alias("ratio_sum"),
+        F.sum(F.when(F.col("l_discount") == 0, 1).otherwise(0)).alias("n_div_zero"),
+    )

@@ -170,3 +170,75 @@ def _has_agg(df: DataFrame) -> bool:
     # flatMapGroupsWithState-style ops in update/append.
     plan = df._jdf.queryExecution().analyzed().toString()
     return "Aggregate" in plan
+
+
+_TWS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+
+def user_value_stats_tws(events: DataFrame) -> DataFrame:
+    """Per-user running stats via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API (typed ValueState in the state store,
+    explicit processor lifecycle) that supersedes applyInPandasWithState.
+
+    The running sum is kept in integer micro-units so the emitted total
+    is exactly equal to the batch fixed-point aggregate regardless of
+    micro-batch boundaries — state merge order never changes the result
+    (the same commutative-reduce requirement the reference imposes on
+    reducefn, SURVEY.md §1.3).
+
+    Runtime dependency: the Python side of transformWithState talks
+    protobuf to the JVM state server, so executing this operator needs
+    ``google.protobuf`` installed (the plan construction below does not).
+    The equality test skips when the package is absent.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    # transformWithState requires the RocksDB state store (typed column
+    # families); the default HDFS-backed provider cannot host it.
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "stats", "n BIGINT, micros BIGINT, mx DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._st.exists():
+                n, micros, mx = self._st.get()
+            else:
+                n, micros, mx = 0, 0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                micros += int(round(pdf["value"] * 1e6).sum())
+                mx = max(mx, float(pdf["value"].max()))
+            self._st.update((n, micros, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [micros / 1e6],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=_TWS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

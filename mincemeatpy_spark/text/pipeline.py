@@ -99,3 +99,63 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(losers), F.col("doc_id") == F.col("loser_id"), "left_anti")
         .select("doc_id", "n_tokens", F.round("uniq_ratio", 6).alias("uniq_ratio"))
     )
+
+
+@register(
+    "corpus_diff_incremental",
+    oracle="""
+        WITH old AS (SELECT doc_id,
+                            CASE WHEN doc_id % 7 = 0 THEN upper(text)
+                                 ELSE text END AS text
+                     FROM documents WHERE doc_id % 13 <> 0),
+        new AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0)
+        SELECT status, count(*) AS n_docs, min(doc_id) AS first_doc
+        FROM (SELECT coalesce(new.doc_id, old.doc_id) AS doc_id,
+                     CASE WHEN old.doc_id IS NULL THEN 'added'
+                          WHEN new.doc_id IS NULL THEN 'removed'
+                          WHEN md5(old.text) <> md5(new.text) THEN 'changed'
+                          ELSE 'unchanged' END AS status
+              FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+        GROUP BY status
+        """,
+    category="text",
+    doc="Incremental corpus update — the snapshot-diff step that decides "
+    "what a 100 TB pipeline must reprocess: full outer join of the "
+    "previous and current snapshots on doc_id, content compared by "
+    "digest (md5) instead of the full text, rows classified "
+    "added/removed/changed/unchanged.  At scale both snapshots shuffle "
+    "once on doc_id (or zero times if both are bucketed by doc_id on "
+    "disk), the digests are computed scan-side, and only the "
+    "added+changed slice flows into downstream recompute.  The two "
+    "snapshots here are deterministic views of the fixture (13-cycle "
+    "deletions, 10-cycle additions, 7-cycle edits).",
+)
+def corpus_diff_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 13 != 0).select(
+        F.col("doc_id").alias("old_id"),
+        F.md5(
+            F.when(F.col("doc_id") % 7 == 0, F.upper(F.col("text")))
+            .otherwise(F.col("text"))
+            .cast("binary")
+        ).alias("old_fp"),
+    )
+    new = d.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("new_id"),
+        F.md5(F.col("text").cast("binary")).alias("new_fp"),
+    )
+    status = (
+        F.when(F.col("old_id").isNull(), "added")
+        .when(F.col("new_id").isNull(), "removed")
+        .when(F.col("old_fp") != F.col("new_fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        old.join(new, F.col("old_id") == F.col("new_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("new_id"), F.col("old_id")).alias("doc_id"),
+            status.alias("status"),
+        )
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )

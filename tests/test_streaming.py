@@ -133,3 +133,41 @@ def test_streaming_dedup_with_watermark(spark, sf_dir, events):
     n_stream = out.count()
     n_batch = t(spark, sf_dir, "events").select("event_id").distinct().count()
     assert n_stream == n_batch
+
+
+def _has_protobuf() -> bool:
+    # transformWithStateInPandas speaks protobuf to the JVM state server;
+    # the pure-Python runtime dependency may be absent in this container.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf at runtime",
+)
+def test_transform_with_state_matches_batch(spark, sf_dir, events):
+    # Spark 4 transformWithStateInPandas must reproduce the batch
+    # aggregate exactly (fixed-point running sum, order-independent).
+    out = stream_ops.run_to_completion(
+        stream_ops.user_value_stats_tws(events), "tws_out", mode="update"
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["max_value"])
+        for r in out.collect()
+    }
+    batch = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 1e6).cast("bigint")).cast("double") / 1e6).alias("tv"),
+            F.max("value").alias("mx"),
+        )
+    )
+    want = {r["user_id"]: (r["n"], r["tv"], r["mx"]) for r in batch.collect()}
+    assert got == want
