@@ -58,6 +58,7 @@ _QUERY_MODULES = (
     "mincemeatpy_spark.text.dedup",
     "mincemeatpy_spark.text.pipeline",
     "mincemeatpy_spark.similarity.ann",
+    "mincemeatpy_spark.similarity.kmeans",
     "mincemeatpy_spark.multimodal.binary_ops",
     "mincemeatpy_spark.streaming.windows_batch",
     "mincemeatpy_spark.compat",

@@ -313,3 +313,39 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_matching("^[A-Za-z]+$").alias("n_word"),
         n_matching("^'(s|t|re|ve|m|ll|d)$").alias("n_contraction"),
     )
+
+
+@register(
+    "text_normalize_dedup_gain",
+    oracle="""
+        SELECT count(*) AS n_docs,
+               count(DISTINCT text) AS n_raw_distinct,
+               count(DISTINCT trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g'))) AS n_norm_distinct
+        FROM documents
+        """,
+    category="text",
+    doc="Canonicalization before dedup: lowercase, strip non-alphanumerics, "
+    "collapse whitespace — then measure how many 'distinct' documents "
+    "collapse (n_raw_distinct - n_norm_distinct is the dedup gain that "
+    "exact hashing alone would miss).  The normalization chain is pure "
+    "scan-side expression work (regexp_replace in codegen); the distinct "
+    "counts are two-phase aggregates over digests, never the raw text.  "
+    "The character-class regexes behave identically under Java regex and "
+    "RE2, which is what makes the oracle exact.",
+)
+def text_normalize_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.col("text")).alias("n_raw_distinct"),
+        F.countDistinct(norm).alias("n_norm_distinct"),
+    )
