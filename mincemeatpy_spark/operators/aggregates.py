@@ -302,3 +302,93 @@ def agg_reaggregate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         decsum(F.col("day_rev")).alias("month_rev"),
         F.sum("day_n").alias("month_n"),
     )
+
+
+@register(
+    "agg_median_mode",
+    oracle="""
+        WITH buckets AS (
+            SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bucket,
+                   count(*) AS c
+            FROM events GROUP BY event_type, bucket
+        ),
+        modes AS (
+            SELECT event_type, bucket,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY c DESC, bucket) AS rn
+            FROM buckets
+        )
+        SELECT e.event_type,
+               count(*) AS n,
+               quantile_cont(e.value, 0.5) AS median_value,
+               any_value(m.bucket) AS mode_bucket
+        FROM events e
+        JOIN modes m ON m.event_type = e.event_type AND m.rn = 1
+        GROUP BY e.event_type
+        """,
+    category="relational",
+    doc="Exact median (interpolated percentile — a full sort per group, "
+    "the operation MapReduce can only do by shipping every value of a "
+    "key to one reducer, reference mincemeat.py:327-329) and a "
+    "deterministic mode (most populous 50-unit value bucket, smallest "
+    "bucket wins ties — explicit count+rank instead of F.mode precisely "
+    "because engine tie-breaking is undefined).  Median interpolation "
+    "(a + (b-a)*f) is bit-identical across engines on sorted doubles.",
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type", F.floor(F.col("value") / 50).cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    modes = (
+        buckets.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(F.col("c").desc(), "bucket")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("event_type", "bucket")
+    )
+    return (
+        ev.join(F.broadcast(modes), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile(F.col("value"), F.lit(0.5)).alias("median_value"),
+            F.any_value(F.col("bucket")).alias("mode_bucket"),
+        )
+    )
+
+
+@register(
+    "agg_listagg_regions",
+    oracle="""
+        SELECT r.r_name,
+               count(*) AS n_nations,
+               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """,
+    category="relational",
+    doc="LISTAGG / string_agg: per region the sorted comma-joined nation "
+    "names.  Spark expresses the deterministic ordered variant as "
+    "array_sort(collect_list) + concat_ws — explicit sort inside the "
+    "aggregate buffer, which is exactly what makes it reproducible "
+    "where a bare collect_list is arrival-ordered (the reference's "
+    "value-list nondeterminism, SURVEY.md §1.3, solved instead of "
+    "inherited).",
+)
+def agg_listagg_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+        )
+    )

@@ -131,3 +131,61 @@ def downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", "ts").alias("close"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "events_anomaly_trailing",
+    oracle="""
+        WITH scored AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS v,
+                   sum(CAST(round(value * 100) AS BIGINT)) OVER w AS s,
+                   count(*) OVER w AS n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type,
+               count(*) AS n_eval,
+               CAST(sum(CASE WHEN v * 10 > 3 * s THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_anomalies
+        FROM scored
+        WHERE n = 10
+        GROUP BY event_type
+        """,
+    category="behavioral",
+    doc="Trailing-window spike detection over the event stream: per user "
+    "(in ts order) compare each value against 3x the mean of its 10 "
+    "preceding events and count anomalies per event type.  The "
+    "comparison is pure integer arithmetic on centi-unit fixed point "
+    "(v*10 > 3*sum beats dividing by the count), so it is exact and "
+    "branch-cheap; one window shuffle on user_id, then a tiny "
+    "event_type aggregate.  The streaming twin of this plan is a "
+    "transformWithState keyed on user_id holding a 10-deep ring buffer.",
+)
+def events_anomaly_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("bigint")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    scored = ev.select(
+        "event_type",
+        v.alias("v"),
+        F.sum(v).over(w).alias("s"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return (
+        scored.filter(F.col("n") == 10)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum((F.col("v") * 10 > 3 * F.col("s")).cast("int"))
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+    )

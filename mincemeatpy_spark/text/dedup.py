@@ -524,3 +524,60 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.join(F.broadcast(csize), "label")
         .select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"), "cluster_size")
     )
+
+
+# --- 6. benchmark decontamination ---------------------------------------
+
+
+@register(
+    "dedup_decontaminate",
+    oracle=f"""
+        WITH {_ORACLE_SHINGLES},
+        bench AS (
+            SELECT DISTINCT s FROM sh
+            JOIN documents d ON d.doc_id = sh.doc_id
+            WHERE d.source = 'src0'
+        ),
+        cont AS (
+            SELECT DISTINCT sh.doc_id FROM sh
+            JOIN bench USING (s)
+        )
+        SELECT d.source,
+               count(*) AS n_docs,
+               CAST(count(c.doc_id) AS BIGINT) AS n_contaminated
+        FROM documents d
+        LEFT JOIN cont c ON c.doc_id = d.doc_id
+        WHERE d.source <> 'src0'
+        GROUP BY d.source
+        """,
+    category="dedup",
+    doc="Benchmark decontamination (the GPT-3/PaLM n-gram overlap check): "
+    "treat source 'src0' as the held-out eval set, flag every training "
+    "document sharing at least one 3-gram shingle with it, and report "
+    "per-source contamination counts.  The eval shingle set is DISTINCT "
+    "and tiny relative to the corpus (benchmarks always are), so it "
+    "broadcasts and the training side is a map-side LEFT SEMI probe — "
+    "the 100 TB corpus is scanned once with no corpus-sized shuffle.",
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    sh = _shingle_df(spark, sf_dir).join(docs, "doc_id")
+    bench_sh = F.broadcast(
+        sh.filter(F.col("source") == "src0").select("s").distinct()
+    )
+    contaminated = (
+        sh.filter(F.col("source") != "src0")
+        .join(bench_sh, "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        docs.filter(F.col("source") != "src0")
+        .join(contaminated, "doc_id", "left_outer")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_contaminated"),
+        )
+    )

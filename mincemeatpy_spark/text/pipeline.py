@@ -159,3 +159,62 @@ def corpus_diff_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
     )
+
+
+@register(
+    "corpus_mixture_quota",
+    oracle="""
+        WITH quota AS (
+            SELECT min(c) AS q
+            FROM (SELECT count(*) AS c FROM documents GROUP BY source)
+        ),
+        ranked AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_kept,
+               CAST(sum(doc_id) AS BIGINT) AS kept_id_sum,
+               CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        FROM ranked, quota
+        WHERE rn <= q
+        GROUP BY source
+        """,
+    category="text",
+    doc="Domain-mixture rebalancing (the data-mixture step of a "
+    "pre-training pipeline): cap every source at a uniform quota — the "
+    "smallest source's count — selecting each source's survivors by "
+    "deterministic md5-hash rank (a seeded uniform subsample, stable "
+    "across reruns).  The quota is a one-row aggregate joined back as a "
+    "broadcast; the rank is one window shuffle on source.  At scale the "
+    "same plan expresses any target mixture by making the quota table "
+    "per-source weights instead of a global min.",
+)
+def corpus_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    quota = F.broadcast(
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c").alias("q"))
+    )
+    ranked = docs.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        ),
+    )
+    return (
+        ranked.crossJoin(quota)
+        .filter(F.col("rn") <= F.col("q"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+    )

@@ -170,3 +170,57 @@ def text_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stop_ratio"),
         )
     )
+
+
+@register(
+    "text_dup_ngram_fraction",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_docs,
+               (CAST(SUM(CAST(round((1.0 - CAST(n_distinct AS DOUBLE) / n_total)
+                    * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS sum_dup_frac,
+               CAST(sum(CASE WHEN n_total - n_distinct
+                             > CAST(0.2 * n_total AS BIGINT)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        FROM (SELECT lang,
+                     len(w) - 2 AS n_total,
+                     len(list_distinct(list_transform(
+                         generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS n_distinct
+              FROM (SELECT lang, string_split_regex(text, '\\s+') AS w
+                    FROM documents)
+              WHERE len(w) >= 3)
+        GROUP BY lang
+        """,
+    category="text",
+    doc="Duplicated-n-gram-fraction quality rule (the Gopher/RefinedWeb "
+    "repetition filter): per document, the fraction of its 3-gram "
+    "occurrences beyond the first — 1 - distinct/total — then per "
+    "language the doc count, summed dup-fraction (fixed-point), and how "
+    "many docs a 20%-duplication gate would drop.  The whole per-doc "
+    "score is array expressions on the scan (transform + array_distinct, "
+    "no explode, no shuffle of shingles); only lang-keyed partials "
+    "shuffle, so a 100 TB corpus scores at scan speed.",
+)
+def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.operators._util import decsum
+    from mincemeatpy_spark.text.dedup import _shingles
+
+    docs = t(spark, sf_dir, "documents").select(
+        "lang", F.split("text", r"\s+").alias("w")
+    )
+    per_doc = docs.filter(F.size("w") >= 3).select(
+        "lang",
+        (F.size("w") - 2).alias("n_total"),
+        F.size(_shingles(F.col("w"))).alias("n_distinct"),
+    )
+    dup_frac = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_total")
+    flagged = (
+        F.col("n_total") - F.col("n_distinct")
+        > (F.lit(0.2) * F.col("n_total")).cast("bigint")
+    ).cast("int")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        decsum(dup_frac).alias("sum_dup_frac"),
+        F.sum(flagged).cast("bigint").alias("n_flagged"),
+    )
