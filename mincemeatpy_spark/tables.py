@@ -59,3 +59,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL API surface)."""
     for name in TABLES:
         t(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread an under-split scan across all cores before expression-heavy
+    work (shingling, tokenization, vector kernels).
+
+    Small single-row-group files scan as one partition, serializing all
+    downstream per-row compute.  When the scan has fewer partitions than
+    the cluster's parallelism, a round-robin repartition (cost: one
+    shuffle of the already-pruned columns) unlocks every core.  At real
+    scale the condition is false — a 100 TB table scans as thousands of
+    row-group splits — so the shuffle is never added where the data is
+    already wide.  Only correct before order-insensitive work (all our
+    aggregates are), which is also the reference's own contract
+    (SURVEY.md §1.3: value-list order is non-deterministic).
+    """
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df

@@ -45,10 +45,13 @@ from mincemeatpy_spark.text.dedup import _ORACLE_SHINGLES, dedup_ngram_jaccard
             WHERE doc_id = keeper
         ),
         {_ORACLE_SHINGLES},
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        shh AS (SELECT doc_id,
+                       ('0x' || substring(md5(s), 1, 15))::BIGINT AS s
+                FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            FROM shh a JOIN shh b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         ),
         near_dup_losers AS (
