@@ -216,3 +216,42 @@ def json_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+@register(
+    "xml_roundtrip",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_centi_sum
+        FROM events
+        GROUP BY event_type
+        """,
+    category="json",
+    doc="XML ingest path (Spark 4 to_xml/from_xml): serialize each event "
+    "to an XML fragment, parse it back with an explicit schema, and "
+    "aggregate the extracted typed fields — the oracle computes the "
+    "same aggregate from the base columns, so the query certifies the "
+    "serialize→parse roundtrip is lossless.  Both directions are "
+    "built-in expressions (JVM StaxXmlParser), no Python in the loop; "
+    "the centi-unit fixed-point sum keeps the double exact.",
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    xml = ev.select(
+        F.to_xml(
+            F.struct("event_type", "value"), {"rowTag": "ev"}
+        ).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            F.col("x"), "event_type STRING, value DOUBLE", {"rowTag": "ev"}
+        ).alias("s")
+    ).select("s.event_type", "s.value")
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("value_centi_sum"),
+    )

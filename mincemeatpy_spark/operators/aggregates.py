@@ -392,3 +392,55 @@ def agg_listagg_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
         )
     )
+
+
+@register(
+    "bitmap_distinct_users",
+    oracle="""
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+        """,
+    category="relational",
+    doc="Exact COUNT(DISTINCT) via bitmap aggregation (Spark 3.5 bitmap "
+    "functions): bucket each user_id with bitmap_bucket_number, OR the "
+    "per-bucket bit positions into 4 KB bitmaps, then sum bitmap_count "
+    "per group.  Equivalent to the shuffle-dedup count-distinct but the "
+    "partial state per (group, 32k-id bucket) is one fixed-size bitmap "
+    "instead of the id set — the mergeable-partial shape that keeps "
+    "distinct-counting one pass at 100 TB (and the exact counterpart "
+    "to approx_count_distinct's HLL).",
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+        )
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.expr("sum(bitmap_count(bm))").alias("n_users"))
+    )
+
+
+@register(
+    "hll_sketch_reaggregate",
+    oracle=None,  # sketch estimates are engine-specific (rows-only check)
+    category="relational",
+    doc="Mergeable HLL datasketches (Spark 3.5): per (event_type, day) "
+    "partial sketches of user_id, then hll_union_agg rolls daily "
+    "sketches up to one per-type estimate WITHOUT re-scanning raw data "
+    "— the store-partials-reaggregate pattern that makes daily 100 TB "
+    "distinct-count dashboards O(days) instead of O(events).  Estimates "
+    "are Datasketches-specific, so this is a rows-only query; the exact "
+    "twin bitmap_distinct_users is the oracle-checked counterpart.",
+)
+def hll_sketch_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    return daily.groupBy("event_type").agg(
+        F.expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)").alias(
+            "approx_users"
+        )
+    )

@@ -188,3 +188,43 @@ def test_q16_blacklist_is_anti_join(spark, sf_dir):
 def test_q20_nested_in_is_semi_join(spark, sf_dir):
     plan = _plan("tpch_q20_excess_shippers", spark, sf_dir)
     assert plan.count("LeftSemi") >= 2  # part filter AND qualifying suppliers
+
+
+def test_decontaminate_bench_side_broadcasts(spark, sf_dir):
+    # The eval-set shingle table must broadcast; the corpus side must be
+    # probed map-side (LeftSemi BroadcastHashJoin), never shuffled whole.
+    plan = _plan("dedup_decontaminate", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+
+
+def test_dup_ngram_fraction_no_explode(spark, sf_dir):
+    # The per-doc score is array expressions on the scan — no shingle
+    # explode (Generate) and only the lang-keyed aggregate exchange.
+    plan = _plan("text_dup_ngram_fraction", spark, sf_dir)
+    assert "Generate" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_kmeans_centroids_broadcast(spark, sf_dir):
+    # The k centroids join map-side; the vector table must not shuffle
+    # before assignment (only the k-sized update agg exchanges).
+    plan = _plan("kmeans_assign_update", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bitmap_distinct_is_two_level_agg(spark, sf_dir):
+    # bucket-level bitmap OR then group-level sum: two aggregates, with
+    # partial/final phases — fixed-size mergeable state, no id-set shuffle.
+    plan = _plan("bitmap_distinct_users", spark, sf_dir)
+    assert "bitmap_construct_agg" in plan
+    # bitmap OR level plans as SortAggregate (binary buffer), count level
+    # as HashAggregate — 2 partial/final pairs total.
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 4
+
+
+def test_quantize_int8_single_scan(spark, sf_dir):
+    # One embeddings scan; all per-vector work before the label exchange.
+    plan = _plan("vector_quantize_int8", spark, sf_dir)
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" in plan
