@@ -571,20 +571,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the 100 TB corpus is scanned once with no corpus-sized shuffle.",
 )
 def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
-    sh = _shingle_df(spark, sf_dir).join(docs, "doc_id")
+    # Each side shingles only its own slice — the source predicate is
+    # pushed into the scan, so the eval set's shingles are computed from
+    # the (tiny) eval partition alone and the corpus is shingled once.
+    def side_shingles(pred):
+        docs = fan_out(
+            spark,
+            t(spark, sf_dir, "documents")
+            .filter(pred)
+            .select("doc_id", "text"),
+        ).select("doc_id", F.split("text", _WS).alias("w"))
+        return docs.filter(F.size("w") >= 3).select(
+            "doc_id", F.explode(_shingles(F.col("w"))).alias("s")
+        )
+
     bench_sh = F.broadcast(
-        sh.filter(F.col("source") == "src0").select("s").distinct()
+        side_shingles(F.col("source") == "src0").select("s").distinct()
     )
     contaminated = (
-        sh.filter(F.col("source") != "src0")
+        side_shingles(F.col("source") != "src0")
         .join(bench_sh, "s", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
     return (
-        docs.filter(F.col("source") != "src0")
+        t(spark, sf_dir, "documents")
+        .filter(F.col("source") != "src0")
+        .select("doc_id", "source")
         .join(contaminated, "doc_id", "left_outer")
         .groupBy("source")
         .agg(

@@ -204,11 +204,12 @@ def text_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mincemeatpy_spark.operators._util import decsum
+    from mincemeatpy_spark.tables import fan_out
     from mincemeatpy_spark.text.dedup import _shingles
 
-    docs = t(spark, sf_dir, "documents").select(
-        "lang", F.split("text", r"\s+").alias("w")
-    )
+    docs = fan_out(
+        spark, t(spark, sf_dir, "documents").select("lang", "text")
+    ).select("lang", F.split("text", r"\s+").alias("w"))
     per_doc = docs.filter(F.size("w") >= 3).select(
         "lang",
         (F.size("w") - 2).alias("n_total"),

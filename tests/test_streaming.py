@@ -171,3 +171,22 @@ def test_transform_with_state_matches_batch(spark, sf_dir, events):
     )
     want = {r["user_id"]: (r["n"], r["tv"], r["mx"]) for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, events):
+    # dropDuplicatesWithinWatermark (Spark 3.5): dedup keyed on the
+    # content digest, keeping state only for the watermark horizon —
+    # the streaming twin of exact corpus dedup where duplicates arrive
+    # within a bounded delay.  The fixture's duplicates all fall inside
+    # one horizon, so the result must equal batch distinct-by-key.
+    dedup = events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    out = stream_ops.run_to_completion(dedup, "stream_dedup_wm_out", mode="append")
+    n_batch = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert out.count() == n_batch
