@@ -102,3 +102,44 @@ def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         wavg(F.col("l_extendedprice"), F.col("l_quantity")).alias("wavg_price")
     )
+
+
+@register(
+    "maparrow_token_stats",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x <> ''))) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY lang
+        """,
+    category="udf",
+    doc="mapInArrow: per-batch token counting straight on pyarrow "
+    "RecordBatches — the lowest-overhead Python hook (no pandas "
+    "conversion at all, Arrow columns in and out).  The Python stage "
+    "emits one (lang, n_tokens) row per doc; the reduction stays JVM "
+    "-side.  Completes the UDF matrix: row UDF, pandas scalar, grouped "
+    "agg, grouped map, mapInPandas, mapPartitions, UDTF, mapInArrow.",
+)
+def maparrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from mincemeatpy_spark.tables import fan_out
+
+    def count_tokens(batches):
+        for batch in batches:
+            langs = batch.column("lang")
+            texts = batch.column("text").to_pylist()
+            counts = [len(t.split()) if t else 0 for t in texts]
+            yield pa.RecordBatch.from_arrays(
+                [langs, pa.array(counts, type=pa.int64())],
+                ["lang", "n_tokens"],
+            )
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents").select("lang", "text"))
+    per_doc = docs.mapInArrow(count_tokens, "lang string, n_tokens long")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )

@@ -204,3 +204,41 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             decsum(F.col("l_extendedprice")).alias("price_sum"),
         )
     )
+
+
+@register(
+    "source_binaryfile",
+    oracle="""
+        SELECT count(*) AS n_files,
+               CAST(sum(n_chars) AS BIGINT) AS total_bytes
+        FROM documents
+        WHERE doc_id < 50
+        """,
+    category="source",
+    doc="binaryFile source — the ingest path for multimodal blobs (one "
+    "row per file: path, length, content).  Writes the first 50 "
+    "documents as raw .bin files (ASCII text, so byte length == "
+    "n_chars), reads the directory back through "
+    "spark.read.format('binaryFile'), and aggregates file count + byte "
+    "sum; the oracle computes the same from the source table, proving "
+    "content-lossless ingest.  At scale this reader is how image/audio "
+    "corpora enter the engine (binary column + per-file metadata), "
+    "feeding the multimodal mapInPandas decode stages.",
+)
+def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "docs_bin")
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .collect()
+    )
+    os.makedirs(path, exist_ok=True)
+    for row in docs:
+        with open(os.path.join(path, f"{row.doc_id}.bin"), "wb") as f:
+            f.write(row.text.encode("utf-8"))
+    back = spark.read.format("binaryFile").load(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.length(F.col("content"))).cast("bigint").alias("total_bytes"),
+    )
