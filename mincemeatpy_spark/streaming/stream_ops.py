@@ -242,3 +242,64 @@ def user_value_stats_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table as a file-source stream (continuous corpus ingest).
+
+    Production shape: a landing directory that crawler/loader jobs drop
+    parquet into; each drop becomes a micro-batch.
+    """
+    import hashlib
+    from pathlib import Path
+    import shutil
+    import tempfile
+
+    src = Path(sf_dir) / "documents.parquet"
+    stage = (
+        Path(tempfile.gettempdir())
+        / "mincemeatpy_stream_src"
+        / hashlib.md5(str(src).encode()).hexdigest()[:12]
+    )
+    stage.mkdir(parents=True, exist_ok=True)
+    dst = stage / "documents.parquet"
+    if not dst.exists():
+        shutil.copy(src, dst)
+    return spark.readStream.format("parquet").schema(_DOCS_SCHEMA).load(str(stage))
+
+
+def corpus_ingest_stream(docs: DataFrame) -> DataFrame:
+    """Streaming corpus preparation: quality gate → exact dedup, incrementally.
+
+    The streaming twin of the batch ``pipeline_training_corpus`` front
+    half: per-document quality scoring is stateless expression work
+    (identical plan to batch); exact dedup keys the state store on the
+    16-byte content digest, so state size is O(distinct digests), never
+    O(corpus).  New micro-batches only ever append newly-seen documents
+    — this is how a 100 TB corpus ingests continuously instead of being
+    re-deduplicated from scratch per crawl (the reference would re-run
+    its whole one-shot job, reference mincemeat.py:294-297).
+    """
+    words = F.split(F.col("text"), r"\s+")
+    quality = (
+        docs.withColumn("n_tokens", F.size(words))
+        .withColumn(
+            "uniq_ratio",
+            F.size(F.array_distinct(words)).cast("double") / F.size(words),
+        )
+        .filter((F.col("n_tokens") >= 5) & (F.col("uniq_ratio") >= 0.3))
+    )
+    return quality.withColumn(
+        "fp", F.md5(F.col("text").cast("binary"))
+    ).dropDuplicates(["fp"]).select("doc_id", "fp", "n_tokens")

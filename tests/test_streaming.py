@@ -190,3 +190,31 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, events):
         .count()
     )
     assert out.count() == n_batch
+
+
+def test_streaming_corpus_ingest_matches_batch(spark, sf_dir):
+    # Streaming quality gate + digest dedup must keep exactly one doc
+    # per surviving digest, and only quality-passing docs — compared
+    # against the same two stages computed in batch.  (Which duplicate
+    # of a digest survives is arrival-order-dependent in both the
+    # stream and the reference's model, so compare on digests.)
+    out = stream_ops.run_to_completion(
+        stream_ops.corpus_ingest_stream(stream_ops.documents_stream(spark, sf_dir)),
+        "corpus_ingest_out",
+        mode="append",
+    )
+    words = F.split(F.col("text"), r"\s+")
+    batch = (
+        t(spark, sf_dir, "documents")
+        .withColumn("n_tokens", F.size(words))
+        .withColumn(
+            "uniq_ratio",
+            F.size(F.array_distinct(words)).cast("double") / F.size(words),
+        )
+        .filter((F.col("n_tokens") >= 5) & (F.col("uniq_ratio") >= 0.3))
+        .select(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .distinct()
+    )
+    assert sorted(r.fp for r in out.select("fp").collect()) == sorted(
+        r.fp for r in batch.collect()
+    )
