@@ -207,3 +207,44 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("first_doc"))
     )
+
+
+@register(
+    "map_transform_ops",
+    oracle="""
+        SELECT lang,
+               count(*) FILTER (WHERE n >= 5) AS n_big_sources,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(max(CASE WHEN source = 'src0' THEN n END) AS DOUBLE)
+                   / sum(n) AS src0_share
+        FROM (SELECT lang, source, count(*) AS n FROM documents
+              GROUP BY lang, source)
+        GROUP BY lang
+        """,
+    category="array",
+    doc="Higher-order map functions: per lang build {source: count}, then "
+    "map_filter keeps the >=5-doc sources, transform_values rescales "
+    "counts to corpus shares, element_at reads one share out — all "
+    "lambda expressions evaluated JVM-side inside the projection.  The "
+    "oracle states the same result relationally, certifying the "
+    "map-algebra path against plain SQL.",
+)
+def map_transform_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    per_src = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    m = per_src.groupBy("lang").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("source", "n")))
+        ).alias("m")
+    )
+    total = F.aggregate(F.map_values("m"), F.lit(0).cast("bigint"), lambda a, x: a + x)
+    with_total = m.withColumn("n_docs", total)
+    shares = F.transform_values(
+        F.col("m"), lambda k, v: v.cast("double") / F.col("n_docs")
+    )
+    return with_total.select(
+        "lang",
+        F.size(F.map_filter(F.col("m"), lambda k, v: v >= 5)).alias("n_big_sources"),
+        "n_docs",
+        F.element_at(shares, "src0").alias("src0_share"),
+    )
