@@ -225,3 +225,43 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         decsum(dup_frac).alias("sum_dup_frac"),
         F.sum(flagged).cast("bigint").alias("n_flagged"),
     )
+
+
+@register(
+    "text_rare_token_score",
+    oracle=f"""
+        WITH toks AS ({_TOKS_SQL}),
+        vocab AS (SELECT word, count(*) AS df FROM toks GROUP BY word)
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(CASE WHEN v.df < 100 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rare,
+               CAST(sum(CASE WHEN v.df < 100 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS rare_ratio
+        FROM toks tk JOIN vocab v ON v.word = tk.word
+        GROUP BY doc_id
+        """,
+    category="text",
+    doc="Rarity-based quality scoring (the unigram-LM / CCNet-style gate, "
+    "integer-exact instead of float-log perplexity): corpus-wide token "
+    "frequencies, then per document the count and share of tokens whose "
+    "corpus frequency is below 100 — high rare_ratio flags gibberish or "
+    "OCR noise, near-zero flags boilerplate.  Two shuffles total (word "
+    "vocabulary agg, then doc re-agg); the vocabulary join is on the "
+    "already-exploded token stream, so at 100 TB the frequency table "
+    "can instead broadcast its head (the hot vocabulary) and "
+    "shuffle-join only the long tail.",
+)
+def text_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _toks(spark, sf_dir)
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    rare = (F.col("df") < 100).cast("int")
+    return (
+        toks.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(rare).cast("bigint").alias("n_rare"),
+            (F.sum(rare).cast("double") / F.count(F.lit(1))).alias("rare_ratio"),
+        )
+    )
