@@ -228,3 +228,26 @@ def test_quantize_int8_single_scan(spark, sf_dir):
     plan = _plan("vector_quantize_int8", spark, sf_dir)
     assert plan.count("Scan parquet") == 1
     assert "Exchange" in plan
+
+
+def test_fan_out_is_noop_on_wide_data(spark, sf_dir):
+    # fan_out must only insert its shuffle on under-split inputs; data
+    # already at >= cluster parallelism passes through untouched (the
+    # 100 TB case — scans there are thousands of splits).
+    from mincemeatpy_spark.tables import fan_out, t
+
+    p = spark.sparkContext.defaultParallelism
+    narrow = t(spark, sf_dir, "documents")
+    assert narrow.rdd.getNumPartitions() < p
+    assert fan_out(spark, narrow).rdd.getNumPartitions() == p
+    wide = narrow.repartition(p)
+    assert fan_out(spark, wide) is wide
+
+
+def test_asof_join_has_no_join_operator(spark, sf_dir):
+    # The scale-path as-of join is union + window last(ignorenulls) —
+    # ONE shuffle, zero join operators (the textbook per-key merge
+    # would be a range self-join).
+    plan = _plan("join_asof", spark, sf_dir)
+    assert "Join" not in plan
+    assert "Window" in plan
