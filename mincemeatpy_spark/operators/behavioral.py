@@ -189,3 +189,79 @@ def events_anomaly_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_anomalies"),
         )
     )
+
+
+@register(
+    "timeseries_gapfill_locf",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS day_centi
+            FROM events GROUP BY user_id, day
+        ),
+        spine AS (
+            SELECT user_id,
+                   unnest(generate_series(min(day), max(day),
+                                          INTERVAL 1 DAY))::DATE AS day
+            FROM daily GROUP BY user_id
+        ),
+        filled AS (
+            SELECT s.user_id, s.day, d.day_centi,
+                   last_value(d.day_centi IGNORE NULLS)
+                       OVER (PARTITION BY s.user_id ORDER BY s.day) AS locf
+            FROM spine s LEFT JOIN daily d
+              ON d.user_id = s.user_id AND d.day = s.day
+        )
+        SELECT user_id,
+               count(*) AS n_days,
+               CAST(count(day_centi) AS BIGINT) AS n_observed,
+               CAST(sum(CASE WHEN day_centi IS NULL THEN locf END) AS BIGINT)
+                   AS filled_centi_sum
+        FROM filled
+        GROUP BY user_id
+        """,
+    category="behavioral",
+    doc="Time-series densification: per user, a complete daily date spine "
+    "(sequence + explode between the user's first and last active day), "
+    "left-joined to the daily totals, gaps filled by "
+    "last-observation-carried-forward (last(ignorenulls) over day "
+    "order).  The spine generation is expression work on the tiny "
+    "per-user min/max aggregate — the fact table shuffles once for the "
+    "daily rollup and once for the user window; centi-unit fixed point "
+    "keeps every value integer-exact.  This is the gap-fill primitive "
+    "under downsampling dashboards and retention models.",
+)
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("day_centi"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    filled = (
+        spine.join(daily, ["user_id", "day"], "left_outer")
+        .withColumn(
+            "locf",
+            F.last("day_centi", ignorenulls=True).over(
+                W.partitionBy("user_id").orderBy("day")
+            ),
+        )
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.count("day_centi").cast("bigint").alias("n_observed"),
+        F.sum(F.when(F.col("day_centi").isNull(), F.col("locf")))
+        .cast("bigint")
+        .alias("filled_centi_sum"),
+    )
