@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -233,6 +234,9 @@ def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .collect()
     )
+    # this query owns the directory: clear leftovers from prior versions
+    # so stale .bin files can't inflate n_files/total_bytes
+    shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     for row in docs:
         with open(os.path.join(path, f"{row.doc_id}.bin"), "wb") as f:

@@ -198,6 +198,7 @@ def user_value_stats_tws(events: DataFrame) -> DataFrame:
     ``google.protobuf`` installed (the plan construction below does not).
     The equality test skips when the package is absent.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
@@ -221,7 +222,10 @@ def user_value_stats_tws(events: DataFrame) -> DataFrame:
                 n, micros, mx = 0, 0, float("-inf")
             for pdf in rows:
                 n += len(pdf)
-                micros += int(round(pdf["value"] * 1e6).sum())
+                # half-up per element, matching F.round in the batch twin
+                # (pandas .round() is IEEE half-to-even and would diverge
+                # on exact .5 micros)
+                micros += int(np.floor(pdf["value"] * 1e6 + 0.5).astype("int64").sum())
                 mx = max(mx, float(pdf["value"].max()))
             self._st.update((n, micros, mx))
             yield pd.DataFrame(
@@ -274,8 +278,15 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stage.mkdir(parents=True, exist_ok=True)
     dst = stage / "documents.parquet"
-    if not dst.exists():
-        shutil.copy(src, dst)
+    st = src.stat()
+    # re-stage whenever the fixture changed — a same-path regenerated
+    # fixture must not silently stream stale data
+    if (
+        not dst.exists()
+        or dst.stat().st_size != st.st_size
+        or dst.stat().st_mtime < st.st_mtime
+    ):
+        shutil.copy2(src, dst)
     return spark.readStream.format("parquet").schema(_DOCS_SCHEMA).load(str(stage))
 
 

@@ -179,8 +179,7 @@ def text_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_docs,
                (CAST(SUM(CAST(round((1.0 - CAST(n_distinct AS DOUBLE) / n_total)
                     * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS sum_dup_frac,
-               CAST(sum(CASE WHEN n_total - n_distinct
-                             > CAST(0.2 * n_total AS BIGINT)
+               CAST(sum(CASE WHEN 5 * (n_total - n_distinct) > n_total
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         FROM (SELECT lang,
                      len(w) - 2 AS n_total,
@@ -216,9 +215,10 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(_shingles(F.col("w"))).alias("n_distinct"),
     )
     dup_frac = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_total")
+    # 20% gate as integers (5*dups > total) — identical in both engines;
+    # a float threshold cast would truncate here but round in DuckDB.
     flagged = (
-        F.col("n_total") - F.col("n_distinct")
-        > (F.lit(0.2) * F.col("n_total")).cast("bigint")
+        F.lit(5) * (F.col("n_total") - F.col("n_distinct")) > F.col("n_total")
     ).cast("int")
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
