@@ -1,0 +1,230 @@
+"""Second-wave relational operators: quantile bucketing (ntile), CDC
+upsert compaction, histograms, Z-order data layout, and deterministic
+per-group reservoir sampling.
+
+Each is an idiom the reference could only express as a hand-written
+``mapfn``/``reducefn`` pair over its single map→reduce stage (reference
+mincemeat.py:294-297, SURVEY.md §2b); here each is a declarative plan
+Catalyst can optimize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from mincemeatpy_spark.operators._util import decsum, oracle_decsum
+from mincemeatpy_spark.registry import register
+from mincemeatpy_spark.tables import t
+
+
+@register(
+    "window_ntile",
+    oracle="""
+        SELECT c_mktsegment, tile,
+               count(*) AS n,
+               min(c_acctbal) AS lo,
+               max(c_acctbal) AS hi
+        FROM (SELECT c_mktsegment, c_acctbal,
+                     ntile(4) OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal, c_custkey) AS tile
+              FROM customer)
+        GROUP BY c_mktsegment, tile
+        """,
+    category="window",
+    doc="Quantile bucketing via ntile(4) per market segment — equal-count "
+    "quartiles with a unique (balance, custkey) sort so tile assignment "
+    "is deterministic.  Partitioned windows parallelize per segment; for "
+    "a global ntile over 100 TB you would NOT use a window (single-task "
+    "sort) — the scale path is approx_percentile cutpoints broadcast "
+    "back as a CASE, or range partitioning; this query keeps the exact "
+    "per-group form the oracle can pin down.",
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_mktsegment", "c_acctbal", F.ntile(4).over(w).alias("tile"))
+        .groupBy("c_mktsegment", "tile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("lo"),
+            F.max("c_acctbal").alias("hi"),
+        )
+    )
+
+
+@register(
+    "upsert_latest_snapshot",
+    oracle=f"""
+        WITH latest AS (
+            SELECT event_type, value
+            FROM (SELECT event_type, value,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC, event_id DESC)
+                             AS rn
+                  FROM events)
+            WHERE rn = 1)
+        SELECT event_type,
+               count(*) AS n_users,
+               {oracle_decsum('value')} AS total_value
+        FROM latest
+        GROUP BY event_type
+        """,
+    category="relational",
+    doc="CDC upsert compaction (SCD-1 'latest wins'): the events table is "
+    "treated as a change log keyed by user_id; the current snapshot is "
+    "the newest row per key, then the snapshot is summarized per "
+    "event_type.  Implemented with max_by over a (ts, event_id) ordering "
+    "struct — a plain two-phase hash aggregate, so compaction of a "
+    "100 TB log is one shuffle of partial maxima, never a full sort.  "
+    "The oracle uses the classic row_number()=1 form to prove the "
+    "semantics match.  The (ts, event_id) pair is unique, so 'latest' "
+    "is deterministic.",
+)
+def upsert_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    latest = e.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_type", "value"), F.struct("ts", "event_id")
+        ).alias("s")
+    )
+    return (
+        latest.select(F.col("s.event_type").alias("event_type"), F.col("s.value"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            decsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+        SELECT CAST(round(value * 100) AS BIGINT) // 1000 AS bucket,
+               count(*) AS n,
+               CAST(min(round(value * 100)) AS BIGINT) AS lo_centi,
+               CAST(max(round(value * 100)) AS BIGINT) AS hi_centi
+        FROM events
+        GROUP BY bucket
+        """,
+    category="aggregation",
+    doc="Fixed-width histogram (10-unit buckets) over event values — the "
+    "profiling primitive behind data-quality dashboards.  Bucketing is "
+    "integer-exact: centi-units via round(value*100), then integer "
+    "division by 1000; a float floor(value/10) would disagree between "
+    "engines on representation boundaries.  One scan, one two-phase "
+    "aggregate on a small key domain — at 100 TB the partial maps are "
+    "bucket-count sized, so the shuffle is bytes, not data.",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    centi = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        e.select(centi.alias("centi"))
+        .groupBy(F.expr("centi div 1000").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("centi").alias("lo_centi"),
+            F.max("centi").alias("hi_centi"),
+        )
+    )
+
+
+def _z_interleave_spark(x, y):
+    """16-bit Z-order (Morton) key from two 8-bit column values."""
+    z = F.lit(0)
+    for i in range(8):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+_Z_SQL = " + ".join(
+    f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8)
+)
+
+
+@register(
+    "zorder_clustering",
+    oracle=f"""
+        SELECT z >> 10 AS bucket,
+               count(*) AS n,
+               min(z) AS z_lo,
+               max(z) AS z_hi
+        FROM (SELECT {_Z_SQL} AS z
+              FROM (SELECT l_partkey & 255 AS x, l_suppkey & 255 AS y
+                    FROM lineitem))
+        GROUP BY bucket
+        """,
+    category="layout",
+    doc="Z-order (Morton) clustering key — the multi-dimensional data "
+    "layout trick: interleaving the bits of (partkey, suppkey) gives a "
+    "1-D sort order where ranges of EITHER key map to few contiguous "
+    "z-ranges, so min/max parquet zone maps prune on both columns at "
+    "once.  The query computes the 16-bit z-value scan-side (pure bit "
+    "arithmetic in codegen) and summarizes occupancy per z-bucket; the "
+    "write path at scale is repartitionByRange(z).sortWithinPartitions(z) "
+    "before the parquet sink, which this bucket histogram is the "
+    "verification of.",
+)
+def zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    z = _z_interleave_spark(
+        F.col("l_partkey").bitwiseAND(F.lit(255)),
+        F.col("l_suppkey").bitwiseAND(F.lit(255)),
+    )
+    return (
+        li.select(z.alias("z"))
+        .groupBy(F.shiftright(F.col("z"), 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("z").alias("z_lo"),
+            F.max("z").alias("z_hi"),
+        )
+    )
+
+
+@register(
+    "sample_reservoir_group",
+    oracle="""
+        SELECT event_type, rk, event_id
+        FROM (SELECT event_type, event_id,
+                     row_number() OVER (
+                         PARTITION BY event_type
+                         ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+                         AS rk
+              FROM events)
+        WHERE rk <= 5
+        """,
+    category="sampling",
+    doc="Per-group reservoir sample (k=5), derandomized: the 'random' "
+    "priority is md5(event_id), so the sample is uniform-by-hash yet "
+    "reproducible and oracle-checkable.  Executed as two-phase top-k: "
+    "a salted partial pass keeps k candidates per (group, salt) so no "
+    "single task ever sees a whole group — the skew-proof shape of "
+    "reservoir sampling at 100 TB — then a final pass merges the "
+    "<= 32*k survivors per group.  Same algebra as the reference's "
+    "collectfn local-top-k idiom (SURVEY.md §2b limit/top-k row).",
+)
+def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("event_type", "event_id")
+    h = F.md5(F.col("event_id").cast("string"))
+    salted = Window.partitionBy(
+        "event_type", F.pmod(F.col("event_id"), F.lit(32))
+    ).orderBy(h.asc(), F.col("event_id").asc())
+    partial = (
+        e.withColumn("prn", F.row_number().over(salted))
+        .filter(F.col("prn") <= 5)
+        .drop("prn")
+    )
+    final = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id").asc())
+    return (
+        partial.withColumn("rk", F.row_number().over(final))
+        .filter(F.col("rk") <= 5)
+        .select("event_type", "rk", "event_id")
+    )

@@ -1,0 +1,144 @@
+"""Distributed graph operators expressed as relational plans.
+
+The reference could encode a graph algorithm only as repeated whole jobs
+(one map→reduce per iteration, reference mincemeat.py:294-297 — its FAQ
+answer to iteration is "run the server again").  Here each iteration is
+a join+aggregate Catalyst plan, and the iterative driver loop is plain
+Python over DataFrames (see also text.dedup.dedup_clusters for the
+connected-components loop).
+
+Graphs are derived from the fixture, not synthesized: PageRank runs on
+the customer→supplier purchase graph (who buys from whom, via
+orders⋈lineitem), triangles on the part co-purchase graph (parts that
+appear in the same order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mincemeatpy_spark.registry import register
+from mincemeatpy_spark.tables import t
+
+# Fixed-point PageRank scale: ranks are integers in units of 1e-12.
+_PR_SCALE = 10**12
+
+
+@register(
+    "graph_pagerank_iter",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        n AS (SELECT (SELECT count(*) FROM customer)
+                   + (SELECT count(*) FROM supplier) AS n),
+        r0 AS (SELECT {_PR_SCALE} // n AS r FROM n),
+        contrib AS (
+            SELECT e.dst, (SELECT r FROM r0) // d.d AS c
+            FROM edges e JOIN deg d ON d.src = e.src
+        )
+        SELECT s.s_suppkey,
+               (15 * (SELECT r FROM r0)) // 100
+                   + (85 * COALESCE(sum(c.c), 0)) // 100 AS rank_scaled
+        FROM supplier s LEFT JOIN contrib c ON c.dst = s.s_suppkey
+        GROUP BY s.s_suppkey
+        """,
+    category="graph",
+    doc="One PageRank power iteration (damping 0.85) over the "
+    "customer→supplier purchase graph: rank mass flows from each "
+    "customer equally across the suppliers it buys from.  Arithmetic is "
+    "integer fixed-point (1e-12 units, floor division) so the iteration "
+    "is bit-identical across engines — float PageRank would drift by "
+    "summation order.  The plan is the scale shape of every Pregel "
+    "superstep: edges ⋈ broadcast(degrees) → shuffle on dst → "
+    "aggregate; iterating is a Python loop re-running the same plan "
+    "with the previous rank table, each step one shuffle of "
+    "edge-contributions.",
+)
+def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    # node count: customers + suppliers (driver-side scalars — dimension
+    # metadata, one count job each, fine at any scale)
+    n = (
+        t(spark, sf_dir, "customer").count()
+        + t(spark, sf_dir, "supplier").count()
+    )
+    r0 = _PR_SCALE // n
+    teleport = (15 * r0) // 100
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    contrib = edges.join(F.broadcast(deg), "src").select(
+        "dst", F.expr(f"{r0} div d").alias("c")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey")
+    return (
+        s.join(contrib, s.s_suppkey == contrib.dst, "left")
+        .groupBy("s_suppkey")
+        .agg(
+            (
+                F.lit(teleport)
+                + F.expr("85 * coalesce(sum(c), 0) div 100")
+            ).alias("rank_scaled")
+        )
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+        WITH a AS (SELECT DISTINCT l_orderkey, l_partkey
+                   FROM lineitem WHERE l_partkey < 800),
+        e AS (SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+              FROM a x JOIN a y ON x.l_orderkey = y.l_orderkey
+                                AND x.l_partkey < y.l_partkey)
+        SELECT (SELECT count(*) FROM e) AS n_edges,
+               count(*) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+    category="graph",
+    doc="Triangle counting on the part co-purchase graph (parts sharing "
+    "an order; undirected edges canonicalized u < v so each triangle is "
+    "counted exactly once as u < v < w).  Pure relational form: two "
+    "self-joins of the edge table — the standard distributed algorithm, "
+    "where Spark shuffles edges by vertex and AQE picks broadcast vs "
+    "shuffled-hash per join.  At 100 TB-graph scale the refinement is "
+    "degree-ordered orientation (point each edge from low- to "
+    "high-degree endpoint) which bounds the wedge intermediate; the "
+    "canonical u < v form here is that orientation under the key order.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 800)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = a.alias("x"), a.alias("y")
+    e = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(tri)

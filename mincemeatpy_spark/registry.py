@@ -48,6 +48,8 @@ _QUERY_MODULES = (
     "mincemeatpy_spark.operators.tpch",
     "mincemeatpy_spark.operators.tpch_more",
     "mincemeatpy_spark.operators.tpch_rest",
+    "mincemeatpy_spark.operators.advanced",
+    "mincemeatpy_spark.operators.graph",
     "mincemeatpy_spark.functions.strings",
     "mincemeatpy_spark.sources.readers",
     "mincemeatpy_spark.functions.json_array",

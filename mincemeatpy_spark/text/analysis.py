@@ -349,3 +349,132 @@ def text_normalize_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.col("text")).alias("n_raw_distinct"),
         F.countDistinct(norm).alias("n_norm_distinct"),
     )
+
+
+# PII patterns — restricted to syntax that Java regex (Spark) and RE2
+# (DuckDB) treat identically: literal classes, +, bounded repeats.
+_EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+_PHONE_RE = r"555-[0-9]{4}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(len(regexp_extract_all(s, '{_EMAIL_RE}'))) AS BIGINT)
+                   AS n_emails,
+               CAST(sum(len(regexp_extract_all(s, '{_PHONE_RE}'))) AS BIGINT)
+                   AS n_phones,
+               CAST(sum(len(regexp_replace(regexp_replace(s,
+                   '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g'))) AS BIGINT) AS redacted_chars
+        FROM (SELECT lang,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or 555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+              FROM documents)
+        GROUP BY lang
+        """,
+    category="text",
+    doc="PII redaction (the pre-training scrub pass): e-mail and phone "
+    "patterns are counted (regexp_extract_all) and masked "
+    "(regexp_replace) per document, aggregated per language.  The corpus "
+    "fixture is synthetic word-salad with no PII, so each document gets "
+    "a deterministic contact line derived from its own doc_id appended "
+    "first — the redactor then provably finds and masks every planted "
+    "item (n_emails == n_docs) plus any organic matches.  All regex work "
+    "is scan-side JVM codegen, no Python: at 100 TB the scrub runs at "
+    "scan speed and only per-language partials shuffle.  Patterns stay "
+    "inside the Java-regex/RE2 common subset so the DuckDB oracle is "
+    "bit-exact.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    s = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(s, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return (
+        d.select(
+            "lang",
+            F.size(F.regexp_extract_all(s, F.lit(_EMAIL_RE), F.lit(0))).alias("e"),
+            F.size(F.regexp_extract_all(s, F.lit(_PHONE_RE), F.lit(0))).alias("p"),
+            F.length(redacted).alias("rc"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("e").cast("bigint").alias("n_emails"),
+            F.sum("p").cast("bigint").alias("n_phones"),
+            F.sum("rc").cast("bigint").alias("redacted_chars"),
+        )
+    )
+
+
+@register(
+    "text_chunk_overlap",
+    oracle="""
+        WITH sized AS (
+            SELECT lang, len(w) AS n,
+                   CASE WHEN len(w) <= 50 THEN 1
+                        ELSE (len(w) - 50 + 39) // 40 + 1 END AS nc,
+                   w
+            FROM (SELECT lang, string_split_regex(text, '\\s+') AS w
+                  FROM documents)
+            WHERE len(w) > 0
+        ),
+        chunks AS (
+            SELECT lang,
+                   unnest(list_transform(generate_series(0, nc - 1),
+                          i -> len(w[i*40 + 1 : i*40 + 50]))) AS ct
+            FROM sized
+        )
+        SELECT lang,
+               count(*) AS n_chunks,
+               CAST(sum(ct) AS BIGINT) AS sum_tokens,
+               CAST(sum(CASE WHEN ct = 50 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_full
+        FROM chunks
+        GROUP BY lang
+        """,
+    category="text",
+    doc="Fixed-size chunking with overlap (the context-window packing step "
+    "of a training pipeline): 50-token windows at stride 40, so "
+    "consecutive chunks share 10 tokens.  Chunk boundaries are pure "
+    "array arithmetic on the scan — sequence() for chunk starts, "
+    "transform+slice for the windows — so no shuffle touches token "
+    "data; only per-language chunk partials aggregate.  The overlap "
+    "accounting (sum_tokens > total corpus tokens by exactly the shared "
+    "strides) is what the oracle pins down.  Integer ceil via "
+    "(n-50+39) div 40 keeps both engines exact; a float ceil() would "
+    "not be.",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    sized = d.select("lang", w.alias("w"), F.size(w).alias("n")).filter(
+        F.col("n") > 0
+    )
+    nc = F.when(F.col("n") <= 50, F.lit(1)).otherwise(
+        F.expr("(n - 50 + 39) div 40 + 1")
+    )
+    chunk_lens = F.transform(
+        F.sequence(F.lit(0), nc - 1),
+        lambda i: F.size(F.slice(F.col("w"), i * 40 + 1, 50)),
+    )
+    return (
+        sized.select("lang", F.explode(chunk_lens).alias("ct"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("ct").cast("bigint").alias("sum_tokens"),
+            F.sum((F.col("ct") == 50).cast("int")).cast("bigint").alias("n_full"),
+        )
+    )
