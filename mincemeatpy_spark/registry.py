@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "mincemeatpy_spark.operators.graph",
     "mincemeatpy_spark.functions.strings",
     "mincemeatpy_spark.sources.readers",
+    "mincemeatpy_spark.sources.python_datasource",
     "mincemeatpy_spark.functions.json_array",
     "mincemeatpy_spark.functions.udfs",
     "mincemeatpy_spark.functions.vector",

@@ -1,0 +1,168 @@
+"""Custom Spark data source implementing the reference's input contract.
+
+The reference's entire input model is "a dict-like object: iterate keys,
+fetch one value per key" (reference mincemeat.py:306, 313-316; its
+docs promise any mapping works, e.g. a file-backed dict for the
+"many gigabytes of text" use-case, reference README.md:76).  Spark 4's
+Python Data Source API lets that contract be a first-class planned
+source instead of a driver-side parallelize: ``partitions()`` splits the
+keyspace (the analogue of the reference handing one key per map task),
+``read(partition)`` yields the (key, value) rows executor-side, and the
+result is a normal DataFrame every operator composes with — with column
+pruning and a real scan node in the plan.
+
+The bundled generator datasource is deterministic (value text is a pure
+function of the key), which is what makes a DuckDB oracle possible for
+a *programmatic* source: the oracle regenerates the same corpus with
+generate_series arithmetic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mincemeatpy_spark.registry import register
+
+
+def _row_words(i: int) -> list[str]:
+    """The three words of document ``i`` — shared by reader and tests."""
+    return [f"w{i % 7}", f"w{(i * 3) % 11}", f"w{(i * 5) % 13}"]
+
+
+def _make_datasource_class():
+    # Deferred import + local class definitions: pyspark.sql.datasource
+    # exists only on Spark 4+, and the classes must be importable by
+    # executors via cloudpickle (closure capture handles that).
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
+
+    # Local copy of the row generator: a module-level reference would be
+    # pickled by name and require mincemeatpy_spark on every executor's
+    # sys.path; a closure ships by value with the class (the same
+    # self-containment the reference demands of mapfn, README.md:93-96).
+    def _gen(i: int) -> tuple:
+        return (i, f"w{i % 7} w{(i * 3) % 11} w{(i * 5) % 13}")
+
+    class _Part(InputPartition):
+        def __init__(self, start: int, end: int) -> None:
+            self.start, self.end = start, end
+
+    class DictReader(DataSourceReader):
+        def __init__(self, options: dict) -> None:
+            self.n = int(options.get("n", 1000))
+            self.parts = int(options.get("parts", 8))
+
+        def partitions(self):  # keyspace split == reference's per-key tasks
+            step = max(1, -(-self.n // self.parts))
+            return [
+                _Part(lo, min(lo + step, self.n))
+                for lo in range(0, self.n, step)
+            ]
+
+        def read(self, part: _Part) -> Iterator[tuple]:
+            for i in range(part.start, part.end):
+                yield _gen(i)
+
+    class DictStreamReader(SimpleDataSourceStreamReader):
+        """Micro-batch form: each poll ships the next slice of the
+        keyspace — the continuous-ingest version of the dict contract
+        (a KV store where new keys keep arriving).  Offsets are plain
+        key positions, so replay (readBetweenOffsets) is exact."""
+
+        def __init__(self, options: dict) -> None:
+            self.n = int(options.get("n", 1000))
+            self.batch = int(options.get("batch", 100))
+
+        def initialOffset(self) -> dict:
+            return {"i": 0}
+
+        def _rows(self, lo: int, hi: int) -> list[tuple]:
+            return [_gen(i) for i in range(lo, hi)]
+
+        def read(self, start: dict):
+            lo = start["i"]
+            hi = min(lo + self.batch, self.n)
+            return iter(self._rows(lo, hi)), {"i": hi}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return iter(self._rows(start["i"], end["i"]))
+
+    class DictDataSource(DataSource):
+        """``format("mincemeat_dict")`` — keyed generator corpus."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "mincemeat_dict"
+
+        def schema(self) -> str:
+            return "key bigint, text string"
+
+        def reader(self, schema) -> DictReader:
+            return DictReader(self.options)
+
+        def simpleStreamReader(self, schema) -> DictStreamReader:
+            return DictStreamReader(self.options)
+
+    return DictDataSource
+
+
+def dict_source(spark: SparkSession, n: int = 1000, parts: int = 8) -> DataFrame:
+    """Read the generator dict-datasource as a DataFrame."""
+    spark.dataSource.register(_make_datasource_class())
+    return (
+        spark.read.format("mincemeat_dict")
+        .option("n", str(n))
+        .option("parts", str(parts))
+        .load()
+    )
+
+
+def dict_source_stream(spark: SparkSession, n: int = 1000, batch: int = 100) -> DataFrame:
+    """The same datasource as a micro-batch stream (``readStream``)."""
+    spark.dataSource.register(_make_datasource_class())
+    return (
+        spark.readStream.format("mincemeat_dict")
+        .option("n", str(n))
+        .option("batch", str(batch))
+        .load()
+    )
+
+
+@register(
+    "source_python_datasource",
+    oracle="""
+        WITH ks AS (SELECT unnest(generate_series(0, 1999)) AS i),
+        words AS (
+            SELECT 'w' || CAST(i % 7 AS VARCHAR) AS word FROM ks
+            UNION ALL
+            SELECT 'w' || CAST((i * 3) % 11 AS VARCHAR) FROM ks
+            UNION ALL
+            SELECT 'w' || CAST((i * 5) % 13 AS VARCHAR) FROM ks
+        )
+        SELECT word, count(*) AS cnt FROM words GROUP BY word
+        """,
+    category="source",
+    doc="Word count over a custom Python Data Source (Spark 4 DataSource "
+    "API) that implements the reference's dict-like input contract — "
+    "iterate keys, fetch one value per key (reference mincemeat.py:306, "
+    "313-316) — as a planned, partitioned scan: partitions() splits the "
+    "keyspace exactly like the reference hands one key per map task, "
+    "read() materializes values executor-side.  This is the idiomatic "
+    "home for 'my corpus lives behind an API / KV store' ingest at "
+    "scale: no driver-side parallelize, no collect, arbitrary partition "
+    "count.  The generator is a pure function of the key, so the oracle "
+    "rebuilds the identical corpus arithmetically.",
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = dict_source(spark, n=2000, parts=8)
+    return (
+        df.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -218,3 +218,27 @@ def test_streaming_corpus_ingest_matches_batch(spark, sf_dir):
     assert sorted(r.fp for r in out.select("fp").collect()) == sorted(
         r.fp for r in batch.collect()
     )
+
+
+def test_python_datasource_stream_equals_batch(spark):
+    """The custom Python data source's micro-batch stream drains the same
+    keyed corpus the batch reader plans — counts must agree exactly."""
+    from mincemeatpy_spark.sources.python_datasource import (
+        dict_source,
+        dict_source_stream,
+    )
+
+    stream = stream_ops.run_to_completion(
+        dict_source_stream(spark, n=500, batch=64)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        "pyds_out",
+    )
+    batch = (
+        dict_source(spark, n=500)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert _rows(stream, ["word", "cnt"]) == _rows(batch, ["word", "cnt"])
