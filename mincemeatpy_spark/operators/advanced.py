@@ -204,27 +204,20 @@ def zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="sampling",
     doc="Per-group reservoir sample (k=5), derandomized: the 'random' "
     "priority is md5(event_id), so the sample is uniform-by-hash yet "
-    "reproducible and oracle-checkable.  Executed as two-phase top-k: "
-    "a salted partial pass keeps k candidates per (group, salt) so no "
-    "single task ever sees a whole group — the skew-proof shape of "
-    "reservoir sampling at 100 TB — then a final pass merges the "
-    "<= 32*k survivors per group.  Same algebra as the reference's "
-    "collectfn local-top-k idiom (SURVEY.md §2b limit/top-k row).",
+    "reproducible and oracle-checkable.  Scale shape: Spark's "
+    "WindowGroupLimit rewrite turns the row_number filter into a "
+    "partial map-side top-k BEFORE the shuffle plus a final top-k after "
+    "— the same partial/merge algebra as the reference's collectfn "
+    "local-top-k idiom (SURVEY.md §2b limit/top-k row) — so no task "
+    "ever materializes a whole group; the shuffle carries at most k "
+    "rows per (group, input partition).  Asserted in test_plans.",
 )
 def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").select("event_type", "event_id")
     h = F.md5(F.col("event_id").cast("string"))
-    salted = Window.partitionBy(
-        "event_type", F.pmod(F.col("event_id"), F.lit(32))
-    ).orderBy(h.asc(), F.col("event_id").asc())
-    partial = (
-        e.withColumn("prn", F.row_number().over(salted))
-        .filter(F.col("prn") <= 5)
-        .drop("prn")
-    )
-    final = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id").asc())
+    w = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id").asc())
     return (
-        partial.withColumn("rk", F.row_number().over(final))
+        e.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select("event_type", "rk", "event_id")
     )

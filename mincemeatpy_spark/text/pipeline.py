@@ -221,3 +221,73 @@ def corpus_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("kept_chars"),
         )
     )
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+        WITH RECURSIVE d AS (
+            SELECT lang, doc_id,
+                   len(string_split_regex(text, '\\s+')) AS n,
+                   row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                       AS rn
+            FROM documents
+        ),
+        packed AS (
+            SELECT lang, rn, n, 0 AS batch_id, n AS running
+            FROM d WHERE rn = 1
+            UNION ALL
+            SELECT d.lang, d.rn, d.n,
+                   CASE WHEN p.running + d.n > 512
+                        THEN p.batch_id + 1 ELSE p.batch_id END,
+                   CASE WHEN p.running + d.n > 512
+                        THEN d.n ELSE p.running + d.n END
+            FROM packed p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1
+        )
+        SELECT lang, batch_id,
+               count(*) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS sum_tokens
+        FROM packed
+        GROUP BY lang, batch_id
+        """,
+    category="text",
+    doc="Sequence packing (the batch-assembly step of LLM training): "
+    "documents stream through per-language in doc_id order and pack "
+    "greedily into 512-token batches — a new batch starts when the next "
+    "document would overflow.  Packing is inherently sequential per "
+    "group (each decision depends on the running total, not a prefix "
+    "sum), so it runs as applyInPandas: one ordered pass per language "
+    "partition, which is exactly how a 100 TB corpus packs — parallel "
+    "across shards, linear within.  The oracle is a recursive CTE "
+    "making the same greedy decision row by row; hash-equality proves "
+    "the custom stateful operator implements the declared recurrence.",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = t(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.size(tokens(F.col("text"))).alias("n")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        batch, running, ids = 0, 0, []
+        first = True
+        for n in pdf["n"]:
+            if not first and running + n > 512:
+                batch += 1
+                running = n
+            else:
+                running += n
+            first = False
+            ids.append(batch)
+        pdf = pdf.assign(batch_id=ids)
+        g = pdf.groupby("batch_id", as_index=False).agg(
+            n_docs=("doc_id", "size"), sum_tokens=("n", "sum")
+        )
+        g.insert(0, "lang", pdf["lang"].iloc[0])
+        return g
+
+    return docs.groupBy("lang").applyInPandas(
+        pack, schema="lang string, batch_id long, n_docs long, sum_tokens long"
+    )

@@ -251,3 +251,46 @@ def test_asof_join_has_no_join_operator(spark, sf_dir):
     plan = _plan("join_asof", spark, sf_dir)
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_upsert_compaction_is_agg_not_sort(spark, sf_dir):
+    # max_by latest-wins must plan as a two-phase hash aggregate — a
+    # row_number window (sort + single-partition-per-key scan) would not
+    # scale to a 100 TB change log.
+    plan = _plan("upsert_latest_snapshot", spark, sf_dir)
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
+
+
+def test_zorder_key_computed_scan_side(spark, sf_dir):
+    # The Morton interleave is pure bit arithmetic computed in the scan
+    # stage: exactly one shuffle (the bucket aggregate), and the
+    # interleave expression sits below it, next to the FileScan.
+    plan = _plan("zorder_clustering", spark, sf_dir)
+    assert plan.count("Exchange") == 1
+    assert plan.index("shiftleft") > plan.index("Exchange")  # below the shuffle
+    assert "EvalPython" not in plan
+
+
+def test_reservoir_topk_is_two_phase(spark, sf_dir):
+    # Spark's WindowGroupLimit rewrite must split the row_number<=k into
+    # a map-side partial top-k before the shuffle and a final after —
+    # the property that makes per-group sampling skew-proof at scale.
+    plan = _plan("sample_reservoir_group", spark, sf_dir)
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
+
+
+def test_pagerank_degrees_broadcast(spark, sf_dir):
+    # Degree table joins edges via broadcast — the Pregel-superstep
+    # shape; only the dst aggregation shuffles edge contributions.
+    plan = _plan("graph_pagerank_iter", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_redact_single_scan_no_python(spark, sf_dir):
+    # Regex scrub is JVM codegen: no BatchEvalPython / ArrowEvalPython
+    # in the plan, single documents scan.
+    plan = _plan("text_pii_redact", spark, sf_dir)
+    assert "EvalPython" not in plan
+    assert plan.count("FileScan") == 1
