@@ -87,14 +87,15 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Keeper is the min doc_id within each digest group over the FULL
     # corpus (a quality-rejected keeper still shadows its duplicates) —
-    # mirrors the oracle's exact_kept CTE.
-    keeper = F.min("doc_id").over(W.partitionBy(F.md5(F.col("text").cast("binary"))))
+    # mirrors the oracle's exact_kept CTE.  Shuffle only (digest,
+    # doc_id), never the text: groupBy(digest).min beats a window
+    # partitioned by md5(text), which would shuffle every document body.
     exact_kept = (
         t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .withColumn("keeper", keeper)
-        .filter(F.col("doc_id") == F.col("keeper"))
-        .select(F.col("doc_id").alias("kept_id"))
+        .select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("kept_id"))
+        .select("kept_id")
     )
     losers = dedup_ngram_jaccard(spark, sf_dir).select(F.col("d2").alias("loser_id")).distinct()
     return (
