@@ -606,3 +606,117 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_contaminated"),
         )
     )
+
+
+@register(
+    "text_substring_dup_spans",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, lang, string_split_regex(text, '\\s+') AS w
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, lang, len(w) AS n, i AS pos,
+                   md5(list_aggregate(w[i : i+9], 'string_agg', ' ')) AS h
+            FROM d, unnest(generate_series(1, len(w) - 9)) AS t(i)
+            WHERE len(w) >= 10
+        ),
+        dup AS (SELECT h FROM g GROUP BY h
+                HAVING count(DISTINCT doc_id) > 1),
+        hits AS (
+            SELECT doc_id, lang, n, pos, pos + 9 AS e,
+                   max(pos + 9) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING) AS prev_e
+            FROM g WHERE h IN (SELECT h FROM dup)
+        ),
+        islands AS (
+            SELECT doc_id, lang, n, pos, e,
+                   sum(CASE WHEN prev_e IS NULL OR pos > prev_e
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS isl
+            FROM hits
+        ),
+        per_doc AS (
+            SELECT doc_id, lang, n,
+                   CAST(sum(cov) AS BIGINT) AS dup_tokens
+            FROM (SELECT doc_id, lang, n, isl,
+                         max(e) - min(pos) + 1 AS cov
+                  FROM islands GROUP BY doc_id, lang, n, isl)
+            GROUP BY doc_id, lang, n
+        )
+        SELECT lang,
+               count(*) AS n_docs_flagged,
+               CAST(sum(dup_tokens) AS BIGINT) AS dup_tokens,
+               CAST(sum(n) AS BIGINT) AS flagged_doc_tokens
+        FROM per_doc
+        GROUP BY lang
+        """,
+    category="dedup",
+    doc="Exact substring-duplication spans (the Lee et al. 2022 "
+    "'Deduplicating Training Data Makes Language Models Better' "
+    "operator, k-gram form): every 10-token window is hashed; windows "
+    "whose hash occurs in more than one document mark a duplicated "
+    "span [pos, pos+9]; overlapping spans merge per document "
+    "(gaps-and-islands: cumulative max of span ends), and the merged "
+    "coverage is the count of tokens that substring dedup would cut.  "
+    "Scale shape: gram hashing is scan-side array arithmetic (no "
+    "shuffle of token data — only 16-byte gram hashes shuffle for the "
+    "duplicate test, the same linear-shuffle property as MinHash LSH); "
+    "the island merge is a per-document window over only the flagged "
+    "positions.  A full suffix-array dedup needs cross-doc suffix "
+    "sorting; the k-gram form is the distributed-friendly equivalent "
+    "used in practice.",
+)
+def text_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(
+        spark, t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ).select("doc_id", "lang", F.split("text", _WS).alias("w"))
+    sized = docs.filter(F.size("w") >= 10).select(
+        "doc_id", "lang", F.size("w").alias("n"), "w"
+    )
+    gram = F.transform(
+        F.sequence(F.lit(1), F.col("n") - 9),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, 10)).cast("binary")).alias(
+                "h"
+            ),
+        ),
+    )
+    g = sized.select(
+        "doc_id", "lang", "n", F.explode(gram).alias("ph")
+    ).select("doc_id", "lang", "n", F.col("ph.pos").alias("pos"), F.col("ph.h").alias("h"))
+    dup = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    hits = g.join(dup, "h", "left_semi").withColumn("e", F.col("pos") + 9)
+    w_prev = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
+    )
+    new_island = F.when(
+        F.col("prev_e").isNull() | (F.col("pos") > F.col("prev_e")), 1
+    ).otherwise(0)
+    islands = (
+        hits.withColumn("prev_e", F.max("e").over(w_prev))
+        .withColumn("isl", F.sum(new_island).over(w_run))
+    )
+    per_doc = (
+        islands.groupBy("doc_id", "lang", "n", "isl")
+        .agg((F.max("e") - F.min("pos") + 1).alias("cov"))
+        .groupBy("doc_id", "lang", "n")
+        .agg(F.sum("cov").cast("bigint").alias("dup_tokens"))
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_flagged"),
+        F.sum("dup_tokens").cast("bigint").alias("dup_tokens"),
+        F.sum("n").cast("bigint").alias("flagged_doc_tokens"),
+    )
