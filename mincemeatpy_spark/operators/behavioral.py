@@ -265,3 +265,58 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("filled_centi_sum"),
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        SELECT prev_type,
+               event_type AS next_type,
+               count(*) AS n,
+               CAST(count(*) AS DOUBLE)
+                   / sum(count(*)) OVER (PARTITION BY prev_type) AS p
+        FROM seq
+        WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+        """,
+    category="behavioral",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lag() over (user_id, ts) pairs each event with its "
+    "predecessor, then one aggregate counts every (prev -> next) edge "
+    "and normalizes rows into transition probabilities.  One shuffle on "
+    "user_id for the sequence window (the same partitioning every "
+    "per-user operator reuses), then a transition aggregate whose "
+    "cardinality is |event_types|^2 — tiny at any corpus scale, so the "
+    "normalizing window runs on a handful of rows.  (ts, event_id) "
+    "ordering makes same-timestamp neighbors deterministic in both "
+    "engines; p is a single bigint/bigint IEEE divide, bit-identical "
+    "cross-engine.",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    counts = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(W.partitionBy("prev_type"))
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / total).alias("p"),
+    )

@@ -304,3 +304,44 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("q_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine"))
     )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+        SELECT CAST(i - 1 AS INT) AS dim,
+               count(*) AS n,
+               (CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                    AS BIGINT)) AS DOUBLE) / 1000000) AS sum_x,
+               min(CAST(embedding[i] AS DOUBLE)) AS min_x,
+               max(CAST(embedding[i] AS DOUBLE)) AS max_x
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS s(i)
+        GROUP BY i
+        """,
+    category="similarity",
+    doc="Per-dimension corpus statistics over the embedding column — the "
+    "profiling pass behind normalization/whitening and int8 quantization "
+    "calibration (each dimension's range sets its scale).  posexplode "
+    "pivots vectors to (dim, value) pairs scan-side; the aggregate is "
+    "two-phase hash with only n_dims groups, so map-side combine "
+    "collapses the shuffle to 64 rows per task regardless of corpus "
+    "size — at 100 TB this is a scan plus a 64-row exchange.  Sums are "
+    "6-decimal fixed-point (see operators/_util.py) so the totals are "
+    "order-independent and oracle-exact; float→double casts are "
+    "value-preserving in both engines.",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.operators._util import decsum
+
+    e = t(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    return (
+        e.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            decsum(x).alias("sum_x"),
+            F.min(x).alias("min_x"),
+            F.max(x).alias("max_x"),
+        )
+    )

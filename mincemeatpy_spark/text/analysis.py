@@ -478,3 +478,59 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("ct") == 50).cast("int")).cast("bigint").alias("n_full"),
         )
     )
+
+
+@register(
+    "bpe_pair_counts",
+    oracle="""
+        WITH wc AS (
+            SELECT word, count(*) AS cnt
+            FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY word
+        )
+        SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq
+        FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(word) - 1),
+                       i -> word[i : i + 1])) AS pair,
+                   cnt
+            FROM wc
+            WHERE len(word) >= 2
+        )
+        GROUP BY pair
+        ORDER BY freq DESC, pair
+        LIMIT 30
+        """,
+    category="text",
+    doc="One BPE-training iteration (the Sennrich et al. 2016 merge-pair "
+    "count): corpus word frequencies first, then adjacent character-pair "
+    "frequencies weighted by word count — the top pair is what BPE would "
+    "merge next.  The two-level aggregate is the whole trick at scale: "
+    "pair counting runs over the (small) word-frequency table, not the "
+    "raw corpus, so a 100 TB corpus costs one wordcount shuffle plus a "
+    "vocabulary-sized pair aggregate; each further merge iteration "
+    "re-scans only the vocabulary.  Pairs are substring arithmetic in "
+    "an array transform (no UDF); top-30 is TakeOrderedAndProject.",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = wordcount(spark, sf_dir)
+    pairs = (
+        wc.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "cnt",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("pair"))
+        .limit(30)
+    )
