@@ -444,3 +444,66 @@ def hll_sketch_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_users"
         )
     )
+
+
+@register(
+    "pareto_customer_revenue",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev_centi
+            FROM orders
+            GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT o_custkey, rev_centi,
+                   sum(rev_centi) OVER (ORDER BY rev_centi DESC, o_custkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND CURRENT ROW) AS running,
+                   sum(rev_centi) OVER () AS total
+            FROM per_cust
+        )
+        SELECT count(*) AS n_customers,
+               CAST(sum(CASE WHEN 5 * (running - rev_centi) < 4 * total
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
+               CAST(max(CASE WHEN 5 * (running - rev_centi) < 4 * total
+                             THEN running END) AS BIGINT) AS top80_rev_centi,
+               CAST(max(total) AS BIGINT) AS total_rev_centi
+        FROM ranked
+        """,
+    category="aggregation",
+    doc="Pareto concentration (the 80/20 report): revenue per customer in "
+    "exact centi-units, customers ranked by revenue descending, and the "
+    "count of top customers needed to cover 80% of total revenue — the "
+    "membership test 5*(running - own) < 4*total is pure bigint, so "
+    "both engines agree exactly.  Scale shape: the orders scan collapses "
+    "to one row per customer (two-phase agg) before any ordering, and "
+    "the ranking window runs over customer-level rows via a "
+    "range-partitioned sort — the global running sum is the only "
+    "inherently ordered step, on the smallest possible relation.",
+)
+def pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_centi")
+    )
+    w_run = W.orderBy(F.col("rev_centi").desc(), "o_custkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy()
+    ranked = per_cust.select(
+        "o_custkey",
+        "rev_centi",
+        F.sum("rev_centi").over(w_run).alias("running"),
+        F.sum("rev_centi").over(w_all).alias("total"),
+    )
+    in_top = F.lit(5) * (F.col("running") - F.col("rev_centi")) < F.lit(4) * F.col("total")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(in_top.cast("int")).cast("bigint").alias("n_top80"),
+        F.max(F.when(in_top, F.col("running"))).cast("bigint").alias("top80_rev_centi"),
+        F.max("total").cast("bigint").alias("total_rev_centi"),
+    )

@@ -320,3 +320,77 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / total).alias("p"),
     )
+
+
+@register(
+    "events_chi2_ab",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(user_id % 2 AS INT) AS arm,
+                   CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) > 60000
+                        THEN 1 ELSE 0 END AS converted
+            FROM events
+            GROUP BY user_id
+        ),
+        cells AS (
+            SELECT
+              CAST(sum(CASE WHEN arm = 0 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+              CAST(sum(CASE WHEN arm = 0 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+              CAST(sum(CASE WHEN arm = 1 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+              CAST(sum(CASE WHEN arm = 1 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+            FROM u
+        )
+        SELECT a, b, c, d,
+               round((((CAST(a + b + c + d AS DOUBLE)
+                        * CAST(a * d - b * c AS DOUBLE))
+                        * CAST(a * d - b * c AS DOUBLE))
+                      / ((CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE))
+                         * (CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)))),
+                     6) AS chi2
+        FROM cells
+        """,
+    category="behavioral",
+    doc="A/B experiment readout as a 2x2 chi-square test, libm-free: arms "
+    "by user_id parity, conversion = purchase spend over 600.00 (an "
+    "exact centi-unit comparison), then the "
+    "closed-form chi2 = N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)).  The "
+    "contingency cells are exact bigints from one user-keyed aggregate "
+    "plus a single-row rollup; the statistic itself is a fixed "
+    "parenthesization of IEEE multiplies and one divide, so it is "
+    "bit-identical cross-engine without any transcendental (no p-value "
+    "lookup — the caller compares chi2 against the critical value).  At "
+    "100 TB this is the cheapest possible shape: one shuffle on user_id, "
+    "then four counters.",
+)
+def events_chi2_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    spend = F.sum(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("bigint"),
+        ).otherwise(F.lit(0))
+    )
+    u = e.groupBy("user_id").agg(
+        (spend > 60000).cast("int").alias("converted")
+    ).select((F.col("user_id") % 2).cast("int").alias("arm"), "converted")
+
+    def cell(arm: int, conv: int):
+        cond = (F.col("arm") == arm) & (F.col("converted") == conv)
+        return F.sum(cond.cast("int")).cast("bigint")
+
+    cells = u.agg(
+        cell(0, 1).alias("a"), cell(0, 0).alias("b"),
+        cell(1, 1).alias("c"), cell(1, 0).alias("d"),
+    )
+    a, b, c, d = (F.col(x) for x in "abcd")
+    adbc = (a * d - b * c).cast("double")
+    n = (a + b + c + d).cast("double")
+    den = ((a + b).cast("double") * (c + d).cast("double")) * (
+        (a + c).cast("double") * (b + d).cast("double")
+    )
+    return cells.select(
+        "a", "b", "c", "d", F.round(((n * adbc) * adbc) / den, 6).alias("chi2")
+    )

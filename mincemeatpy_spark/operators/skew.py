@@ -92,3 +92,72 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             decsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
+
+
+@register(
+    "skew_key_diagnostics",
+    oracle="""
+        WITH counts AS (
+            SELECT l_suppkey AS k, count(*) AS n
+            FROM lineitem
+            GROUP BY l_suppkey
+        )
+        SELECT count(*) AS n_keys,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(max(n) AS BIGINT) AS max_n,
+               CAST(min(n) AS BIGINT) AS min_n,
+               round(CAST(max(n) AS DOUBLE)
+                     / (CAST(sum(n) AS DOUBLE) / count(*)), 6) AS skew_ratio,
+               CAST(sum(CASE WHEN n * (SELECT count(*) FROM counts)
+                                  > 2 * (SELECT sum(n) FROM counts)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys,
+               CAST(min(CASE WHEN n = (SELECT max(n) FROM counts)
+                             THEN k END) AS BIGINT) AS hottest_key
+        FROM counts
+        """,
+    category="skew",
+    doc="Shuffle-key skew profiling — the diagnostic that decides whether "
+    "a join needs salting or AQE skew splitting BEFORE it runs: per-key "
+    "row counts for the intended shuffle key, then the distribution's "
+    "max/mean ratio, the number of hot keys (n > 2x mean, tested as the "
+    "bigint cross-multiplication n*n_keys > 2*sum_n), and the smallest "
+    "key attaining the max (deterministic tie-break).  The per-key count "
+    "is a two-phase aggregate, so the full lineitem never shuffles — "
+    "only (key, partial-count) pairs — and the distribution rollup runs "
+    "over one row per key.  This is the sampling pass a 100 TB planner "
+    "runs cheaply ahead of an expensive join.",
+)
+def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_suppkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_all = W.partitionBy()
+    enriched = counts.select(
+        "k",
+        "n",
+        F.count(F.lit(1)).over(w_all).alias("n_keys"),
+        F.sum("n").over(w_all).alias("sum_n"),
+        F.max("n").over(w_all).alias("mx"),
+    )
+    return enriched.agg(
+        F.max("n_keys").alias("n_keys"),
+        F.max("sum_n").cast("bigint").alias("n_rows"),
+        F.max("mx").cast("bigint").alias("max_n"),
+        F.min("n").cast("bigint").alias("min_n"),
+        F.round(
+            F.max("mx").cast("double")
+            / (F.max("sum_n").cast("double") / F.max("n_keys")),
+            6,
+        ).alias("skew_ratio"),
+        F.sum(
+            (F.col("n") * F.col("n_keys") > F.lit(2) * F.col("sum_n")).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_hot_keys"),
+        F.min(F.when(F.col("n") == F.col("mx"), F.col("k")))
+        .cast("bigint")
+        .alias("hottest_key"),
+    )
