@@ -294,3 +294,62 @@ def test_pii_redact_single_scan_no_python(spark, sf_dir):
     plan = _plan("text_pii_redact", spark, sf_dir)
     assert "EvalPython" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_bpe_pairs_count_over_vocab_not_corpus(spark, sf_dir):
+    # Pair counting must aggregate the word-frequency table, not re-scan
+    # the corpus: two aggregate pairs (wordcount, pair count) and a
+    # top-30 via TakeOrderedAndProject, never a global Sort.
+    plan = _plan("bpe_pair_counts", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 4  # two two-phase aggregates
+
+
+def test_embedding_dim_stats_partial_agg(spark, sf_dir):
+    # 64-group aggregate must be two-phase so the shuffle carries only
+    # per-task partials, and the explode must stay in one scan stage.
+    plan = _plan("embedding_dim_stats", spark, sf_dir)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial" in plan.lower()
+    assert plan.count("Scan parquet") == 1
+
+
+def test_markov_single_user_shuffle(spark, sf_dir):
+    # One exchange for the per-user lag window, one for the tiny
+    # transition aggregate, one for the normalizing window — and the
+    # events scan reads only the columns the sequence needs.
+    plan = _plan("events_markov_transitions", spark, sf_dir)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "event_type" in read_schema and "user_id" in read_schema
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_chi2_is_user_agg_then_scalar(spark, sf_dir):
+    # The statistic must reduce to one shuffle on user_id plus a
+    # single-row final aggregate — no join, no window.
+    plan = _plan("events_chi2_ab", spark, sf_dir)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_pareto_orders_before_window_collapse(spark, sf_dir):
+    # The global running-sum window must run over the per-customer
+    # rollup, not raw orders: the plan aggregates before any Window.
+    plan = _plan("pareto_customer_revenue", spark, sf_dir)
+    assert "Window" in plan
+    # executedPlan prints leaves last: the per-customer rollup (the last
+    # HashAggregate) must sit upstream of (print after) every Window.
+    assert plan.rfind("HashAggregate") > plan.rfind("Window")
+    # and the single-partition ordered step sees per-customer rows only
+    assert plan.index("Exchange SinglePartition") > plan.rfind("Window")
+
+
+def test_skew_diag_two_phase_counts(spark, sf_dir):
+    # Per-key counting must be partial+final so raw lineitem rows never
+    # shuffle; only (key, partial count) pairs do.
+    plan = _plan("skew_key_diagnostics", spark, sf_dir)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial" in plan.lower()
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert read_schema.count(":") == 1  # only l_suppkey read
