@@ -394,3 +394,82 @@ def events_chi2_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.select(
         "a", "b", "c", "d", F.round(((n * adbc) * adbc) / den, 6).alias("chi2")
     )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   last_value(CASE WHEN event_type = 'click'
+                                   THEN 'ch' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS VARCHAR)
+                              END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_ch,
+                   last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+            FROM events
+        )
+        SELECT CASE WHEN last_click_ts IS NOT NULL
+                     AND ts <= last_click_ts + INTERVAL 7 DAY
+                    THEN last_ch ELSE 'direct' END AS channel,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM seq
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+        """,
+    category="behavioral",
+    doc="Last-touch marketing attribution: each purchase credits the "
+    "user's most recent click within a 7-day lookback, else 'direct'.  "
+    "The reference would chain two MapReduce jobs (per-user timeline "
+    "reduce, then a channel rollup — mincemeat.py:313-329 twice); here "
+    "it is one scan of events, one shuffle on user_id for the "
+    "last-non-null window (last(ignorenulls) over ROWS UNBOUNDED "
+    "PRECEDING — a streaming frame, no buffering), and a tiny channel "
+    "aggregate.  Revenue in exact cents; the 7-day bound is timestamp "
+    "interval arithmetic, bit-identical cross-engine.  At 100 TB the "
+    "window is the only shuffle and AQE handles hot users.",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    ch = F.when(
+        F.col("event_type") == "click",
+        F.concat(
+            F.lit("ch"),
+            (F.get_json_object("props", "$.k").cast("bigint") % 4).cast("string"),
+        ),
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.last(ch, ignorenulls=True).over(w).alias("last_ch"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("last_click_ts"),
+    )
+    attributed = seq.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("last_click_ts").isNotNull()
+            & (F.col("ts") <= F.col("last_click_ts") + F.expr("INTERVAL 7 DAYS")),
+            F.col("last_ch"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        "cents",
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("revenue_cents"),
+    )

@@ -248,3 +248,85 @@ def map_transform_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.element_at(shares, "src0").alias("src0_share"),
     )
+
+
+@register(
+    "dq_audit",
+    oracle="""
+        SELECT 'l_quantity_range' AS check_name,
+               CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount_range',
+               CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate_null',
+               CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'orphan_lineitem',
+               CAST(count(*) AS BIGINT)
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'dup_order_pk',
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice_nonpos',
+               CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        """,
+    category="quality",
+    doc="Data-quality expectation audit — the validation pass a training "
+    "pipeline runs before ingesting a drop: range checks and null checks "
+    "fold into ONE conditional-aggregate scan per table (no per-check "
+    "re-scan), referential integrity is a left-anti probe of lineitem "
+    "against orders, and primary-key uniqueness is count - count(distinct) "
+    "on the dimension.  All counters are exact bigints.  At 100 TB the "
+    "fact table is scanned once for all row-local checks; the anti-join "
+    "shuffles on the join key (or broadcasts when the PK side is a dim), "
+    "and each check's result is one row, so the union is free.",
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+
+    def flag(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    li_checks = li.agg(
+        flag((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "l_quantity_range"
+        ),
+        flag((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias(
+            "l_discount_range"
+        ),
+        flag(F.col("l_shipdate").isNull()).alias("l_shipdate_null"),
+    )
+    o_checks = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("dup_order_pk"),
+        flag(F.col("o_totalprice") <= 0).alias("o_totalprice_nonpos"),
+    )
+    orphans = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_lineitem"))
+    )
+
+    def melt(df):
+        pairs = [
+            expr
+            for c in df.columns
+            for expr in (F.lit(c), F.col(c).cast("string"))
+        ]
+        return df.select(
+            F.explode(F.create_map(*pairs)).alias("check_name", "v")
+        ).select("check_name", F.col("v").cast("bigint").alias("n_bad"))
+
+    return melt(li_checks).unionAll(melt(o_checks)).unionAll(melt(orphans))

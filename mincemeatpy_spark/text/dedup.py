@@ -720,3 +720,60 @@ def text_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dup_tokens").cast("bigint").alias("dup_tokens"),
         F.sum("n").cast("bigint").alias("flagged_doc_tokens"),
     )
+
+
+@register(
+    "fuzzy_match_levenshtein",
+    oracle="""
+        WITH vals AS (
+            SELECT string_split(p_name, ' ')[2] AS noun,
+                   string_split(p_name, ' ')[1] AS adj,
+                   CAST(count(*) AS BIGINT) AS n_parts
+            FROM part
+            GROUP BY 1, 2
+        )
+        SELECT a.noun, a.adj AS adj_a, b.adj AS adj_b,
+               CAST(levenshtein(a.adj, b.adj) AS INT) AS dist,
+               CAST(a.n_parts * b.n_parts AS BIGINT) AS n_pairs
+        FROM vals a JOIN vals b
+          ON a.noun = b.noun AND a.adj < b.adj
+        WHERE levenshtein(a.adj, b.adj) <= 2
+        """,
+    category="dedup",
+    doc="Blocked fuzzy matching by edit distance — the classic "
+    "entity-resolution shape.  Naive all-pairs levenshtein is O(n^2) and "
+    "dead at 100 TB; the scale design is (1) aggregate to DISTINCT "
+    "values first (the candidate universe is vocabulary-sized, not "
+    "corpus-sized, and carries its multiplicity), (2) equi-join on a "
+    "cheap blocking key (here the head noun) so the quadratic compare "
+    "runs only within blocks, (3) a.adj < b.adj halves the pairs and "
+    "dedupes mirror matches.  JVM-side levenshtein (no Python), exact "
+    "integer distance, pair multiplicities recovered by count product.",
+)
+def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    vals = (
+        p.select(
+            words.getItem(1).alias("noun"), words.getItem(0).alias("adj")
+        )
+        .groupBy("noun", "adj")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    a = vals.alias("a")
+    b = vals.alias("b")
+    dist = F.levenshtein(F.col("a.adj"), F.col("b.adj"))
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun")) & (F.col("a.adj") < F.col("b.adj")),
+        )
+        .where(dist <= 2)
+        .select(
+            F.col("a.noun").alias("noun"),
+            F.col("a.adj").alias("adj_a"),
+            F.col("b.adj").alias("adj_b"),
+            dist.cast("int").alias("dist"),
+            (F.col("a.n_parts") * F.col("b.n_parts")).alias("n_pairs"),
+        )
+    )

@@ -353,3 +353,45 @@ def test_skew_diag_two_phase_counts(spark, sf_dir):
     assert "partial" in plan.lower()
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert read_schema.count(":") == 1  # only l_suppkey read
+
+
+def test_attribution_single_scan_one_window(spark, sf_dir):
+    # One events scan, one user_id shuffle for the last-non-null window,
+    # channel rollup two-phase; no Python in the plan.
+    plan = _plan("attribution_last_touch", spark, sf_dir)
+    assert plan.count("FileScan") == 1
+    assert plan.count("Window") == 1
+    assert "EvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dq_audit_pruned_scans(spark, sf_dir):
+    # Row-local checks fold into one conditional-agg scan per table; the
+    # referential-integrity branch re-scans lineitem but reads ONLY the
+    # join key, so the wide columns are read exactly once.
+    plan = _plan("dq_audit", spark, sf_dir)
+    schemas = [s.splitlines()[0] for s in plan.split("ReadSchema:")[1:]]
+    li_schemas = [s for s in schemas if "l_orderkey" in s or "l_quantity" in s]
+    assert any(s.count(":") == 1 and "l_orderkey" in s for s in li_schemas)
+    assert sum("l_quantity" in s for s in schemas) == 1
+
+
+def test_fuzzy_match_aggregates_before_join(spark, sf_dir):
+    # Distinct-values-first: both join inputs are HashAggregates and the
+    # blocked equi-join broadcasts (vocabulary-sized), never a
+    # nested-loop cross product.
+    plan = _plan("fuzzy_match_levenshtein", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_cogroup_filters_pushed_before_shuffle(spark, sf_dir):
+    # Both cogroup inputs filter to the key residue BEFORE their
+    # exchange (5% shuffled, not 100%), and scans are column-pruned.
+    plan = _plan("cogroup_reconcile", spark, sf_dir)
+    assert "FlatMapCoGroupsInPandas" in plan
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        assert "% 20) = 0" in seg
+    read_schemas = [s.splitlines()[0] for s in plan.split("ReadSchema:")[1:]]
+    assert all(s.count(":") <= 2 for s in read_schemas)
