@@ -473,3 +473,56 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum("cents").alias("revenue_cents"),
     )
+
+
+@register(
+    "events_twap",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id))
+                   - epoch_us(ts) AS gap_us
+            FROM events
+        )
+        SELECT user_id,
+               CAST(sum(cents * gap_us) AS BIGINT) AS weighted_us,
+               CAST(sum(gap_us) AS BIGINT) AS span_us,
+               CAST(sum(cents * gap_us) AS DOUBLE) / CAST(sum(gap_us) AS DOUBLE)
+                   AS twap_cents
+        FROM seq
+        WHERE gap_us IS NOT NULL
+        GROUP BY user_id
+        """,
+    category="behavioral",
+    doc="Time-weighted average value per user (the TWAP shape used for "
+    "prices, gauge metrics, feature snapshots): each reading is held "
+    "until the next one, so its weight is the gap to the successor "
+    "(lead window), and the mean is sum(value*gap)/sum(gap).  All "
+    "arithmetic is exact int64 (cents x microseconds; bounded ~5e16 "
+    "per user, far from overflow), one shuffle on user_id shared by "
+    "the window and the aggregate — Catalyst reuses the partitioning, "
+    "so at 100 TB this is a single exchange.",
+)
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("gap_us"),
+    )
+    g = seq.where(F.col("gap_us").isNotNull()).groupBy("user_id")
+    return g.agg(
+        F.sum(F.col("cents") * F.col("gap_us")).alias("weighted_us"),
+        F.sum("gap_us").alias("span_us"),
+        (
+            F.sum(F.col("cents") * F.col("gap_us")).cast("double")
+            / F.sum("gap_us").cast("double")
+        ).alias("twap_cents"),
+    )

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as Wnd, functions as F
 
-from mincemeatpy_spark.registry import register
+from mincemeatpy_spark.registry import QUERIES, register
 from mincemeatpy_spark.tables import t
 
 _N_PLANES = 8
@@ -344,4 +344,45 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(x).alias("min_x"),
             F.max(x).alias("max_x"),
         )
+    )
+
+
+_EXACT_ORACLE = QUERIES["similarity_topk"].oracle
+_IVF_ORACLE = QUERIES["similarity_ann_ivf"].oracle
+
+
+@register(
+    "similarity_ann_recall",
+    oracle=f"""
+        WITH exact_k AS ({_EXACT_ORACLE}),
+             ann_k AS ({_IVF_ORACLE})
+        SELECT e.q_id,
+               CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+               count(a.neighbor_id) / 5.0 AS recall_at_5
+        FROM exact_k e
+        LEFT JOIN ann_k a
+          ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.q_id
+        """,
+    category="similarity",
+    doc="Recall@5 evaluation of the IVF index against exact brute-force "
+    "cosine — the eval harness every ANN deployment needs.  Both sides "
+    "are the engine's own operators (deterministic, so the metric is "
+    "oracle-checkable exactly); the join is per-query top-5 against "
+    "top-5, i.e. tiny, and the heavy lifting is the two underlying "
+    "scans which Spark schedules independently.  At 100 TB you run "
+    "this on a sampled query set: the exact side is the only O(N) "
+    "term and sampling queries bounds it.",
+)
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = similarity_topk(spark, sf_dir)
+    ann = similarity_ann_ivf(spark, sf_dir)
+    e = exact.select("q_id", "neighbor_id")
+    a = ann.select(F.col("q_id").alias("aq"), F.col("neighbor_id").alias("an"))
+    hits = e.join(
+        a, (F.col("q_id") == F.col("aq")) & (F.col("neighbor_id") == F.col("an")), "left"
+    )
+    return hits.groupBy("q_id").agg(
+        F.count("an").alias("n_hits"),
+        (F.count("an") / F.lit(5.0)).alias("recall_at_5"),
     )

@@ -395,3 +395,20 @@ def test_cogroup_filters_pushed_before_shuffle(spark, sf_dir):
         assert "% 20) = 0" in seg
     read_schemas = [s.splitlines()[0] for s in plan.split("ReadSchema:")[1:]]
     assert all(s.count(":") <= 2 for s in read_schemas)
+
+
+def test_twap_single_exchange(spark, sf_dir):
+    # The lead window and the per-user aggregate share one user_id
+    # exchange; scan reads only the four needed columns.
+    plan = _plan("events_twap", spark, sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "props" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_ann_recall_joins_topk_sides(spark, sf_dir):
+    # Recall eval joins two per-query top-5 sets: both sides end in a
+    # row_number filter (WindowGroupLimit / Window) and the final join
+    # is on tiny inputs — no cartesian product.
+    plan = _plan("similarity_ann_recall", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 2
