@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
-from mincemeatpy_spark.registry import register
+from mincemeatpy_spark.registry import QUERIES, register
 from mincemeatpy_spark.tables import fan_out, t
 
 # --- shared deterministic primitives -----------------------------------
@@ -776,4 +776,51 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("dist"),
             (F.col("a.n_parts") * F.col("b.n_parts")).alias("n_pairs"),
         )
+    )
+
+
+@register(
+    "dedup_lsh_recall",
+    oracle=f"""
+        WITH true_pairs AS ({QUERIES["dedup_ngram_jaccard"].oracle}),
+             lsh_pairs AS ({QUERIES["dedup_minhash_lsh"].oracle}),
+             m AS (
+                 SELECT (SELECT count(*) FROM true_pairs) AS n_true,
+                        (SELECT count(*) FROM lsh_pairs) AS n_candidates,
+                        (SELECT count(*) FROM lsh_pairs WHERE jaccard >= 0.25)
+                            AS n_hits
+             )
+        SELECT CAST(n_true AS BIGINT) AS n_true,
+               CAST(n_candidates AS BIGINT) AS n_candidates,
+               CAST(n_hits AS BIGINT) AS n_hits,
+               CAST(n_hits AS DOUBLE) / n_candidates AS precision_lsh,
+               CAST(n_hits AS DOUBLE) / n_true AS recall_lsh
+        FROM m
+        """,
+    category="dedup",
+    doc="Eval harness for the fuzzy-dedup path: precision and recall of "
+    "MinHash-LSH candidate generation against the exact n-gram-Jaccard "
+    "ground truth (threshold 0.25).  Both sides are the engine's own "
+    "deterministic operators, so the quality metric itself is exactly "
+    "oracle-checked — the loop you run after retuning bands/rows.  At "
+    "100 TB the exact side is the quadratic one; you run this eval on "
+    "a sampled shard to pick (bands, rows), then trust LSH on the full "
+    "corpus.  Candidate and truth sets reduce to three scalar counts "
+    "before the final single-row select, so the comparison adds no "
+    "shuffle of its own.",
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    lsh = dedup_minhash_lsh(spark, sf_dir)
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    cand_counts = lsh.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum((F.col("jaccard") >= 0.25).cast("int")).cast("bigint").alias("n_hits"),
+    )
+    return n_true.crossJoin(cand_counts).select(
+        "n_true",
+        "n_candidates",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_candidates")).alias("precision_lsh"),
+        (F.col("n_hits").cast("double") / F.col("n_true")).alias("recall_lsh"),
     )
