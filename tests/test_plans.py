@@ -412,3 +412,13 @@ def test_ann_recall_joins_topk_sides(spark, sf_dir):
     plan = _plan("similarity_ann_recall", spark, sf_dir)
     assert "CartesianProduct" not in plan
     assert plan.count("Window") >= 2
+
+
+def test_q21_single_lineitem_scan(spark, sf_dir):
+    # The decorrelated EXISTS/NOT EXISTS must not re-scan the fact
+    # table: one lineitem scan, per-order counts as window aggregates
+    # over the join's orderkey partitioning.
+    plan = _plan("tpch_q21_waiting_suppliers", spark, sf_dir)
+    li_scans = [s for s in plan.split("FileScan parquet ")[1:] if s.startswith("[l_")]
+    assert len(li_scans) == 1
+    assert "Window" in plan
