@@ -246,3 +246,71 @@ def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_files"),
         F.sum(F.length(F.col("content"))).cast("bigint").alias("total_bytes"),
     )
+
+
+@register(
+    "sink_compaction",
+    oracle="""
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY source
+        """,
+    category="source",
+    doc="Small-file compaction — the maintenance pass every long-lived "
+    "100 TB table needs: a fragmented drop (64 tiny files, simulating "
+    "per-micro-batch or per-task output) is rewritten via repartition() "
+    "into a handful of target-size files, then read back and verified "
+    "lossless against the source-of-truth aggregate.  At scale you size "
+    "the target file count from bytes/128MB and run this as a periodic "
+    "OPTIMIZE; the repartition is the only shuffle and the read-back "
+    "scan drops from 64 task launches to 4.  tests/test_plans.py "
+    "asserts the compacted layout really has <=4 data files.",
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frag = _scratch(sf_dir, "docs_frag")
+    compact = _scratch(sf_dir, "docs_compact")
+    docs = t(spark, sf_dir, "documents")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+    back = spark.read.parquet(compact)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+                   AS chars_v2
+        FROM documents
+        GROUP BY lang
+        """,
+    category="source",
+    doc="Schema evolution across parquet drops: an old drop lacks the "
+    "n_chars column, a new drop carries it; mergeSchema=true unions the "
+    "schemas on read and back-fills NULL for the missing column — the "
+    "additive-column migration path a long-lived ingest pipeline needs "
+    "(no rewrite of historical files).  The aggregate proves NULLs "
+    "surface exactly where the old drop lacks the column.  At 100 TB "
+    "you pay schema merge once at planning (footer sampling), not per "
+    "row; readers needing only old columns are unaffected.",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "docs_evolve")
+    docs = t(spark, sf_dir, "documents")
+    v1 = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    v2 = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars")
+    v1.write.mode("overwrite").parquet(os.path.join(path, "drop=v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "drop=v2"))
+    back = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_v2"),
+    )

@@ -422,3 +422,18 @@ def test_q21_single_lineitem_scan(spark, sf_dir):
     li_scans = [s for s in plan.split("FileScan parquet ")[1:] if s.startswith("[l_")]
     assert len(li_scans) == 1
     assert "Window" in plan
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    import glob
+    import os
+    import tempfile
+
+    from mincemeatpy_spark.registry import load_all_queries
+    from mincemeatpy_spark.sources.readers import _scratch
+
+    load_all_queries()["sink_compaction"].fn(spark, sf_dir).collect()
+    frag = glob.glob(os.path.join(_scratch(sf_dir, "docs_frag"), "*.parquet"))
+    comp = glob.glob(os.path.join(_scratch(sf_dir, "docs_compact"), "*.parquet"))
+    assert len(frag) == 64
+    assert 1 <= len(comp) <= 4
