@@ -13,6 +13,8 @@ the state store with timeouts for eviction.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -314,3 +316,76 @@ def corpus_ingest_stream(docs: DataFrame) -> DataFrame:
     return quality.withColumn(
         "fp", F.md5(F.col("text").cast("binary"))
     ).dropDuplicates(["fp"]).select("doc_id", "fp", "n_tokens")
+
+
+_ATTR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_click_us", T.LongType()),
+        T.StructField("last_ch", T.StringType()),
+    ]
+)
+_ATTR_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("channel", T.StringType()),
+        T.StructField("cents", T.LongType()),
+    ]
+)
+_ATTR_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def attribution_stream(events: DataFrame) -> DataFrame:
+    """Streaming last-touch attribution: per-user state holds the most
+    recent click's (timestamp, channel); each purchase is credited to it
+    if within the 7-day lookback, else 'direct'.  Streaming twin of the
+    ``attribution_last_touch`` batch query (same channel derivation,
+    same lookback arithmetic in integer microseconds).
+
+    State per user is two scalars — at 100 TB-scale event volume the
+    state store stays O(active users), and the watermark (supplied by
+    the caller's pipeline) bounds replay.  Rows inside each micro-batch
+    are sorted by (ts, event_id) so intra-batch order matches the batch
+    window's ordering; across batches the file source delivers
+    time-ordered drops.
+    """
+    import json
+
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        last_us, last_ch = (
+            (state.get[0], state.get[1]) if state.exists else (None, None)
+        )
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                ts_us = int(row["ts"].value) // 1000  # pandas ns → us
+                if row["event_type"] == "click":
+                    try:
+                        k = json.loads(row["props"])["k"]
+                        last_ch = f"ch{int(k) % 4}"
+                        last_us = ts_us
+                    except (ValueError, KeyError, TypeError):
+                        pass
+                elif row["event_type"] == "purchase":
+                    if last_us is not None and ts_us <= last_us + _ATTR_LOOKBACK_US:
+                        ch = last_ch
+                    else:
+                        ch = "direct"
+                    cents = int(math.floor(row["value"] * 100 + 0.5))
+                    out.append((key[0], int(row["event_id"]), ch, cents))
+        if last_us is not None:
+            state.update((last_us, last_ch))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "channel", "cents"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_ATTR_OUT_SCHEMA,
+        stateStructType=_ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -242,3 +242,33 @@ def test_python_datasource_stream_equals_batch(spark):
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     assert _rows(stream, ["word", "cnt"]) == _rows(batch, ["word", "cnt"])
+
+
+def test_attribution_stream_matches_batch(spark, sf_dir, events):
+    # Streaming last-touch attribution (stateful, per-user click state)
+    # aggregated by channel must equal the batch window-based operator.
+    from mincemeatpy_spark.registry import load_all_queries
+    from mincemeatpy_spark.streaming.stream_ops import (
+        attribution_stream,
+        run_to_completion,
+    )
+
+    per_purchase = run_to_completion(
+        attribution_stream(events), "attr_stream", mode="append"
+    )
+    got = {
+        tuple(r)
+        for r in per_purchase.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in load_all_queries()["attribution_last_touch"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
