@@ -507,3 +507,64 @@ def pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(in_top, F.col("running"))).cast("bigint").alias("top80_rev_centi"),
         F.max("total").cast("bigint").alias("total_rev_centi"),
     )
+
+
+@register(
+    "stats_regression",
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
+                   sum(CAST(round(l_extendedprice) AS BIGINT)) AS sy,
+                   sum(CAST(round(l_quantity) AS BIGINT)
+                       * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+                   sum(CAST(round(l_quantity) AS BIGINT)
+                       * CAST(round(l_extendedprice) AS BIGINT)) AS sxy
+            FROM lineitem
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS intercept
+        FROM s
+        """,
+    category="aggregation",
+    doc="Per-group simple linear regression (the SQL regr_slope / "
+    "regr_intercept family) of extended price on quantity, computed "
+    "from the five classical moment sums — n, Sx, Sy, Sxx, Sxy — "
+    "accumulated as exact int64 on unit-rounded inputs, so the normal "
+    "equations (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) are order-independent "
+    "and bit-identical cross-engine (bounds checked: n*Sxy <= ~6e17 at "
+    "sf1, under 2^63).  One two-phase aggregate, one shuffle of five "
+    "longs per group — the map-side-combine shape the reference's "
+    "collectfn exists for (mincemeat.py:174-176); at 100 TB the "
+    "shuffle is K groups x 40 bytes regardless of row count.",
+)
+def stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("bigint")
+    y = F.round(F.col("l_extendedprice")).cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
