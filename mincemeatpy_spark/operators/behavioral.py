@@ -526,3 +526,107 @@ def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("gap_us").cast("double")
         ).alias("twap_cents"),
     )
+
+
+@register(
+    "cumulative_distinct_users",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS d
+            FROM events GROUP BY user_id
+        ),
+        per_day AS (
+            SELECT d, count(*) AS new_users FROM first_seen GROUP BY d
+        )
+        SELECT d, CAST(new_users AS BIGINT) AS new_users,
+               CAST(sum(new_users) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS users_to_date
+        FROM per_day
+        """,
+    category="behavioral",
+    doc="Cumulative distinct users by day — the growth-curve query that "
+    "is a trap at scale: a naive count(DISTINCT user) per day over a "
+    "growing window re-scans history every day.  The scalable form is "
+    "algebraic: distinct-to-date(d) = sum of first-seen counts up to d, "
+    "so the plan is one user_id aggregate (min date), one tiny per-day "
+    "rollup, and a running-sum window over ~365 rows.  100 TB of events "
+    "reduces to |users| rows after the first shuffle and |days| rows "
+    "after the second; the unbounded window runs on the day table, "
+    "never the events.",
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d")
+    )
+    per_day = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        "d",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("users_to_date"),
+    )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+        WITH stage_ts AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase_ts
+            FROM events GROUP BY user_id
+        ),
+        lag AS (
+            SELECT user_id,
+                   epoch_us(purchase_ts) - epoch_us(signup_ts) AS lag_us
+            FROM stage_ts
+            WHERE signup_ts IS NOT NULL AND purchase_ts IS NOT NULL
+              AND purchase_ts >= signup_ts
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_converted,
+               CAST(min(lag_us) AS BIGINT) AS min_lag_us,
+               CAST(max(lag_us) AS BIGINT) AS max_lag_us,
+               quantile_cont(lag_us, 0.5) AS median_lag_us
+        FROM lag
+        """,
+    category="behavioral",
+    doc="Time-to-convert: per user, first signup to first purchase, "
+    "summarized as count/min/max/median lag.  One conditional min "
+    "aggregate per user (single shuffle — no self-join of the two "
+    "event types), then a scalar rollup; the exact median interpolates "
+    "between int64 microsecond lags (percentile_cont semantics match "
+    "DuckDB's quantile_cont bit-for-bit on integer inputs).  At 100 TB "
+    "the per-user reduce is the only O(N) stage; consider "
+    "approx_percentile for the final rollup if |converted users| "
+    "exceeds driver-tolerable exact-percentile state.",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    stage = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "purchase_ts"
+        ),
+    )
+    lag = (
+        stage.where(
+            F.col("signup_ts").isNotNull()
+            & F.col("purchase_ts").isNotNull()
+            & (F.col("purchase_ts") >= F.col("signup_ts"))
+        )
+        .select(
+            (
+                F.unix_micros("purchase_ts") - F.unix_micros("signup_ts")
+            ).alias("lag_us")
+        )
+    )
+    return lag.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("lag_us").alias("min_lag_us"),
+        F.max("lag_us").alias("max_lag_us"),
+        F.percentile("lag_us", 0.5).alias("median_lag_us"),
+    )
