@@ -386,3 +386,125 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("an").alias("n_hits"),
         (F.count("an") / F.lit(5.0)).alias("recall_at_5"),
     )
+
+
+_PCA_SCALE = 1_000_000
+
+
+@register(
+    "embedding_pca_power",
+    oracle=f"""
+        WITH q AS (
+            SELECT list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * {_PCA_SCALE}) AS BIGINT))
+                   AS qv
+            FROM embeddings
+        ),
+        cells AS (
+            SELECT i, j, CAST(sum(qv[i] * qv[j]) AS BIGINT) AS g
+            FROM q, generate_series(1, {_DIM}) s1(i), generate_series(1, {_DIM}) s2(j)
+            GROUP BY i, j
+        ),
+        grows AS (
+            SELECT i, list(CAST(g AS DOUBLE) ORDER BY j) AS gd,
+                   CAST(list_sum(list(g ORDER BY j)) AS BIGINT) AS v1_int
+            FROM cells GROUP BY i
+        ),
+        n1 AS (SELECT max(abs(CAST(v1_int AS DOUBLE))) AS m1 FROM grows),
+        v1 AS (
+            SELECT list(CAST(v1_int AS DOUBLE) / m1 ORDER BY i) AS v
+            FROM grows, n1 GROUP BY m1
+        ),
+        it2 AS (
+            SELECT i, list_sum(list_transform(generate_series(1, {_DIM}),
+                       j -> gd[j] * v[j])) AS v2
+            FROM grows, v1
+        ),
+        n2 AS (SELECT max(abs(v2)) AS m2 FROM it2)
+        SELECT CAST(i - 1 AS INT) AS dim, round(v2 / m2, 6) AS loading
+        FROM it2, n2
+        """,
+    category="similarity",
+    doc="Top principal direction of the embedding cloud via two power "
+    "iterations on the Gram matrix — the whitening / quantization-"
+    "calibration step of an embedding pipeline, in the shape that "
+    "scales: each Arrow batch contributes an EXACT int64 64x64 partial "
+    "Gram (components quantized to 1e-6, numpy matmul per batch — no "
+    "per-row Python, no float summation-order nondeterminism), "
+    "partials merge by element-wise long addition (a 4096-cell "
+    "shuffle regardless of corpus size), and the O(dim^2) iteration "
+    "runs on the reduced matrix with left-to-right folds that DuckDB "
+    "reproduces bit-for-bit.  100 TB of embeddings stream through "
+    "map-side partials; nothing but 32 KB matrices ever shuffles.  "
+    "Bounds: |q| <= 6e5, so a cell <= N*3.6e11 — exact int64 through "
+    "sf1 and beyond.",
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    from mincemeatpy_spark.tables import fan_out
+
+    def gram_partials(batches):
+        acc = np.zeros((_DIM, _DIM), dtype=np.int64)
+        seen = False
+        for batch in batches:
+            vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+            if len(vecs) == 0:
+                continue
+            q = np.round(vecs * _PCA_SCALE).astype(np.int64)
+            acc += q.T @ q
+            seen = True
+        if seen:
+            ii, jj = np.meshgrid(np.arange(_DIM), np.arange(_DIM), indexing="ij")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ii.ravel(), type=pa.int32()),
+                    pa.array(jj.ravel(), type=pa.int32()),
+                    pa.array(acc.ravel(), type=pa.int64()),
+                ],
+                ["i", "j", "g"],
+            )
+
+    e = fan_out(spark, t(spark, sf_dir, "embeddings").select("embedding"))
+    cells = (
+        e.mapInArrow(gram_partials, "i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+    )
+    grows = cells.groupBy("i").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("j", "g"))), lambda s: s["g"]
+        ).alias("g_int")
+    )
+    grows = grows.select(
+        "i",
+        F.transform("g_int", lambda x: x.cast("double")).alias("gd"),
+        F.aggregate("g_int", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "v1_int"
+        ),
+    )
+    m1 = grows.agg(F.max(F.abs(F.col("v1_int").cast("double"))).alias("m1"))
+    v1 = (
+        grows.crossJoin(F.broadcast(m1))
+        .groupBy("m1")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "v1_int"))),
+                lambda s: s["v1_int"].cast("double") / F.col("m1"),
+            ).alias("v")
+        )
+        .select("v")
+    )
+    it2 = grows.crossJoin(F.broadcast(v1)).select(
+        "i",
+        F.aggregate(
+            F.zip_with(F.col("gd"), F.col("v"), lambda g, x: g * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("v2"),
+    )
+    m2 = it2.agg(F.max(F.abs(F.col("v2"))).alias("m2"))
+    return it2.crossJoin(F.broadcast(m2)).select(
+        F.col("i").alias("dim"), F.round(F.col("v2") / F.col("m2"), 6).alias("loading")
+    )
