@@ -387,3 +387,62 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+        SELECT user_id, click_id, next_err_id, next_err_ts
+        FROM (
+            SELECT user_id,
+                   event_id AS click_id,
+                   event_type,
+                   ts,
+                   first_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+                       OVER w AS next_err_id,
+                   first_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+                       OVER w AS next_err_ts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        WHERE event_type = 'click'
+          AND next_err_ts IS NOT NULL
+          AND next_err_ts <= ts + INTERVAL 1 DAY
+        """,
+    category="join",
+    doc="FORWARD as-of join (direction='forward' in pandas terms): each "
+    "click matched to the NEXT error at-or-after it per user, bounded "
+    "by a 1-day tolerance — the 'what broke after this action' "
+    "direction.  Same union+window encoding as join_asof but with "
+    "first_value(ignorenulls) over CURRENT ROW..UNBOUNDED FOLLOWING; "
+    "still exactly one user_id shuffle, no join, no row "
+    "multiplication, and the tolerance is a post-filter on timestamp "
+    "interval arithmetic (exact cross-engine).  The two directions "
+    "compose into nearest-asof by coalescing whichever side is "
+    "closer.",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    err_id = F.when(F.col("event_type") == "error", F.col("event_id"))
+    err_ts = F.when(F.col("event_type") == "error", F.col("ts"))
+    return (
+        e.withColumn("next_err_id", F.first(err_id, ignorenulls=True).over(w))
+        .withColumn("next_err_ts", F.first(err_ts, ignorenulls=True).over(w))
+        .filter(
+            (F.col("event_type") == "click")
+            & F.col("next_err_ts").isNotNull()
+            & (F.col("next_err_ts") <= F.col("ts") + F.expr("INTERVAL 1 DAY"))
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            "next_err_id",
+            "next_err_ts",
+        )
+    )

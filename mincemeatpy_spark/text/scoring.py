@@ -265,3 +265,62 @@ def text_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(rare).cast("double") / F.count(F.lit(1))).alias("rare_ratio"),
         )
     )
+
+
+@register(
+    "text_surprisal_bits",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents
+        ),
+        toks_ne AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+        freq AS (SELECT word, count(*) AS f FROM toks_ne GROUP BY word),
+        tot AS (SELECT count(*) AS n FROM toks_ne),
+        scored AS (
+            SELECT t.doc_id,
+                   (length(bin(tot.n)) - 1) - (length(bin(freq.f)) - 1) AS bits
+            FROM toks_ne t JOIN freq USING (word) CROSS JOIN tot
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(bits) AS BIGINT) AS sum_bits,
+               CAST(sum(bits) AS DOUBLE) / count(*) AS mean_bits
+        FROM scored
+        GROUP BY doc_id
+        """,
+    category="text",
+    doc="Unigram surprisal scoring — the perplexity-style quality gate, "
+    "made cross-engine-exact: token surprisal is floor(log2(N)) - "
+    "floor(log2(freq)) computed from BINARY STRING LENGTH (bin(n) is "
+    "exact integer formatting in both engines; no libm log whose last "
+    "ulp differs between implementations).  Rare tokens score high, "
+    "boilerplate scores ~0; docs rank the same as with float "
+    "log-probs at ~1-bit quantization.  Plan: one corpus tokenize "
+    "feeding both the frequency table and the scoring join (Spark "
+    "reuses the exploded scan), vocabulary broadcast, per-doc "
+    "aggregate — at 100 TB the vocab table is the only global state "
+    "and it is megabytes.",
+)
+def text_surprisal_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+
+    def fl2(c):
+        return F.length(F.bin(c)) - 1
+
+    scored = (
+        toks.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", (fl2(F.col("n")) - fl2(F.col("f"))).alias("bits"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("bits").alias("sum_bits"),
+        (F.sum("bits").cast("double") / F.count(F.lit(1))).alias("mean_bits"),
+    )
