@@ -221,3 +221,49 @@ def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("event_type", "rk", "event_id")
     )
+
+
+@register(
+    "market_basket_pairs",
+    oracle="""
+        WITH basket AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        )
+        SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_baskets
+        FROM pairs
+        GROUP BY p1, p2
+        HAVING count(*) >= 3
+        """,
+    category="behavioral",
+    doc="Market-basket co-occurrence (the a-priori candidate-pair step "
+    "of association mining): distinct parts per order, within-basket "
+    "pair expansion (a.part < b.part), support count with a minimum "
+    "threshold.  The expansion is bounded by basket size squared — "
+    "baskets are small and the self-join is co-partitioned on the "
+    "basket key, so the blow-up is per-group local, never corpus-"
+    "global; the pair aggregate is two-phase so hot pairs combine "
+    "map-side.  At 100 TB you'd pre-prune parts below min-support "
+    "(the a-priori property) before pairing — here every part "
+    "qualifies at the fixture's support floor.",
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    basket = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= 3)
+    )

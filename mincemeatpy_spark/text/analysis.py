@@ -534,3 +534,77 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("pair"))
         .limit(30)
     )
+
+
+_HH_K = 64  # heavy hitter = frequency > n_tokens / _HH_K
+
+
+@register(
+    "word_heavy_hitters",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents
+        ),
+        toks_ne AS (SELECT word FROM toks WHERE word <> ''),
+        tot AS (SELECT count(*) AS n FROM toks_ne)
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM toks_ne, tot
+        GROUP BY word, tot.n
+        HAVING count(*) * {_HH_K} > tot.n
+        """,
+    category="text",
+    doc="Exact heavy hitters (words with frequency > N/64) via the "
+    "two-phase Misra-Gries shape: phase 1 runs a 64-counter "
+    "space-saving sketch PER PARTITION in one Arrow pass (any item "
+    "with global share > 1/64 is guaranteed to survive at least one "
+    "partition's sketch, so the candidate union has no false "
+    "negatives); phase 2 exactly recounts ONLY the candidate set "
+    "(semi-join) and applies the global threshold.  The final output "
+    "is the true heavy-hitter set — independent of partitioning — "
+    "which is why it can be exact-oracle-checked even though the "
+    "intermediate sketch is partition-dependent.  At 100 TB the "
+    "shuffle after phase 1 is |partitions| x 64 words; the recount "
+    "shuffles only candidate-word tokens (hash-semi-joined "
+    "scan-side), not the corpus.",
+)
+def word_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = t(spark, sf_dir, "documents").select("text")
+
+    def mg_partition(pdfs):
+        # Misra-Gries with _HH_K counters over this partition's tokens.
+        counters: dict[str, int] = {}
+        for pdf in pdfs:
+            for text in pdf["text"]:
+                if not text:
+                    continue
+                for w in text.split():
+                    if w in counters:
+                        counters[w] += 1
+                    elif len(counters) < _HH_K:
+                        counters[w] = 1
+                    else:
+                        dead = [k for k, v in counters.items() if v == 1]
+                        for k in counters:
+                            counters[k] -= 1
+                        for k in dead:
+                            del counters[k]
+        yield pd.DataFrame({"word": list(counters.keys())})
+
+    candidates = (
+        docs.mapInPandas(mg_partition, "word string").distinct()
+    )
+    toks = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(candidates), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("freq") * _HH_K > F.col("n"))
+        .select("word", "freq")
+    )
