@@ -267,3 +267,84 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_baskets"))
         .filter(F.col("n_baskets") >= 3)
     )
+
+
+@register(
+    "cdc_merge_apply",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey AS k,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_orderkey % 10 <> 0
+        ),
+        changes AS (
+            SELECT o_orderkey AS k,
+                   CASE WHEN o_orderkey % 10 = 0 THEN 'I'
+                        WHEN o_orderkey % 20 = 5 THEN 'D'
+                        ELSE 'U' END AS op,
+                   CAST(round(o_totalprice * 100) AS BIGINT) + 100 AS new_cents
+            FROM orders
+            WHERE o_orderkey % 10 = 0 OR o_orderkey % 20 = 5
+               OR o_orderkey % 7 = 0
+        )
+        SELECT coalesce(b.k, c.k) AS k,
+               CASE WHEN c.op = 'I' THEN 'inserted'
+                    WHEN c.op = 'U' THEN 'updated'
+                    ELSE 'kept' END AS status,
+               CASE WHEN c.op IN ('I', 'U') THEN c.new_cents
+                    ELSE b.cents END AS cents
+        FROM base b FULL OUTER JOIN changes c ON c.k = b.k
+        WHERE c.op IS DISTINCT FROM 'D'
+          AND NOT (b.k IS NULL AND c.op <> 'I')
+        """,
+    category="cdc",
+    doc="CDC MERGE apply — the SQL MERGE / Delta-merge shape without a "
+    "table format: a base snapshot full-outer-joins a changelog keyed "
+    "by primary key; D drops the row, U rewrites the payload, I adds "
+    "a new key, unmatched base rows pass through.  One co-partitioned "
+    "shuffle on the key; at 100 TB both sides are bucketed by PK so "
+    "the merge is exchange-free, and partition-level change stats "
+    "(corpus_diff_incremental) prune untouched partitions before the "
+    "join ever runs.  Changelog is a deterministic residue-class view "
+    "of the fixture; payloads in exact cents.  U-changes for absent "
+    "keys are ignored (no upsert semantics here — that variant is "
+    "upsert_latest_snapshot).",
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = o.where(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("k"), cents.alias("cents")
+    )
+    changes = (
+        o.where(
+            (F.col("o_orderkey") % 10 == 0)
+            | (F.col("o_orderkey") % 20 == 5)
+            | (F.col("o_orderkey") % 7 == 0)
+        )
+        .select(
+            F.col("o_orderkey").alias("ck"),
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit("I"))
+            .when(F.col("o_orderkey") % 20 == 5, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            (cents + 100).alias("new_cents"),
+        )
+    )
+    merged = base.join(changes, base.k == changes.ck, "full_outer")
+    return (
+        merged.where(
+            (F.col("op").isNull() | (F.col("op") != "D"))
+            & ~(F.col("k").isNull() & (F.col("op") != "I"))
+        )
+        .select(
+            F.coalesce(F.col("k"), F.col("ck")).alias("k"),
+            F.when(F.col("op") == "I", F.lit("inserted"))
+            .when(F.col("op") == "U", F.lit("updated"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.when(F.col("op").isin("I", "U"), F.col("new_cents"))
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+    )

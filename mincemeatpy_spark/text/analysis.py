@@ -608,3 +608,53 @@ def word_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("freq") * _HH_K > F.col("n"))
         .select("word", "freq")
     )
+
+
+@register(
+    "inverted_index_postings",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents
+        ),
+        tf AS (
+            SELECT word, doc_id, count(*) AS f
+            FROM toks WHERE word <> ''
+            GROUP BY word, doc_id
+        )
+        SELECT word,
+               CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(f) AS BIGINT) AS total_tf,
+               list(doc_id ORDER BY doc_id) AS postings
+        FROM tf
+        GROUP BY word
+        HAVING count(*) >= 5
+        """,
+    category="text",
+    doc="Inverted-index construction — the retrieval-side artifact of a "
+    "text pipeline: per (word, doc) term frequencies, folded into one "
+    "posting list per word (doc_ids sorted ascending, so the list is "
+    "delta-encodable on disk), document frequency and collection tf "
+    "riding along.  Two two-phase aggregates, both shuffling 8-byte "
+    "keyed rows; the df floor drops hapax noise; at 100 TB you additionally CAP "
+    "df (or chunk posting lists) so a stopword cannot become a "
+    "10 GB row — the fixture vocabulary is dense so no cap applies "
+    "here.  Write the result "
+    "bucketed by word and term lookups are single-bucket scans.",
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    tf = toks.groupBy("word", "doc_id").agg(F.count(F.lit(1)).alias("f"))
+    return (
+        tf.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("f").alias("total_tf"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .filter(F.col("df") >= 5)
+    )
