@@ -437,3 +437,45 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     comp = glob.glob(os.path.join(_scratch(sf_dir, "docs_compact"), "*.parquet"))
     assert len(frag) == 64
     assert 1 <= len(comp) <= 4
+
+
+def test_market_basket_cogrouped_expansion(spark, sf_dir):
+    # Basket dedup aggregates before the self-join; the pair expansion
+    # is an equi-join on the basket key (never a cartesian product) and
+    # the support count is two-phase.
+    plan = _plan("market_basket_pairs", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_heavy_hitters_python_only_in_sketch(spark, sf_dir):
+    # Python appears exactly once (the per-partition Misra-Gries pass);
+    # the exact recount is JVM-side with the candidate set broadcast
+    # as a semi-join.
+    plan = _plan("word_heavy_hitters", spark, sf_dir)
+    assert plan.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_cdc_merge_pruned_scans(spark, sf_dir):
+    # The MERGE reads only (o_orderkey, o_totalprice) on both sides and
+    # resolves through one full-outer join.
+    plan = _plan("cdc_merge_apply", spark, sf_dir)
+    assert "FullOuter" in plan
+    for s in plan.split("ReadSchema:")[1:]:
+        line = s.splitlines()[0]
+        assert "o_comment" not in line and "o_orderdate" not in line
+
+
+def test_inverted_index_two_phase(spark, sf_dir):
+    plan = _plan("inverted_index_postings", spark, sf_dir)
+    assert plan.count("HashAggregate") >= 3  # tf partial+final, postings
+    assert "EvalPython" not in plan
+
+
+def test_surprisal_broadcast_vocab(spark, sf_dir):
+    # The vocabulary and the total ride broadcast joins; no Python.
+    plan = _plan("text_surprisal_bits", spark, sf_dir)
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "EvalPython" not in plan
