@@ -508,3 +508,84 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return it2.crossJoin(F.broadcast(m2)).select(
         F.col("i").alias("dim"), F.round(F.col("v2") / F.col("m2"), 6).alias("loading")
     )
+
+
+@register(
+    "embedding_outliers",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * {_PCA_SCALE}) AS BIGINT))
+                   AS qv
+            FROM embeddings
+        ),
+        flat AS (
+            SELECT vec_id, i AS dim, qv[i] AS v
+            FROM q, generate_series(1, {_DIM}) s(i)
+        ),
+        stats AS (
+            SELECT dim,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v) AS BIGINT) AS s,
+                   CAST(sum(v * v) AS BIGINT) AS ss
+            FROM flat GROUP BY dim
+        ),
+        scored AS (
+            SELECT f.vec_id,
+                   CASE WHEN
+                       (CAST(f.v AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                     * (CAST(f.v AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                     > 9.0 * ((CAST(ss AS DOUBLE)
+                               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+                   THEN 1 ELSE 0 END AS is_out
+            FROM flat f JOIN stats USING (dim)
+        )
+        SELECT vec_id, CAST(sum(is_out) AS BIGINT) AS n_outlier_dims
+        FROM scored
+        GROUP BY vec_id
+        HAVING sum(is_out) >= 1
+        """,
+    category="similarity",
+    doc="Embedding outlier audit — flag vectors with any dimension "
+    "beyond 3 sigma of that dimension's corpus distribution: the "
+    "data-quality gate before ANN indexing or quantization "
+    "(calibration outliers wreck int8 ranges — see "
+    "vector_quantize_int8).  Moments per dimension accumulate as "
+    "exact int64 on 1e-6-quantized components (order-independent); "
+    "the 3-sigma test is sqrt-free — (x-mean)^2 > 9*var — so every "
+    "float op is a fixed IEEE expression on identical inputs in both "
+    "engines.  The 64-row stats table broadcasts; at 100 TB the "
+    "explode never shuffles (stats ride a map-side join) and only "
+    "per-vector flag counts aggregate.",
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * _PCA_SCALE).cast("bigint"),
+            )
+        ).alias("dim", "v"),
+    )
+    stats = flat.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / F.col("n")
+    dev = F.col("v").cast("double") - mean
+    scored = flat.join(F.broadcast(stats), "dim").select(
+        "vec_id", F.when(dev * dev > 9.0 * var, 1).otherwise(0).alias("is_out")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.sum("is_out").cast("bigint").alias("n_outlier_dims"))
+        .filter(F.col("n_outlier_dims") >= 1)
+    )
