@@ -568,3 +568,56 @@ def stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+@register(
+    "revenue_mom_growth",
+    oracle="""
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+            FROM orders
+            GROUP BY 1
+        )
+        SELECT month,
+               CAST(rev_cents AS BIGINT) AS rev_cents,
+               CAST(lag(rev_cents) OVER (ORDER BY month) AS BIGINT)
+                   AS prev_cents,
+               CAST(rev_cents - lag(rev_cents) OVER (ORDER BY month) AS BIGINT)
+                   AS delta_cents,
+               round(CAST(rev_cents - lag(rev_cents) OVER (ORDER BY month) AS DOUBLE)
+                     / CAST(lag(rev_cents) OVER (ORDER BY month) AS DOUBLE), 6)
+                   AS mom_pct
+        FROM monthly
+        """,
+    category="aggregation",
+    doc="Month-over-month revenue growth — the reporting rollup with a "
+    "lag window over the month table: the heavy aggregate reduces 100 "
+    "TB of orders to |months| rows in one two-phase shuffle, and the "
+    "single-partition lag window runs on those few dozen rows (the "
+    "'global window on the rollup, never the fact table' rule).  "
+    "Cents-exact sums; the growth ratio is one IEEE divide on "
+    "identical longs, so it hash-matches.",
+)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "rev_cents"
+        )
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return monthly.select(
+        "month",
+        "rev_cents",
+        prev.alias("prev_cents"),
+        (F.col("rev_cents") - prev).alias("delta_cents"),
+        F.round(
+            (F.col("rev_cents") - prev).cast("double") / prev.cast("double"), 6
+        ).alias("mom_pct"),
+    )
