@@ -630,3 +630,119 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("lag_us").alias("max_lag_us"),
         F.percentile("lag_us", 0.5).alias("median_lag_us"),
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+        WITH rfm AS (
+            SELECT o_custkey,
+                   max(o_orderdate) AS last_order,
+                   count(*) AS frequency,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+            FROM orders
+            GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT o_custkey,
+                   ntile(4) OVER (ORDER BY last_order, o_custkey) AS r,
+                   ntile(4) OVER (ORDER BY frequency, o_custkey) AS f,
+                   ntile(4) OVER (ORDER BY monetary_cents, o_custkey) AS m,
+                   monetary_cents
+            FROM rfm
+        )
+        SELECT r, f, m,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+        FROM scored
+        GROUP BY r, f, m
+        """,
+    category="behavioral",
+    doc="RFM segmentation — recency / frequency / monetary quartiles "
+    "(ntile(4), tie-broken by custkey so bucketing is total-ordered "
+    "and engine-identical), rolled up to the 64-cell segment grid.  "
+    "The fact table reduces to one row per customer in the first "
+    "shuffle; the three global ntiles run on the customer rollup "
+    "(|customers| rows, range-partitionable at scale via "
+    "percent_rank over sampled bounds), and the segment aggregate is "
+    "tiny.  Monetary in exact cents.",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "monetary_cents"
+        ),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "monetary_cents",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f"),
+        F.ntile(4).over(Window.orderBy("monetary_cents", "o_custkey")).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary_cents").alias("segment_cents"),
+    )
+
+
+@register(
+    "session_path_topk",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        paths AS (
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM seq WHERE rn <= 3
+            GROUP BY user_id
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        FROM paths
+        GROUP BY path
+        ORDER BY n_users DESC, path
+        LIMIT 15
+        """,
+    category="behavioral",
+    doc="Top entry paths: each user's first three events (row_number "
+    "over the deterministic (ts, event_id) order) joined into a path "
+    "string, counted, top-15.  One user_id shuffle for the ordered "
+    "prefix (WindowGroupLimit prunes beyond rn<=3 before the "
+    "aggregate), a path rollup whose cardinality is bounded by "
+    "|event_types|^3, and a TakeOrderedAndProject — no global sort.  "
+    "The product-analytics 'how do journeys start' query.",
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+    paths = (
+        seq.where(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(15)
+    )
