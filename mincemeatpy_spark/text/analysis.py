@@ -658,3 +658,87 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 5)
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents
+        ),
+        freq AS (
+            SELECT word, count(*) AS f FROM toks WHERE word <> '' GROUP BY word
+        ),
+        ranked AS (
+            SELECT f, row_number() OVER (ORDER BY f DESC, word) AS rnk
+            FROM freq
+        ),
+        ll AS (
+            SELECT CAST(length(bin(rnk)) - 1 AS BIGINT) AS x,
+                   CAST(length(bin(f)) - 1 AS BIGINT) AS y
+            FROM ranked
+        ),
+        s AS (
+            SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy
+            FROM ll
+        )
+        SELECT CAST(n AS BIGINT) AS n_words,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS intercept_bits
+        FROM s
+        """,
+    category="text",
+    doc="Zipf's-law fit of the corpus rank-frequency curve: slope of "
+    "floor(log2 freq) against floor(log2 rank) — both exact integers "
+    "from binary string length (no libm), regressed with the same "
+    "int64 normal equations as stats_regression, so the exponent "
+    "estimate is bit-identical cross-engine.  A healthy natural "
+    "corpus fits slope ~ -1; boilerplate-heavy or templated corpora "
+    "flatten it — a cheap corpus-level quality signal.  The ranking "
+    "window runs on the vocabulary rollup (never the corpus); the "
+    "regression reduces to five longs.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.col("f").desc(), F.col("word")))
+        .alias("rnk"),
+    )
+
+    def fl2(c):
+        return (F.length(F.bin(c)) - 1).cast("bigint")
+
+    ll = ranked.select(fl2(F.col("rnk")).alias("x"), fl2(F.col("f")).alias("y"))
+    s = ll.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return s.select(
+        F.col("n").cast("bigint").alias("n_words"),
+        slope.alias("zipf_slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept_bits"),
+    )
