@@ -133,3 +133,62 @@ _UNPIVOT_ORACLE = """
 )
 def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _UNPIVOT_SPARK)
+
+
+@register(
+    "recursive_cte_chain",
+    oracle="""
+        WITH RECURSIVE chain(root, k, depth, cents) AS (
+            SELECT o_orderkey, o_orderkey, 0,
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+            FROM orders WHERE o_orderkey BETWEEN 1 AND 8
+            UNION ALL
+            SELECT c.root, o.o_orderkey, c.depth + 1,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT)
+            FROM chain c JOIN orders o ON o.o_orderkey = c.k * 2
+        )
+        SELECT root,
+               CAST(max(depth) AS INT) AS chain_len,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(cents) AS BIGINT) AS subtree_cents
+        FROM chain
+        GROUP BY root
+        """,
+    category="sql",
+    doc="Recursive CTE (Spark 4's WITH RECURSIVE, UNION ALL form) — the "
+    "hierarchy-walk / BOM-explosion shape: seed rows fan out through a "
+    "key-derived parent→child edge (k -> 2k, a DAG so UNION ALL "
+    "recursion terminates), accumulating depth and subtree totals.  "
+    "Each recursion step is one equi-join Catalyst plans like any "
+    "other (broadcast here; shuffle on the edge key at scale), and "
+    "the engine materializes the frontier per step — the iterative "
+    "shape graph_pagerank_iter hand-rolls, now expressed purely in "
+    "SQL.  Cyclic closures (dedup_clusters) still need the iterative "
+    "DataFrame form: Spark recursion is UNION ALL-only, so cycles "
+    "would not terminate.",
+)
+def recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW orders_rec_v AS "
+        "SELECT o_orderkey, o_totalprice FROM orders"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(root, k, depth, cents) AS (
+            SELECT o_orderkey, o_orderkey, 0,
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+            FROM orders_rec_v WHERE o_orderkey BETWEEN 1 AND 8
+            UNION ALL
+            SELECT c.root, o.o_orderkey, c.depth + 1,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT)
+            FROM chain c JOIN orders_rec_v o ON o.o_orderkey = c.k * 2
+        )
+        SELECT root,
+               CAST(max(depth) AS INT) AS chain_len,
+               count(*) AS n_nodes,
+               sum(cents) AS subtree_cents
+        FROM chain
+        GROUP BY root
+        """
+    )
