@@ -314,3 +314,65 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("chars_v2"),
     )
+
+
+@register(
+    "source_csv_malformed",
+    oracle="""
+        SELECT CAST(sum(CASE WHEN doc_id % 10 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_good,
+               CAST(sum(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_corrupt,
+               CAST(sum(CASE WHEN doc_id % 10 <> 3 THEN n_chars END) AS BIGINT)
+                   AS good_chars
+        FROM documents
+        """,
+    category="source",
+    doc="Error-tolerant CSV ingest — at 100 TB some rows are always "
+    "garbage and a scan that dies on row 40 billion is useless: rows "
+    "whose doc_id % 10 = 3 are written corrupted (wrong arity), the "
+    "read runs in PERMISSIVE mode with columnNameOfCorruptRecord, and "
+    "the query accounts for every line — good rows aggregate, corrupt "
+    "rows are counted via the _corrupt_record side channel (in "
+    "production they'd also be quarantined to a badRecords path for "
+    "replay).  The oracle derives both counts from the clean source "
+    "of truth, proving no row was silently dropped.",
+)
+def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import types as T
+
+    path = _scratch(sf_dir, "docs_malformed_csv")
+    shutil.rmtree(path, ignore_errors=True)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    line = F.when(
+        F.col("doc_id") % 10 == 3,
+        F.concat_ws("|", F.col("doc_id"), F.lit("x")),  # wrong arity
+    ).otherwise(F.concat_ws(",", F.col("doc_id"), F.col("n_chars")))
+    docs.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).csv(path)
+    # Documented Spark behavior: _corrupt_record is only reliable when the
+    # raw parsed rows are materialized (column pruning would otherwise
+    # re-parse without the corrupt side channel) — cache before filtering.
+    back = back.cache()
+    return back.agg(
+        F.sum(F.col("_corrupt_record").isNull().cast("int")).cast("bigint").alias(
+            "n_good"
+        ),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_chars")))
+        .cast("bigint")
+        .alias("good_chars"),
+    )
