@@ -589,3 +589,98 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("is_out").cast("bigint").alias("n_outlier_dims"))
         .filter(F.col("n_outlier_dims") >= 1)
     )
+
+
+@register(
+    "ann_index_persist",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT vec_id AS c_id, e AS ce, nrm AS cnrm FROM v
+            WHERE vec_id < {_IVF_K}
+        ),
+        aff AS (
+            SELECT v.vec_id, cent.c_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_sum(list_transform(generate_series(1, {_DIM}),
+                                    i -> v.e[i] * cent.ce[i])) / (v.nrm * cent.cnrm)
+                                DESC, cent.c_id) AS rn
+            FROM v, cent
+        ),
+        assign AS (SELECT vec_id, c_id AS list_id FROM aff WHERE rn = 1)
+        SELECT list_id,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(sum(vec_id) AS BIGINT) AS vec_id_sum
+        FROM assign
+        WHERE list_id IN (SELECT c_id FROM (
+            SELECT c_id, row_number() OVER (
+                ORDER BY list_sum(list_transform(generate_series(1, {_DIM}),
+                             i -> qv.e[i] * cent.ce[i])) / (qv.nrm * cent.cnrm)
+                         DESC, c_id) AS prn
+            FROM cent, (SELECT e, nrm FROM v WHERE vec_id = 0) qv
+        ) WHERE prn <= {_IVF_NPROBE})
+        GROUP BY list_id
+        """,
+    category="similarity",
+    doc="IVF index MATERIALIZATION — the storage half the in-memory "
+    "similarity_ann_ivf query defers: posting-list assignments are "
+    "written as parquet partitioned by list_id, and a probe for query "
+    "vector 0 reads back ONLY its nprobe nearest lists — the partition "
+    "filter prunes whole directories before IO "
+    "(test_plans asserts PartitionFilters on the read-back scan).  At "
+    "100 TB this is the real serving layout: the index rebuild is one "
+    "partitioned write, a probe touches nprobe/K of the corpus, and "
+    "compaction (sink_compaction) keeps list shards at target size.  "
+    "Output summarizes the probed lists so the whole roundtrip is "
+    "oracle-checked.",
+)
+def ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from mincemeatpy_spark.sources.readers import _scratch
+
+    v = _vecs(spark, sf_dir)
+    cent = F.broadcast(
+        v.filter(F.col("vec_id") < _IVF_K).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("e").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    aff_score = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    wa = Wnd.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("c_id"))
+    assign = (
+        v.crossJoin(cent)
+        .select("vec_id", "c_id", aff_score.alias("aff"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_id").alias("list_id"))
+    )
+    path = _scratch(sf_dir, "ivf_index")
+    assign.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+    # Probe: the nprobe nearest lists for query vector 0.
+    q0 = v.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("qe"), F.col("nrm").alias("qnrm")
+    )
+    probe_score = _dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm"))
+    probes = [
+        r["c_id"]
+        for r in cent.crossJoin(q0)
+        .select("c_id", probe_score.alias("s"))
+        .orderBy(F.col("s").desc(), "c_id")
+        .limit(_IVF_NPROBE)
+        .collect()
+    ]
+    back = spark.read.parquet(path).filter(F.col("list_id").isin(probes))
+    return back.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("vec_id").alias("vec_id_sum"),
+    )

@@ -479,3 +479,15 @@ def test_surprisal_broadcast_vocab(spark, sf_dir):
     plan = _plan("text_surprisal_bits", spark, sf_dir)
     assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
     assert "EvalPython" not in plan
+
+
+def test_ann_index_probe_prunes_partitions(spark, sf_dir):
+    # The probe's read-back must prune to the nprobe list_id partitions
+    # at planning time (PartitionFilters on the index scan).
+    from mincemeatpy_spark.registry import load_all_queries
+
+    df = load_all_queries()["ann_index_persist"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    seg = [s for s in plan.split("FileScan parquet ")[1:] if "ivf_index" in s]
+    assert seg and "PartitionFilters: [" in seg[0]
+    assert "list_id" in seg[0].split("PartitionFilters:")[1].split("]")[0]
