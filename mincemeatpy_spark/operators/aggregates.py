@@ -621,3 +621,107 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev_cents") - prev).cast("double") / prev.cast("double"), 6
         ).alias("mom_pct"),
     )
+
+
+@register(
+    "shipping_lag_percentiles",
+    oracle="""
+        WITH lags AS (
+            SELECT o.o_orderpriority,
+                   CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+                       AS lag_days
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               quantile_cont(lag_days, 0.5) AS p50,
+               quantile_cont(lag_days, 0.9) AS p90,
+               CAST(max(lag_days) AS BIGINT) AS p_max
+        FROM lags
+        GROUP BY o_orderpriority
+        """,
+    category="aggregation",
+    doc="Per-group latency percentiles — the SLA readout: order-to-ship "
+    "lag in whole days (exact integers), p50/p90 per priority class "
+    "via percentile_cont (linear interpolation on sorted int inputs "
+    "is bit-identical to DuckDB's quantile_cont).  The join shuffles "
+    "on orderkey once; the percentile aggregate shuffles (priority, "
+    "lag) pairs.  Exact per-group percentiles buffer each group's "
+    "values — fine for bounded groups like priority classes; for "
+    "high-cardinality groups at 100 TB switch to approx_percentile "
+    "(t-digest, mergeable partials).",
+)
+def shipping_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lags = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("bigint")
+        .alias("lag_days"),
+    )
+    return lags.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("lag_days", 0.5).alias("p50"),
+        F.percentile("lag_days", 0.9).alias("p90"),
+        F.max("lag_days").alias("p_max"),
+    )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+        WITH user_days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        spine AS (SELECT DISTINCT d FROM user_days),
+        wau AS (
+            SELECT s.d, count(DISTINCT u.user_id) AS wau
+            FROM spine s JOIN user_days u
+              ON u.d BETWEEN s.d - INTERVAL 6 DAY AND s.d
+            GROUP BY s.d
+        ),
+        dau AS (SELECT d, count(*) AS dau FROM user_days GROUP BY d)
+        SELECT dau.d, CAST(dau.dau AS BIGINT) AS dau,
+               CAST(wau.wau AS BIGINT) AS wau,
+               round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+        FROM dau JOIN wau ON wau.d = dau.d
+        """,
+    category="behavioral",
+    doc="DAU/WAU stickiness — rolling 7-day distinct users per day.  "
+    "Rolling DISTINCT does not decompose into a window sum, so the "
+    "exact form dedups to (user, day) grain first (the only O(N) "
+    "shuffle), then range-joins the day spine to the user-day table "
+    "— work is |days| x |active user-days in window|, independent of "
+    "raw event volume.  At 100 TB swap the exact inner count for "
+    "per-day HLL sketches merged over the trailing window "
+    "(hll_sketch_reaggregate shows the mergeable machinery) — same "
+    "query shape, sketch-sized state.  The ratio is one IEEE divide "
+    "on exact longs.",
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    user_days = e.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    spine = user_days.select("d").distinct()
+    u = user_days.alias("u")
+    s = spine.alias("s")
+    wau = (
+        s.join(
+            u,
+            (F.col("u.d") >= F.date_sub(F.col("s.d"), 6))
+            & (F.col("u.d") <= F.col("s.d")),
+        )
+        .groupBy(F.col("s.d").alias("d"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
+    dau = user_days.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(wau, "d").select(
+        "d",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+    )
