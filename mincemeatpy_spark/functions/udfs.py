@@ -209,3 +209,40 @@ def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey bigint, header_cents bigint, line_cents bigint, n_lines bigint",
         )
     )
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+        SELECT upper(p_brand) || '/' || CAST(p_size * 2 + 1 AS VARCHAR) AS sku,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(min(p_partkey) AS BIGINT) AS min_key
+        FROM part
+        GROUP BY 1
+        """,
+    category="udf",
+    doc="Arrow-optimized scalar Python UDF (Spark 4 useArrow=True): the "
+    "row-UDF ergonomics of the reference's mapfn with Arrow-batched "
+    "transfer instead of pickled rows — the migration path for legacy "
+    "per-row UDFs that can't be vectorized as pandas_udfs.  The "
+    "function is deterministic string/integer work, so it is exactly "
+    "oracle-checked; the aggregate stays JVM-side.  Still slower than "
+    "built-ins (marked non-hot-path); the engine's rule remains: "
+    "expressions first, pandas_udf second, arrow-UDF for stragglers.",
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="string", useArrow=True)
+    def make_sku(brand: str, size: int) -> str:
+        return f"{brand.upper()}/{size * 2 + 1}"
+
+    p = t(spark, sf_dir, "part")
+    return (
+        p.select(make_sku("p_brand", "p_size").alias("sku"), "p_partkey")
+        .groupBy("sku")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_partkey").alias("min_key"),
+        )
+    )

@@ -446,3 +446,61 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_err_ts",
         )
     )
+
+
+@register(
+    "join_range_banded",
+    oracle="""
+        SELECT b.band_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM events e
+        JOIN (SELECT i AS band_id, i * 7 AS lo, i * 7 + 10 AS hi
+              FROM generate_series(0, 70) s(i)) b
+          ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY b.band_id
+        """,
+    category="join",
+    doc="BIG-BIG range join via banding — the scale path the broadcast "
+    "nested-loop of join_range_interval cannot take when both sides "
+    "are large: each interval [7b, 7b+10) is EXPLODED to the fixed-"
+    "width buckets it overlaps (ceil(10/7)+1 per band), each probe "
+    "row computes its single bucket floor(value/7), and the join "
+    "becomes an EQUI-join on the bucket key with the exact range "
+    "predicate as a post-filter.  O(n+m) shuffle instead of O(n*m) "
+    "compare; the bucket arithmetic is internal to the plan (the "
+    "oracle states the declarative range semantics).  The plan test "
+    "asserts no nested-loop join survives.  This is how interval/"
+    "IP-range/geo-band joins run at 100 TB.",
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = spark.range(0, 71).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 7).cast("double").alias("lo"),
+        (F.col("id") * 7 + 10).cast("double").alias("hi"),
+    )
+    # Buckets of width 7 covered by [lo, hi): floor(lo/7) .. floor((hi-)/7).
+    banded = bands.select(
+        "band_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / 7).cast("int"),
+                F.floor((F.col("hi") - F.lit(1e-9)) / 7).cast("int"),
+            )
+        ).alias("bucket"),
+    )
+    e = t(spark, sf_dir, "events").select(
+        "value",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.floor(F.col("value") / 7).cast("int").alias("bucket"),
+    )
+    joined = e.join(banded, "bucket").where(
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("total_cents"),
+    )

@@ -491,3 +491,12 @@ def test_ann_index_probe_prunes_partitions(spark, sf_dir):
     seg = [s for s in plan.split("FileScan parquet ")[1:] if "ivf_index" in s]
     assert seg and "PartitionFilters: [" in seg[0]
     assert "list_id" in seg[0].split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_banded_range_join_is_equi(spark, sf_dir):
+    # The banded encoding must plan as an equi-join on the bucket key —
+    # no BroadcastNestedLoopJoin / CartesianProduct.
+    plan = _plan("join_range_banded", spark, sf_dir)
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
