@@ -255,3 +255,45 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("value_centi_sum"),
     )
+
+
+@register(
+    "struct_nested_ops",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(max(CASE WHEN o_orderstatus = 'F'
+                             THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                        END) AS BIGINT) AS max_f_cents,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key
+        FROM orders
+        WHERE o_orderkey % 3 = 0
+        GROUP BY o_orderpriority
+        """,
+    category="functions",
+    doc="Nested struct surface: rows are packed into a struct column "
+    "(named_struct of key, status, exact cents), carried through a "
+    "filter, navigated with dot paths, and unpacked back to scalars "
+    "for the aggregate — the shape every semi-structured pipeline "
+    "uses for event envelopes.  Catalyst prunes struct FIELDS like "
+    "columns (nested schema pruning), so packing costs nothing at "
+    "scan time; the oracle states the equivalent flat semantics, "
+    "proving pack → navigate → unpack is lossless.",
+)
+def struct_nested_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    packed = o.select(
+        "o_orderpriority",
+        F.struct(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        ).alias("env"),
+    ).where(F.col("env.key") % 3 == 0)
+    return packed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(
+            F.when(F.col("env.status") == "F", F.col("env.cents"))
+        ).alias("max_f_cents"),
+        F.min("env.key").alias("min_key"),
+    )

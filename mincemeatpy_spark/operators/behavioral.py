@@ -746,3 +746,62 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(15)
     )
+
+
+@register(
+    "events_cusum_drift",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type, ts, event_id,
+                   sum(CAST(round(value * 100) AS BIGINT) - 5000)
+                       OVER (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cusum
+            FROM events
+        )
+        SELECT event_type,
+               CAST(max(cusum) AS BIGINT) AS max_cusum,
+               CAST(min(cusum) AS BIGINT) AS min_cusum,
+               CAST(sum(CASE WHEN cusum > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_above,
+               min(CASE WHEN cusum > 1000000 THEN ts END) AS first_breach_ts
+        FROM seq
+        GROUP BY event_type
+        """,
+    category="behavioral",
+    doc="CUSUM drift monitor — the classic change-point signal: running "
+    "sum of (value - target) per event type in exact cents, with the "
+    "max/min excursion, time above the alarm threshold, and the first "
+    "breach timestamp.  One shuffle on event_type shared by the "
+    "ordered window and the summary aggregate; all arithmetic is "
+    "int64 so the breach row is identical cross-engine (a float "
+    "running sum would drift in the last ulps and pick a different "
+    "first-breach row).  At 100 TB this runs per metric key and the "
+    "streaming twin is a stateful accumulator (one long per key).",
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = e.select(
+        "event_type",
+        "ts",
+        F.sum(F.round(F.col("value") * 100).cast("bigint") - 5000)
+        .over(w)
+        .alias("cusum"),
+    )
+    return seq.groupBy("event_type").agg(
+        F.max("cusum").alias("max_cusum"),
+        F.min("cusum").alias("min_cusum"),
+        F.sum((F.col("cusum") > 1_000_000).cast("int")).cast("bigint").alias(
+            "n_above"
+        ),
+        F.min(F.when(F.col("cusum") > 1_000_000, F.col("ts"))).alias(
+            "first_breach_ts"
+        ),
+    )
