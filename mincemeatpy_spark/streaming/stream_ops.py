@@ -18,18 +18,33 @@ import math
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# events.parquet stores TIMESTAMP(NANOS) → read ts as long nanos
-# (spark.sql.legacy.parquet.nanosAsLong) and convert, as in tables.t.
-_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# The driver regenerates events.parquet between rounds and has stored ts
+# as TIMESTAMP(NANOS) (needs nanosAsLong + manual convert) or as plain
+# TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ).  A
+# file stream source needs an explicit schema, so sniff the footer once
+# (driver-side pyarrow metadata read, no Spark job) and adapt — the same
+# normalization tables.t applies on the batch path.
+def _events_schema(src: str) -> tuple[T.StructType, str]:
+    import pyarrow.parquet as pq
+
+    ts_type = str(pq.read_schema(src).field("ts").type)
+    if ts_type == "int64":
+        ts_field, kind = T.StructField("ts", T.LongType()), "nanos_as_long"
+    else:
+        ts_field, kind = T.StructField("ts", T.TimestampNTZType()), "ntz"
+    return (
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                ts_field,
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        ),
+        kind,
+    )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,14 +67,23 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stage.mkdir(parents=True, exist_ok=True)
     dst = stage / "events.parquet"
-    if not dst.exists():
-        shutil.copy(src, dst)
+    src_stat = src.stat()
+    if (
+        not dst.exists()
+        or dst.stat().st_size != src_stat.st_size
+        or dst.stat().st_mtime < src_stat.st_mtime
+    ):
+        shutil.copy2(src, dst)
 
+    schema, kind = _events_schema(str(src))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.format("parquet").schema(_EVENTS_SCHEMA).load(str(stage))
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
-    )
+    raw = spark.readStream.format("parquet").schema(schema).load(str(stage))
+    if kind == "nanos_as_long":
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
+        )
+    # NTZ → session-TZ timestamp (UTC-pinned, so micro-identical).
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:

@@ -47,6 +47,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
             )
+        elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+            # Driver-generated parquet may carry isAdjustedToUTC=false, which
+            # Spark 4 reads as TIMESTAMP_NTZ; epoch functions (unix_micros)
+            # need TIMESTAMP.  Session TZ is pinned UTC, so the cast is
+            # identity on the stored microseconds.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
