@@ -297,3 +297,62 @@ def struct_nested_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("max_f_cents"),
         F.min("env.key").alias("min_key"),
     )
+
+
+@register(
+    "array_higher_order",
+    oracle="""
+        SELECT vec_id,
+               len(m) AS n_dims,
+               len(list_filter(m, x -> x > 0)) AS n_pos,
+               CASE WHEN len(list_filter(m, x -> abs(x) > 900000)) > 0
+                    THEN 1 ELSE 0 END AS has_extreme,
+               CASE WHEN len(list_filter(m, x -> abs(x) >= 3000000)) = 0
+                    THEN 1 ELSE 0 END AS all_small,
+               CAST(list_sum(list_transform(m, x -> abs(x))) AS BIGINT)
+                   AS l1_micros,
+               CAST(list_sum(m) AS BIGINT) AS sum_micros
+        FROM (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                       AS m
+            FROM embeddings
+        )
+        """,
+    category="function",
+    doc="Higher-order array functions as the declarative replacement for "
+    "the reference's per-element Python loops inside mapfn (reference "
+    "example.py:13, SURVEY.md §2b array fns): transform (fixed-point "
+    "micro-units), filter (positive count), exists/forall (encoded as "
+    "filter-length tests so the oracle matches engines without a "
+    "bool_or aggregate), and aggregate (exact int64 L1/sum folds).  "
+    "All lambdas run JVM-side inside codegen — no UDF, no explode, no "
+    "shuffle: per-row array kernels at scan speed, which is the whole "
+    "argument for HOFs over explode+groupBy at 100 TB.",
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    m = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000).cast("bigint"),
+    )
+    d = e.select("vec_id", m.alias("m"))
+    zero = F.lit(0).cast("bigint")
+    return d.select(
+        "vec_id",
+        F.size("m").alias("n_dims"),
+        F.size(F.filter("m", lambda x: x > 0)).alias("n_pos"),
+        F.when(
+            F.size(F.filter("m", lambda x: F.abs(x) > 900000)) > 0, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("has_extreme"),
+        F.when(
+            F.size(F.filter("m", lambda x: F.abs(x) >= 3000000)) == 0, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("all_small"),
+        F.aggregate("m", zero, lambda acc, x: acc + F.abs(x)).alias("l1_micros"),
+        F.aggregate("m", zero, lambda acc, x: acc + x).alias("sum_micros"),
+    )

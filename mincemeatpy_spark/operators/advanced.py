@@ -348,3 +348,61 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
     )
+
+
+@register(
+    "ivm_incremental_agg",
+    oracle="""
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders
+        WHERE (o_orderkey % 10 = 0) OR (o_orderkey % 7 <> 0)
+        GROUP BY 1
+        """,
+    category="relational",
+    doc="Incremental view maintenance: a monthly-revenue materialized "
+    "view is refreshed by MERGING a changelog's delta aggregate into "
+    "the stale snapshot instead of recomputing from the fact table.  "
+    "Base snapshot = orders with key%10<>0; the changelog inserts the "
+    "key%10=0 rows and deletes the key%7=0 rows, each carried as a "
+    "signed partial (+n/+cents for inserts, -n/-cents for deletes).  "
+    "COUNT and SUM are self-maintainable, so view' = view ⊎ "
+    "delta-agg via a full-outer month join, dropping groups whose "
+    "count reaches zero.  The oracle recomputes from scratch; hash "
+    "equality is the IVM correctness proof.  At 100 TB the changelog "
+    "is days, not history: the refresh cost is O(delta), and only "
+    "month-grain partials — never facts — cross the merge join.",
+)
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    view = base.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
+    )
+    inserts = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "month", F.lit(1).alias("dn"), F.col("cents").alias("dc")
+    )
+    deletes = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "month", F.lit(-1).alias("dn"), (-F.col("cents")).alias("dc")
+    )
+    delta = (
+        inserts.unionByName(deletes)
+        .groupBy("month")
+        .agg(F.sum("dn").alias("dn"), F.sum("dc").alias("dc"))
+    )
+    merged = view.join(delta, "month", "full_outer").select(
+        "month",
+        (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias(
+            "n_orders"
+        ),
+        (F.coalesce(F.col("c"), F.lit(0)) + F.coalesce(F.col("dc"), F.lit(0))).alias(
+            "revenue_cents"
+        ),
+    )
+    return merged.filter(F.col("n_orders") > 0)

@@ -805,3 +805,82 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_breach_ts"
         ),
     )
+
+
+@register(
+    "window_session_capped",
+    oracle="""
+        WITH RECURSIVE e AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        walk AS (
+            SELECT user_id, rn, us, us AS anchor
+            FROM e WHERE rn = 1
+            UNION ALL
+            SELECT e.user_id, e.rn, e.us,
+                   CASE WHEN e.us - w.us >= 600000000
+                          OR e.us - w.anchor > 3600000000
+                        THEN e.us ELSE w.anchor END
+            FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+        )
+        SELECT user_id,
+               anchor AS s_start_us,
+               count(*) AS n_events,
+               CAST(max(us) - anchor AS BIGINT) AS span_us
+        FROM walk
+        GROUP BY user_id, anchor
+        """,
+    category="behavioral",
+    doc="Session windows with BOTH an inactivity gap (10 min) and a hard "
+    "duration cap (1 h from session start) — the shape analytics SDKs "
+    "actually ship, and one session_window() cannot express: the cap "
+    "compares against the running session ANCHOR, so each break "
+    "decision depends on the previous decision, not on any fixed "
+    "prefix.  Inherently sequential per user → applyInPandas (one "
+    "Arrow-batched ordered pass per user partition; parallel across "
+    "users, linear within — exactly how a 100 TB event log "
+    "sessionizes).  The oracle walks the identical recurrence as a "
+    "recursive CTE; hash equality proves the stateful operator "
+    "implements the declared transition function.  All arithmetic in "
+    "int64 epoch-microseconds.",
+)
+def window_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+
+    GAP_US = 600_000_000
+    CAP_US = 3_600_000_000
+
+    def sessionize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        us = pdf["ts"].astype("int64") // 1000  # ns → us
+        anchors, starts = [], None
+        prev = None
+        for u in us:
+            if prev is None or u - prev >= GAP_US or u - starts > CAP_US:
+                starts = u
+            prev = u
+            anchors.append(starts)
+        out = pd.DataFrame(
+            {"user_id": pdf["user_id"].iloc[0], "s_start_us": anchors, "us": us}
+        )
+        g = out.groupby("s_start_us", as_index=False).agg(
+            n_events=("us", "size"), last_us=("us", "max")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[0],
+                "s_start_us": g["s_start_us"],
+                "n_events": g["n_events"],
+                "span_us": g["last_us"] - g["s_start_us"],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        sessionize,
+        schema="user_id long, s_start_us long, n_events long, span_us long",
+    )

@@ -504,3 +504,93 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, ts, event_type,
+                   last_value(CASE WHEN event_type = 'error' THEN event_id END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS b_id,
+                   last_value(CASE WHEN event_type = 'error' THEN ts END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS b_ts,
+                   first_value(CASE WHEN event_type = 'error' THEN event_id END
+                               IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                       AS f_id,
+                   first_value(CASE WHEN event_type = 'error' THEN ts END
+                               IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                       AS f_ts
+            FROM events
+        )
+        SELECT user_id, event_id AS click_id,
+               CASE WHEN b_id IS NULL THEN f_id
+                    WHEN f_id IS NULL THEN b_id
+                    WHEN epoch_us(ts) - epoch_us(b_ts)
+                         <= epoch_us(f_ts) - epoch_us(ts) THEN b_id
+                    ELSE f_id END AS nearest_err_id
+        FROM seq
+        WHERE event_type = 'click'
+        """,
+    category="join",
+    doc="Nearest-direction AS-OF join (pandas merge_asof "
+    "direction='nearest'): each click pairs with the error event "
+    "closest in time, backward or forward, ties to backward.  Encoded "
+    "as one ordered window pass computing both the last-error-before "
+    "(last ignorenulls, unbounded preceding frame) and the "
+    "first-error-after (first ignorenulls, following frame), then an "
+    "exact integer-microsecond distance compare — still zero joins, "
+    "one shuffle on user_id, same plan family as join_asof, so the "
+    "100 TB cost is identical to the backward-only variant.  Lookups "
+    "in both directions share the sort.",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    back = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    err_id = F.when(F.col("event_type") == "error", F.col("event_id"))
+    err_ts = F.when(F.col("event_type") == "error", F.col("ts"))
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.last(err_id, ignorenulls=True).over(back).alias("b_id"),
+        F.last(err_ts, ignorenulls=True).over(back).alias("b_ts"),
+        F.first(err_id, ignorenulls=True).over(fwd).alias("f_id"),
+        F.first(err_ts, ignorenulls=True).over(fwd).alias("f_ts"),
+    )
+    b_gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("b_ts"))
+    f_gap = F.unix_micros(F.col("f_ts")) - F.unix_micros(F.col("ts"))
+    nearest = (
+        F.when(F.col("b_id").isNull(), F.col("f_id"))
+        .when(F.col("f_id").isNull(), F.col("b_id"))
+        .when(b_gap <= f_gap, F.col("b_id"))
+        .otherwise(F.col("f_id"))
+    )
+    return (
+        seq.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            nearest.alias("nearest_err_id"),
+        )
+    )

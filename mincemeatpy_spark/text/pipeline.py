@@ -292,3 +292,125 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").applyInPandas(
         pack, schema="lang string, batch_id long, n_docs long, sum_tokens long"
     )
+
+
+@register(
+    "corpus_shard_bybytes",
+    oracle="""
+        WITH cum AS (
+            SELECT doc_id, n_chars,
+                   sum(n_chars) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_bytes
+            FROM documents
+        )
+        SELECT (cum_bytes - n_chars) // 100000 AS shard_id,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS shard_bytes,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM cum
+        GROUP BY 1
+        """,
+    category="text",
+    doc="Output sharding by byte budget — the step that turns a deduped "
+    "corpus into ~equal-size training shards: each document's shard is "
+    "its starting offset in the doc_id-ordered byte stream divided by "
+    "the 100 kB target.  A naive global running sum is a single-"
+    "partition window — the classic scale trap — so this computes the "
+    "prefix sum in two phases: per-range-bucket subtotals (tiny: one "
+    "row per 500 docs), an offset window over that bucket table only, "
+    "then an intra-bucket running sum joined back by bucket id.  The "
+    "full corpus never passes through one partition; only the bucket "
+    "table does.  Exact int64 arithmetic end to end.",
+)
+def corpus_shard_bybytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    bucket = (F.col("doc_id") / 500).cast("bigint").alias("bkt")
+    d = docs.select("doc_id", "n_chars", bucket)
+    # Phase 1: per-bucket totals (one row per bucket — thousands of rows
+    # at 100 TB, not billions), then exclusive prefix offsets over the
+    # tiny bucket table.
+    offsets = (
+        d.groupBy("bkt")
+        .agg(F.sum("n_chars").alias("bkt_bytes"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("bkt_bytes").over(
+                    W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "offset")
+    )
+    # Phase 2: intra-bucket running sum + broadcast offset join.
+    intra = W.partitionBy("bkt").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = (
+        d.join(F.broadcast(offsets), "bkt")
+        .withColumn("cum_bytes", F.col("offset") + F.sum("n_chars").over(intra))
+    )
+    shard = ((F.col("cum_bytes") - F.col("n_chars")) / 100000).cast("bigint")
+    return (
+        cum.groupBy(shard.alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@register(
+    "corpus_train_test_split",
+    oracle="""
+        SELECT source, split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS first_doc
+        FROM (
+            SELECT source, doc_id, n_chars,
+                   CASE WHEN h < 90 THEN 'train'
+                        WHEN h < 97 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT source, doc_id, n_chars,
+                         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                             % 100 AS h
+                  FROM documents)
+        )
+        GROUP BY source, split
+        """,
+    category="text",
+    doc="Deterministic 90/7/3 train/val/test split — the holdout "
+    "assignment step of corpus prep: split is a pure function of a "
+    "salted content-independent key (md5 of doc_id, 60-bit prefix mod "
+    "100), so membership is stable across reruns, machines, and "
+    "partitionings — no RNG state, no sampling drift between pipeline "
+    "stages that must agree on the split.  Per source x split counts "
+    "audit stratification.  Pure scan-side expressions, one tiny "
+    "aggregate; at 100 TB the split adds zero shuffles to whatever "
+    "reads it.",
+)
+def corpus_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.text.dedup import _hash60
+
+    d = t(spark, sf_dir, "documents")
+    h = _hash60(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(h < 90, F.lit("train"))
+        .when(h < 97, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("source", "doc_id", "n_chars", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
