@@ -137,7 +137,7 @@ def maparrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ["lang", "n_tokens"],
             )
 
-    docs = fan_out(spark, t(spark, sf_dir, "documents").select("lang", "text"))
+    docs = fan_out(spark, t(spark, sf_dir, "documents").select("lang", "text"), sf_dir)
     per_doc = docs.mapInArrow(count_tokens, "lang string, n_tokens long")
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -466,7 +466,9 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ["i", "j", "g"],
             )
 
-    e = fan_out(spark, t(spark, sf_dir, "embeddings").select("embedding"))
+    e = fan_out(
+        spark, t(spark, sf_dir, "embeddings").select("embedding"), sf_dir, "embeddings"
+    )
     cells = (
         e.mapInArrow(gram_partials, "i int, j int, g long")
         .groupBy("i", "j")

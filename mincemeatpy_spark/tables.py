@@ -67,21 +67,52 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         t(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+_ROW_GROUPS: dict[str, int] = {}
+
+
+def _row_groups(path: str) -> int:
+    """Row-group count of a parquet file/dir (cached driver-side footer
+    read — microseconds, no Spark job)."""
+    if path not in _ROW_GROUPS:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            n = sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_row_groups
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            n = pq.ParquetFile(path).metadata.num_row_groups
+        _ROW_GROUPS[path] = n
+    return _ROW_GROUPS[path]
+
+
+def fan_out(
+    spark: SparkSession, df: DataFrame, sf_dir: str | None = None, name: str = "documents"
+) -> DataFrame:
     """Spread an under-split scan across all cores before expression-heavy
     work (shingling, tokenization, vector kernels).
 
     Small single-row-group files scan as one partition, serializing all
-    downstream per-row compute.  When the scan has fewer partitions than
-    the cluster's parallelism, a round-robin repartition (cost: one
-    shuffle of the already-pruned columns) unlocks every core.  At real
-    scale the condition is false — a 100 TB table scans as thousands of
-    row-group splits — so the shuffle is never added where the data is
-    already wide.  Only correct before order-insensitive work (all our
-    aggregates are), which is also the reference's own contract
-    (SURVEY.md §1.3: value-list order is non-deterministic).
+    downstream per-row compute; a round-robin repartition (one shuffle of
+    the already-pruned columns) unlocks every core.  The under-split test
+    reads the parquet footer's row-group count driver-side (cached) —
+    parquet can't split finer than a row group, and asking the DataFrame
+    itself (``df.rdd.getNumPartitions``) would re-plan the query and cost
+    ~0.3 s per call.  At real scale the condition is false — a 100 TB
+    table scans as thousands of row-group splits — so the shuffle is
+    never added where the data is already wide.  Only correct before
+    order-insensitive work (all our aggregates are), which is also the
+    reference's own contract (SURVEY.md §1.3: value-list order is
+    non-deterministic).
     """
     p = spark.sparkContext.defaultParallelism
+    if sf_dir is not None:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if _row_groups(path) >= p:
+            return df
+        return df.repartition(p)
     if df.rdd.getNumPartitions() < p:
         return df.repartition(p)
     return df

@@ -70,7 +70,7 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: shingling is the expensive per-row stage; never leave it
     # serialized on an under-split scan (no-op on wide scans at scale).
     docs = fan_out(
-        spark, t(spark, sf_dir, "documents").select("doc_id", "text")
+        spark, t(spark, sf_dir, "documents").select("doc_id", "text"), sf_dir
     ).select("doc_id", F.split("text", _WS).alias("w"))
     return (
         docs.filter(F.size("w") >= 3)
@@ -574,22 +574,23 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Each side shingles only its own slice — the source predicate is
     # pushed into the scan, so the eval set's shingles are computed from
     # the (tiny) eval partition alone and the corpus is shingled once.
-    def side_shingles(pred):
-        docs = fan_out(
-            spark,
-            t(spark, sf_dir, "documents")
-            .filter(pred)
-            .select("doc_id", "text"),
-        ).select("doc_id", F.split("text", _WS).alias("w"))
+    def side_shingles(pred, wide):
+        # Only the corpus side fans out: the eval slice is tiny by
+        # construction, and repartitioning it would add a shuffle that
+        # costs more than the serial shingling it saves.
+        docs = t(spark, sf_dir, "documents").filter(pred).select("doc_id", "text")
+        if wide:
+            docs = fan_out(spark, docs, sf_dir)
+        docs = docs.select("doc_id", F.split("text", _WS).alias("w"))
         return docs.filter(F.size("w") >= 3).select(
             "doc_id", F.explode(_shingles(F.col("w"))).alias("s")
         )
 
     bench_sh = F.broadcast(
-        side_shingles(F.col("source") == "src0").select("s").distinct()
+        side_shingles(F.col("source") == "src0", wide=False).select("s").distinct()
     )
     contaminated = (
-        side_shingles(F.col("source") != "src0")
+        side_shingles(F.col("source") != "src0", wide=True)
         .join(bench_sh, "s", "left_semi")
         .select("doc_id")
         .distinct()
@@ -672,7 +673,7 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(
-        spark, t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        spark, t(spark, sf_dir, "documents").select("doc_id", "lang", "text"), sf_dir
     ).select("doc_id", "lang", F.split("text", _WS).alias("w"))
     sized = docs.filter(F.size("w") >= 10).select(
         "doc_id", "lang", F.size("w").alias("n"), "w"

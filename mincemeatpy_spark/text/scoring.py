@@ -207,7 +207,7 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mincemeatpy_spark.text.dedup import _shingles
 
     docs = fan_out(
-        spark, t(spark, sf_dir, "documents").select("lang", "text")
+        spark, t(spark, sf_dir, "documents").select("lang", "text"), sf_dir
     ).select("lang", F.split("text", r"\s+").alias("w"))
     per_doc = docs.filter(F.size("w") >= 3).select(
         "lang",
