@@ -725,3 +725,158 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
     )
+
+
+@register(
+    "winsorize_clip",
+    oracle="""
+        WITH bounds AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.01) AS lo,
+                   quantile_cont(value, 0.99) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               count(*) AS n,
+               CAST(sum(CASE WHEN e.value < b.lo OR e.value > b.hi
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+               (CAST(SUM(CAST(round(
+                    CASE WHEN e.value < b.lo THEN b.lo
+                         WHEN e.value > b.hi THEN b.hi
+                         ELSE e.value END * 1000000) AS BIGINT)) AS DOUBLE)
+                    / 1000000) AS sum_winsorized
+        FROM events e JOIN bounds b USING (event_type)
+        GROUP BY e.event_type
+        """,
+    category="aggregate",
+    doc="Winsorization — the outlier-clipping cleanup every metrics/"
+    "feature pipeline runs before training: exact per-group p1/p99 "
+    "bounds, then values clamped to them, reporting the clipped count "
+    "and the winsorized fixed-point sum.  The bounds table is one row "
+    "per event_type, so it broadcasts and the clamp is a scan-side "
+    "expression: two passes over the facts (one percentile, one "
+    "clamp+agg), zero fact-sized shuffles.  At 100 TB swap the exact "
+    "percentile for approx_percentile and nothing else changes.",
+)
+def winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.percentile("value", 0.01).alias("lo"),
+        F.percentile("value", 0.99).alias("hi"),
+    )
+    j = e.join(F.broadcast(bounds), "event_type")
+    clipped = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    wins = (
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(clipped.cast("int")).cast("bigint").alias("n_clipped"),
+        decsum(wins).alias("sum_winsorized"),
+    )
+
+
+@register(
+    "impute_group_mean",
+    oracle="""
+        WITH masked AS (
+            SELECT user_id,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        ELSE value END AS v
+            FROM events
+        ),
+        means AS (
+            SELECT user_id,
+                   (CAST(SUM(CAST(round(v * 1000000) AS BIGINT)) AS DOUBLE)
+                        / 1000000) / count(v) AS mu
+            FROM masked GROUP BY user_id
+        )
+        SELECT m.user_id,
+               count(*) AS n,
+               CAST(sum(CASE WHEN m.v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_imputed,
+               (CAST(SUM(CAST(round(coalesce(m.v, s.mu) * 1000000) AS BIGINT))
+                    AS DOUBLE) / 1000000) AS sum_imputed
+        FROM masked m JOIN means s USING (user_id)
+        GROUP BY m.user_id
+        """,
+    category="aggregate",
+    doc="Null imputation by group mean — the feature-cleanup op: 'error' "
+    "readings are treated as missing, each user's mean over present "
+    "values fills the gaps, and the result audits how many cells were "
+    "imputed.  Both the mean and the re-aggregate group on user_id, so "
+    "Catalyst reuses one hash partitioning for the join and both "
+    "aggregates — a single fact shuffle at any scale.  Fixed-point "
+    "round-then-sum keeps the filled sums bit-identical to the oracle.",
+)
+def impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    masked = e.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    means = masked.groupBy("user_id").agg(
+        (decsum(F.col("v")) / F.count("v")).alias("mu")
+    )
+    j = masked.join(means, "user_id")
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").isNull().cast("int")).cast("bigint").alias("n_imputed"),
+        decsum(F.coalesce(F.col("v"), F.col("mu"))).alias("sum_imputed"),
+    )
+
+
+@register(
+    "events_value_mad_outliers",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, e.value, m.med,
+                   abs(e.value - m.med) AS ad
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, quantile_cont(ad, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               count(*) AS n,
+               round(any_value(d.med), 6) AS med,
+               round(any_value(x.mad), 6) AS mad,
+               CAST(sum(CASE WHEN x.mad > 0 AND d.ad > 3.5 * x.mad
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad x USING (event_type)
+        GROUP BY d.event_type
+        """,
+    category="aggregate",
+    doc="Robust outlier detection via median/MAD (the modified z-score "
+    "rule) — unlike 3-sigma, immune to the outliers it hunts: per "
+    "group the exact median, then the median absolute deviation, then "
+    "the count beyond 3.5 MADs.  Three passes over the facts with two "
+    "broadcastable per-group tables between them; the deviation column "
+    "is scan-side arithmetic.  Exact interpolated percentiles match "
+    "quantile_cont bit-for-bit; at 100 TB both medians downgrade to "
+    "approx_percentile without touching the plan shape.",
+)
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("ad", 0.5).alias("mad"))
+    j = dev.join(F.broadcast(mad), "event_type")
+    out = (F.col("mad") > 0) & (F.col("ad") > 3.5 * F.col("mad"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.any_value("med"), 6).alias("med"),
+        F.round(F.any_value("mad"), 6).alias("mad"),
+        F.sum(out.cast("int")).cast("bigint").alias("n_outliers"),
+    )

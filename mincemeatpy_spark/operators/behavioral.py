@@ -884,3 +884,59 @@ def window_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessionize,
         schema="user_id long, s_start_us long, n_events long, span_us long",
     )
+
+
+@register(
+    "orders_backlog_daily",
+    oracle="""
+        WITH iv AS (
+            SELECT CAST(o_orderdate AS DATE) AS opened,
+                   CAST(o_orderdate AS DATE)
+                       + CAST((o_orderkey % 30 + 1) AS INTEGER) AS closed
+            FROM orders
+        ),
+        deltas AS (
+            SELECT opened AS d, 1 AS delta FROM iv
+            UNION ALL
+            SELECT closed AS d, -1 AS delta FROM iv
+        ),
+        per_day AS (
+            SELECT d, CAST(sum(delta) AS BIGINT) AS net FROM deltas GROUP BY d
+        )
+        SELECT d,
+               net,
+               CAST(sum(net) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS open_orders
+        FROM per_day
+        """,
+    category="behavioral",
+    doc="Open-interval backlog over time (orders open on each day, close "
+    "date derived deterministically from the key) — the interval-"
+    "stabbing query that is a scale trap done naively: counting 'open "
+    "on day D' per day re-scans every interval per day (O(days x "
+    "orders)).  The scalable form converts each interval to +1/-1 "
+    "boundary deltas, aggregates to day grain (one shuffle, day-keyed "
+    "partials), and runs the running sum over the ~|days| row table "
+    "only.  Same algebraic-delta trick as cumulative_distinct_users; "
+    "at 100 TB the window input is thousands of rows regardless of "
+    "order count.",
+)
+def orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("opened"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.col("o_orderkey") % 30 + 1).cast("int"),
+        ).alias("closed"),
+    )
+    deltas = o.select(F.col("opened").alias("d"), F.lit(1).alias("delta")).unionAll(
+        o.select(F.col("closed").alias("d"), F.lit(-1).alias("delta"))
+    )
+    per_day = deltas.groupBy("d").agg(F.sum("delta").cast("bigint").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "d", "net", F.sum("net").over(w).cast("bigint").alias("open_orders")
+    )

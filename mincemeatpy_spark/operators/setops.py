@@ -79,3 +79,43 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part").select(F.col("p_size").alias("k")).distinct()
     l = t(spark, sf_dir, "lineitem").select(F.col("l_linenumber").alias("k")).distinct()
     return p.exceptAll(l).distinct()
+
+
+@register(
+    "union_schema_evolution",
+    oracle="""
+        SELECT source, count(*) AS n,
+               CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_missing_chars,
+               CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS sum_chars
+        FROM (
+            SELECT doc_id, source, NULL::BIGINT AS n_chars
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL BY NAME
+            SELECT doc_id, n_chars, source
+            FROM documents WHERE doc_id % 2 = 1
+        )
+        GROUP BY source
+        """,
+    category="setop",
+    doc="Schema-evolving union (unionByName + allowMissingColumns): an "
+    "old snapshot written before the n_chars column existed unions "
+    "with the current schema, missing columns null-filled, columns "
+    "matched BY NAME not position — the append that breaks positional "
+    "UNION ALL silently.  This is the ingestion-time half of schema "
+    "evolution (source_schema_evolution covers the storage half).  "
+    "Pure scan+union+agg: no shuffle beyond the final group-by at any "
+    "scale.",
+)
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source")
+    new = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "n_chars", "source")
+    u = old.unionByName(new, allowMissingColumns=True)
+    return u.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars").isNull().cast("int")).cast("bigint").alias(
+            "n_missing_chars"
+        ),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("sum_chars"),
+    )
