@@ -56,15 +56,17 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Best of 2 runs per query: the first run of a shape pays one-off JIT/
+    # Best of 3 runs per query: the first run of a shape pays one-off JIT/
     # codegen compilation (seconds of C2 time on cold shapes), which is
     # startup cost, not query cost — a long-running cluster never repays
-    # it.  The second run measures the steady state we actually optimize.
+    # it.  Later runs measure the steady state we actually optimize; three
+    # samples also ride out noisy-neighbor CPU contention on shared hosts
+    # (observed 2x wall-clock swings between otherwise identical runs).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = queries[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
