@@ -500,3 +500,58 @@ def test_banded_range_join_is_equi(spark, sf_dir):
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_winsorize_bounds_broadcast(spark, sf_dir):
+    """The per-group p1/p99 bounds table is group-cardinality-sized —
+    it must broadcast; the fact side must not shuffle for the join."""
+    plan = _plan("winsorize_clip", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_backlog_window_runs_on_day_grain(spark, sf_dir):
+    """orders_backlog_daily: the running sum must consume the day-grain
+    aggregate (O(days) rows), never the raw order intervals — the
+    aggregate must appear below the Window in the plan."""
+    plan = _plan("orders_backlog_daily", spark, sf_dir)
+    assert "Window" in plan
+    # Window input comes from the day aggregate: HashAggregate appears
+    # between the scan and the window (plan prints top-down, so the
+    # window's section must reference the agg output, not the union).
+    win_pos = plan.index("Window")
+    assert "HashAggregate" in plan[win_pos:], (
+        "running sum must run over the aggregated day table"
+    )
+
+
+def test_shard_prefix_sum_is_two_phase(spark, sf_dir):
+    """corpus_shard_bybytes: the intra-bucket window partitions by bkt
+    (parallel); only the tiny bucket-offset window is single-partition."""
+    plan = _plan("corpus_shard_bybytes", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan  # offsets join back by broadcast
+    # Two windows: one partitioned by bkt, one global over buckets only.
+    assert plan.count("Window") >= 2
+
+
+def test_impute_single_user_shuffle(spark, sf_dir):
+    """impute_group_mean: mean + join + re-agg all key on user_id; the
+    exchange must be planned once and reused, not re-shuffled."""
+    plan = _plan("impute_group_mean", spark, sf_dir)
+    n_exchange = plan.count("Exchange hashpartitioning")
+    n_reused = plan.count("ReusedExchange")
+    assert n_exchange - n_reused <= 2, plan[:2000]
+
+
+def test_session_capped_single_python_stage(spark, sf_dir):
+    """window_session_capped: exactly one Arrow-batched Python stage
+    (the per-user ordered pass); everything around it stays JVM-side."""
+    plan = _plan("window_session_capped", spark, sf_dir)
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_array_higher_order_no_python(spark, sf_dir):
+    """HOF lambdas must run JVM-side: no Python eval anywhere."""
+    plan = _plan("array_higher_order", spark, sf_dir)
+    assert "EvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
