@@ -356,3 +356,30 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("m", zero, lambda acc, x: acc + F.abs(x)).alias("l1_micros"),
         F.aggregate("m", zero, lambda acc, x: acc + x).alias("sum_micros"),
     )
+
+
+@register(
+    "array_explode_outer",
+    oracle="""
+        SELECT doc_id,
+               unnest(CASE WHEN len(lw) = 0 THEN [NULL] ELSE lw END) AS long_word
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> len(x) >= 8) AS lw
+            FROM documents
+        )
+        """,
+    category="array",
+    doc="explode_outer: rows whose array is empty survive as a single "
+    "NULL row instead of vanishing — the LEFT-JOIN-shaped flatten that "
+    "plain explode silently breaks when a document has no qualifying "
+    "tokens (here: words of >= 8 chars).  Preserving empty groups "
+    "matters whenever the downstream agg counts documents, not tokens. "
+    "The oracle encodes the same semantics by substituting [NULL] for "
+    "empty lists before unnest.  Generate-side, no shuffle.",
+)
+def array_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    lw = F.filter(F.split("text", r"\s+"), lambda x: F.length(x) >= 8)
+    return d.select("doc_id", F.explode_outer(lw).alias("long_word"))

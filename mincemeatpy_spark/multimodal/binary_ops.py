@@ -308,3 +308,120 @@ def multimodal_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_copies") - 1).alias("n_duplicate_copies"),
         F.sum(F.col("n_bytes") * (F.col("n_copies") - 1)).alias("bytes_saved"),
     )
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle="""
+        WITH src AS (
+            SELECT doc_id, text, length(text) AS n
+            FROM documents WHERE length(text) >= 60
+        ),
+        chars AS (
+            SELECT doc_id, n, i,
+                   ascii(substr(text, i, 1)) AS c,
+                   ((i - 1) * 60) // n AS k
+            FROM src, unnest(generate_series(1, n)) AS u(i)
+        ),
+        chunk AS (
+            SELECT doc_id, k, sum(c) AS s, count(*) AS cnt
+            FROM chars GROUP BY doc_id, k
+        ),
+        tot AS (
+            SELECT doc_id, sum(s) AS ts, sum(cnt) AS tn
+            FROM chunk GROUP BY doc_id
+        ),
+        ph AS (
+            SELECT c.doc_id,
+                   CAST(sum(CASE WHEN c.s * t.tn > t.ts * c.cnt
+                            THEN (1::BIGINT << c.k) ELSE 0 END) AS BIGINT)
+                       AS phash
+            FROM chunk c JOIN tot t USING (doc_id)
+            GROUP BY c.doc_id
+        ),
+        bands AS (
+            SELECT doc_id, band, (phash >> (band * 15)) & 32767 AS sig
+            FROM ph, (SELECT unnest([0, 1, 2, 3]) AS band) b
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        )
+        SELECT d1, d2,
+               bit_count(xor(pa.phash, pb.phash)) AS hamming
+        FROM cand
+        JOIN ph pa ON pa.doc_id = d1
+        JOIN ph pb ON pb.doc_id = d2
+        WHERE bit_count(xor(pa.phash, pb.phash)) <= 6
+        """,
+    category="multimodal",
+    doc="Perceptual-hash near-duplicate detection for binary assets — "
+    "the image-dedup stage of a multimodal pipeline: a 60-bit "
+    "blockwise-mean hash (60 byte-range chunks, bit k set iff chunk "
+    "mean > global mean — the aHash construction over the stubbed "
+    "decode, numpy over Arrow batches in mapInPandas), then 4x15-bit "
+    "band LSH for candidates, then exact Hamming verification "
+    "(bit_count(xor)) at threshold 6.  All-integer compare (sum*count "
+    "cross-multiplication, no float means) makes even this pipeline "
+    "exactly oracle-checkable.  Work scales with assets + band "
+    "collisions, never pairs; payload bytes die at the hash step, so "
+    "at 100 TB the shuffle carries one int64 per asset.  A real "
+    "decoder swaps into the same mapInPandas slot "
+    "(multimodal_decode_stub convention).",
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 60)
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
+
+    def phash_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                n = len(arr)
+                k = (np.arange(n) * 60) // n
+                sums = np.bincount(k, weights=arr, minlength=60)
+                cnts = np.bincount(k, minlength=60)
+                # integer cross-multiply (exact in float64 below 2^53)
+                bits = sums * n > arr.sum() * cnts
+                out.append(int(np.sum(np.where(bits, 1 << np.arange(60, dtype=np.uint64), 0))))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "phash": out})
+
+    ph = d.mapInPandas(phash_batch, "doc_id long, phash long")
+    bands = ph.selectExpr(
+        "doc_id",
+        "stack(4, 0, shiftright(phash, 0) & 32767,"
+        "         1, shiftright(phash, 15) & 32767,"
+        "         2, shiftright(phash, 30) & 32767,"
+        "         3, shiftright(phash, 45) & 32767) AS (band, sig)",
+    )
+    ba = bands.alias("ba")
+    bb = F.broadcast(bands).alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.sig") == F.col("bb.sig"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("d1"), F.col("bb.doc_id").alias("d2"))
+        .distinct()
+    )
+    pa = ph.alias("pa")
+    pb = ph.alias("pb")
+    hamming = F.bit_count(F.col("pa.phash").bitwiseXOR(F.col("pb.phash")))
+    return (
+        F.broadcast(cand)
+        .join(pa, F.col("pa.doc_id") == F.col("d1"))
+        .join(pb, F.col("pb.doc_id") == F.col("d2"))
+        .filter(hamming <= 6)
+        .select("d1", "d2", hamming.alias("hamming"))
+    )
