@@ -940,3 +940,45 @@ def orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.select(
         "d", "net", F.sum("net").over(w).cast("bigint").alias("open_orders")
     )
+
+
+@register(
+    "events_churn_cohorts",
+    oracle="""
+        WITH bounds AS (SELECT max(ts) AS mx FROM events),
+        users AS (
+            SELECT user_id,
+                   CAST(date_trunc('month', min(ts)) AS DATE) AS cohort,
+                   max(ts) AS last_ts
+            FROM events GROUP BY user_id
+        )
+        SELECT cohort,
+               count(*) AS n_users,
+               CAST(sum(CASE WHEN last_ts < b.mx - INTERVAL 7 DAY
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+        FROM users, bounds b
+        GROUP BY cohort
+        """,
+    category="behavioral",
+    doc="Churn by signup cohort: a user is churned when their last event "
+    "is more than 7 days before the corpus watermark (max ts — the "
+    "'now' of the dataset).  One user-grain aggregate (first event "
+    "month + last activity), a scalar watermark cross-joined in "
+    "(1 row, broadcast), then a cohort rollup over |users| rows.  The "
+    "100 TB shape: the only fact-sized stage is the per-user min/max "
+    "agg, everything after runs on user- then month-cardinality "
+    "tables.",
+)
+def events_churn_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).cast("date").alias("cohort"),
+        F.max("ts").alias("last_ts"),
+    )
+    bounds = e.agg(F.max("ts").alias("mx"))
+    j = users.join(F.broadcast(bounds))
+    churned = F.col("last_ts") < F.col("mx") - F.expr("INTERVAL 7 DAY")
+    return j.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(churned.cast("int")).cast("bigint").alias("n_churned"),
+    )
