@@ -31,6 +31,12 @@ _RISKIEST = [
     "word_heavy_hitters",
     "pareto_customer_revenue",
     "dedup_minhash_lsh",
+    "corpus_shard_bybytes",
+    "winsorize_clip",
+    "impute_group_mean",
+    "events_value_mad_outliers",
+    "multimodal_phash_neardup",
+    "window_session_capped",
 ]
 
 
