@@ -39,6 +39,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    # Engine contract (session.py): timestamp semantics are UTC.  The
+    # correctness driver may call queries with its own SparkSession, so
+    # pin the tz here too — NTZ→TIMESTAMP casts, window() bucketing and
+    # date_trunc are all session-tz-sensitive, and the DuckDB oracles
+    # assume UTC wall-clock.  Idempotent, runtime-settable conf.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
