@@ -25,3 +25,19 @@ def test_queries_oracle_keys_align():
     os_ = mod.oracle_sql()
     assert qs, "no queries registered"
     assert set(os_) <= set(qs)
+
+
+def test_queries_prefix_spans_categories():
+    """The correctness driver samples the first 50 queries() entries;
+    the category-interleaved ordering must keep any such prefix
+    representative of the whole operator surface."""
+    from mincemeatpy_spark.registry import load_all_queries
+
+    mod = _load_entry()
+    names = list(mod.queries())[:50]
+    all_q = load_all_queries()
+    cats_in_prefix = {all_q[n].category for n in names}
+    all_cats = {q.category for q in all_q.values()}
+    assert cats_in_prefix == all_cats, (
+        f"missing families in driver prefix: {all_cats - cats_in_prefix}"
+    )
