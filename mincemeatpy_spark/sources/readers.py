@@ -27,9 +27,24 @@ from mincemeatpy_spark.registry import register
 from mincemeatpy_spark.tables import t
 
 
+def _fixture_tag(sf_dir: str) -> str:
+    # Tag includes the fixture files' sizes+mtimes: if the driver
+    # regenerates the testdata between rounds, write-once scratch
+    # artifacts (partitioned/bucketed copies gated on _SUCCESS or
+    # tableExists) must not serve stale data from the previous fixture
+    # generation.
+    sig = sf_dir + "|".join(
+        f"{f}:{os.path.getsize(os.path.join(sf_dir, f))}:{int(os.path.getmtime(os.path.join(sf_dir, f)))}"
+        for f in sorted(os.listdir(sf_dir))
+        if f.endswith(".parquet")
+    )
+    return hashlib.md5(sig.encode()).hexdigest()[:12]
+
+
 def _scratch(sf_dir: str, name: str) -> str:
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), "mincemeatpy_io", tag, name)
+    return os.path.join(
+        tempfile.gettempdir(), "mincemeatpy_io", _fixture_tag(sf_dir), name
+    )
 
 
 @register(
@@ -180,9 +195,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "test scale).",
 )
 def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib as _hl
-
-    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    tag = _fixture_tag(sf_dir)
     to, tl = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
     for name, src, key in ((to, "orders", "o_orderkey"), (tl, "lineitem", "l_orderkey")):
         if not spark.catalog.tableExists(name):
@@ -375,4 +388,43 @@ def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_chars")))
         .cast("bigint")
         .alias("good_chars"),
+    )
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    oracle=f"""
+        SELECT o_orderpriority, count(*) AS n,
+               {oracle_decsum('o_totalprice')} AS price_sum
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+        """,
+    category="source",
+    doc="Dynamic partition pruning: the fact table is hive-partitioned "
+    "on the join key (o_orderstatus); the dimension side carries the "
+    "selective predicate (is_final=1), so the partitions to read are "
+    "only known at runtime — Catalyst injects a dynamicpruning "
+    "subquery that reuses the dim broadcast to prune fact partitions "
+    "before the scan (asserted in test_plans).  At 100 TB this is THE "
+    "star-schema scan killer: a date-dim filter prunes years of fact "
+    "partitions without the query naming a partition value anywhere.",
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "orders_part")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("F", 1), ("O", 0), ("P", 0)], "o_orderstatus string, is_final int"
+    )
+    return (
+        fact.join(F.broadcast(dim.filter(F.col("is_final") == 1)), "o_orderstatus")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            decsum(F.col("o_totalprice")).alias("price_sum"),
+        )
     )

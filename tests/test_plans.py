@@ -555,3 +555,11 @@ def test_array_higher_order_no_python(spark, sf_dir):
     plan = _plan("array_higher_order", spark, sf_dir)
     assert "EvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """The fact scan must carry a dynamicpruning expression on the
+    partition column — runtime pruning from the dim-side filter, not a
+    static partition filter and not a full scan."""
+    plan = _plan("join_dynamic_partition_pruning", spark, sf_dir)
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
