@@ -192,3 +192,33 @@ def recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY root
         """
     )
+
+
+_REBALANCE = """
+    SELECT /*+ REBALANCE(l_returnflag) */
+           l_returnflag, count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+_REBALANCE_ORACLE = """
+    SELECT l_returnflag, count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@register(
+    "sql_rebalance_hint",
+    oracle=_REBALANCE_ORACLE,
+    category="sqlapi",
+    doc="AQE REBALANCE hint: asks the runtime to even out partition "
+    "sizes (splitting skewed ones, coalescing tiny ones) before the "
+    "downstream stage — the declarative cure for skewed writes and "
+    "lopsided stages that repartition(n) can only guess at.  Purely a "
+    "physical-layout directive: results are hint-independent (the "
+    "oracle runs the hint-free query).  RebalancePartitions appears in "
+    "the optimized plan (asserted in test_plans).",
+)
+def sql_rebalance_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _REBALANCE)

@@ -563,3 +563,40 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     static partition filter and not a full scan."""
     plan = _plan("join_dynamic_partition_pruning", spark, sf_dir)
     assert "dynamicpruning" in plan.lower(), plan[:1500]
+
+
+def test_rebalance_hint_in_plan(spark, sf_dir):
+    """The REBALANCE hint must reach the optimizer (RebalancePartitions
+    in the optimized logical plan) — a silently-dropped hint would make
+    the operator a no-op."""
+    df = QUERIES["sql_rebalance_hint"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "RebalancePartitions" in opt or "rebalance" in opt.lower(), opt[:1200]
+
+
+def test_observation_metrics_on_flagship(spark, sf_dir):
+    """df.observe: data-quality metrics ride the flagship scan for free
+    (no second pass) and must agree with a direct aggregate — the
+    100 TB way to audit a pipeline stage without re-reading it."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.observation import Observation
+
+    from mincemeatpy_spark.tables import t
+
+    docs = t(spark, sf_dir, "documents")
+    obs = Observation("dq")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars")).alias("total_chars"),
+        F.sum(F.col("text").isNull().cast("int")).alias("null_texts"),
+    )
+    out = observed.select("doc_id").write.format("noop").mode("overwrite")
+    out.save()
+    expected = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("c")
+    ).collect()[0]
+    got = obs.get
+    assert got["n_docs"] == expected["n"]
+    assert got["total_chars"] == expected["c"]
+    assert got["null_texts"] == 0
