@@ -414,3 +414,52 @@ def corpus_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@register(
+    "corpus_epoch_shuffle",
+    oracle="""
+        SELECT epoch, batch_id,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS first_doc
+        FROM (
+            SELECT e.epoch, d.doc_id, d.n_chars,
+                   ('0x' || substring(
+                        md5(CAST(e.epoch AS VARCHAR) || ':'
+                            || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 16 AS batch_id
+            FROM documents d,
+                 (SELECT unnest([0, 1]) AS epoch) e
+        )
+        GROUP BY epoch, batch_id
+        """,
+    category="text",
+    doc="Epoch-wise training shuffle — the data-loader reshuffle between "
+    "epochs, done the way that scales: each document's batch is a pure "
+    "hash of (epoch, doc_id), so every epoch is a different but fully "
+    "deterministic permutation, reproducible on any cluster layout "
+    "with no RNG state and no coordination.  The naive alternative — "
+    "ORDER BY random() + row_number to cut exact-size batches — needs "
+    "a global sort per epoch; hash-bucket batching is shuffle-free at "
+    "assignment time and batch sizes concentrate tightly around "
+    "n/batches (audited here per epoch x batch).  Two epochs "
+    "materialized via a tiny lateral epoch table.",
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.text.dedup import _hash60
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    j = d.crossJoin(F.broadcast(epochs))
+    batch = (
+        _hash60(
+            F.concat_ws(":", F.col("epoch").cast("string"), F.col("doc_id").cast("string"))
+        )
+        % 16
+    )
+    return j.groupBy("epoch", batch.alias("batch_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
