@@ -600,3 +600,55 @@ def test_observation_metrics_on_flagship(spark, sf_dir):
     assert got["n_docs"] == expected["n"]
     assert got["total_chars"] == expected["c"]
     assert got["null_texts"] == 0
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Runtime bloom-filter semi-join reduction: with a selective dim
+    filter and a shuffle join, Catalyst builds a bloom filter from the
+    dim keys and applies it to the fact scan side — rows that cannot
+    match die before the shuffle.  The local thresholds are sized for
+    10 GB+ fact scans, so scope them down for the assertion (on a real
+    cluster the defaults fire as-is); results must be conf-independent.
+    """
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1b",
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilterMightContain" in plan.lower() or "might_contain" in plan, plan[:1500]
+        with_bloom = {(r["o_orderstatus"], r["n"]) for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plain = {
+        (r["o_orderstatus"], r["n"])
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert with_bloom == plain
