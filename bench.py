@@ -50,6 +50,26 @@ def main() -> None:
 
     queries = load_all_queries()
 
+    if "--all" in sys.argv:
+        # Diagnostic mode: single-run timing of EVERY registered query,
+        # slowest first (stderr table; not the driver's JSON contract).
+        queries["tpch_q1_pricing_summary"].fn(spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        times = {}
+        for name, q in queries.items():
+            t0 = time.perf_counter()
+            try:
+                q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                times[name] = round(time.perf_counter() - t0, 2)
+            except Exception as ex:  # noqa: BLE001
+                times[name] = f"ERROR {type(ex).__name__}"
+        for name, sec in sorted(
+            times.items(), key=lambda kv: -(kv[1] if isinstance(kv[1], float) else 1e9)
+        ):
+            print(f"{sec:>8}  {name}", file=sys.stderr)
+        return
+
     # Warm up the JVM (classloading, codegen compiler) and the page cache
     # so per-query timings measure the queries, not startup.
     queries["tpch_q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
