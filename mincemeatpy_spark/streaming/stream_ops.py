@@ -97,6 +97,18 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "30 minutes") -> 
     )
 
 
+def sliding_counts_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Sliding windows (1 h size / 15 min slide) per event type — the
+    streaming form of the window_sliding batch query; each event lands
+    in 4 overlapping window instances, watermark bounds their state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+
+
 def session_counts_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Session windows (10-min gap) per user, streaming form."""
     return (

@@ -36,6 +36,18 @@ def test_tumbling_stream_equals_batch(spark, sf_dir, events):
     )
 
 
+def test_sliding_stream_equals_batch(spark, sf_dir, events):
+    from mincemeatpy_spark.streaming.windows_batch import window_sliding
+
+    stream = stream_ops.run_to_completion(
+        stream_ops.sliding_counts_stream(events), "sliding_out"
+    )
+    batch = window_sliding(spark, sf_dir).select("w_start", "event_type", "n")
+    assert _rows(stream, ["w_start", "event_type", "n"]) == _rows(
+        batch, ["w_start", "event_type", "n"]
+    )
+
+
 def test_session_stream_equals_batch(spark, sf_dir, events):
     stream = stream_ops.run_to_completion(
         stream_ops.session_counts_stream(events), "session_out"
