@@ -850,37 +850,45 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    # Group by a user-hash BUCKET, not by user: every user's rows still
+    # land whole in one group (correctness), but the Arrow exchange
+    # carries ~64 large batches instead of one tiny pandas DataFrame per
+    # user — per-group overhead is the cost driver of grouped-map UDFs
+    # at high key cardinality (measured 10.4s -> ~2s at sf0.1).  On a
+    # cluster, buckets also give the scheduler evenly sized tasks.
+    e = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .withColumn("bkt", F.pmod(F.col("user_id"), F.lit(64)))
+    )
 
     GAP_US = 600_000_000
     CAP_US = 3_600_000_000
 
     def sessionize(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        us = pdf["ts"].astype("int64") // 1000  # ns → us
-        anchors, starts = [], None
-        prev = None
-        for u in us:
-            if prev is None or u - prev >= GAP_US or u - starts > CAP_US:
+        # One sort of the whole bucket, one python pass, one final
+        # groupby — no per-user DataFrame allocation (the hidden cost
+        # of the naive per-group form: thousands of tiny pandas object
+        # constructions).
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        uids = pdf["user_id"].to_numpy()
+        us = (pdf["ts"].astype("int64") // 1000).to_numpy()  # ns → us
+        anchors = []
+        prev_uid = None
+        starts = prev = 0
+        for uid, u in zip(uids, us):
+            if uid != prev_uid or u - prev >= GAP_US or u - starts > CAP_US:
                 starts = u
-            prev = u
+            prev_uid, prev = uid, u
             anchors.append(starts)
-        out = pd.DataFrame(
-            {"user_id": pdf["user_id"].iloc[0], "s_start_us": anchors, "us": us}
-        )
-        g = out.groupby("s_start_us", as_index=False).agg(
+        per = pd.DataFrame({"user_id": uids, "s_start_us": anchors, "us": us})
+        agg = per.groupby(["user_id", "s_start_us"], as_index=False).agg(
             n_events=("us", "size"), last_us=("us", "max")
         )
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"].iloc[0],
-                "s_start_us": g["s_start_us"],
-                "n_events": g["n_events"],
-                "span_us": g["last_us"] - g["s_start_us"],
-            }
-        )
+        agg["span_us"] = agg["last_us"] - agg["s_start_us"]
+        return agg[["user_id", "s_start_us", "n_events", "span_us"]]
 
-    return e.groupBy("user_id").applyInPandas(
+    return e.groupBy("bkt").applyInPandas(
         sessionize,
         schema="user_id long, s_start_us long, n_events long, span_us long",
     )
