@@ -319,33 +319,44 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    e = t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    # Bucket-grouped: one Arrow batch per 64-way user-hash bucket, not
+    # one python call per user — grouped-map overhead scales with group
+    # COUNT, so high-cardinality keys must coarsen the grouping (the
+    # rows of each user still arrive whole, so semantics are identical).
+    e = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .withColumn("bkt", F.pmod(F.col("user_id"), F.lit(64)))
+    )
 
     def asof_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        errs = pdf[pdf.event_type == "error"]
-        clicks = pdf[pdf.event_type == "click"]
         # Positional as-of: most recent error at-or-before the click in
-        # (ts, event_id) order — identical to the window encoding.
-        err_ids = []
-        ei = 0
-        err_rows = errs[["ts", "event_id"]].values.tolist()
-        for ts, cid in clicks[["ts", "event_id"]].values.tolist():
-            while ei < len(err_rows) and (
-                (err_rows[ei][0] < ts) or (err_rows[ei][0] == ts and err_rows[ei][1] < cid)
-            ):
-                ei += 1
-            err_ids.append(err_rows[ei - 1][1] if ei > 0 else None)
-        out = pd.DataFrame(
+        # (ts, event_id) order — identical to the window encoding.  One
+        # sorted pass over the bucket, resetting state at user changes.
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uids = pdf["user_id"].to_numpy()
+        eids = pdf["event_id"].to_numpy()
+        types = pdf["event_type"].to_numpy()
+        out_uid, out_click, out_err = [], [], []
+        prev_uid, last_err = None, None
+        for uid, eid, et in zip(uids, eids, types):
+            if uid != prev_uid:
+                prev_uid, last_err = uid, None
+            if et == "error":
+                last_err = eid
+            elif et == "click":
+                out_uid.append(uid)
+                out_click.append(eid)
+                out_err.append(last_err)
+        return pd.DataFrame(
             {
-                "user_id": clicks.user_id.values,
-                "click_id": clicks.event_id.values,
-                "last_err_id": pd.array(err_ids, dtype="Int64"),
+                "user_id": out_uid,
+                "click_id": out_click,
+                "last_err_id": pd.array(out_err, dtype="Int64"),
             }
         )
-        return out
 
-    return e.groupBy("user_id").applyInPandas(
+    return e.groupBy("bkt").applyInPandas(
         asof_group, schema="user_id long, click_id long, last_err_id long"
     )
 
