@@ -37,6 +37,7 @@ _RISKIEST = [
     "events_value_mad_outliers",
     "multimodal_phash_neardup",
     "window_session_capped",
+    "dedup_embedding_cosine",
 ]
 
 
