@@ -222,3 +222,31 @@ _REBALANCE_ORACLE = """
 )
 def sql_rebalance_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _REBALANCE)
+
+
+_LATERAL_TOPN = """
+    SELECT r.r_name, top.n_name, top.n_nationkey
+    FROM region r,
+         LATERAL (
+             SELECT n_name, n_nationkey
+             FROM nation n
+             WHERE n.n_regionkey = r.r_regionkey
+             ORDER BY n_nationkey DESC
+             LIMIT 2
+         ) AS top
+"""
+
+
+@register(
+    "sql_lateral_topn",
+    oracle=_LATERAL_TOPN,
+    category="sqlapi",
+    doc="LATERAL correlated subquery join — top-2 nations per region "
+    "where the inner query references the outer row (the SQL-standard "
+    "form of per-row subsetting).  Catalyst decorrelates this into a "
+    "window-rank + filter plan, i.e. the same physical shape as "
+    "topk_per_group — no nested-loop re-execution per outer row, which "
+    "is what makes LATERAL safe at 100 TB.",
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _LATERAL_TOPN)
