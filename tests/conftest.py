@@ -24,7 +24,12 @@ def sf_dir() -> str:
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark("mincemeatpy-tests", cores=4, shuffle_partitions=4)
+    # TEST_SHUFFLE_PARTITIONS: run the whole suite under a different
+    # partition layout (results must be invariant — the determinism
+    # suite covers the riskiest queries every run; this knob lets CI
+    # sweep all of them).
+    parts = int(os.environ.get("TEST_SHUFFLE_PARTITIONS", "4"))
+    spark = get_spark("mincemeatpy-tests", cores=4, shuffle_partitions=parts)
     yield spark
 
 
