@@ -880,3 +880,32 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.any_value("mad"), 6).alias("mad"),
         F.sum(out.cast("int")).cast("bigint").alias("n_outliers"),
     )
+
+
+@register(
+    "cube_grouping_id",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INTEGER)    AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INTEGER)  AS g_priority,
+               CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT)
+                   AS gid,
+               count(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+    category="aggregation",
+    doc="CUBE with GROUPING()/GROUPING_ID() metadata — the only way a "
+    "consumer can tell a rollup-generated NULL (subtotal row) from a "
+    "NULL that was in the data; every BI layer reading cube output "
+    "keys on gid.  Same Expand-operator plan as cube_agg, plus the "
+    "virtual grouping-bit columns.",
+)
+def cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+    )
