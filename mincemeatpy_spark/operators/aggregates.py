@@ -909,3 +909,47 @@ def cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping_id().cast("bigint").alias("gid"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "percentiles_disc",
+    oracle="""
+        SELECT event_type,
+               quantile_disc(value, 0.5)  AS p50_disc,
+               quantile_disc(value, 0.9)  AS p90_disc,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+        """,
+    category="aggregation",
+    doc="Discrete percentiles (quantile_disc semantics: the smallest "
+    "actual data value whose cumulative rank reaches p — never an "
+    "interpolated value that exists in no row).  Spark has no "
+    "percentile_disc aggregate, so it is derived exactly: sort-rank "
+    "each group with a window, pick the value at rank ceil(p*n).  "
+    "Matters whenever the percentile must be a real observation "
+    "(latency SLOs quoting actual requests, price points).  One "
+    "shuffle on the group key shared by window and aggregate.",
+)
+def percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    w = W.partitionBy("event_type").orderBy("value")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    # quantile_disc(p) = value at the smallest rank >= ceil(p * n)
+    def pick(p):
+        return F.min(
+            F.when(F.col("rk") >= F.ceil(F.lit(p) * F.col("n")), F.col("value"))
+        )
+
+    return ranked.groupBy("event_type").agg(
+        pick(0.5).alias("p50_disc"),
+        pick(0.9).alias("p90_disc"),
+        F.max("n").alias("n"),
+    )

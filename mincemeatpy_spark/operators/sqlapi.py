@@ -250,3 +250,31 @@ _LATERAL_TOPN = """
 )
 def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _LATERAL_TOPN)
+
+
+_NOT_IN_NULL = """
+    SELECT count(*) AS n_matched,
+           (SELECT count(*) FROM customer) AS n_customers
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT nullif(o_custkey, o_custkey % 1000 + 1) FROM orders
+    )
+"""
+
+
+@register(
+    "not_in_null_semantics",
+    oracle=_NOT_IN_NULL,
+    category="sqlapi",
+    doc="The NOT IN null trap, handled to the SQL standard: when the "
+    "subquery list contains any NULL, `x NOT IN (...)` is never TRUE "
+    "(x <> NULL is unknown), so the match count must be 0 even though "
+    "most keys are absent from the list.  The nullif() plants NULLs "
+    "deterministically.  Engines that rewrite NOT IN as a plain anti "
+    "join silently return wrong rows here; Spark plans it as a "
+    "null-aware anti join and agrees with DuckDB exactly.  The "
+    "n_customers scalar pins the denominator so the zero is visibly "
+    "semantic, not an empty-table artifact.",
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _NOT_IN_NULL)
