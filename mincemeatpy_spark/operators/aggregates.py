@@ -953,3 +953,60 @@ def percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.9).alias("p90_disc"),
         F.max("n").alias("n"),
     )
+
+
+@register(
+    "agg_bitwise_masks",
+    oracle="""
+        WITH masks AS (
+            SELECT user_id,
+                   bit_or(CASE event_type
+                          WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                          WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                          ELSE 16 END)  AS seen_mask,
+                   bit_and(CASE event_type
+                           WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                           WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                           ELSE 16 END) AS const_mask,
+                   bit_xor(event_id)    AS id_parity
+            FROM events GROUP BY user_id
+        )
+        SELECT seen_mask,
+               count(*) AS n_users,
+               CAST(sum(CASE WHEN const_mask <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_single_type,
+               CAST(bit_xor(id_parity) AS BIGINT) AS parity_fold
+        FROM masks
+        GROUP BY seen_mask
+        """,
+    category="aggregation",
+    doc="Bitwise aggregates (bit_or / bit_and / bit_xor): per-user "
+    "event-type bitmask — the compact 'which behaviors has this user "
+    "ever shown' encoding that replaces five EXISTS probes with one "
+    "int, re-aggregated into mask cohorts.  bit_and exposes single-"
+    "type users (only one bit could survive every row); bit_xor is "
+    "the order-independent parity fold (a checksum that reaggregates "
+    "exactly).  All three are commutative-associative partials — the "
+    "mergeable-rollup property (SCALE.md rule 10) for free on int64.",
+)
+def agg_bitwise_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .otherwise(16)
+    )
+    masks = e.groupBy("user_id").agg(
+        F.bit_or(bit).alias("seen_mask"),
+        F.bit_and(bit).alias("const_mask"),
+        F.bit_xor("event_id").alias("id_parity"),
+    )
+    return masks.groupBy("seen_mask").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum((F.col("const_mask") != 0).cast("int")).cast("bigint").alias(
+            "n_single_type"
+        ),
+        F.bit_xor("id_parity").cast("bigint").alias("parity_fold"),
+    )

@@ -278,3 +278,41 @@ _NOT_IN_NULL = """
 )
 def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _NOT_IN_NULL)
+
+
+_COLLATION_CI = """
+    SELECT lower(o_orderpriority) AS priority_ci,
+           count(*) AS n
+    FROM (SELECT CASE WHEN o_orderkey % 3 = 0 THEN upper(o_orderpriority)
+                      ELSE o_orderpriority END AS o_orderpriority
+          FROM orders)
+    GROUP BY 1
+"""
+
+
+@register(
+    "string_collation_ci",
+    oracle=_COLLATION_CI,
+    category="sqlapi",
+    doc="Case-insensitive collation (Spark 4 COLLATE UTF8_LCASE): mixed-"
+    "case keys (a third of rows upper-cased deterministically) group "
+    "together under the collated comparison with no expression "
+    "wrapping at the call sites.  The oracle states the same "
+    "semantics via lower() — which is also what the collation "
+    "compiles to for grouping, so the result (and at scale the "
+    "shuffle key) is identical; collation moves the normalization "
+    "into the type where every comparison, join and sort inherits it.",
+)
+def string_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT lower(pr COLLATE UTF8_LCASE) AS priority_ci,
+               count(*) AS n
+        FROM (SELECT CASE WHEN o_orderkey % 3 = 0 THEN upper(o_orderpriority)
+                          ELSE o_orderpriority END AS pr
+              FROM orders)
+        GROUP BY pr COLLATE UTF8_LCASE
+        """,
+    )
