@@ -822,3 +822,146 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "similarity_pq_recall",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                       AS e
+            FROM embeddings
+        ),
+        cent AS (SELECT vec_id AS c, e FROM q WHERE vec_id < 16),
+        sub AS (
+            SELECT v.vec_id, s.s, c.c,
+                   list_sum(list_transform(generate_series(1, 8),
+                       d -> (v.e[s.s * 8 + d] - c.e[s.s * 8 + d])
+                          * (v.e[s.s * 8 + d] - c.e[s.s * 8 + d]))) AS dist
+            FROM q v,
+                 (SELECT unnest(generate_series(0, 7)) AS s) s,
+                 cent c
+        ),
+        assigned AS (
+            SELECT vec_id, s, c
+            FROM (SELECT vec_id, s, c,
+                         row_number() OVER (PARTITION BY vec_id, s
+                                            ORDER BY dist, c) AS rn
+                  FROM sub)
+            WHERE rn = 1
+        ),
+        queries AS (SELECT vec_id AS query_id, e FROM q WHERE vec_id % 97 = 0),
+        qd AS (
+            SELECT qu.query_id, a.vec_id, a.s,
+                   list_sum(list_transform(generate_series(1, 8),
+                       d -> (qu.e[a.s * 8 + d] - c.e[a.s * 8 + d])
+                          * (qu.e[a.s * 8 + d] - c.e[a.s * 8 + d]))) AS d
+            FROM queries qu
+            CROSS JOIN assigned a
+            JOIN cent c ON c.c = a.c
+            WHERE a.vec_id <> qu.query_id
+        ),
+        pq_top AS (
+            SELECT query_id, vec_id
+            FROM (SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sum_d, vec_id) AS rnk
+                  FROM (SELECT query_id, vec_id, CAST(sum(d) AS BIGINT) AS sum_d
+                        FROM qd GROUP BY query_id, vec_id))
+            WHERE rnk <= 3
+        ),
+        exact_top AS (
+            SELECT query_id, vec_id
+            FROM (SELECT qu.query_id, v.vec_id,
+                         row_number() OVER (PARTITION BY qu.query_id ORDER BY
+                             list_sum(list_transform(generate_series(1, 64),
+                                 d -> (qu.e[d] - v.e[d]) * (qu.e[d] - v.e[d]))),
+                             v.vec_id) AS rnk
+                  FROM queries qu CROSS JOIN q v
+                  WHERE v.vec_id <> qu.query_id)
+            WHERE rnk <= 3
+        )
+        SELECT e.query_id,
+               CAST(count(p.vec_id) AS BIGINT) AS n_hits,
+               round(CAST(count(p.vec_id) AS DOUBLE) / 3, 6) AS recall_at_3
+        FROM exact_top e
+        LEFT JOIN pq_top p
+          ON p.query_id = e.query_id AND p.vec_id = e.vec_id
+        GROUP BY e.query_id
+        """,
+    category="similarity",
+    doc="Recall@3 of the PQ index against exact integer-L2 brute force — "
+    "the eval harness every ANN deployment needs before trusting the "
+    "approximate path (pairs with similarity_ann_recall, which scores "
+    "IVF).  Both rankings are deterministic (int64 distances, ties to "
+    "lowest vec_id), so even the evaluation itself hash-matches the "
+    "oracle.  At 100 TB this runs on a held-out query sample; the "
+    "ground-truth side is the only quadratic piece, which is why it "
+    "samples queries, never the corpus.",
+)
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    pq_top = similarity_ann_pq(spark, sf_dir).select("query_id", "neighbor_id")
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = e.filter(F.col("vec_id") % 97 == 0).collect()
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.round(
+        np.array([r["embedding"] for r in qrows], dtype=np.float64) * 1_000_000
+    ).astype(np.int64)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def exact_dists(batches):
+        qi, qm = bc.value
+        for batch in batches:
+            ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            mat = np.round(
+                np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+                * 1_000_000
+            ).astype(np.int64)
+            # ||q-v||^2 = q.q - 2 q.v + v.v — exact int64 (terms <= ~4e13)
+            d = (
+                (qm * qm).sum(axis=1)[:, None]
+                - 2 * (qm @ mat.T)
+                + (mat * mat).sum(axis=1)[None, :]
+            )
+            qq, vv = np.meshgrid(
+                np.arange(len(qi)), np.arange(len(ids)), indexing="ij"
+            )
+            qq, vv = qq.ravel(), vv.ravel()
+            keep = qi[qq] != ids[vv]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qi[qq][keep], type=pa.int64()),
+                    pa.array(ids[vv][keep], type=pa.int64()),
+                    pa.array(d[qq, vv][keep], type=pa.int64()),
+                ],
+                ["query_id", "vec_id", "dist"],
+            )
+
+    exact = e.mapInArrow(exact_dists, "query_id long, vec_id long, dist long")
+    w = Wnd.partitionBy("query_id").orderBy("dist", "vec_id")
+    exact_top = (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "vec_id")
+    )
+    hit = F.col("neighbor_id").isNotNull().cast("int")
+    return (
+        exact_top.join(
+            F.broadcast(pq_top),
+            (pq_top.query_id == exact_top.query_id)
+            & (pq_top.neighbor_id == exact_top.vec_id),
+            "left_outer",
+        )
+        .drop(pq_top.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.sum(hit).cast("bigint").alias("n_hits"),
+            F.round(F.sum(hit).cast("double") / 3, 6).alias("recall_at_3"),
+        )
+    )
