@@ -990,3 +990,97 @@ def events_churn_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum(churned.cast("int")).cast("bigint").alias("n_churned"),
     )
+
+
+@register(
+    "events_heatmap_hour_dow",
+    oracle="""
+        SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+               CAST(hour(ts) AS INTEGER) AS hr,
+               count(*) AS n,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY 1, 2
+        """,
+    category="behavioral",
+    doc="Activity heatmap: events and distinct users by hour-of-day x "
+    "day-of-week — the 7x24 usage fingerprint behind load forecasting "
+    "and anomaly baselines.  One aggregate, 168 output cells at any "
+    "input scale; the distinct count shuffles (dow, hr, user_id) "
+    "partials, which partial aggregation collapses to near-distinct "
+    "cardinality before the exchange.  Spark numbers dayofweek "
+    "1=Sunday where DuckDB uses 0=Sunday, so the oracle shifts by "
+    "one — the cross-engine off-by-one the oracle gate exists to "
+    "catch.",
+)
+def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.dayofweek("ts").cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "orders_seasonality_trend",
+    oracle="""
+        WITH monthly AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM orders GROUP BY 1
+        ),
+        trended AS (
+            SELECT m, cents,
+                   CAST(sum(cents) OVER (ORDER BY m ROWS BETWEEN 2 PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS win_cents,
+                   count(*) OVER (ORDER BY m ROWS BETWEEN 2 PRECEDING
+                        AND CURRENT ROW) AS win_n
+            FROM monthly
+        )
+        SELECT m, cents,
+               CAST(win_cents // win_n AS BIGINT) AS trend_cents,
+               round(CAST(cents AS DOUBLE)
+                     / (CAST(win_cents AS DOUBLE) / win_n), 6) AS seasonal_idx
+        FROM trended
+        """,
+    category="behavioral",
+    doc="Seasonality readout: monthly revenue against its trailing "
+    "3-month moving-average trend; the ratio is the seasonal index "
+    "(>1 = above trend).  The window runs over the month-grain rollup "
+    "— dozens of rows — never the orders; integer cents keep the "
+    "trend exact (floor-div for the integer column, one double "
+    "division for the index).  The same two-tier shape (fact rollup, "
+    "then window on the tiny series) is how every 100 TB time-series "
+    "decomposition should be planned.",
+)
+def orders_seasonality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+    w = Window.orderBy("m").rowsBetween(-2, 0)
+    trended = monthly.select(
+        "m",
+        "cents",
+        F.sum("cents").over(w).alias("win_cents"),
+        F.count(F.lit(1)).over(w).alias("win_n"),
+    )
+    return trended.select(
+        "m",
+        "cents",
+        F.expr("win_cents div win_n").cast("bigint").alias("trend_cents"),
+        F.round(
+            F.col("cents").cast("double")
+            / (F.col("win_cents").cast("double") / F.col("win_n")),
+            6,
+        ).alias("seasonal_idx"),
+    )

@@ -38,6 +38,7 @@ _RISKIEST = [
     "multimodal_phash_neardup",
     "window_session_capped",
     "dedup_embedding_cosine",
+    "similarity_ann_pq",
 ]
 
 
