@@ -381,7 +381,12 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        sole_late.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier(⋈nation⋈region) is dimension-sized — broadcast it so
+        # the windowed fact keeps its orderkey partitioning instead of
+        # re-shuffling on l_suppkey for a sort-merge join (the explicit
+        # hint matters: the estimator prices the supplier join subtree
+        # above the auto threshold).
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

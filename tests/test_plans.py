@@ -652,3 +652,47 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
         .collect()
     }
     assert with_bloom == plain
+
+
+def test_headline_shuffle_budget(spark, sf_dir):
+    """SCALE.md rule 2 — shuffles are counted, not assumed.  Pin the
+    shuffle-exchange count of every headline query; a regression that
+    adds an exchange (lost broadcast, lost partitioning reuse) fails
+    here before it ships.  Budgets are ceilings measured at the current
+    best plan; broadcast exchanges are excluded (dimension-sized by
+    rule 4)."""
+    import re
+
+    budgets = {
+        "wordcount": 1,
+        "tpch_q1_pricing_summary": 1,
+        "join_inner": 1,
+        "tpch_q3_shipping_priority": 1,
+        "tpch_q9_product_profit": 1,
+        "tpch_q21_waiting_suppliers": 2,  # orderkey window + s_name agg
+        "join_asof": 1,
+        "window_running_sum": 1,
+        "window_session": 1,
+        "json_extract_agg": 1,
+        "dedup_minhash_lsh": 5,  # linear, keyed: minh agg, bands, cand distinct, inter agg, sizes
+        "similarity_topk": 1,
+        "pipeline_training_corpus": 5,
+        "text_dup_ngram_fraction": 1,
+        "dedup_decontaminate": 3,
+        "bitmap_distinct_users": 2,
+    }
+    over = {}
+    for name, budget in budgets.items():
+        plan = (
+            QUERIES[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        shuf = len(
+            re.findall(r"Exchange (?:hash|range)partitioning", plan)
+        ) + plan.count("Exchange SinglePartition")
+        if shuf > budget:
+            over[name] = (shuf, budget)
+    assert not over, f"shuffle budget exceeded (got, budget): {over}"
