@@ -428,3 +428,35 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             decsum(F.col("o_totalprice")).alias("price_sum"),
         )
     )
+
+
+@register(
+    "source_file_metadata",
+    oracle="""
+        SELECT 'nation.parquet' AS file_name,
+               count(*) AS n_rows,
+               min(n_nationkey) AS min_key
+        FROM nation
+        """,
+    category="source",
+    doc="Hidden file-metadata columns (_metadata.file_name): every file "
+    "source exposes provenance — which physical file each row came "
+    "from — without any column stored in the data.  The lineage/debug "
+    "primitive for 100 TB lakes: skew by file, bad-file quarantine, "
+    "and incremental-load audits all group by it.  The fixture table "
+    "is a single file, so the oracle pins the basename literally "
+    "(DuckDB's equivalent is read_parquet(..., filename=true)).",
+)
+def source_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    return (
+        d.select(
+            F.col("_metadata.file_name").alias("file_name"),
+            "n_nationkey",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("n_nationkey").alias("min_key"),
+        )
+    )

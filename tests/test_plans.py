@@ -680,6 +680,25 @@ def test_headline_shuffle_budget(spark, sf_dir):
         "text_dup_ngram_fraction": 1,
         "dedup_decontaminate": 3,
         "bitmap_distinct_users": 2,
+        # full TPC-H sweep (measured ceilings; dims broadcast, no SMJ)
+        "tpch_q2_min_cost_supplier": 2,
+        "tpch_q4_priority_check": 1,
+        "tpch_q5_local_supplier": 1,
+        "tpch_q6_forecast_revenue": 1,
+        "tpch_q7_volume_shipping": 1,
+        "tpch_q8_market_share": 1,
+        "tpch_q10_returned_items": 1,
+        "tpch_q11_important_stock": 3,
+        "tpch_q12_priority_by_status": 1,
+        "tpch_q13_customer_distribution": 2,
+        "tpch_q14_promo_revenue": 1,
+        "tpch_q15_top_supplier": 2,
+        "tpch_q16_supplier_counts": 3,
+        "tpch_q17_small_qty_revenue": 2,
+        "tpch_q18_large_volume": 2,
+        "tpch_q19_disjunctive_pred": 1,
+        "tpch_q20_excess_shippers": 1,
+        "tpch_q22_dormant_customers": 2,
     }
     over = {}
     for name, budget in budgets.items():
