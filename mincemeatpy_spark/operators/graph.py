@@ -142,3 +142,71 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(tri)
+
+
+@register(
+    "graph_bfs_distances",
+    oracle="""
+        WITH RECURSIVE e AS (
+            SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS u,
+                            's' || CAST(l.l_suppkey AS VARCHAR) AS v
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+        walk(node, d) AS (
+            SELECT 'c1', 0
+            UNION
+            SELECT s.v, w.d + 1
+            FROM walk w JOIN sym s ON s.u = w.node
+            WHERE w.d < 4
+        ),
+        dist AS (SELECT node, min(d) AS d FROM walk GROUP BY node)
+        SELECT d, count(*) AS n_nodes,
+               min(node) AS example_node
+        FROM dist GROUP BY d
+        """,
+    category="graph",
+    doc="BFS shortest-path distances from customer 1 over the "
+    "customer-supplier purchase graph (bipartite, undirected), capped "
+    "at 4 hops — the reachability/radius primitive next to pagerank, "
+    "triangles and connected components.  Spark side is frontier BFS: "
+    "each hop is one join of the current frontier against the edge "
+    "list (pre-aggregated to distinct edges, then the frontier "
+    "broadcast when small — the Pregel superstep shape), visited set "
+    "maintained via union+min.  The oracle walks the identical "
+    "recurrence as a recursive CTE; exact integer distances make the "
+    "histogram hash-stable.  At 100 TB the frontier join shuffles on "
+    "the node key each hop and the hop count bounds total work.",
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("u"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("v"),
+        )
+        .distinct()
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    dist = spark.createDataFrame([("c1", 0)], "node string, d int")
+    frontier = dist
+    for hop in range(1, 5):
+        nxt = (
+            sym.join(F.broadcast(frontier), sym.u == frontier.node)
+            .select(F.col("v").alias("node"), F.lit(hop).alias("d"))
+            .distinct()
+            .join(dist.select(F.col("node").alias("seen")), F.col("node") == F.col("seen"), "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("example_node"),
+    )
