@@ -1010,3 +1010,49 @@ def agg_bitwise_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.bit_xor("id_parity").cast("bigint").alias("parity_fold"),
     )
+
+
+@register(
+    "table_profile",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+               min(CAST(o_orderdate AS DATE)) AS first_order,
+               max(CAST(o_orderdate AS DATE)) AS last_order,
+               CAST(min(round(o_totalprice * 100)) AS BIGINT) AS min_cents,
+               CAST(max(round(o_totalprice * 100)) AS BIGINT) AS max_cents,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents,
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_prices
+        FROM orders
+        """,
+    category="aggregation",
+    doc="One-pass table profile (the df.summary()/describe shape, exact): "
+    "row count, per-column distinct cardinalities, date range, price "
+    "extremes and fixed-point total, null audit — all in a single scan "
+    "with one aggregate.  The profiling pass every new 100 TB table "
+    "gets before anyone queries it; the multi-distinct plan expands to "
+    "one Expand + two-phase aggregate (no N scans for N stats), and at "
+    "scale each count(DISTINCT) downgrades to approx_count_distinct "
+    "without touching the shape.",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100)
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("n_statuses"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("n_priorities"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_order"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.min(cents).cast("bigint").alias("min_cents"),
+        F.max(cents).cast("bigint").alias("max_cents"),
+        F.sum(cents.cast("bigint")).alias("total_cents"),
+        F.sum(F.col("o_totalprice").isNull().cast("int")).cast("bigint").alias(
+            "null_prices"
+        ),
+    )
