@@ -406,3 +406,60 @@ def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return merged.filter(F.col("n_orders") > 0)
+
+
+@register(
+    "scd2_point_in_time",
+    oracle="""
+        WITH versions AS (
+            SELECT user_id, event_type AS status, ts AS eff_from,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS eff_to
+            FROM events
+        ),
+        pit AS (
+            SELECT user_id, status
+            FROM versions
+            WHERE eff_from <= TIMESTAMP '2024-06-01 00:00:00'
+              AND (eff_to IS NULL
+                   OR eff_to > TIMESTAMP '2024-06-01 00:00:00')
+        )
+        SELECT status,
+               count(*) AS n_users,
+               (SELECT count(*) FROM versions WHERE eff_to IS NULL)
+                   AS n_open_versions
+        FROM pit
+        GROUP BY status
+        """,
+    category="cdc",
+    doc="SCD Type-2: build versioned dimension rows from a change "
+    "stream — each event opens a validity interval [eff_from, eff_to) "
+    "closed by the user's next change (lead window; NULL = current) — "
+    "then the point-in-time read: which version was valid at "
+    "2024-06-01, per user, rolled up by status.  The warehousing "
+    "companion to upsert_latest_snapshot (SCD-1): history is kept, "
+    "not overwritten.  One shuffle on user_id builds every interval; "
+    "the as-of filter is scan-side on the versioned table, which at "
+    "100 TB is also the partition-pruning column (eff_from month).",
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = e.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("eff_from"),
+        F.lead("ts").over(w).alias("eff_to"),
+    )
+    at = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    asof = versions.filter(
+        (F.col("eff_from") <= at)
+        & (F.col("eff_to").isNull() | (F.col("eff_to") > at))
+    )
+    n_open = versions.filter(F.col("eff_to").isNull()).count()
+    return asof.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.lit(n_open).cast("bigint").alias("n_open_versions"),
+    )
