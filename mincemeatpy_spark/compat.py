@@ -213,3 +213,39 @@ class Client:
             "are built into Spark). Submit jobs via Server.run_server() or "
             "mapreduce()."
         )
+
+
+def pipeline(
+    spark: SparkSession,
+    datasource: Any,
+    jobs: Iterable[
+        tuple[
+            Callable[[Any, Any], Iterable[tuple[Any, Any]]],
+            Callable[[Any, list[Any]], Any],
+        ]
+        | tuple[
+            Callable[[Any, Any], Iterable[tuple[Any, Any]]],
+            Callable[[Any, list[Any]], Any],
+            Callable[[Any, list[Any]], Any] | None,
+        ]
+    ],
+) -> dict[Any, Any]:
+    """Chain mincemeat-style jobs: each job's ``{key: result}`` dict is
+    the next job's datasource.
+
+    The reference cannot do this — exactly one map phase and one reduce
+    phase per server run (reference mincemeat.py:294-297; SURVEY.md §2a
+    'no multi-stage chaining'), so iterative workloads restart the
+    server with a new datasource by hand.  Here the chain is a single
+    driver-side loop; each stage is a distributed job, and only the
+    stage boundary result dicts (reduce output, already aggregated)
+    touch the driver — the same contract as the reference's
+    ``run_server`` return.  ``jobs`` entries are (mapfn, reducefn) or
+    (mapfn, reducefn, collectfn).
+    """
+    result: Any = datasource
+    for job in jobs:
+        mapfn, reducefn, *rest = job
+        collectfn = rest[0] if rest else None
+        result = mapreduce(spark, result, mapfn, reducefn, collectfn=collectfn)
+    return result

@@ -1084,3 +1084,83 @@ def orders_seasonality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_idx"),
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+        WITH first_order AS (
+            SELECT o_custkey,
+                   CAST(date_trunc('month', min(o_orderdate)) AS DATE)
+                       AS cohort
+            FROM orders GROUP BY o_custkey
+        ),
+        monthly AS (
+            SELECT f.cohort,
+                   datediff('month', f.cohort,
+                            CAST(date_trunc('month', o.o_orderdate) AS DATE))
+                       AS offset_m,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+            GROUP BY 1, 2
+        ),
+        sizes AS (
+            SELECT cohort, count(*) AS n_customers
+            FROM first_order GROUP BY cohort
+        )
+        SELECT m.cohort, m.offset_m,
+               CAST(sum(m.cents) OVER (PARTITION BY m.cohort ORDER BY m.offset_m
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_cents,
+               s.n_customers,
+               CAST(sum(m.cents) OVER (PARTITION BY m.cohort ORDER BY m.offset_m
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    // s.n_customers AS BIGINT) AS ltv_cents_per_customer
+        FROM monthly m JOIN sizes s USING (cohort)
+        """,
+    category="behavioral",
+    doc="Cohort LTV curves: customers grouped by first-order month, "
+    "revenue accumulated by months-since-acquisition — cumulative and "
+    "per-customer (exact integer cents, floor-div).  The companion to "
+    "retention_cohorts with money instead of presence.  Fact work is "
+    "two customer-keyed aggregates (first-order month, then "
+    "cohort x offset rollup joined through the broadcastable "
+    "first_order table); the running sum operates on the "
+    "cohort x offset grid — a few hundred rows at any input scale.",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    first_order = o.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    monthly = (
+        o.join(F.broadcast(first_order), "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between(F.col("m"), F.col("cohort")).cast("int").alias("offset_m"),
+        )
+        .agg(F.sum("cents").alias("cents"))
+    )
+    sizes = first_order.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_customers"))
+    w = Window.partitionBy("cohort").orderBy("offset_m").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("cents").over(w)
+    return (
+        monthly.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "offset_m",
+            cum.cast("bigint").alias("cum_cents"),
+            "n_customers",
+        )
+        .withColumn(
+            "ltv_cents_per_customer",
+            F.expr("cum_cents div n_customers").cast("bigint"),
+        )
+    )

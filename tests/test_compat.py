@@ -190,3 +190,34 @@ def test_file_backed_lazy_datasource(spark, tmp_path):
     result = mapreduce(spark, src, mapfn, reducefn)
     assert result == {"spark": 3, "flint": 2}
     assert src.reads == 2  # one lazy read per key, as in the reference
+
+
+def test_pipeline_chains_jobs(spark):
+    """Two chained jobs — word count, then histogram of the counts —
+    reproduce the 'rerun the server with a new datasource' workflow the
+    reference requires by hand (reference mincemeat.py:294-297)."""
+    from mincemeatpy_spark.compat import pipeline
+
+    corpus = {
+        0: "a b a",
+        1: "b c a",
+        2: "c c c",
+    }
+
+    def count_words(k, v):
+        for w in v.split():
+            yield w, 1
+
+    def total(k, vs):
+        return sum(vs)
+
+    def histogram(word, count):
+        yield count, 1
+
+    out = pipeline(
+        spark,
+        corpus,
+        [(count_words, total), (histogram, total)],
+    )
+    # word counts: a=3, b=2, c=4 → histogram {3:1, 2:1, 4:1}
+    assert out == {3: 1, 2: 1, 4: 1}
