@@ -463,3 +463,96 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@register(
+    "pipeline_stage_counts",
+    oracle=f"""
+        WITH stats AS (
+            SELECT doc_id, text,
+                   len(string_split_regex(text, '\\s+')) AS n_tokens,
+                   len(list_distinct(string_split_regex(text, '\\s+')))::DOUBLE
+                       / len(string_split_regex(text, '\\s+')) AS uniq_ratio
+            FROM documents
+            WHERE len(string_split_regex(text, '\\s+')) > 0
+        ),
+        quality AS (
+            SELECT doc_id FROM stats
+            WHERE n_tokens >= 5 AND uniq_ratio >= 0.3
+        ),
+        exact_kept AS (
+            SELECT doc_id
+            FROM (SELECT doc_id,
+                         min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+                  FROM documents)
+            WHERE doc_id = keeper
+        ),
+        {_ORACLE_SHINGLES},
+        shh AS (SELECT doc_id,
+                       ('0x' || substring(md5(s), 1, 15))::BIGINT AS s
+                FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+            FROM shh a JOIN shh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        near_dup_losers AS (
+            SELECT DISTINCT d2
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = d1
+            JOIN sizes sb ON sb.doc_id = d2
+            WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.25
+        )
+        SELECT (SELECT count(*) FROM documents)       AS n_total,
+               (SELECT count(*) FROM quality)          AS n_quality,
+               (SELECT count(*) FROM exact_kept)       AS n_exact_kept,
+               (SELECT count(*) FROM near_dup_losers)  AS n_near_dup_losers,
+               (SELECT count(*) FROM quality q
+                JOIN exact_kept e ON e.doc_id = q.doc_id
+                WHERE q.doc_id NOT IN (SELECT d2 FROM near_dup_losers))
+                   AS n_final
+        """,
+    category="text",
+    doc="Pipeline observability: the per-stage funnel of "
+    "pipeline_training_corpus — total docs, quality-gate survivors, "
+    "exact-dedup keepers, near-dup losers, and the final corpus — in "
+    "one row.  The report every production corpus build publishes "
+    "next to its output so a sudden gate-rate shift is visible before "
+    "training does something expensive with a broken corpus.  Each "
+    "count is an aggregate over a stage the pipeline already "
+    "computes; Catalyst shares the scans.",
+)
+def pipeline_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens(F.col("text")).alias("words")
+    )
+    n_tokens = F.size("words")
+    uniq_ratio = F.size(F.array_distinct("words")).cast("double") / n_tokens
+    quality = (
+        docs.filter(n_tokens > 0)
+        .filter((n_tokens >= 5) & (uniq_ratio >= 0.3))
+        .select("doc_id")
+    )
+    exact_kept = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("kept_id"))
+        .select(F.col("kept_id").alias("doc_id"))
+    )
+    losers = (
+        dedup_ngram_jaccard(spark, sf_dir).select(F.col("d2").alias("doc_id")).distinct()
+    )
+    final = (
+        quality.join(exact_kept, "doc_id", "left_semi")
+        .join(F.broadcast(losers), "doc_id", "left_anti")
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .crossJoin(quality.agg(F.count(F.lit(1)).alias("n_quality")))
+        .crossJoin(exact_kept.agg(F.count(F.lit(1)).alias("n_exact_kept")))
+        .crossJoin(losers.agg(F.count(F.lit(1)).alias("n_near_dup_losers")))
+        .crossJoin(final.agg(F.count(F.lit(1)).alias("n_final")))
+    )
