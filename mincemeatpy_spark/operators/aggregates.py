@@ -1056,3 +1056,70 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "null_prices"
         ),
     )
+
+
+@register(
+    "orders_gini_coefficient",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents, o_custkey) AS rk,
+                   count(*) OVER () AS n,
+                   sum(cents) OVER () AS total
+            FROM per_cust
+        )
+        SELECT CAST(any_value(n) AS BIGINT) AS n_customers,
+               CAST(any_value(total) AS BIGINT) AS total_cents,
+               round((2.0 * CAST(sum(rk * cents) AS DOUBLE)
+                      / (CAST(any_value(n) AS DOUBLE)
+                         * CAST(any_value(total) AS DOUBLE)))
+                     - (CAST(any_value(n) AS DOUBLE) + 1)
+                       / CAST(any_value(n) AS DOUBLE), 6) AS gini
+        FROM ranked
+        """,
+    category="aggregation",
+    doc="Gini coefficient of customer revenue — the inequality index "
+    "behind 'how concentrated is our revenue' (0 = uniform, 1 = one "
+    "customer is everything), complementing pareto_customer_revenue's "
+    "fixed 80/20 readout.  Exact rank formula G = 2*sum(rk*x)/(n*sumx) "
+    "- (n+1)/n over integer cents with deterministic tie-break "
+    "(cents, custkey), so the single double rounding is bit-stable.  "
+    "The rank window runs over per-customer aggregates (|customers| "
+    "rows), not orders; at 100 TB that stays millions, not billions — "
+    "and rk*cents sums stay under 2^63 to ~1e7 customers at this "
+    "scale of cents.",
+)
+def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+        )
+    )
+    wr = Window.orderBy("cents", "o_custkey")
+    wall = Window.partitionBy()
+    ranked = per_cust.select(
+        "cents",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("cents").over(wall).alias("total"),
+    )
+    n = F.any_value("n").cast("double")
+    total = F.any_value("total").cast("double")
+    gini = (
+        F.lit(2.0) * F.sum(F.col("rk") * F.col("cents")).cast("double") / (n * total)
+    ) - (n + 1) / n
+    return ranked.agg(
+        F.any_value("n").cast("bigint").alias("n_customers"),
+        F.any_value("total").cast("bigint").alias("total_cents"),
+        F.round(gini, 6).alias("gini"),
+    )
