@@ -463,3 +463,93 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.lit(n_open).cast("bigint").alias("n_open_versions"),
     )
+
+
+@register(
+    "item_cf_similarity",
+    oracle="""
+        WITH basket AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        deg AS (
+            SELECT l_partkey, count(*) AS n FROM basket GROUP BY l_partkey
+        ),
+        co AS (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS co
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT co.p1, co.p2, co.co,
+                   round(CAST(co.co AS DOUBLE)
+                         / sqrt(CAST(da.n AS DOUBLE) * CAST(db.n AS DOUBLE)),
+                         6) AS sim
+            FROM co
+            JOIN deg da ON da.l_partkey = co.p1
+            JOIN deg db ON db.l_partkey = co.p2
+            WHERE co.co >= 3
+        )
+        SELECT p1, p2, co, sim
+        FROM (SELECT p1, p2, co, sim,
+                     row_number() OVER (PARTITION BY p1
+                                        ORDER BY sim DESC, co DESC, p2) AS rk
+              FROM scored)
+        WHERE rk <= 5
+        """,
+    category="behavioral",
+    doc="Item-item collaborative filtering from co-purchase counts: "
+    "cosine over implicit binary baskets — sim(a,b) = co(a,b) / "
+    "sqrt(n(a)*n(b)) — keeping each part's top-5 most-similar "
+    "neighbors (the precomputed artifact behind 'customers also "
+    "bought').  Extends market_basket_pairs from raw counts to "
+    "degree-normalized similarity with per-item group-limit.  All "
+    "counts are exact integers; the one sqrt/divide rounds "
+    "deterministically.  Scale path: the support threshold prunes "
+    "the pair explosion before normalization, degrees broadcast, and "
+    "the top-5 runs as WindowGroupLimit — no global sort.  At 100 TB "
+    "add a hot-item cap (an item in millions of baskets contributes "
+    "quadratic pairs — cap or downsample its baskets first).",
+)
+def item_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    basket = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    deg = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = basket.alias("a")
+    b = basket.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 3)
+    )
+    da = deg.alias("da")
+    db = deg.alias("db")
+    sim = F.round(
+        F.col("co").cast("double")
+        / F.sqrt(F.col("da.n").cast("double") * F.col("db.n").cast("double")),
+        6,
+    )
+    scored = (
+        co.join(F.broadcast(da), F.col("da.l_partkey") == F.col("p1"))
+        .join(F.broadcast(db), F.col("db.l_partkey") == F.col("p2"))
+        .select("p1", "p2", "co", sim.alias("sim"))
+    )
+    w = Window.partitionBy("p1").orderBy(
+        F.col("sim").desc(), F.col("co").desc(), "p2"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .drop("rk")
+    )
