@@ -853,3 +853,88 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_hits").cast("double") / F.col("n_candidates")).alias("precision_lsh"),
         (F.col("n_hits").cast("double") / F.col("n_true")).alias("recall_lsh"),
     )
+
+
+@register(
+    "dedup_minhash_estimate_error",
+    oracle=f"""
+        WITH {_ORACLE_SHINGLES},
+        based AS (
+            SELECT doc_id, {_ORACLE_H60.format(x="s")} AS base
+            FROM sh
+        ),
+        minh AS (
+            SELECT doc_id,
+                   {", ".join(f"min({_affine(i)}) AS m{i}" for i in range(_N_HASHES))},
+                   count(*) AS n
+            FROM based GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+            FROM based a JOIN based b
+              ON a.base = b.base AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT i.d1, i.d2,
+                   i.i::DOUBLE / (ma.n + mb.n - i.i) AS true_j,
+                   ({" + ".join(f"CASE WHEN ma.m{k} = mb.m{k} THEN 1 ELSE 0 END" for k in range(_N_HASHES))})::DOUBLE
+                       / {_N_HASHES} AS est_j
+            FROM inter i
+            JOIN minh ma ON ma.doc_id = i.d1
+            JOIN minh mb ON mb.doc_id = i.d2
+            WHERE i.i::DOUBLE / (ma.n + mb.n - i.i) >= 0.25
+        )
+        SELECT count(*) AS n_pairs,
+               (CAST(SUM(CAST(round(abs(est_j - true_j) * 1000000) AS BIGINT))
+                     AS DOUBLE) / 1000000) AS sum_abs_err,
+               round(max(abs(est_j - true_j)), 6) AS worst_abs_err
+        FROM pairs
+        """,
+    category="dedup",
+    doc="MinHash estimator calibration: for every true near-dup pair "
+    "(exact Jaccard >= 0.25), compare the sketch estimate — matching "
+    "signature positions / 16 — against the exact Jaccard, reporting "
+    "pair count, fixed-point summed absolute error and the worst "
+    "single error.  dedup_lsh_recall scores the CANDIDATE step; this "
+    "scores the ESTIMATOR itself — together they justify trusting "
+    "dedup_minhash_lsh at 100 TB where exact verification is "
+    "sampled, not total.  Deterministic md5-derived hashing makes "
+    "even the error distribution hash-checkable.",
+)
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.operators._util import decsum
+
+    based = (
+        _shingle_df(spark, sf_dir)
+        .select("doc_id", _hash60(F.col("s")).alias("base"))
+    )
+    minh = based.groupBy("doc_id").agg(
+        *[F.min(F.expr(_affine(i))).alias(f"m{i}") for i in range(_N_HASHES)],
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = based.alias("a")
+    b = based.alias("b")
+    inter = (
+        a.join(b, (F.col("a.base") == F.col("b.base")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ma = minh.alias("ma")
+    mb = minh.alias("mb")
+    true_j = F.col("i").cast("double") / (F.col("ma.n") + F.col("mb.n") - F.col("i"))
+    matches = sum(
+        (F.col(f"ma.m{k}") == F.col(f"mb.m{k}")).cast("int") for k in range(_N_HASHES)
+    )
+    est_j = matches.cast("double") / F.lit(_N_HASHES)
+    pairs = (
+        inter.join(F.broadcast(ma), F.col("ma.doc_id") == F.col("d1"))
+        .join(F.broadcast(mb), F.col("mb.doc_id") == F.col("d2"))
+        .filter(true_j >= 0.25)
+        .select(F.abs(est_j - true_j).alias("abs_err"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        decsum(F.col("abs_err")).alias("sum_abs_err"),
+        F.round(F.max("abs_err"), 6).alias("worst_abs_err"),
+    )
