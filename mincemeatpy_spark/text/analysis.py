@@ -742,3 +742,41 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n").cast("double")
         ).alias("intercept_bits"),
     )
+
+
+@register(
+    "text_length_histogram_log2",
+    oracle="""
+        SELECT CAST(length(bin(n_chars)) - 1 AS INTEGER) AS log2_bucket,
+               count(*) AS n_docs,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE n_chars > 0
+        GROUP BY 1
+        """,
+    category="text",
+    doc="Corpus length distribution in log2 buckets (floor(log2(n)) = "
+    "bit_length(n) - 1 — pure integer bit arithmetic, the same "
+    "libm-free log trick as text_surprisal_bits, so bucket edges are "
+    "exact in every engine; a float log2 would mis-bucket "
+    "powers-of-two boundaries by one ulp).  Doc-length histograms "
+    "drive chunking policy and truncation-loss estimates; log-spaced "
+    "buckets are the right shape because lengths are heavy-tailed.  "
+    "One aggregate, ~20 output rows at any scale.  Both engines "
+    "derive the bucket as binary-digit-count minus one (Spark via "
+    "conv(n,10,2), DuckDB via bin(n)) — same integer, no float "
+    "anywhere.",
+)
+def text_length_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    bucket = (F.bit_length(F.conv(F.col("n_chars"), 10, 2)) / 8).cast("int") - 1
+    # bit_length of the binary-digit STRING is 8 bits per char; divide
+    # by 8 to get the digit count, minus 1 = floor(log2(n)).
+    return d.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
