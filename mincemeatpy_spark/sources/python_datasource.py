@@ -166,3 +166,112 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def _make_writer_class():
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _Done(WriterCommitMessage):
+        def __init__(self, path: str, rows: int) -> None:
+            self.path, self.rows = path, rows
+
+    class JsonLinesWriter(DataSourceWriter):
+        """Executor-side writer: each task streams its partition to one
+        JSON-lines file; commit() publishes a _SUCCESS manifest listing
+        every file + row count (the two-phase commit shape — files are
+        invisible to readers until the driver-side commit)."""
+
+        def __init__(self, options: dict, overwrite: bool) -> None:
+            self.path = options["path"]
+            self.overwrite = overwrite
+
+        def write(self, iterator):
+            import json
+            import os
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            os.makedirs(self.path, exist_ok=True)
+            out = os.path.join(self.path, f"part-{pid:05d}.json")
+            n = 0
+            with open(out, "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _Done(out, n)
+
+        def commit(self, messages):
+            import json
+            import os
+
+            manifest = {
+                "files": sorted(m.path for m in messages),
+                "rows": sum(m.rows for m in messages),
+            }
+            with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+                json.dump(manifest, f)
+
+        def abort(self, messages):
+            import os
+
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class JsonSinkDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "mincemeat_jsonsink"
+
+        def writer(self, schema, overwrite: bool) -> JsonLinesWriter:
+            return JsonLinesWriter(self.options, overwrite)
+
+    return JsonSinkDataSource
+
+
+@register(
+    "sink_python_datasource",
+    oracle="""
+        SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents
+        GROUP BY source
+        """,
+    category="source",
+    doc="Custom Python Data Source WRITER (Spark 4 DataSourceWriter): the "
+    "sink half of the dict-contract connector — each task streams its "
+    "partition to a JSON-lines file executor-side, and commit() runs "
+    "driver-side only after every task reports, publishing a _SUCCESS "
+    "manifest (the two-phase commit that keeps half-written output "
+    "invisible — the property the reference gets from its first-"
+    "result-wins dedup, mincemeat.py:340-342, and Spark formalizes as "
+    "the commit protocol).  The written corpus is read back with the "
+    "built-in JSON reader and aggregated; hash-equality against the "
+    "source table proves the custom sink is lossless.",
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from mincemeatpy_spark.sources.readers import _scratch
+
+    path = _scratch(sf_dir, "pyds_sink")
+    spark.dataSource.register(_make_writer_class())
+    (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "source", "n_chars")
+        .write.format("mincemeat_jsonsink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    back = spark.read.schema("doc_id bigint, source string, n_chars bigint").json(
+        os.path.join(path, "part-*.json")
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+    )
