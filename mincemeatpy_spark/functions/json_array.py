@@ -383,3 +383,42 @@ def array_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     lw = F.filter(F.split("text", r"\s+"), lambda x: F.length(x) >= 8)
     return d.select("doc_id", F.explode_outer(lw).alias("long_word"))
+
+
+@register(
+    "array_set_algebra",
+    oracle="""
+        SELECT doc_id,
+               len(list_intersect(w, ['the', 'a', 'of', 'to', 'value',
+                                      'table', 'key'])) AS n_common,
+               len(list_distinct(w)) AS n_distinct,
+               len(list_distinct(list_concat(w, ['the', 'a', 'of', 'to',
+                                                 'value', 'table', 'key'])))
+                   AS n_union
+        FROM (SELECT doc_id,
+                     list_distinct(string_split_regex(text, '\\s+')) AS w
+              FROM documents)
+        """,
+    category="array",
+    doc="Array set algebra (array_intersect / array_union / "
+    "array_distinct): per document, overlap with a fixed probe "
+    "vocabulary and union cardinality — the JVM-side form of per-row "
+    "set membership that the reference could only write as Python set "
+    "ops inside mapfn (SURVEY.md §2b array fns).  Only cardinalities "
+    "are emitted because the two engines order set results "
+    "differently — sizes are order-free and exact.  Scan-side, no "
+    "shuffle, codegen'd.",
+)
+def array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    probe = F.array(
+        *[F.lit(x) for x in ["the", "a", "of", "to", "value", "table", "key"]]
+    )
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", r"\s+")).alias("w")
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.array_intersect(F.col("w"), probe)).alias("n_common"),
+        F.size("w").alias("n_distinct"),
+        F.size(F.array_union(F.col("w"), probe)).alias("n_union"),
+    )
