@@ -1123,3 +1123,51 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("total").cast("bigint").alias("total_cents"),
         F.round(gini, 6).alias("gini"),
     )
+
+
+@register(
+    "k_anonymity_check",
+    oracle="""
+        WITH qi AS (
+            SELECT event_type,
+                   CAST(hour(ts) AS INTEGER) AS hr,
+                   CAST(round(value * 100) AS BIGINT) // 1000 AS value_band,
+                   count(*) AS grp_n
+            FROM events
+            GROUP BY 1, 2, 3
+        )
+        SELECT count(*) AS n_groups,
+               CAST(sum(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_groups_below_k,
+               CAST(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+                   AS n_rows_at_risk,
+               CAST(min(grp_n) AS BIGINT) AS min_group
+        FROM qi
+        """,
+    category="aggregation",
+    doc="k-anonymity audit (k=5) over a quasi-identifier tuple — event "
+    "type x hour x coarse value band: how many QI groups exist, how "
+    "many are smaller than k, how many rows sit in them, and the "
+    "worst group size.  The release gate run before publishing a "
+    "dataset or training corpus: re-identification risk lives in "
+    "exactly the rows this query counts, and the fix loop "
+    "(generalize bands / suppress small groups) re-runs it until "
+    "n_groups_below_k is zero.  One two-phase aggregate over the "
+    "facts, then a scalar rollup over |groups| rows.",
+)
+def k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    qi = e.groupBy(
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        F.expr("CAST(round(value * 100) AS BIGINT) div 1000").alias("value_band"),
+    ).agg(F.count(F.lit(1)).alias("grp_n"))
+    below = F.col("grp_n") < 5
+    return qi.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(below.cast("int")).cast("bigint").alias("n_groups_below_k"),
+        F.sum(F.when(below, F.col("grp_n")).otherwise(0)).cast("bigint").alias(
+            "n_rows_at_risk"
+        ),
+        F.min("grp_n").cast("bigint").alias("min_group"),
+    )

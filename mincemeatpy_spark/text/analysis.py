@@ -780,3 +780,103 @@ def text_length_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").cast("bigint").alias("max_chars"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
+
+
+@register(
+    "text_bm25_topk",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        corpus AS (SELECT count(*) AS d FROM documents),
+        total AS (SELECT count(*) AS l FROM toks),
+        tf AS (
+            SELECT doc_id, word, count(*) AS tf
+            FROM toks WHERE word IN ('value', 'table', 'key')
+            GROUP BY doc_id, word
+        ),
+        df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        scored AS (
+            SELECT t.doc_id,
+                   CAST(round(1000000.0 *
+                        ((length(bin(c.d)) - 1 - (length(bin(f.df)) - 1))
+                         * 44.0 * t.tf * x.l)
+                        / (20.0 * t.tf * x.l + 6.0 * x.l
+                           + 18.0 * dd.dl * c.d)) AS BIGINT) AS term_micros
+            FROM tf t
+            JOIN df f USING (word)
+            JOIN dl dd USING (doc_id)
+            CROSS JOIN corpus c
+            CROSS JOIN total x
+        ),
+        doc_scores AS (
+            SELECT doc_id, CAST(sum(term_micros) AS BIGINT) AS score_micros
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, score_micros,
+               CAST(rk AS BIGINT) AS rk
+        FROM (SELECT doc_id, score_micros,
+                     row_number() OVER (ORDER BY score_micros DESC, doc_id)
+                         AS rk
+              FROM doc_scores)
+        WHERE rk <= 10
+        """,
+    category="text",
+    doc="BM25 top-10 retrieval for the query {value, table, key} — the "
+    "ranking half of the search stack whose index half is "
+    "inverted_index_postings.  Okapi BM25 (k1=1.2, b=0.75) restated "
+    "in integers: idf as exact bit-log2(D/df) (the surprisal trick), "
+    "the tf saturation rational cross-multiplied by 4L so numerator "
+    "and denominator are exact int64, one deterministic double "
+    "division per (doc, term), fixed-point micro-unit sum per doc — "
+    "rank order is therefore bit-stable across engines and layouts.  "
+    "Plan shape: token scan, broadcastable df/corpus scalars, "
+    "doc-keyed aggregate, TakeOrdered top-10; at 100 TB the tf table "
+    "is only query-term postings, never the vocabulary.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", r"\s+")).alias("word"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = t(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("d"))
+    total = toks.agg(F.count(F.lit(1)).alias("l"))
+    tf = (
+        toks.filter(F.col("word").isin("value", "table", "key"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+
+    def fl2(c):
+        return F.length(F.bin(c)) - 1
+
+    term_micros = F.round(
+        F.lit(1000000.0)
+        * ((fl2(F.col("d")) - fl2(F.col("df"))) * 44.0 * F.col("tf") * F.col("l"))
+        / (
+            20.0 * F.col("tf") * F.col("l")
+            + 6.0 * F.col("l")
+            + 18.0 * F.col("dl") * F.col("d")
+        )
+    ).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", term_micros.alias("term_micros"))
+    )
+    doc_scores = scored.groupBy("doc_id").agg(
+        F.sum("term_micros").cast("bigint").alias("score_micros")
+    )
+    w = Window.orderBy(F.col("score_micros").desc(), "doc_id")
+    return (
+        doc_scores.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+    )
