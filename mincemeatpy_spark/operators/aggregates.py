@@ -1171,3 +1171,61 @@ def k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("grp_n").cast("bigint").alias("min_group"),
     )
+
+
+@register(
+    "source_decile_calibration",
+    oracle="""
+        WITH pooled AS (
+            SELECT unnest(generate_series(1, 9)) AS decile,
+                   unnest(quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                                  0.6, 0.7, 0.8, 0.9]))
+                       AS pooled_val
+            FROM documents
+        ),
+        per_source AS (
+            SELECT source,
+                   unnest(generate_series(1, 9)) AS decile,
+                   unnest(quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                                  0.6, 0.7, 0.8, 0.9]))
+                       AS source_val
+            FROM documents GROUP BY source
+        )
+        SELECT s.source, s.decile,
+               round(s.source_val, 6) AS source_val,
+               round(p.pooled_val, 6) AS pooled_val,
+               round(s.source_val - p.pooled_val, 6) AS gap
+        FROM per_source s JOIN pooled p USING (decile)
+        """,
+    category="aggregation",
+    doc="Distribution calibration by source: each source's exact "
+    "n_chars deciles against the pooled corpus deciles, with the gap "
+    "— the drift readout that catches one ingest source going "
+    "long-tail before it skews training mixtures (the quantile table "
+    "behind a PSI/KS check, kept exact and log-free so it "
+    "hash-matches).  Two percentile aggregates (per-source and "
+    "pooled, both group-cardinality output), one broadcast join of "
+    "9-row tables; interpolated percentiles are bit-compatible with "
+    "quantile_cont on integer inputs.",
+)
+def source_decile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    qs = [i / 10 for i in range(1, 10)]
+    pooled = d.agg(
+        F.percentile("n_chars", qs).alias("p")
+    ).select(F.posexplode("p").alias("pos", "pooled_val"))
+    per_source = (
+        d.groupBy("source")
+        .agg(F.percentile("n_chars", qs).alias("p"))
+        .select("source", F.posexplode("p").alias("pos", "source_val"))
+    )
+    return (
+        per_source.join(F.broadcast(pooled), "pos")
+        .select(
+            "source",
+            (F.col("pos") + 1).cast("bigint").alias("decile"),
+            F.round("source_val", 6).alias("source_val"),
+            F.round("pooled_val", 6).alias("pooled_val"),
+            F.round(F.col("source_val") - F.col("pooled_val"), 6).alias("gap"),
+        )
+    )
