@@ -1229,3 +1229,85 @@ def source_decile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("source_val") - F.col("pooled_val"), 6).alias("gap"),
         )
     )
+
+
+@register(
+    "parts_abc_classification",
+    oracle="""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM lineitem GROUP BY l_partkey
+        ),
+        ranked AS (
+            SELECT l_partkey, cents,
+                   sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_cents,
+                   sum(cents) OVER () AS total
+            FROM per_part
+        ),
+        classed AS (
+            SELECT l_partkey, cents,
+                   CASE WHEN (cum_cents - cents) * 100 < total * 80 THEN 'A'
+                        WHEN (cum_cents - cents) * 100 < total * 95 THEN 'B'
+                        ELSE 'C' END AS abc
+            FROM ranked
+        )
+        SELECT abc,
+               count(*) AS n_parts,
+               CAST(sum(cents) AS BIGINT) AS class_cents,
+               min(l_partkey) AS first_part
+        FROM classed
+        GROUP BY abc
+        """,
+    category="aggregation",
+    doc="ABC classification: parts ranked by revenue, class A = parts "
+    "whose cumulative share starts below 80%, B to 95%, C the tail — "
+    "the inventory-prioritization rollup that generalizes "
+    "pareto_customer_revenue's single 80/20 readout into named tiers. "
+    " Share thresholds compare as integer cross-products "
+    "((cum-own)*100 < total*80), so classification is exact; ties "
+    "break on partkey.  The rank window runs over per-part aggregates "
+    "(|parts| rows).  At 100 TB the part table is ~200M/SF rows — "
+    "still window-able after the fact collapse; the fact scan itself "
+    "is one two-phase aggregate.",
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    per_part = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    wr = Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    ranked = per_part.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(wr).alias("cum_cents"),
+        F.sum("cents").over(wall).alias("total"),
+    )
+    prior = (F.col("cum_cents") - F.col("cents")) * 100
+    abc = (
+        F.when(prior < F.col("total") * 80, "A")
+        .when(prior < F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select("l_partkey", "cents", abc.alias("abc"))
+        .groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").alias("class_cents"),
+            F.min("l_partkey").alias("first_part"),
+        )
+    )
