@@ -1164,3 +1164,88 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cum_cents div n_customers").cast("bigint"),
         )
     )
+
+
+@register(
+    "sessions_peak_concurrency",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id,
+                   min(ts) AS s_start,
+                   max(ts) + INTERVAL 10 MINUTE AS s_end
+            FROM (SELECT user_id, ts,
+                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             AS sid
+                  FROM gaps)
+            GROUP BY user_id, sid
+        ),
+        deltas AS (
+            SELECT s_start AS t, 1 AS delta, user_id FROM sess
+            UNION ALL
+            SELECT s_end, -1, user_id FROM sess
+        ),
+        running AS (
+            SELECT t, delta,
+                   sum(delta) OVER (ORDER BY t, delta, user_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS live
+            FROM deltas
+        )
+        SELECT CAST(max(live) AS BIGINT) AS peak_concurrent,
+               CAST(min(CASE WHEN live = (SELECT max(live) FROM running)
+                        THEN epoch_us(t) END) AS BIGINT) AS first_peak_us,
+               (SELECT count(*) FROM sess) AS n_sessions
+        FROM running
+        """,
+    category="behavioral",
+    doc="Peak concurrent sessions — the capacity-planning MAX over the "
+    "same boundary-delta encoding orders_backlog_daily uses for its "
+    "daily SUM: sessions (10-min-gap, session end = last event + gap, "
+    "matching window_session) become +1/-1 deltas, a running sum over "
+    "the boundary stream is the live-session count, and the answer is "
+    "its max plus the first instant it is reached.  Tie rule: an end "
+    "sorts before a coincident start (delta -1 < +1), so back-to-back "
+    "sessions never double-count.  The running sum is over session "
+    "BOUNDARIES (2 rows per session, not per event); at 100 TB that "
+    "still warrants the two-phase bucket prefix sum of "
+    "corpus_shard_bybytes — same recipe, documented there.  Exact "
+    "int64 microseconds end to end.",
+)
+def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    sess = (
+        e.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("s_start"), F.col("w.end").alias("s_end"))
+    )
+    deltas = sess.select(
+        F.col("s_start").alias("t"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(
+        sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("delta"), "user_id")
+    )
+    w = Window.orderBy("t", "delta", "user_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    running = deltas.select(
+        "t", F.sum("delta").over(w).alias("live")
+    )
+    peak = running.agg(F.max("live").alias("peak")).collect()[0]["peak"]
+    n_sessions = sess.count()
+    return running.agg(
+        F.max("live").cast("bigint").alias("peak_concurrent"),
+        F.min(
+            F.when(F.col("live") == F.lit(peak), F.unix_micros(F.col("t")))
+        ).cast("bigint").alias("first_peak_us"),
+        F.lit(n_sessions).cast("bigint").alias("n_sessions"),
+    )
