@@ -19,7 +19,7 @@ from mincemeatpy_spark.tables import t
     oracle="""
         SELECT event_type,
                count(k)          AS n_with_k,
-               sum(k)            AS sum_k,
+               CAST(sum(k) AS BIGINT) AS sum_k,
                min(k)            AS min_k,
                max(k)            AS max_k
         FROM (

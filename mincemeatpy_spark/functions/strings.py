@@ -104,7 +104,7 @@ def date_format_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conditional_aggregates",
     oracle="""
         SELECT o_orderpriority,
-               count_if(o_totalprice > 100000)            AS n_big,
+               CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
                bool_or(o_orderstatus = 'F')               AS any_f,
                bool_and(o_totalprice > 0)                 AS all_positive,
                max_by(o_totalprice, o_orderkey)           AS price_of_max_key,

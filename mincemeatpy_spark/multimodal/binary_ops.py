@@ -200,9 +200,9 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_audio_energy",
     oracle="""
         SELECT doc_id, frame_no,
-               list_sum(list_transform(
+               CAST(list_sum(list_transform(
                    split(substr(text, frame_no * 256 + 1, 256), ''),
-                   c -> ascii(c))) AS energy,
+                   c -> ascii(c))) AS BIGINT) AS energy,
                length(substr(text, frame_no * 256 + 1, 256)) AS n_samples
         FROM (
             SELECT doc_id, text,

@@ -1215,10 +1215,13 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "its max plus the first instant it is reached.  Tie rule: an end "
     "sorts before a coincident start (delta -1 < +1), so back-to-back "
     "sessions never double-count.  The running sum is over session "
-    "BOUNDARIES (2 rows per session, not per event); at 100 TB that "
-    "still warrants the two-phase bucket prefix sum of "
-    "corpus_shard_bybytes — same recipe, documented there.  Exact "
-    "int64 microseconds end to end.",
+    "BOUNDARIES (2 rows per session, not per event), computed with the "
+    "two-phase bucket prefix sum of corpus_shard_bybytes: per-hour "
+    "subtotals, an offset window over the tiny bucket table only, then "
+    "intra-bucket windows — no unpartitioned window over the stream, "
+    "and peak + first-peak + session count come out of ONE final "
+    "aggregate (max over a (live, -t) struct), no mid-plan collect.  "
+    "Exact int64 microseconds end to end.",
 )
 def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1234,18 +1237,48 @@ def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("delta"), "user_id")
     )
-    w = Window.orderBy("t", "delta", "user_id").rowsBetween(
+    # Phase 1 (corpus_shard_bybytes recipe): hour buckets — a prefix of
+    # the (t, delta, user_id) sort order — give per-bucket delta
+    # subtotals (one row per hour of history, thousands at 100 TB); the
+    # exclusive-prefix window runs over that tiny bucket table only.
+    deltas = deltas.withColumn(
+        "bkt", (F.unix_micros("t") / F.lit(3_600_000_000)).cast("bigint")
+    )
+    offsets = (
+        deltas.groupBy("bkt")
+        .agg(F.sum("delta").alias("bkt_delta"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("bkt_delta").over(
+                    Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "offset")
+    )
+    # Phase 2: intra-bucket running sum + broadcast offset join — the
+    # boundary stream never passes through a single partition.
+    intra = Window.partitionBy("bkt").orderBy("t", "delta", "user_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    running = deltas.select(
-        "t", F.sum("delta").over(w).alias("live")
+    running = deltas.join(F.broadcast(offsets), "bkt").select(
+        "t",
+        "delta",
+        (F.col("offset") + F.sum("delta").over(intra)).alias("live"),
     )
-    peak = running.agg(F.max("live").alias("peak")).collect()[0]["peak"]
-    n_sessions = sess.count()
+    # ONE final aggregate, no mid-plan collect: max over a (live, -t)
+    # struct yields the peak and its first instant together; positive
+    # deltas count sessions.
+    best = F.max(
+        F.struct(F.col("live").alias("live"), (-F.unix_micros("t")).alias("neg_us"))
+    )
     return running.agg(
-        F.max("live").cast("bigint").alias("peak_concurrent"),
-        F.min(
-            F.when(F.col("live") == F.lit(peak), F.unix_micros(F.col("t")))
-        ).cast("bigint").alias("first_peak_us"),
-        F.lit(n_sessions).cast("bigint").alias("n_sessions"),
+        best.alias("b"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("ns"),
+    ).select(
+        F.col("b.live").cast("bigint").alias("peak_concurrent"),
+        (-F.col("b.neg_us")).cast("bigint").alias("first_peak_us"),
+        F.col("ns").cast("bigint").alias("n_sessions"),
     )

@@ -40,8 +40,8 @@ _PR_SCALE = 10**12
             FROM edges e JOIN deg d ON d.src = e.src
         )
         SELECT s.s_suppkey,
-               (15 * (SELECT r FROM r0)) // 100
-                   + (85 * COALESCE(sum(c.c), 0)) // 100 AS rank_scaled
+               CAST((15 * (SELECT r FROM r0)) // 100
+                   + (85 * COALESCE(sum(c.c), 0)) // 100 AS BIGINT) AS rank_scaled
         FROM supplier s LEFT JOIN contrib c ON c.dst = s.s_suppkey
         GROUP BY s.s_suppkey
         """,

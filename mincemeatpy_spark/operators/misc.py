@@ -107,7 +107,7 @@ def table_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rdd_mappartitions_agg",
     oracle="""
-        SELECT count(*) AS n_rows, sum(o_orderkey) AS key_sum
+        SELECT count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         FROM orders
         """,
     category="compat",

@@ -341,7 +341,8 @@ _SIM_BITS = 32
             GROUP BY doc_id, bit
         )
         SELECT doc_id,
-               sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+               CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                    AS BIGINT) AS simhash
         FROM bits
         GROUP BY doc_id
         """,

@@ -18,13 +18,21 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from mincemeatpy_spark.registry import register
 from mincemeatpy_spark.tables import t
 from mincemeatpy_spark.text.analysis import tokens
-from mincemeatpy_spark.text.dedup import _ORACLE_SHINGLES, dedup_ngram_jaccard
+from mincemeatpy_spark.text.dedup import (
+    _BAND_SIZE,
+    _N_HASHES,
+    _ORACLE_H60,
+    _ORACLE_SHINGLES,
+    _affine,
+    _band_sig_sql,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+)
 
-
-@register(
-    "pipeline_training_corpus",
-    oracle=f"""
-        WITH stats AS (
+# Shared CTE prefix: quality gate + exact-dedup keeper (identical in both
+# pipeline variants; only the near-dup loser source differs).
+_PIPELINE_PREFIX = """
+        stats AS (
             SELECT doc_id, text,
                    len(words) AS n_tokens,
                    len(list_distinct(words))::DOUBLE / len(words) AS uniq_ratio
@@ -43,38 +51,17 @@ from mincemeatpy_spark.text.dedup import _ORACLE_SHINGLES, dedup_ngram_jaccard
                          min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
                   FROM documents)
             WHERE doc_id = keeper
-        ),
-        {_ORACLE_SHINGLES},
-        shh AS (SELECT doc_id,
-                       ('0x' || substring(md5(s), 1, 15))::BIGINT AS s
-                FROM sh),
-        sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-            FROM shh a JOIN shh b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
-        ),
-        near_dup_losers AS (
-            SELECT DISTINCT d2
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = d1
-            JOIN sizes sb ON sb.doc_id = d2
-            WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.25
-        )
+        )"""
+
+_PIPELINE_SELECT = """
         SELECT q.doc_id, q.n_tokens, round(q.uniq_ratio, 6) AS uniq_ratio
         FROM quality q
         JOIN exact_kept e ON e.doc_id = q.doc_id
         WHERE q.doc_id NOT IN (SELECT d2 FROM near_dup_losers)
-        """,
-    category="text",
-    doc="Composite corpus-prep pipeline: token-stat quality gate "
-    "(>= 5 tokens, uniq_ratio >= 0.3) → exact-dedup keeper filter "
-    "(window min over content digest) → near-dup removal (left-anti "
-    "against the exact-jaccard losers, the higher doc_id of each pair). "
-    "One plan, one corpus scan per shuffle key; the anti-join side is "
-    "pairs only, so it broadcasts.",
-)
-def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """
+
+
+def _quality_and_exact_kept(spark: SparkSession, sf_dir: str):
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", "text", tokens(F.col("text")).alias("words")
     )
@@ -97,11 +84,118 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("kept_id"))
         .select("kept_id")
     )
-    losers = dedup_ngram_jaccard(spark, sf_dir).select(F.col("d2").alias("loser_id")).distinct()
+    return quality, exact_kept
+
+
+def _finish_pipeline(quality: DataFrame, losers: DataFrame) -> DataFrame:
     return (
-        quality.join(exact_kept, quality.doc_id == F.col("kept_id"), "left_semi")
-        .join(F.broadcast(losers), F.col("doc_id") == F.col("loser_id"), "left_anti")
+        quality.join(F.broadcast(losers), F.col("doc_id") == F.col("loser_id"), "left_anti")
         .select("doc_id", "n_tokens", F.round("uniq_ratio", 6).alias("uniq_ratio"))
+    )
+
+
+@register(
+    "pipeline_training_corpus",
+    oracle=f"""
+        WITH {_PIPELINE_PREFIX.lstrip()},
+        {_ORACLE_SHINGLES},
+        based AS (
+            SELECT doc_id, {_ORACLE_H60.format(x="s")} AS base
+            FROM sh
+        ),
+        minh AS (
+            SELECT doc_id,
+                   {", ".join(f"min({_affine(i)}) AS m{i}" for i in range(_N_HASHES))}
+            FROM based GROUP BY doc_id
+        ),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_sig_sql(b)} AS sig FROM minh" for b in range(_N_HASHES // _BAND_SIZE))}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                        AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM based GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+            FROM based a JOIN based b ON a.base = b.base AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        near_dup_losers AS (
+            SELECT DISTINCT c.d2
+            FROM cand c
+            JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+            JOIN sizes sa ON sa.doc_id = c.d1
+            JOIN sizes sb ON sb.doc_id = c.d2
+            WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.25
+        )
+        {_PIPELINE_SELECT}
+        """,
+    category="text",
+    doc="Composite corpus-prep pipeline, SCALE PATH: token-stat quality "
+    "gate (>= 5 tokens, uniq_ratio >= 0.3) → exact-dedup keeper filter "
+    "(min doc_id per content digest) → near-dup removal via the "
+    "MinHash-LSH loser set (dedup_minhash_lsh: banded candidates, "
+    "exact-Jaccard verify of candidates only, losers = higher doc_id of "
+    "each verified pair ≥ 0.25).  This is the registered 100 TB default: "
+    "near-dup work scales with documents + bucket collisions, never "
+    "all co-shingled pairs.  Deterministic md5-derived hashing keeps "
+    "even the LSH stage exactly oracle-checkable; "
+    "pipeline_training_corpus_exact is the quadratic ground-truth twin "
+    "for recall evals at sf-small.",
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quality, exact_kept = _quality_and_exact_kept(spark, sf_dir)
+    losers = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.25)
+        .select(F.col("d2").alias("loser_id"))
+        .distinct()
+    )
+    return _finish_pipeline(
+        quality.join(exact_kept, quality.doc_id == F.col("kept_id"), "left_semi"),
+        losers,
+    )
+
+
+@register(
+    "pipeline_training_corpus_exact",
+    oracle=f"""
+        WITH {_PIPELINE_PREFIX.lstrip()},
+        {_ORACLE_SHINGLES},
+        shh AS (SELECT doc_id,
+                       ('0x' || substring(md5(s), 1, 15))::BIGINT AS s
+                FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+            FROM shh a JOIN shh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        near_dup_losers AS (
+            SELECT DISTINCT d2
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = d1
+            JOIN sizes sb ON sb.doc_id = d2
+            WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.25
+        )
+        {_PIPELINE_SELECT}
+        """,
+    category="text",
+    doc="Ground-truth twin of pipeline_training_corpus: identical quality "
+    "gate and exact-dedup stages, but the near-dup loser set comes from "
+    "the exact shingle-inverted-index Jaccard (dedup_ngram_jaccard) — "
+    "quadratic in hot shingles, the sf-small eval baseline the LSH "
+    "default is measured against (dedup_lsh_recall quantifies the gap).",
+)
+def pipeline_training_corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quality, exact_kept = _quality_and_exact_kept(spark, sf_dir)
+    losers = dedup_ngram_jaccard(spark, sf_dir).select(F.col("d2").alias("loser_id")).distinct()
+    return _finish_pipeline(
+        quality.join(exact_kept, quality.doc_id == F.col("kept_id"), "left_semi"),
+        losers,
     )
 
 
@@ -304,7 +398,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS cum_bytes
             FROM documents
         )
-        SELECT (cum_bytes - n_chars) // 100000 AS shard_id,
+        SELECT CAST((cum_bytes - n_chars) // 100000 AS BIGINT) AS shard_id,
                count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS shard_bytes,
                min(doc_id) AS first_doc,

@@ -715,3 +715,25 @@ def test_headline_shuffle_budget(spark, sf_dir):
         if shuf > budget:
             over[name] = (shuf, budget)
     assert not over, f"shuffle budget exceeded (got, budget): {over}"
+
+
+def test_peak_concurrency_two_phase_no_global_window(spark, sf_dir):
+    # The boundary-stream running sum must be the two-phase bucket
+    # prefix sum: every single-partition exchange funnels only
+    # pre-aggregated rows (bucket subtotals / partial final agg), and
+    # the window over the stream is partitioned by the hour bucket.
+    plan = _plan("sessions_peak_concurrency", spark, sf_dir)
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            nxt = "".join(lines[i + 1 : i + 3])
+            assert "Aggregate" in nxt, (
+                "single-partition exchange over unaggregated rows:\n" + line
+            )
+    stream_windows = [
+        l for l in lines if "windowspecdefinition" in l and "delta" in l and "t#" in l
+    ]
+    assert stream_windows, "running-sum window missing from plan"
+    assert all("bkt" in l for l in stream_windows), (
+        "running sum over the boundary stream must be bucket-partitioned"
+    )
