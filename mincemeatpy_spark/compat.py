@@ -34,6 +34,17 @@ Scale note: ``mapreduce`` collects the final dict to the driver because
 that IS the reference's sink contract.  For 100 TB pipelines use the
 DataFrame operators in ``operators/`` and write to parquet; this API is
 the compatibility surface, not the scale path.
+
+Input-side laziness IS honored, though: the reference streams one value
+per task — "a dict-like that reads file contents in ``__getitem__``
+streams gigabytes without materializing them" (reference README.md:76,
+mincemeat.py:313-316).  For a non-Mapping dict-like, ``mapreduce`` ships
+only the KEYS through the driver; the dict-like object itself travels to
+executors by cloudpickle and ``ds[k]`` runs executor-side, so a
+file-backed datasource never materializes through driver RAM (strictly
+lazier than the reference, whose master reads each value before sending
+it).  Plain ``Mapping``s are already in driver memory, so they
+parallelize as items directly.
 """
 
 from __future__ import annotations
@@ -58,19 +69,35 @@ def mapreduce(
     reducefn: Callable[[Any, list[Any]], Any],
     collectfn: Callable[[Any, list[Any]], Any] | None = None,
     num_partitions: int | None = None,
+    lazy: bool | None = None,
 ) -> dict[Any, Any]:
     """Run one mincemeat-style map/reduce job; return ``{key: result}``.
 
     ``reducefn`` is mandatory, as in the reference (a worker with
     ``reducefn=None`` would crash at reference mincemeat.py:181).
+
+    ``lazy`` controls where ``datasource[k]`` runs: ``True`` ships the
+    dict-like to executors (keys only through the driver — the
+    reference's streaming-``__getitem__`` contract, mincemeat.py:313-316,
+    README.md:76); ``False`` materializes driver-side; ``None`` (default)
+    picks lazy for any non-Mapping dict-like, eager for plain Mappings
+    (whose values are already in driver memory).
     """
     if reducefn is None:
         raise TypeError("reducefn is required (reference mincemeat.py:181)")
 
     sc = spark.sparkContext
-    items = _items(datasource)
-    n_part = num_partitions or min(max(1, len(items)), sc.defaultParallelism)
-    rdd = sc.parallelize(items, n_part)
+    if lazy is None:
+        lazy = not isinstance(datasource, Mapping)
+    if lazy:
+        keys = list(iter(datasource))
+        n_part = num_partitions or min(max(1, len(keys)), sc.defaultParallelism)
+        ds = datasource  # cloudpickled once per task; __getitem__ runs there
+        rdd = sc.parallelize(keys, n_part).map(lambda k: (k, ds[k]))
+    else:
+        items = _items(datasource)
+        n_part = num_partitions or min(max(1, len(items)), sc.defaultParallelism)
+        rdd = sc.parallelize(items, n_part)
 
     mapped = rdd.flatMap(lambda kv: mapfn(kv[0], kv[1]))
 

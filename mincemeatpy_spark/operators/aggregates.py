@@ -1090,10 +1090,13 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fixed 80/20 readout.  Exact rank formula G = 2*sum(rk*x)/(n*sumx) "
     "- (n+1)/n over integer cents with deterministic tie-break "
     "(cents, custkey), so the single double rounding is bit-stable.  "
-    "The rank window runs over per-customer aggregates (|customers| "
-    "rows), not orders; at 100 TB that stays millions, not billions — "
-    "and rk*cents sums stay under 2^63 to ~1e7 customers at this "
-    "scale of cents.",
+    "The rank comes from the two-phase bucketed prefix rank (SCALE.md "
+    "rule 11, the corpus_shard_bybytes recipe): $10k-band bucket "
+    "counts, exclusive offsets over the tiny bucket table, intra-"
+    "bucket row_number — no single-partition sort over the customer "
+    "rollup, and n/total ride in from a one-row broadcast instead of "
+    "unpartitioned whole-frame windows.  rk*cents sums stay under "
+    "2^63 to ~1e7 customers at this scale of cents.",
 )
 def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1104,24 +1107,38 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
         )
+    ).withColumn("bkt", F.expr("cents div 1000000"))
+    buckets = per_cust.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("cents").alias("bkt_cents")
     )
-    wr = Window.orderBy("cents", "o_custkey")
-    wall = Window.partitionBy()
-    ranked = per_cust.select(
-        "cents",
-        F.row_number().over(wr).alias("rk"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("cents").over(wall).alias("total"),
+    offsets = buckets.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bkt", "off")
+    totals = buckets.agg(
+        F.sum("c").alias("n"), F.sum("bkt_cents").alias("total")
+    )
+    intra = Window.partitionBy("bkt").orderBy("cents", "o_custkey")
+    ranked = per_cust.join(F.broadcast(offsets), "bkt").select(
+        "cents", (F.col("off") + F.row_number().over(intra)).alias("rk")
     )
     n = F.any_value("n").cast("double")
     total = F.any_value("total").cast("double")
     gini = (
         F.lit(2.0) * F.sum(F.col("rk") * F.col("cents")).cast("double") / (n * total)
     ) - (n + 1) / n
-    return ranked.agg(
-        F.any_value("n").cast("bigint").alias("n_customers"),
-        F.any_value("total").cast("bigint").alias("total_cents"),
-        F.round(gini, 6).alias("gini"),
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .agg(
+            F.any_value("n").cast("bigint").alias("n_customers"),
+            F.any_value("total").cast("bigint").alias("total_cents"),
+            F.round(gini, 6).alias("gini"),
+        )
     )
 
 

@@ -662,10 +662,15 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(ntile(4), tie-broken by custkey so bucketing is total-ordered "
     "and engine-identical), rolled up to the 64-cell segment grid.  "
     "The fact table reduces to one row per customer in the first "
-    "shuffle; the three global ntiles run on the customer rollup "
-    "(|customers| rows, range-partitionable at scale via "
-    "percent_rank over sampled bounds), and the segment aggregate is "
-    "tiny.  Monetary in exact cents.",
+    "shuffle; each quartile then comes from a TWO-PHASE bucketed rank "
+    "(SCALE.md rule 11, the corpus_shard_bybytes recipe): rows bucket "
+    "by a fixed value range (month / frequency / $10k band), per-bucket "
+    "counts give exclusive prefix offsets over the tiny bucket table, "
+    "the intra-bucket row_number completes the exact global rank, and "
+    "ntile(4) is derived arithmetically from (rank, n).  No "
+    "unpartitioned window ever sees the customer rollup — the old form "
+    "ran THREE global single-partition ntile sorts.  Monetary in exact "
+    "cents.",
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -678,12 +683,51 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents"
         ),
     )
-    scored = rfm.select(
-        "o_custkey",
-        "monetary_cents",
-        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r"),
-        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f"),
-        F.ntile(4).over(Window.orderBy("monetary_cents", "o_custkey")).alias("m"),
+
+    def quartile(df, value: str, bucket, out: str):
+        """Exact ntile(4) over (value, o_custkey) without a global sort:
+        bucket-range counts -> exclusive prefix offsets (window over the
+        bucket table only) -> intra-bucket row_number -> rank -> ntile
+        derived from (rank, n) with ntile's uneven-bucket fill rule."""
+        d = df.select("o_custkey", value).withColumn("bkt", bucket)
+        counts = d.groupBy("bkt").agg(F.count(F.lit(1)).alias("c"))
+        offsets = counts.withColumn(
+            "off",
+            F.coalesce(
+                F.sum("c").over(
+                    Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        ).select("bkt", "off")
+        total = counts.agg(F.sum("c").alias("n"))
+        intra = Window.partitionBy("bkt").orderBy(value, "o_custkey")
+        ranked = (
+            d.join(F.broadcast(offsets), "bkt")
+            .withColumn("rnk", F.col("off") + F.row_number().over(intra))
+            .crossJoin(F.broadcast(total))
+        )
+        # ntile(4): first (n % 4) buckets hold (n div 4)+1 rows each.
+        base, rem = F.expr("n div 4"), F.col("n") % 4
+        big = rem * (base + 1)  # rows covered by the larger buckets
+        nt = F.when(
+            F.col("rnk") <= big, F.expr("(rnk + (n div 4)) div ((n div 4) + 1)")
+        ).otherwise(
+            rem + F.expr("(rnk - (n % 4) * ((n div 4) + 1) + (n div 4) - 1) div (n div 4)")
+        )
+        return ranked.select("o_custkey", nt.cast("int").alias(out))
+
+    month = (F.year("last_order") * 12 + F.month("last_order")).cast("bigint")
+    scored = (
+        rfm.select("o_custkey", "monetary_cents")
+        .join(quartile(rfm, "last_order", month, "r"), "o_custkey")
+        .join(quartile(rfm, "frequency", F.col("frequency").cast("bigint"), "f"), "o_custkey")
+        .join(
+            quartile(
+                rfm, "monetary_cents", F.expr("monetary_cents div 1000000"), "m"
+            ),
+            "o_custkey",
+        )
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -23,6 +23,10 @@ from mincemeatpy_spark.tables import t
 # Fixed-point PageRank scale: ranks are integers in units of 1e-12.
 _PR_SCALE = 10**12
 
+# BFS frontiers at or under this row count broadcast to the edge join;
+# larger frontiers fall back to a shuffle join on the node key.
+_BFS_BROADCAST_MAX_ROWS = 2_000_000
+
 
 @register(
     "graph_pagerank_iter",
@@ -87,6 +91,102 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.expr("85 * coalesce(sum(c), 0) div 100")
             ).alias("rank_scaled")
         )
+    )
+
+
+@register(
+    "graph_pagerank_2iter",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                            's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        n AS (SELECT (SELECT count(*) FROM customer)
+                   + (SELECT count(*) FROM supplier) AS n),
+        r0 AS (SELECT CAST({_PR_SCALE} // n AS BIGINT) AS r FROM n),
+        tele AS (SELECT CAST((15 * (SELECT r FROM r0)) // 100 AS BIGINT) AS tp),
+        -- iteration 1: every node starts at r0; customers have no
+        -- in-edges on the bipartite purchase graph, so rank1(c) = tp and
+        -- rank1(s) = tp + 85% * sum(r0 // deg(src)).
+        contrib1 AS (
+            SELECT e.dst, (SELECT r FROM r0) // d.d AS c
+            FROM edges e JOIN deg d ON d.src = e.src
+        ),
+        -- iteration 2: contributions now carry rank1(src) = tp.
+        contrib2 AS (
+            SELECT e.dst, (SELECT tp FROM tele) // d.d AS c
+            FROM edges e JOIN deg d ON d.src = e.src
+        )
+        SELECT s.s_suppkey,
+               CAST((SELECT tp FROM tele)
+                   + (85 * COALESCE(sum(c.c), 0)) // 100 AS BIGINT) AS rank_scaled
+        FROM supplier s LEFT JOIN contrib2 c ON c.dst = 's' || CAST(s.s_suppkey AS VARCHAR)
+        GROUP BY s.s_suppkey
+        """,
+    category="graph",
+    doc="TWO PageRank power iterations via the generic iterative driver "
+    "loop graph_pagerank_iter documents: a rank table over ALL nodes "
+    "(prefixed 'c'/'s' ids), each iteration one edges ⋈ broadcast(deg) "
+    "⋈ ranks plan re-run with the previous rank table, localCheckpoint "
+    "truncating lineage between supersteps (the Pregel shape; same "
+    "recipe as graph_bfs_distances).  Integer fixed-point throughout, "
+    "so both iterations are bit-identical to the oracle's unrolled CTE "
+    "recurrence.  On this bipartite graph customers have no in-edges, "
+    "so the oracle's iteration-2 contributions carry rank1 = teleport — "
+    "the Spark side does NOT use that shortcut; it runs the general "
+    "loop and must converge to the same integers.",
+)
+def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        t(spark, sf_dir, "customer")
+        .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"))
+        .unionAll(
+            t(spark, sf_dir, "supplier").select(
+                F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    r0 = _PR_SCALE // n
+    teleport = (15 * r0) // 100
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+
+    ranks = nodes.withColumn("r", F.lit(r0).cast("bigint"))
+    for _ in range(2):
+        contrib = (
+            edges.join(F.broadcast(deg), "src")
+            .join(ranks, ranks.node == F.col("src"))
+            .select("dst", F.expr("r div d").alias("c"))
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(inflow, nodes.node == inflow.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr("85 * coalesce(s, 0) div 100")
+                ).cast("bigint").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.filter(F.col("node").startswith("s")).select(
+        F.substring("node", 2, 100).cast("bigint").alias("s_suppkey"),
+        F.col("r").alias("rank_scaled"),
     )
 
 
@@ -193,16 +293,27 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = sym.localCheckpoint(eager=True)
 
     dist = spark.createDataFrame([("c1", 0)], "node string, d int")
-    frontier = dist
+    frontier, frontier_rows = dist, 1
     for hop in range(1, 5):
+        # Broadcast the frontier only while it is provably small (row
+        # count known from the previous hop's checkpoint); a hot BFS
+        # frontier can reach graph scale, where a forced broadcast OOMs
+        # the executors — beyond the guard it becomes a shuffle join on
+        # the node key, the general Pregel superstep.
+        probe = (
+            F.broadcast(frontier)
+            if frontier_rows <= _BFS_BROADCAST_MAX_ROWS
+            else frontier
+        )
         nxt = (
-            sym.join(F.broadcast(frontier), sym.u == frontier.node)
+            sym.join(probe, sym.u == frontier.node)
             .select(F.col("v").alias("node"), F.lit(hop).alias("d"))
             .distinct()
             .join(dist.select(F.col("node").alias("seen")), F.col("node") == F.col("seen"), "left_anti")
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        frontier_rows = nxt.count()
+        if frontier_rows == 0:
             break
         dist = dist.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt

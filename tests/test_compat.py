@@ -189,7 +189,43 @@ def test_file_backed_lazy_datasource(spark, tmp_path):
     src = FileCorpus(files)
     result = mapreduce(spark, src, mapfn, reducefn)
     assert result == {"spark": 3, "flint": 2}
-    assert src.reads == 2  # one lazy read per key, as in the reference
+    # Non-Mapping datasources run __getitem__ EXECUTOR-side (the object
+    # ships by cloudpickle; only keys pass through the driver) — the
+    # driver's copy must therefore never have been read from.
+    assert src.reads == 0
+    # Forcing eager materialization reads driver-side, one read per key
+    # (the reference master's behavior, mincemeat.py:313-316).
+    assert mapreduce(spark, src, mapfn, reducefn, lazy=False) == result
+    assert src.reads == 2
+
+
+def test_lazy_datasource_getitem_runs_on_executors(spark, tmp_path):
+    # Hard proof of executor-side reads: __getitem__ refuses to run in
+    # the driver process.  If mapreduce ever materializes the datasource
+    # driver-side again, this raises.
+    import os
+
+    for i, line in enumerate(["a b", "b c", "c a"]):
+        (tmp_path / f"doc{i}.txt").write_text(line)
+
+    class DriverGuardedCorpus:
+        def __init__(self, root, driver_pid):
+            self.root = str(root)
+            self.driver_pid = driver_pid
+
+        def __iter__(self):
+            return iter(sorted(os.listdir(self.root)))
+
+        def __getitem__(self, name):
+            assert os.getpid() != self.driver_pid, (
+                "datasource value read in the DRIVER process — the lazy "
+                "contract (reference mincemeat.py:313-316) is broken"
+            )
+            with open(os.path.join(self.root, name)) as f:
+                return f.read()
+
+    src = DriverGuardedCorpus(tmp_path, os.getpid())
+    assert mapreduce(spark, src, mapfn, reducefn) == {"a": 2, "b": 2, "c": 2}
 
 
 def test_pipeline_chains_jobs(spark):

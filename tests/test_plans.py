@@ -676,7 +676,10 @@ def test_headline_shuffle_budget(spark, sf_dir):
         "json_extract_agg": 1,
         "dedup_minhash_lsh": 5,  # linear, keyed: minh agg, bands, cand distinct, inter agg, sizes
         "similarity_topk": 1,
-        "pipeline_training_corpus": 5,
+        # LSH loser-set near-dup stage: the 5 dedup_minhash_lsh keyed
+        # shuffles + exact-dedup digest agg + the doc_id semi join
+        "pipeline_training_corpus": 7,
+        "pipeline_training_corpus_exact": 5,
         "text_dup_ngram_fraction": 1,
         "dedup_decontaminate": 3,
         "bitmap_distinct_users": 2,
@@ -737,3 +740,34 @@ def test_peak_concurrency_two_phase_no_global_window(spark, sf_dir):
     assert all("bkt" in l for l in stream_windows), (
         "running sum over the boundary stream must be bucket-partitioned"
     )
+
+
+def _assert_single_partition_only_after_agg(plan: str):
+    """Every Exchange SinglePartition must funnel pre-aggregated rows
+    (its immediate input chain is an Aggregate/Sort-over-Aggregate),
+    never a raw stream/rollup — the SCALE.md rule-11 shape."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            nxt = "".join(lines[i + 1 : i + 3])
+            assert "Aggregate" in nxt, (
+                "single-partition exchange over unaggregated rows:\n" + line
+            )
+
+
+def test_rfm_quartiles_two_phase_no_global_ntile(spark, sf_dir):
+    plan = _plan("customer_rfm_segments", spark, sf_dir)
+    assert "ntile" not in plan.lower()
+    _assert_single_partition_only_after_agg(plan)
+    # each quartile's intra-bucket window is partitioned by its bucket
+    for l in plan.splitlines():
+        if "row_number()" in l and "windowspecdefinition" in l:
+            assert "bkt" in l
+
+
+def test_gini_rank_two_phase(spark, sf_dir):
+    plan = _plan("orders_gini_coefficient", spark, sf_dir)
+    _assert_single_partition_only_after_agg(plan)
+    for l in plan.splitlines():
+        if "row_number()" in l and "windowspecdefinition" in l:
+            assert "bkt" in l
