@@ -199,26 +199,31 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_audio_energy",
     oracle="""
-        SELECT doc_id, frame_no,
-               CAST(list_sum(list_transform(
-                   split(substr(text, frame_no * 256 + 1, 256), ''),
-                   c -> ascii(c))) AS BIGINT) AS energy,
-               length(substr(text, frame_no * 256 + 1, 256)) AS n_samples
-        FROM (
-            SELECT doc_id, text,
-                   unnest(generate_series(0,
-                       CAST(ceil(octet_length(text::BLOB) / 256.0) AS INT) - 1)) AS frame_no
-            FROM documents
-            WHERE octet_length(text::BLOB) > 0
+        WITH b AS (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) AS n
+            FROM documents WHERE octet_length(encode(text)) > 0
+        ),
+        bytes AS (
+            SELECT doc_id,
+                   CAST((i - 1) // 256 AS INT) AS frame_no,
+                   ('0x' || substring(h, (i - 1) * 2 + 1, 2))::INT AS v
+            FROM b, unnest(generate_series(1, n)) AS u(i)
         )
+        SELECT doc_id, frame_no,
+               CAST(sum(v) AS BIGINT) AS energy,
+               CAST(count(*) AS INT) AS n_samples
+        FROM bytes
+        GROUP BY doc_id, frame_no
         """,
     category="multimodal",
     doc="Audio feature-extract plumbing: payload bytes framed into 256-"
     "sample windows, per-frame energy (sum of sample values) via numpy "
     "over Arrow batches in mapInPandas — the exact shape of a real "
     "spectral/DSP stage (frombuffer -> per-window reduce -> one row per "
-    "frame).  The fixture payload is ASCII text, so the oracle mirrors "
-    "byte values with ascii() in SQL.",
+    "frame).  The oracle is BYTE-exact (hex(encode(text)) slicing, not "
+    "character functions), so non-ASCII payloads hash identically in "
+    "both engines.",
 )
 def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -261,7 +266,8 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH assets AS (
             SELECT doc_id, md5(substr(text, 1, 60)) AS digest,
-                   CAST(length(substr(text, 1, 60)) AS BIGINT) AS n_bytes
+                   CAST(octet_length(encode(substr(text, 1, 60))) AS BIGINT)
+                       AS n_bytes
             FROM documents
         ),
         groups AS (
@@ -314,12 +320,13 @@ def multimodal_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_phash_neardup",
     oracle="""
         WITH src AS (
-            SELECT doc_id, text, length(text) AS n
-            FROM documents WHERE length(text) >= 60
+            SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) AS n
+            FROM documents WHERE octet_length(encode(text)) >= 60
         ),
         chars AS (
             SELECT doc_id, n, i,
-                   ascii(substr(text, i, 1)) AS c,
+                   ('0x' || substring(h, (i - 1) * 2 + 1, 2))::INT AS c,
                    ((i - 1) * 60) // n AS k
             FROM src, unnest(generate_series(1, n)) AS u(i)
         ),
@@ -364,7 +371,9 @@ def multimodal_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "band LSH for candidates, then exact Hamming verification "
     "(bit_count(xor)) at threshold 6.  All-integer compare (sum*count "
     "cross-multiplication, no float means) makes even this pipeline "
-    "exactly oracle-checkable.  Work scales with assets + band "
+    "exactly oracle-checkable; the oracle reads BYTES via "
+    "hex(encode(text)) slicing, matching Spark's uint8 view even for "
+    "non-ASCII payloads.  Work scales with assets + band "
     "collisions, never pairs; payload bytes die at the hash step, so "
     "at 100 TB the shuffle carries one int64 per asset.  A real "
     "decoder swaps into the same mapInPandas slot "
@@ -375,7 +384,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = (
         t(spark, sf_dir, "documents")
-        .filter(F.length("text") >= 60)
+        .filter(F.octet_length("text") >= 60)
         .select("doc_id", F.col("text").cast("binary").alias("payload"))
     )
 

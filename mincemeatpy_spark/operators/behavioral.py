@@ -916,7 +916,11 @@ def window_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         # constructions).
         pdf = pdf.sort_values(["user_id", "ts", "event_id"])
         uids = pdf["user_id"].to_numpy()
-        us = (pdf["ts"].astype("int64") // 1000).to_numpy()  # ns → us
+        # Normalize to microseconds explicitly: Arrow may deliver
+        # datetime64[ns] or datetime64[us] depending on pandas/Arrow
+        # version; a bare astype('int64') would be off by 1000x on the
+        # us path and silently missessionize.
+        us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
         anchors = []
         prev_uid = None
         starts = prev = 0

@@ -257,7 +257,9 @@ _NOT_IN_NULL = """
            (SELECT count(*) FROM customer) AS n_customers
     FROM customer
     WHERE c_custkey NOT IN (
-        SELECT nullif(o_custkey, o_custkey % 1000 + 1) FROM orders
+        SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                    ELSE o_custkey END
+        FROM orders
     )
 """
 
@@ -269,12 +271,14 @@ _NOT_IN_NULL = """
     doc="The NOT IN null trap, handled to the SQL standard: when the "
     "subquery list contains any NULL, `x NOT IN (...)` is never TRUE "
     "(x <> NULL is unknown), so the match count must be 0 even though "
-    "most keys are absent from the list.  The nullif() plants NULLs "
-    "deterministically.  Engines that rewrite NOT IN as a plain anti "
-    "join silently return wrong rows here; Spark plans it as a "
-    "null-aware anti join and agrees with DuckDB exactly.  The "
-    "n_customers scalar pins the denominator so the zero is visibly "
-    "semantic, not an empty-table artifact.",
+    "most keys are absent from the list.  Every 100th order plants a "
+    "NULL deterministically (o_orderkey % 100 = 0), so the list always "
+    "contains NULLs and n_matched = 0 is forced by the standard "
+    "semantics — asserted locally in test_oracle_extra.  Engines that "
+    "rewrite NOT IN as a plain anti join silently return wrong rows "
+    "here; Spark plans it as a null-aware anti join and agrees with "
+    "DuckDB exactly.  The n_customers scalar pins the denominator so "
+    "the zero is visibly semantic, not an empty-table artifact.",
 )
 def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _NOT_IN_NULL)

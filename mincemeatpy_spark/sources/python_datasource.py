@@ -249,16 +249,22 @@ def _make_writer_class():
     "manifest (the two-phase commit that keeps half-written output "
     "invisible — the property the reference gets from its first-"
     "result-wins dedup, mincemeat.py:340-342, and Spark formalizes as "
-    "the commit protocol).  The written corpus is read back with the "
-    "built-in JSON reader and aggregated; hash-equality against the "
-    "source table proves the custom sink is lossless.",
+    "the commit protocol).  The written corpus is read back through the "
+    "_SUCCESS manifest — ONLY committed files, exactly as a downstream "
+    "consumer of the two-phase commit must — and aggregated; "
+    "hash-equality against the source table proves the custom sink is "
+    "lossless.  The target dir is cleared first so a rerun under a "
+    "different partition layout can't leave stale part files behind.",
 )
 def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
     import os
+    import shutil
 
     from mincemeatpy_spark.sources.readers import _scratch
 
     path = _scratch(sf_dir, "pyds_sink")
+    shutil.rmtree(path, ignore_errors=True)
     spark.dataSource.register(_make_writer_class())
     (
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -268,8 +274,10 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("append")
         .save()
     )
+    with open(os.path.join(path, "_SUCCESS")) as f:
+        manifest = json.load(f)
     back = spark.read.schema("doc_id bigint, source string, n_chars bigint").json(
-        os.path.join(path, "part-*.json")
+        manifest["files"]
     )
     return back.groupBy("source").agg(
         F.count(F.lit(1)).alias("n"),

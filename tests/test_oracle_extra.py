@@ -1,0 +1,27 @@
+"""Semantic assertions beyond engine agreement.
+
+An oracle comparison only proves Spark and DuckDB agree — if a fixture
+degenerates (e.g. a NULL-planting expression that never actually yields
+NULL), both engines agree on the WRONG scenario and the advertised
+semantics go untested.  These tests pin the scenario itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mincemeatpy_spark.registry import load_all_queries
+from mincemeatpy_spark.tables import t
+
+QUERIES = load_all_queries()
+
+
+def test_not_in_null_list_actually_contains_nulls(spark, sf_dir):
+    # The planted-NULL expression must really produce NULLs on the
+    # fixture, and standard NOT IN semantics then force n_matched = 0.
+    orders = t(spark, sf_dir, "orders")
+    n_null = orders.filter(F.col("o_orderkey") % 100 == 0).count()
+    assert n_null > 0, "fixture has no o_orderkey % 100 == 0 rows; trap unarmed"
+    row = QUERIES["not_in_null_semantics"].fn(spark, sf_dir).collect()[0]
+    assert row["n_matched"] == 0
+    assert row["n_customers"] > 0
