@@ -965,3 +965,148 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(hit).cast("double") / 3, 6).alias("recall_at_3"),
         )
     )
+
+
+# --- hybrid retrieval: lexical + dense rank fusion ----------------------
+
+_RRF_K = 60          # standard RRF constant
+_RRF_SCALE = 10**9   # integer fixed-point: floor(1e9 / (60 + rank))
+_RRF_DEPTH = 50      # per-modality candidate depth
+_RRF_TERMS = ("value", "table", "key")
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents
+        ),
+        lex_scores AS (
+            SELECT doc_id, count(*) AS score
+            FROM toks
+            WHERE word IN {str(tuple(_RRF_TERMS))}
+            GROUP BY doc_id
+        ),
+        lex AS (
+            SELECT doc_id, rk
+            FROM (SELECT doc_id,
+                         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+                  FROM lex_scores)
+            WHERE rk <= {_RRF_DEPTH}
+        ),
+        qv AS (
+            SELECT list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                       AS qe
+            FROM embeddings WHERE vec_id = 0
+        ),
+        dense_scores AS (
+            SELECT e.vec_id AS doc_id,
+                   CAST(list_sum(list_transform(
+                       generate_series(1, len(q.qe)),
+                       i -> q.qe[i] * CAST(round(CAST(e.embedding[i] AS DOUBLE)
+                                                 * 1000000) AS BIGINT)))
+                        AS BIGINT) AS dot
+            FROM embeddings e CROSS JOIN qv q
+            WHERE e.vec_id <> 0
+        ),
+        dense AS (
+            SELECT doc_id, rk
+            FROM (SELECT doc_id,
+                         row_number() OVER (ORDER BY dot DESC, doc_id) AS rk
+                  FROM dense_scores)
+            WHERE rk <= {_RRF_DEPTH}
+        ),
+        fused AS (
+            SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+                   coalesce({_RRF_SCALE} // ({_RRF_K} + l.rk), 0)
+                 + coalesce({_RRF_SCALE} // ({_RRF_K} + d.rk), 0) AS rrf,
+                   l.rk AS lex_rank, d.rk AS dense_rank
+            FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+        )
+        SELECT doc_id, CAST(rrf AS BIGINT) AS rrf_score,
+               lex_rank, dense_rank
+        FROM (SELECT *,
+                     row_number() OVER (ORDER BY rrf DESC, doc_id) AS out_rk
+              FROM fused)
+        WHERE out_rk <= 20
+        """,
+    category="similarity",
+    doc="Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al. "
+    "2009) — the RAG-stack retrieval step: a lexical candidate list "
+    "(query-term hit counts over the postings, top-50; text_bm25_topk "
+    "is the heavyweight scorer that slots into the same rank input) "
+    "and a dense candidate list (exact int64 micro-unit dot against "
+    "the broadcast query vector, top-50, vec_id 0 as the query), fused "
+    "by sum of floor(1e9/(60+rank)) — integer fixed-point, so fusion "
+    "is bit-stable.  Plan shape at 100 TB: the lexical side reads only "
+    "query-term postings (never the vocabulary), the dense side is one "
+    "scan against a broadcast vector (similarity_topk's 0-shuffle "
+    "kernel), both candidate lists are top-k (WindowGroupLimit / "
+    "TakeOrdered), and the fusion join touches <= 2k rows.",
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("word"))
+    lex_scores = (
+        toks.filter(F.col("word").isin(*_RRF_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    lex = (
+        lex_scores.withColumn(
+            "rk", F.row_number().over(Wnd.orderBy(F.col("score").desc(), "doc_id"))
+        )
+        .filter(F.col("rk") <= _RRF_DEPTH)
+        .select("doc_id", F.col("rk").alias("lex_rank"))
+    )
+    e = t(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
+    )
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(quant.alias("qe"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), quant, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dense = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select(F.col("vec_id").alias("doc_id"), dot.alias("dot"))
+        .withColumn(
+            "rk", F.row_number().over(Wnd.orderBy(F.col("dot").desc(), "doc_id"))
+        )
+        .filter(F.col("rk") <= _RRF_DEPTH)
+        .select("doc_id", F.col("rk").alias("dense_rank"))
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + lex_rank)"), F.lit(0))
+                + F.coalesce(
+                    F.expr(f"{_RRF_SCALE} div ({_RRF_K} + dense_rank)"), F.lit(0)
+                )
+            ).alias("rrf"),
+            "lex_rank",
+            "dense_rank",
+        )
+    )
+    return (
+        fused.withColumn(
+            "out_rk", F.row_number().over(Wnd.orderBy(F.col("rrf").desc(), "doc_id"))
+        )
+        .filter(F.col("out_rk") <= 20)
+        .select(
+            "doc_id",
+            F.col("rrf").cast("bigint").alias("rrf_score"),
+            "lex_rank",
+            "dense_rank",
+        )
+    )

@@ -880,3 +880,72 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_scores.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 10)
     )
+
+
+@register(
+    "tokenizer_vocab_coverage",
+    oracle="""
+        WITH toks AS (
+            SELECT source,
+                   unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents
+        ),
+        clean AS (SELECT source, word FROM toks WHERE word <> ''),
+        counts AS (SELECT word, count(*) AS c FROM clean GROUP BY word),
+        vocab AS (
+            SELECT word
+            FROM (SELECT word,
+                         row_number() OVER (ORDER BY c DESC, word) AS rk
+                  FROM counts)
+            WHERE rk <= 100
+        )
+        SELECT c.source,
+               count(*) AS n_tokens,
+               CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               round(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 6) AS oov_rate
+        FROM clean c LEFT JOIN vocab v ON v.word = c.word
+        GROUP BY c.source
+        """,
+    category="text",
+    doc="Tokenizer vocabulary coverage — the pre-training audit that "
+    "decides whether a tokenizer (here: the top-100-token vocabulary, "
+    "deterministically tie-broken) covers each corpus source, reported "
+    "as per-source OOV counts and rates.  The vocabulary is a top-k of "
+    "the global token counts (TakeOrdered, never a full sort) and "
+    "BROADCASTS to the token stream — the fact side is scanned once, "
+    "aggregated per source, and at 100 TB the only shuffled rows are "
+    "(source, partial counts).  The real-tokenizer version swaps the "
+    "top-k vocab for a broadcast BPE vocab file; the plan is identical.",
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        counts.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.col("c").desc(), "word"))
+        )
+        .filter(F.col("rk") <= 100)
+        .select("word")
+    )
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        toks.join(
+            F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "word", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov).cast("bigint").alias("n_oov"),
+            F.round(
+                F.sum(oov).cast("double") / F.count(F.lit(1)), 6
+            ).alias("oov_rate"),
+        )
+    )

@@ -939,3 +939,203 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         decsum(F.col("abs_err")).alias("sum_abs_err"),
         F.round(F.max("abs_err"), 6).alias("worst_abs_err"),
     )
+
+
+# --- 7. SemDeDup: semantic dedup via cluster-then-pair ------------------
+
+_SEM_K = 8  # seed centroids (embeddings rows vec_id < K, kmeans convention)
+_SEM_THRESHOLD = 0.4
+
+_SEM_DIST_SQL = """
+    list_reduce(
+        list_transform(generate_series(1, len(e.embedding)),
+            i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+               * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))),
+        (a, b) -> a + b)
+"""
+
+
+@register(
+    "dedup_semdedup_clusters",
+    oracle=f"""
+        WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
+                       FROM embeddings WHERE vec_id < {_SEM_K}),
+        assign AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM (SELECT e.vec_id, c.cid, {_SEM_DIST_SQL} AS dist
+                  FROM embeddings e CROSS JOIN cents c)
+        ),
+        q AS (
+            SELECT a.cid, e.vec_id,
+                   list_transform(e.embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                       AS qe
+            FROM embeddings e JOIN assign a
+              ON a.vec_id = e.vec_id AND a.rn = 1
+        ),
+        v AS (
+            SELECT cid, vec_id, qe,
+                   sqrt(CAST(list_sum(list_transform(qe, x -> x * x)) AS DOUBLE))
+                       AS nrm
+            FROM q
+        )
+        SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+               round(CAST(list_sum(list_transform(generate_series(1, len(a.qe)),
+                     i -> a.qe[i] * b.qe[i])) AS DOUBLE) / (a.nrm * b.nrm), 6)
+                   AS cosine
+        FROM v a JOIN v b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE CAST(list_sum(list_transform(generate_series(1, len(a.qe)),
+              i -> a.qe[i] * b.qe[i])) AS DOUBLE) / (a.nrm * b.nrm)
+              >= {_SEM_THRESHOLD}
+        """,
+    category="dedup",
+    doc="SemDeDup (Abbas et al. 2023): semantic dedup by clustering "
+    "embeddings first (nearest of k=8 seed centroids, the "
+    "kmeans_assign_update assignment, tie-broken on centroid id) and "
+    "comparing cosine similarity ONLY within a cluster — the scale "
+    "recipe that turns the quadratic all-pairs of "
+    "dedup_embedding_cosine into per-cluster work: at 100 TB you raise "
+    "k so clusters stay bounded and the pair stage never sees a "
+    "cross-cluster candidate.  Centroids broadcast (k rows; the vector "
+    "table is never shuffled for assignment), pairs shuffle on cluster "
+    "id only, and the int64 micro-unit quantized dot product keeps "
+    "every cosine bit-identical across engines.  "
+    "dedup_semdedup_recall measures what the cluster restriction "
+    "misses against the brute-force truth.",
+)
+def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = F.broadcast(
+        e.filter(F.col("vec_id") < _SEM_K).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    quant = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("qe"), F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+        ).cast("double")
+    )
+    v = (
+        e.crossJoin(cents)
+        .select("vec_id", "cid", dist.alias("dist"), "embedding")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cid", "vec_id", quant.alias("qe"))
+        .withColumn("nrm", nrm)
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.qe"), F.col("b.qe"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cos = dot.cast("double") / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cid").alias("cid"),
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= _SEM_THRESHOLD)
+        .select("cid", "id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+@register(
+    "dedup_semdedup_recall",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                       AS e
+            FROM embeddings
+        ),
+        v AS (
+            SELECT vec_id, e,
+                   sqrt(CAST(list_sum(list_transform(e, x -> x * x)) AS DOUBLE))
+                       AS nrm
+            FROM q
+        ),
+        truth AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE CAST(list_sum(list_transform(generate_series(1, len(a.e)),
+                  i -> a.e[i] * b.e[i])) AS DOUBLE) / (a.nrm * b.nrm)
+                  >= {_SEM_THRESHOLD}
+        ),
+        cents AS (SELECT vec_id AS cid, embedding AS cvec
+                  FROM embeddings WHERE vec_id < {_SEM_K}),
+        assign AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM (SELECT e.vec_id, c.cid, {_SEM_DIST_SQL} AS dist
+                  FROM embeddings e CROSS JOIN cents c)
+        ),
+        captured AS (
+            SELECT tr.id_a, tr.id_b
+            FROM truth tr
+            JOIN assign aa ON aa.vec_id = tr.id_a AND aa.rn = 1
+            JOIN assign ab ON ab.vec_id = tr.id_b AND ab.rn = 1
+            WHERE aa.cid = ab.cid
+        )
+        SELECT (SELECT count(*) FROM truth)    AS n_true_pairs,
+               (SELECT count(*) FROM captured) AS n_captured,
+               round((SELECT count(*) FROM captured)::DOUBLE
+                     / nullif((SELECT count(*) FROM truth), 0), 6) AS recall
+        """,
+    category="dedup",
+    doc="SemDeDup eval twin: of the brute-force cosine near-dup pairs "
+    "(dedup_embedding_cosine truth at the same threshold), how many "
+    "fall inside one cluster — i.e. the recall the cluster restriction "
+    "of dedup_semdedup_clusters achieves.  Run at sf-small whenever k "
+    "or the centroid seeds change; at 100 TB the truth side is "
+    "intractable (that is the point) and this eval is the sampled "
+    "audit.  Pure-plan: both sides are the exact int64 Gram, counted "
+    "and divided once.",
+)
+def dedup_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = dedup_embedding_cosine(spark, sf_dir).select("id_a", "id_b")
+    pairs = dedup_semdedup_clusters(spark, sf_dir).select("id_a", "id_b")
+    captured = truth.join(pairs, ["id_a", "id_b"], "left_semi")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_cap = captured.agg(F.count(F.lit(1)).alias("n_captured"))
+    return (
+        n_true.crossJoin(n_cap)
+        .select(
+            "n_true_pairs",
+            "n_captured",
+            F.round(
+                F.col("n_captured").cast("double")
+                / F.nullif(F.col("n_true_pairs"), F.lit(0)).cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )

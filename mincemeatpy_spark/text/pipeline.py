@@ -650,3 +650,51 @@ def pipeline_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(losers.agg(F.count(F.lit(1)).alias("n_near_dup_losers")))
         .crossJoin(final.agg(F.count(F.lit(1)).alias("n_final")))
     )
+
+
+@register(
+    "corpus_temperature_mixture",
+    oracle="""
+        WITH counts AS (
+            SELECT source, count(*) AS n_docs
+            FROM documents GROUP BY source
+        ),
+        weighted AS (
+            SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w
+            FROM counts
+        )
+        SELECT source, n_docs,
+               CAST(round(1000000.0 * w / (SELECT sum(w) FROM weighted))
+                    AS BIGINT) AS share_ppm
+        FROM weighted
+        """,
+    category="text",
+    doc="Temperature-scaled mixture weights (T = 2): each source's "
+    "sampling share is proportional to n_docs^(1/T) = sqrt(n_docs) — "
+    "the standard rebalancing that keeps low-resource sources from "
+    "vanishing in a multilingual/multi-source pre-training mix "
+    "(Conneau & Lample 2019).  Shares reported in exact ppm (one "
+    "correctly-rounded sqrt per source, one division; the denominator "
+    "is a sum over |sources| doubles, orders of magnitude below the "
+    "ppm rounding grain).  The source rollup is the only shuffle; "
+    "downstream, corpus_mixture_quota turns shares into per-source "
+    "row quotas.",
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("w", F.sqrt(F.col("n_docs").cast("double")))
+    )
+    denom = counts.agg(F.sum("w").alias("sw"))
+    return (
+        counts.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.lit(1_000_000.0) * F.col("w") / F.col("sw"))
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+    )
