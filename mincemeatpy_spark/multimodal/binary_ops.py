@@ -434,3 +434,60 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hamming <= 6)
         .select("d1", "d2", hamming.alias("hamming"))
     )
+
+
+@register(
+    "multimodal_text_embedding_align",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id,
+                   CAST(list_sum(list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                          * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+                       AS BIGINT) AS nrm2
+            FROM embeddings
+        )
+        SELECT d.source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN q.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_paired,
+               CAST(sum(CASE WHEN q.vec_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_missing,
+               CAST(sum(coalesce(q.nrm2, 0)) AS BIGINT) AS sum_nrm2
+        FROM documents d LEFT JOIN q ON q.vec_id = d.doc_id
+        GROUP BY d.source
+        """,
+    category="multimodal",
+    doc="Cross-modal pairing audit — the integrity check a multimodal "
+    "curation pipeline runs before training: every document row must "
+    "have its embedding row (doc_id = vec_id), reported per source "
+    "with pair counts, missing counts, and the exact int64 micro-unit "
+    "norm mass of the paired vectors (a cheap checksum that catches "
+    "zeroed or rescaled embeddings, not just missing ones).  Plan: "
+    "one equi-join on the id (both sides shuffle once on an 8-byte "
+    "key, or zero times if both are id-bucketed on disk), norms "
+    "computed scan-side so vectors never shuffle.",
+)
+def multimodal_text_embedding_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    quant = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
+    )
+    nrm2 = F.aggregate(
+        quant, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+    )
+    q = t(spark, sf_dir, "embeddings").select(
+        "vec_id", nrm2.alias("nrm2")
+    )
+    paired = F.when(F.col("vec_id").isNotNull(), 1).otherwise(0)
+    return (
+        d.join(q, d.doc_id == q.vec_id, "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(paired).cast("bigint").alias("n_paired"),
+            F.sum(1 - paired).cast("bigint").alias("n_missing"),
+            F.sum(F.coalesce("nrm2", F.lit(0))).cast("bigint").alias("sum_nrm2"),
+        )
+    )

@@ -1330,3 +1330,143 @@ def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("b.neg_us")).cast("bigint").alias("first_peak_us"),
         F.col("ns").cast("bigint").alias("n_sessions"),
     )
+
+
+@register(
+    "events_rolling_distinct_users",
+    oracle="""
+        WITH bounds AS (
+            SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+            FROM events
+        ),
+        days AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+            FROM bounds
+        )
+        SELECT d,
+               (SELECT count(DISTINCT user_id) FROM events e
+                WHERE CAST(e.ts AS DATE) BETWEEN d - 6 AND d)
+                   AS rolling_users
+        FROM days
+        """,
+    category="behavioral",
+    doc="Rolling 7-day distinct users (rolling WAU/MAU shape) for every "
+    "day — the scale trap is a per-day count(DISTINCT) that re-scans a "
+    "week of history per day.  The linear encoding: per (user, active "
+    "day) with the NEXT active day via lag/lead, the user's presence "
+    "in windows ending on d is exactly d in [a, min(a+6, next-1)] — an "
+    "interval, so each pair becomes a +1/-1 delta and the rolling "
+    "count is a prefix sum over the DAY table (tiny by construction).  "
+    "100 TB of events reduces to distinct (user, day) in one shuffle, "
+    "one user-partitioned lead window, a per-day delta rollup, and a "
+    "days-only running sum.  The oracle states the quadratic "
+    "definition directly; both are exact integers.",
+)
+def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    active = e.distinct()
+    nxt = F.lead("d").over(Window.partitionBy("user_id").orderBy("d"))
+    iv = active.select(
+        "d",
+        F.least(
+            F.date_add(F.col("d"), 6),
+            F.coalesce(F.date_sub(nxt, 1), F.date_add(F.col("d"), 6)),
+        ).alias("end_d"),
+    )
+    deltas = (
+        iv.select(F.col("d").alias("day"), F.lit(1).alias("delta"))
+        .unionAll(
+            iv.select(F.date_add("end_d", 1).alias("day"), F.lit(-1).alias("delta"))
+        )
+        .groupBy("day")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    bounds = e.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(deltas, days.d == deltas.day, "left")
+        .select("d", F.coalesce("delta", F.lit(0)).alias("delta"))
+        .select("d", F.sum("delta").over(w).cast("bigint").alias("rolling_users"))
+    )
+
+
+@register(
+    "events_lateness_profile",
+    oracle="""
+        WITH ordered AS (
+            SELECT event_id, ts,
+                   max(ts) OVER (ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS hwm
+            FROM events
+        ),
+        late AS (
+            SELECT CASE
+                     WHEN epoch_us(hwm) = epoch_us(ts) THEN -1
+                     ELSE CAST(floor(log2((epoch_us(hwm) - epoch_us(ts))
+                                          / 60000000.0 + 1)) AS INT)
+                   END AS lateness_bucket
+            FROM ordered
+        )
+        SELECT lateness_bucket, count(*) AS n_events
+        FROM late
+        GROUP BY lateness_bucket
+        """,
+    category="behavioral",
+    doc="Event out-of-orderness profile — the measurement that picks a "
+    "streaming watermark delay: against the high-water mark of event "
+    "time in arrival order (event_id is the fixture's arrival proxy), "
+    "each event's lateness falls in a log2 minute bucket (-1 = on "
+    "time / new high-water mark); the histogram's tail is the late "
+    "fraction a given withWatermark() would drop.  The running max "
+    "uses the two-phase bucket recipe (SCALE.md rule 11): per-chunk "
+    "maxima over event_id ranges, an exclusive prefix max over the "
+    "tiny chunk table, intra-chunk running max — the event stream "
+    "never passes through one partition.  Exact integer microseconds; "
+    "log2 of an integer-derived double is correctly rounded and "
+    "bucketed identically in both engines.",
+)
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    # Phase 1: chunk by event_id range (a prefix of the arrival order),
+    # per-chunk max, exclusive prefix max over the tiny chunk table.
+    d = e.withColumn("bkt", F.expr("event_id div 10000"))
+    offsets = (
+        d.groupBy("bkt")
+        .agg(F.max("us").alias("bkt_max"))
+        .withColumn(
+            "prev_max",
+            F.max("bkt_max").over(
+                Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select("bkt", "prev_max")
+    )
+    intra = Window.partitionBy("bkt").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    hwm = F.greatest(
+        F.coalesce(F.col("prev_max"), F.lit(-(1 << 62))),
+        F.max("us").over(intra),
+    )
+    late_us = hwm - F.col("us")
+    bucket = F.when(late_us == 0, F.lit(-1)).otherwise(
+        F.floor(F.log2(late_us.cast("double") / 60_000_000.0 + 1)).cast("int")
+    )
+    return (
+        d.join(F.broadcast(offsets), "bkt")
+        .select(bucket.alias("lateness_bucket"))
+        .groupBy("lateness_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
