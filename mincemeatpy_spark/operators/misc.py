@@ -330,3 +330,67 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("check_name", F.col("v").cast("bigint").alias("n_bad"))
 
     return melt(li_checks).unionAll(melt(o_checks)).unionAll(melt(orphans))
+
+
+@register(
+    "dq_volume_anomaly",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, count(*) AS n
+            FROM events GROUP BY 1
+        ),
+        trail AS (
+            SELECT d, n,
+                   sum(n) OVER (ORDER BY d
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_n,
+                   count(*) OVER (ORDER BY d
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_days
+            FROM daily
+        )
+        SELECT d, CAST(n AS BIGINT) AS n,
+               CAST(trail_n AS BIGINT) AS trail_n,
+               CAST(trail_days AS BIGINT) AS trail_days,
+               CASE WHEN 2 * n * trail_days > 3 * trail_n THEN 'spike'
+                    WHEN 3 * n * trail_days < trail_n THEN 'drop'
+                    ELSE 'normal' END AS status
+        FROM trail
+        WHERE trail_days >= 3
+        """,
+    category="quality",
+    doc="Ingest-volume anomaly gate — the data-quality check that "
+    "catches a broken upstream feed before it poisons a training "
+    "snapshot: per-day row counts vs the trailing 7-day mean, spike "
+    "if count > 1.5x the mean, drop if < a third, via integer "
+    "cross-multiplication (2*n*days > 3*sum — no float division, so "
+    "the verdicts are bit-stable).  The window runs over the DAY "
+    "table only (one row per day after the first shuffle); at 100 TB "
+    "the per-day rollup is the only thing that moves.  Days with <3 "
+    "trailing observations are warm-up and excluded.",
+)
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("d").rowsBetween(-7, -1)
+    trail = daily.select(
+        "d",
+        "n",
+        F.sum("n").over(w).alias("trail_n"),
+        F.count(F.lit(1)).over(w).alias("trail_days"),
+    )
+    status = (
+        F.when(2 * F.col("n") * F.col("trail_days") > 3 * F.col("trail_n"), "spike")
+        .when(3 * F.col("n") * F.col("trail_days") < F.col("trail_n"), "drop")
+        .otherwise("normal")
+    )
+    return trail.filter(F.col("trail_days") >= 3).select(
+        "d",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("trail_n").cast("bigint").alias("trail_n"),
+        F.col("trail_days").cast("bigint").alias("trail_days"),
+        status.alias("status"),
+    )

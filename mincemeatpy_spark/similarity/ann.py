@@ -1110,3 +1110,99 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dense_rank",
         )
     )
+
+
+@register(
+    "embedding_matryoshka_overlap",
+    oracle=f"""
+        WITH q AS (
+            SELECT list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                       AS qe
+            FROM embeddings WHERE vec_id = 0
+        ),
+        scores AS (
+            SELECT e.vec_id,
+                   CAST(list_sum(list_transform(generate_series(1, len(q.qe)),
+                        i -> q.qe[i]
+                           * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000000)
+                                  AS BIGINT))) AS BIGINT) AS dot_full,
+                   CAST(list_sum(list_transform(generate_series(1, 16),
+                        i -> q.qe[i]
+                           * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000000)
+                                  AS BIGINT))) AS BIGINT) AS dot_16
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> 0
+        ),
+        full_rk AS (
+            SELECT vec_id, row_number() OVER (ORDER BY dot_full DESC, vec_id)
+                       AS rk
+            FROM scores
+        ),
+        trunc_rk AS (
+            SELECT vec_id, row_number() OVER (ORDER BY dot_16 DESC, vec_id)
+                       AS rk
+            FROM scores
+        )
+        SELECT CAST((SELECT count(*) FROM full_rk f
+                     JOIN trunc_rk t ON t.vec_id = f.vec_id
+                     WHERE f.rk <= 10 AND t.rk <= 10) AS BIGINT)
+                   AS overlap_at_10,
+               (SELECT vec_id FROM full_rk  WHERE rk = 1) AS top1_full,
+               (SELECT vec_id FROM trunc_rk WHERE rk = 1) AS top1_trunc
+        """,
+    category="similarity",
+    doc="Matryoshka truncation eval (Kusupati et al. 2022): retrieval "
+    "top-10 by the full 64-dim dot product vs the first-16-dims "
+    "truncation, reported as overlap@10 plus both top-1 ids — the "
+    "measurement that decides whether a 4x cheaper truncated index "
+    "is good enough for first-stage retrieval (re-rank with full dims "
+    "on the short list).  Both scores come from ONE scan (the prefix "
+    "dot is a sub-fold of the full fold), exact int64 micro-unit "
+    "arithmetic, query vector broadcast, both rankings top-k.",
+)
+def embedding_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
+    )
+    qv = F.broadcast(e.filter(F.col("vec_id") == 0).select(quant.alias("qe")))
+    dot_full = F.aggregate(
+        F.zip_with(F.col("qe"), quant, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dot_16 = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("qe"), 1, 16), F.slice(quant, 1, 16), lambda x, y: x * y
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scores = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select("vec_id", dot_full.alias("dot_full"), dot_16.alias("dot_16"))
+    )
+    full_rk = scores.withColumn(
+        "rk", F.row_number().over(Wnd.orderBy(F.col("dot_full").desc(), "vec_id"))
+    )
+    trunc_rk = scores.withColumn(
+        "rk", F.row_number().over(Wnd.orderBy(F.col("dot_16").desc(), "vec_id"))
+    )
+    overlap = (
+        full_rk.filter(F.col("rk") <= 10)
+        .select("vec_id")
+        .join(trunc_rk.filter(F.col("rk") <= 10).select("vec_id"), "vec_id")
+        .agg(F.count(F.lit(1)).alias("overlap_at_10"))
+    )
+    top1_full = full_rk.filter(F.col("rk") == 1).select(
+        F.col("vec_id").alias("top1_full")
+    )
+    top1_trunc = trunc_rk.filter(F.col("rk") == 1).select(
+        F.col("vec_id").alias("top1_trunc")
+    )
+    return overlap.crossJoin(F.broadcast(top1_full)).crossJoin(
+        F.broadcast(top1_trunc)
+    )

@@ -1139,3 +1139,76 @@ def dedup_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --- 8. incremental dedup against a persisted digest index --------------
+
+
+@register(
+    "dedup_incremental_index",
+    oracle="""
+        WITH index_side AS (
+            SELECT md5(text) AS fp
+            FROM documents WHERE doc_id % 10 <> 0
+        ),
+        batch AS (
+            SELECT doc_id, md5(text) AS fp
+            FROM documents WHERE doc_id % 10 = 0
+        ),
+        in_batch_keeper AS (
+            SELECT fp, min(doc_id) AS keeper FROM batch GROUP BY fp
+        )
+        SELECT status,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS first_doc
+        FROM (
+            SELECT b.doc_id,
+                   CASE WHEN i.fp IS NOT NULL THEN 'dup_of_index'
+                        WHEN b.doc_id <> k.keeper THEN 'dup_in_batch'
+                        ELSE 'new' END AS status
+            FROM batch b
+            LEFT JOIN (SELECT DISTINCT fp FROM index_side) i ON i.fp = b.fp
+            JOIN in_batch_keeper k ON k.fp = b.fp
+        )
+        GROUP BY status
+        """,
+    category="dedup",
+    doc="Incremental exact dedup against a persisted digest index — how "
+    "a 100 TB corpus actually dedups a daily ingest batch: the "
+    "historical corpus is represented ONLY by its 16-byte digest index "
+    "(never re-scanned, never re-hashed), the new batch hashes "
+    "scan-side and hash-joins against it, and intra-batch duplicates "
+    "resolve to the min-doc_id keeper in the same plan.  Output is the "
+    "triage ledger (dup_of_index / dup_in_batch / new) that decides "
+    "what enters the corpus and what appends to the index.  Fixture "
+    "split: doc_id % 10 == 0 is the incoming batch, the rest is the "
+    "index.  Work scales with the BATCH, not the corpus — the property "
+    "that makes daily dedup O(ingest).",
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    index_side = (
+        d.filter(F.col("doc_id") % 10 != 0)
+        .select(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .distinct()
+        .withColumn("in_index", F.lit(1))
+    )
+    batch = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    keeper = batch.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    status = (
+        F.when(F.col("in_index").isNotNull(), "dup_of_index")
+        .when(F.col("doc_id") != F.col("keeper"), "dup_in_batch")
+        .otherwise("new")
+    )
+    return (
+        batch.join(index_side, "fp", "left")
+        .join(keeper, "fp")
+        .select("doc_id", status.alias("status"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

@@ -324,3 +324,95 @@ def text_surprisal_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bits").alias("sum_bits"),
         (F.sum("bits").cast("double") / F.count(F.lit(1))).alias("mean_bits"),
     )
+
+
+@register(
+    "text_bigram_surprisal",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, string_split_regex(text, '\\s+') AS w
+            FROM documents
+        ),
+        bigrams AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1])) AS bg,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                          i -> w[i])) AS w1
+            FROM words WHERE len(w) >= 2
+        ),
+        uni AS (
+            SELECT word, count(*) AS f
+            FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY word
+        ),
+        bf AS (SELECT bg, count(*) AS f FROM bigrams GROUP BY bg),
+        scored AS (
+            SELECT b.doc_id,
+                   (length(bin(u.f)) - 1) - (length(bin(bf.f)) - 1) AS bits
+            FROM bigrams b
+            JOIN uni u ON u.word = b.w1
+            JOIN bf ON bf.bg = b.bg
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(bits) AS BIGINT) AS sum_bits,
+               CAST(sum(bits) AS DOUBLE) / count(*) AS mean_bits
+        FROM scored
+        GROUP BY doc_id
+        """,
+    category="text",
+    doc="Bigram conditional surprisal — the CCNet-style LM quality gate "
+    "one order up from text_surprisal_bits: bits(w2|w1) = "
+    "floor(log2(count(w1))) - floor(log2(count(w1 w2))), both from "
+    "exact binary-string bit length (no libm), summed and averaged per "
+    "document.  High mean = improbable word transitions (gibberish or "
+    "very novel text); ~0 = boilerplate.  Plan: bigrams built "
+    "scan-side from the token array (no self-join on position), the "
+    "unigram and bigram count tables broadcast to the scoring join, "
+    "one per-doc aggregate — the LM 'model' is two count tables, "
+    "megabytes at 100 TB.",
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", r"\s+").alias("w")
+    )
+    n = F.size("w")
+    bigram_arr = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.struct(
+            F.concat(
+                F.element_at("w", i + 1), F.lit(" "), F.element_at("w", i + 2)
+            ).alias("bg"),
+            F.element_at("w", i + 1).alias("w1"),
+        ),
+    )
+    bigrams = (
+        words.filter(n >= 2)
+        .select("doc_id", F.explode(bigram_arr).alias("p"))
+        .select("doc_id", F.col("p.bg").alias("bg"), F.col("p.w1").alias("w1"))
+    )
+    uni = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("uf"))
+    )
+    bf = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("bff"))
+
+    def fl2(c):
+        return F.length(F.bin(c)) - 1
+
+    scored = (
+        bigrams.join(F.broadcast(uni), bigrams.w1 == uni.word)
+        .join(F.broadcast(bf), "bg")
+        .select("doc_id", (fl2(F.col("uf")) - fl2(F.col("bff"))).alias("bits"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("bits").alias("sum_bits"),
+        (F.sum("bits").cast("double") / F.count(F.lit(1))).alias("mean_bits"),
+    )

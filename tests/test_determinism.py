@@ -39,6 +39,16 @@ _RISKIEST = [
     "window_session_capped",
     "dedup_embedding_cosine",
     "similarity_ann_pq",
+    # round-4 two-phase window rewrites: the bucket prefix recipe must
+    # be layout-invariant (offsets + intra-bucket windows recompose the
+    # identical global order under any partitioning)
+    "sessions_peak_concurrency",
+    "customer_rfm_segments",
+    "orders_gini_coefficient",
+    "events_lateness_profile",
+    "events_rolling_distinct_users",
+    "dedup_semdedup_clusters",
+    "search_hybrid_rrf",
 ]
 
 
