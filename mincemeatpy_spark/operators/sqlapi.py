@@ -320,3 +320,90 @@ def string_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY pr COLLATE UTF8_LCASE
         """,
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+        """,
+    category="sqlapi",
+    doc="SQL pipe syntax (Spark 4.0, SIG-piped-SQL): the same logical "
+    "plan written as a left-to-right pipeline — FROM ... |> WHERE ... "
+    "|> AGGREGATE ... GROUP BY ... — which Catalyst compiles to the "
+    "identical Filter+HashAggregate as the ANSI form the oracle "
+    "states.  Zero planner cost, pure syntax surface; certifies the "
+    "entry point a pipeline-minded user (this repo's audience) "
+    "reaches for first.",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE count(*) AS n,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS total_cents
+           GROUP BY o_orderpriority
+        """,
+    )
+
+
+@register(
+    "sql_exec_immediate",
+    oracle="""
+        SELECT n_name, count(*) AS n_customers
+        FROM customer JOIN nation ON n_nationkey = c_nationkey
+        WHERE n_regionkey = 1
+        GROUP BY n_name
+        """,
+    category="sqlapi",
+    doc="Parameterized SQL via EXECUTE IMMEDIATE ... USING (Spark 4): "
+    "the query text binds a named parameter marker (:region) instead "
+    "of string interpolation — the injection-safe templating surface "
+    "for generated pipeline SQL.  Catalyst substitutes the literal "
+    "before optimization, so pushdown/broadcast behave exactly as the "
+    "inlined form the oracle states.",
+)
+def sql_exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE q STRING")
+    spark.sql(
+        """SET VAR q = 'SELECT n_name, count(*) AS n_customers
+           FROM customer JOIN nation ON n_nationkey = c_nationkey
+           WHERE n_regionkey = :region GROUP BY n_name'"""
+    )
+    return spark.sql("EXECUTE IMMEDIATE q USING 1 AS region")
+
+
+@register(
+    "sql_session_variables",
+    oracle="""
+        SELECT count(*) AS n_big,
+               min(o_orderkey) AS first_key
+        FROM orders
+        WHERE o_totalprice > 150000
+        """,
+    category="sqlapi",
+    doc="Session variables (Spark 4 DECLARE / SET VARIABLE): a typed, "
+    "session-scoped threshold referenced directly in a query — the "
+    "configuration mechanism for parameterized jobs without string "
+    "templating.  The variable folds to a literal at analysis time, "
+    "so the predicate pushes to the parquet scan like any constant.",
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 150000.0")
+    spark.sql("SET VAR price_floor = 150000.0")
+    return spark.sql(
+        """SELECT count(*) AS n_big, min(o_orderkey) AS first_key
+           FROM orders WHERE o_totalprice > price_floor"""
+    )

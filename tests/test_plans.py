@@ -771,3 +771,19 @@ def test_gini_rank_two_phase(spark, sf_dir):
     for l in plan.splitlines():
         if "row_number()" in l and "windowspecdefinition" in l:
             assert "bkt" in l
+
+
+def test_lateness_profile_two_phase_running_max(spark, sf_dir):
+    plan = _plan("events_lateness_profile", spark, sf_dir)
+    _assert_single_partition_only_after_agg(plan)
+    for l in plan.splitlines():
+        if "max(us" in l and "windowspecdefinition" in l and "event_id" in l:
+            assert "bkt" in l, "running max must be bucket-partitioned"
+
+
+def test_rolling_distinct_windows_on_small_tables_only(spark, sf_dir):
+    # The lead window is user-partitioned; the running sum window runs
+    # over the day spine (post-aggregate) — the only single-partition
+    # exchange allowed is above the tiny per-day delta aggregate.
+    plan = _plan("events_rolling_distinct_users", spark, sf_dir)
+    _assert_single_partition_only_after_agg(plan)
