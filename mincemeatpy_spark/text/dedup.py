@@ -1225,3 +1225,108 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@register(
+    "text_novelty_fraction",
+    oracle=f"""
+        WITH {_ORACLE_SHINGLES},
+        shh AS (SELECT doc_id, {_ORACLE_H60.format(x='s')} AS s FROM sh),
+        first_seen AS (SELECT s, min(doc_id) AS first_doc FROM shh GROUP BY s)
+        SELECT h.doc_id,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN f.first_doc = h.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               round(sum(CASE WHEN f.first_doc = h.doc_id THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 6) AS novelty
+        FROM shh h JOIN first_seen f ON f.s = h.s
+        GROUP BY h.doc_id
+        """,
+    category="text",
+    doc="Per-document novelty — the curriculum/ordering signal: the "
+    "fraction of a document's 3-gram shingles whose FIRST appearance "
+    "in doc_id order is this document.  Boilerplate-heavy late "
+    "documents score near 0; genuinely new content scores near 1 — "
+    "the curve over doc_id is the corpus's marginal-information decay "
+    "that data-pruning papers (e.g. D4) act on.  Linear plan: one "
+    "shingle scan feeds both the global first-seen index (min "
+    "aggregate on the 8-byte shingle hash) and the per-doc rollup; "
+    "no pair joins anywhere.",
+)
+def text_novelty_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = (
+        _shingle_df(spark, sf_dir)
+        .select("doc_id", _hash60(F.col("s")).alias("s"))
+        .cache()
+    )
+    first_seen = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(first_seen, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(F.sum(novel).cast("double") / F.count(F.lit(1)), 6).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+        WITH {_ORACLE_SHINGLES},
+        shh AS (SELECT doc_id, {_ORACLE_H60.format(x='s')} AS s FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+            FROM shh a JOIN shh b ON a.s = b.s AND a.doc_id <> b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT d1 AS contained_doc, d2 AS container_doc,
+               round(i::DOUBLE / sa.n, 6) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = d1
+        WHERE i::DOUBLE / sa.n >= 0.8
+        """,
+    category="dedup",
+    doc="Asymmetric containment pairs — catches what Jaccard misses: a "
+    "short document copied INTO a longer one has low Jaccard (the "
+    "union is large) but containment |A∩B| / |A| near 1.  This is the "
+    "quote/excerpt/boilerplate-inclusion detector (Lee et al. 2022 "
+    "report these dominate web-corpus duplication).  Same shingle "
+    "inverted index as dedup_ngram_jaccard — 8-byte hash keys, "
+    "ordered-pair intersection counts, normalized by the CONTAINED "
+    "side only, threshold 0.8.  Quadratic in hot shingles like every "
+    "exact pair index; the MinHash banding scale path applies "
+    "unchanged (band on the contained side's signature).",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = (
+        _shingle_df(spark, sf_dir)
+        .select("doc_id", _hash60(F.col("s")).alias("s"))
+        .cache()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    cont = F.col("i").cast("double") / F.col("sa.n")
+    return (
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("d1"))
+        .filter(cont >= 0.8)
+        .select(
+            F.col("d1").alias("contained_doc"),
+            F.col("d2").alias("container_doc"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )
