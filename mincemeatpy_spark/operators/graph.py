@@ -289,7 +289,10 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # No distinct on the union: e is already distinct and a forward edge
+    # ('c…'→'s…') can never equal a reversed one ('s…'→'c…'), so the
+    # dedup would be a pure extra shuffle of the full edge list.
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.localCheckpoint(eager=True)
 
     dist = spark.createDataFrame([("c1", 0)], "node string, d int")
