@@ -1330,3 +1330,43 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cont, 6).alias("containment"),
         )
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle="""
+        WITH groups AS (
+            SELECT md5(text) AS fp, count(*) AS n
+            FROM documents GROUP BY md5(text)
+        )
+        SELECT length(bin(n)) - 1 AS size_log2,
+               count(*) AS n_clusters,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(sum(n - 1) AS BIGINT) AS n_removable
+        FROM groups
+        GROUP BY 1
+        """,
+    category="dedup",
+    doc="Duplicate-cluster size histogram — the dedup diagnostic read "
+    "before committing a removal policy: exact-dup cluster sizes in "
+    "log2 buckets (floor(log2 n) via exact binary-string bit length), "
+    "with cluster counts, member counts, and the removable-doc mass "
+    "per bucket.  A heavy tail here (few huge clusters) says "
+    "boilerplate; a flat head says organic near-unique content — the "
+    "shape decides exact-dedup vs fuzzy-dedup effort.  Digest-only "
+    "shuffle, two tiny aggregates.",
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    groups = (
+        d.select(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return groups.groupBy(
+        (F.length(F.bin("n")) - 1).alias("size_log2")
+    ).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum(F.col("n") - 1).cast("bigint").alias("n_removable"),
+    )

@@ -698,3 +698,86 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_ppm"),
         )
     )
+
+
+@register(
+    "corpus_webdataset_manifest",
+    oracle="""
+        WITH cum AS (
+            SELECT doc_id, n_chars,
+                   sum(n_chars) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_bytes
+            FROM documents
+        ),
+        sharded AS (
+            SELECT doc_id, n_chars,
+                   CAST((cum_bytes - n_chars) // 100000 AS BIGINT) AS shard_id,
+                   md5(text) AS digest
+            FROM cum JOIN documents USING (doc_id, n_chars)
+        )
+        SELECT shard_id,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS shard_bytes,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc,
+               md5(string_agg(digest, '' ORDER BY doc_id)) AS shard_checksum
+        FROM sharded
+        GROUP BY shard_id
+        """,
+    category="text",
+    doc="Training-shard manifest — the WebDataset/tar-shard index a data "
+    "loader actually consumes: per shard (the corpus_shard_bybytes "
+    "100 kB byte-budget assignment), doc count, byte size, id range, "
+    "and a deterministic shard checksum = md5 over the member digests "
+    "concatenated in doc_id order (ordered string_agg / collect+sort "
+    "— verifiable end-to-end integrity for every shard, the thing you "
+    "diff after a re-shard or a transfer).  Same two-phase prefix sum "
+    "as the sharder; the checksum concatenates 32-byte digests, never "
+    "document bodies.",
+)
+def corpus_webdataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.md5(F.col("text").cast("binary")).alias("digest")
+    )
+    bucket = (F.col("doc_id") / 500).cast("bigint").alias("bkt")
+    d = docs.select("doc_id", "n_chars", "digest", bucket)
+    offsets = (
+        d.groupBy("bkt")
+        .agg(F.sum("n_chars").alias("bkt_bytes"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("bkt_bytes").over(
+                    W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "offset")
+    )
+    intra = W.partitionBy("bkt").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    sharded = (
+        d.join(F.broadcast(offsets), "bkt")
+        .withColumn("cum_bytes", F.col("offset") + F.sum("n_chars").over(intra))
+        .withColumn(
+            "shard_id",
+            F.expr("(cum_bytes - n_chars) div 100000").cast("bigint"),
+        )
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.array_sort(
+                    F.collect_list(F.struct("doc_id", "digest"))
+                ).getField("digest"),
+            ).cast("binary")
+        ).alias("shard_checksum"),
+    )
