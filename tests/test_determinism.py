@@ -49,6 +49,7 @@ _RISKIEST = [
     "events_rolling_distinct_users",
     "dedup_semdedup_clusters",
     "search_hybrid_rrf",
+    "kmeans_loop_2iter",
 ]
 
 
