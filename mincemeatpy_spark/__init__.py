@@ -28,7 +28,19 @@ Layout:
 
 from mincemeatpy_spark.registry import QUERIES, Query, load_all_queries
 from mincemeatpy_spark.session import get_spark
-from mincemeatpy_spark.compat import mapreduce
+from mincemeatpy_spark.compat import Client, Server, mapreduce, pipeline
 
-__all__ = ["QUERIES", "Query", "load_all_queries", "get_spark", "mapreduce"]
+# Server/Client at the top level make `import mincemeatpy_spark as
+# mincemeat` a drop-in for the reference's `import mincemeat` scripts
+# (reference example.py:1,20; README.md:28-41).
+__all__ = [
+    "QUERIES",
+    "Query",
+    "load_all_queries",
+    "get_spark",
+    "mapreduce",
+    "pipeline",
+    "Server",
+    "Client",
+]
 __version__ = "0.1.0"

@@ -257,3 +257,16 @@ def test_pipeline_chains_jobs(spark):
     )
     # word counts: a=3, b=2, c=4 → histogram {3:1, 2:1, 4:1}
     assert out == {3: 1, 2: 1, 4: 1}
+
+
+def test_top_level_drop_in_import(spark):
+    # `import mincemeatpy_spark as mincemeat` must work where the
+    # reference's `import mincemeat` did (reference example.py:1-25).
+    import mincemeatpy_spark as mincemeat
+
+    s = mincemeat.Server(spark)
+    s.datasource = dict(enumerate(CORPUS.values()))
+    s.mapfn = mapfn
+    s.reducefn = reducefn
+    assert s.run_server(password="changeme") == EXPECTED
+    assert hasattr(mincemeat, "Client") and hasattr(mincemeat, "pipeline")
