@@ -205,3 +205,84 @@ def join_click_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") > F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
     ).select("user_id", "click_id", "click_ts", "purchase_ts", "purchase_value")
+
+
+@register(
+    "stream_tumbling_counts_e2e",
+    oracle="""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+               event_type,
+               count(*) AS n
+        FROM events
+        GROUP BY 1, 2
+        """,
+    category="streaming",
+    doc="END-TO-END STREAMING under the correctness gate: the registered "
+    "query builds a readStream file source over the events fixture, "
+    "runs the watermarked tumbling-window aggregation through "
+    "Structured Streaming's micro-batch engine to completion (memory "
+    "sink, processAllAvailable), and returns the sink table — which "
+    "must hash-match the DuckDB batch oracle exactly.  This promotes "
+    "the stream==batch equality the test suite asserts into the "
+    "driver-checked contract itself: event-time windows are functions "
+    "of the data, not of arrival order or micro-batch boundaries.  "
+    "Complete output mode emits every window, so the watermark bounds "
+    "state without dropping fixture rows.",
+)
+def stream_tumbling_counts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        events_stream,
+        run_to_completion,
+        tumbling_counts_stream,
+    )
+
+    out = run_to_completion(
+        tumbling_counts_stream(events_stream(spark, sf_dir)),
+        "stream_tumbling_e2e_sink",
+    )
+    return out.select("w_start", "event_type", "n")
+
+
+@register(
+    "stream_session_counts_e2e",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sid
+            FROM gaps
+        )
+        SELECT user_id, min(ts) AS s_start, count(*) AS n
+        FROM sess
+        GROUP BY user_id, sid
+        """,
+    category="streaming",
+    doc="END-TO-END STREAMING session windows under the correctness "
+    "gate: readStream -> watermark -> session_window(10 min) per user "
+    "through the micro-batch engine (complete mode, memory sink), "
+    "hash-matched against the gaps-and-islands batch oracle.  Session "
+    "windows are the hard case for stream==batch equality — the state "
+    "store must merge partial sessions across micro-batches into "
+    "exactly the sessions a batch scan derives.",
+)
+def stream_session_counts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        events_stream,
+        run_to_completion,
+        session_counts_stream,
+    )
+
+    out = run_to_completion(
+        session_counts_stream(events_stream(spark, sf_dir)),
+        "stream_session_e2e_sink",
+    )
+    return out.select("user_id", "s_start", "n")
