@@ -286,3 +286,75 @@ def stream_session_counts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_session_e2e_sink",
     )
     return out.select("user_id", "s_start", "n")
+
+
+@register(
+    "stream_stateful_counts_e2e",
+    oracle="""
+        SELECT user_id, count(*) AS n_events
+        FROM events
+        GROUP BY user_id
+        """,
+    category="streaming",
+    doc="END-TO-END custom stateful streaming under the correctness "
+    "gate: per-user running counts kept in the state store via "
+    "applyInPandasWithState, driven through the micro-batch engine "
+    "(update mode, memory sink).  Update mode emits one row per key "
+    "per micro-batch in which the key changed; the running count is "
+    "monotone, so max(n_events) per user is the final state and must "
+    "equal the batch count exactly — the state handle accumulated "
+    "every event exactly once, across arbitrary micro-batch "
+    "boundaries.",
+)
+def stream_stateful_counts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        events_stream,
+        run_to_completion,
+        running_counts_stateful,
+    )
+
+    out = run_to_completion(
+        running_counts_stateful(events_stream(spark, sf_dir)),
+        "stream_stateful_e2e_sink",
+        mode="update",
+    )
+    return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@register(
+    "stream_stream_join_e2e",
+    oracle="""
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               c.ts       AS click_ts,
+               p.ts       AS purchase_ts,
+               p.value    AS purchase_value
+        FROM events c
+        JOIN events p
+          ON p.user_id = c.user_id
+         AND p.ts >  c.ts
+         AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        WHERE c.event_type = 'click'
+          AND p.event_type = 'purchase'
+        """,
+    category="streaming",
+    doc="END-TO-END stream-stream interval join under the correctness "
+    "gate: both sides are watermarked streams over the same file "
+    "source, the join condition time-bounds purchase relative to "
+    "click so the state store can evict, and the append-mode memory "
+    "sink must hash-match the batch self-join oracle row for row — "
+    "the state buffered exactly the pairs the time band implies, no "
+    "duplicates, no losses across micro-batches.",
+)
+def stream_stream_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        click_purchase_join_stream,
+        events_stream,
+        run_to_completion,
+    )
+
+    return run_to_completion(
+        click_purchase_join_stream(events_stream(spark, sf_dir)),
+        "stream_stream_join_e2e_sink",
+        mode="append",
+    )
