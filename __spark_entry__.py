@@ -90,6 +90,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_training_corpus",
         "join_asof",
         "window_session",
+        # round-4 flagships: semantic dedup, hybrid retrieval, iterative
+        # k-means with updated state, and the real streaming engine
+        # running inside the correctness gate.
+        "dedup_semdedup_clusters",
+        "search_hybrid_rrf",
+        "kmeans_loop_2iter",
+        "stream_tumbling_counts_e2e",
     ):
         out[name] = qs[name].fn
     for row in zip_longest(*(by_cat[c] for c in order)):
