@@ -1470,3 +1470,86 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lateness_bucket")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "features_user_assemble",
+    oracle="""
+        WITH top_type AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY n DESC, event_type) AS rk
+            FROM (SELECT user_id, event_type, count(*) AS n
+                  FROM events GROUP BY user_id, event_type)
+        ),
+        base AS (
+            SELECT user_id,
+                   count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_types,
+                   count(DISTINCT CAST(ts AS DATE)) AS n_days,
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                        // count(*) AS BIGINT) AS mean_value_micros
+            FROM events GROUP BY user_id
+        )
+        SELECT b.user_id,
+               [b.n_events, b.n_types, b.n_days, b.mean_value_micros]
+                   AS features,
+               [CASE WHEN t.event_type = 'click'    THEN 1 ELSE 0 END,
+                CASE WHEN t.event_type = 'view'     THEN 1 ELSE 0 END,
+                CASE WHEN t.event_type = 'purchase' THEN 1 ELSE 0 END,
+                CASE WHEN t.event_type NOT IN ('click','view','purchase')
+                     THEN 1 ELSE 0 END] AS top_type_onehot
+        FROM base b
+        JOIN top_type t ON t.user_id = b.user_id AND t.rk = 1
+        """,
+    category="behavioral",
+    doc="Feature assembly — the feature-store export step that turns raw "
+    "events into per-entity ML feature vectors: numeric features "
+    "(event count, type cardinality, active days, mean value in exact "
+    "integer micro-units with floor division) packed into an array "
+    "column, plus a deterministic one-hot of the user's modal event "
+    "type (count-desc, name-asc tie-break; unknown types fold into an "
+    "OOV slot — the fixed-vocabulary contract a training job needs).  "
+    "One shuffle on user_id produces everything; arrays assemble "
+    "scan-side after the aggregate, so the output is directly "
+    "writable as training-ready parquet.",
+)
+def features_user_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    base = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct(F.col("ts").cast("date")).alias("n_days"),
+        F.expr(
+            "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) div count(*) AS BIGINT)"
+        ).alias("mean_value_micros"),
+    )
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    top = (
+        counts.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("n").desc(), "event_type"
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_type")
+    )
+    onehot = F.array(
+        *[
+            F.when(F.col("event_type") == v, 1).otherwise(0)
+            for v in ("click", "view", "purchase")
+        ],
+        F.when(~F.col("event_type").isin("click", "view", "purchase"), 1).otherwise(0),
+    )
+    return base.join(top, "user_id").select(
+        "user_id",
+        F.array("n_events", "n_types", "n_days", "mean_value_micros").alias(
+            "features"
+        ),
+        onehot.alias("top_type_onehot"),
+    )
