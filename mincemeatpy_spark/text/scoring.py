@@ -370,10 +370,12 @@ def text_surprisal_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact binary-string bit length (no libm), summed and averaged per "
     "document.  High mean = improbable word transitions (gibberish or "
     "very novel text); ~0 = boilerplate.  Plan: bigrams built "
-    "scan-side from the token array (no self-join on position), the "
-    "unigram and bigram count tables broadcast to the scoring join, "
-    "one per-doc aggregate — the LM 'model' is two count tables, "
-    "megabytes at 100 TB.",
+    "scan-side from the token array (no self-join on position); the "
+    "UNIGRAM table broadcasts (vocabulary-bounded), but the BIGRAM "
+    "table scales with the corpus, so its scoring join shuffles both "
+    "sides on the bigram key — at 100 TB that is one keyed shuffle of "
+    "(bigram, count) pairs, never a broadcast (AQE may still pick "
+    "broadcast at small scale).  One per-doc aggregate finishes.",
 )
 def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = t(spark, sf_dir, "documents").select(
@@ -408,7 +410,7 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = (
         bigrams.join(F.broadcast(uni), bigrams.w1 == uni.word)
-        .join(F.broadcast(bf), "bg")
+        .join(bf, "bg")  # corpus-scale: shuffle join on the bigram key
         .select("doc_id", (fl2(F.col("uf")) - fl2(F.col("bff"))).alias("bits"))
     )
     return scored.groupBy("doc_id").agg(
