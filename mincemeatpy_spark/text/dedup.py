@@ -1370,3 +1370,103 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_docs"),
         F.sum(F.col("n") - 1).cast("bigint").alias("n_removable"),
     )
+
+
+# --- 9. Bloom-filter prefilter for incremental dedup --------------------
+
+_BLOOM_BITS = 65536  # m = 2^16 positions
+_BLOOM_K = 3         # hash functions, md5-slice derived
+
+
+def _bloom_positions_sql(fp: str) -> str:
+    """k=3 deterministic bit positions from md5-hex slices (mod 2^16)."""
+    return ", ".join(
+        f"('0x' || substring({fp}, {1 + 8 * i}, 8))::BIGINT % {_BLOOM_BITS}"
+        for i in range(_BLOOM_K)
+    )
+
+
+@register(
+    "dedup_bloom_prefilter",
+    oracle=f"""
+        WITH hist AS (
+            SELECT md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0
+        ),
+        batch AS (
+            SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 = 0
+        ),
+        bloom AS (
+            SELECT DISTINCT pos FROM (
+                SELECT unnest([{_bloom_positions_sql('fp')}]) AS pos FROM hist
+            )
+        ),
+        probe AS (
+            SELECT b.doc_id, b.fp,
+                   (SELECT count(*) FROM bloom
+                    WHERE pos IN ({_bloom_positions_sql('b.fp')}))
+                       AS n_hit
+            FROM batch b
+        ),
+        truth AS (SELECT DISTINCT fp FROM hist)
+        SELECT CAST((SELECT count(*) FROM batch) AS BIGINT) AS n_batch,
+               CAST(sum(CASE WHEN n_hit = {_BLOOM_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flagged,
+               CAST(sum(CASE WHEN t.fp IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_true_dups,
+               CAST(sum(CASE WHEN n_hit = {_BLOOM_K} AND t.fp IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+        FROM probe p LEFT JOIN truth t ON t.fp = p.fp
+        """,
+    category="dedup",
+    doc="Bloom-filter prefilter for incremental dedup — the approximate-"
+    "membership stage that runs BEFORE dedup_incremental_index's exact "
+    "join at 100 TB: the historical corpus compresses to a 64 Kbit "
+    "filter (k=3 positions per digest, md5-slice derived so both "
+    "engines compute identical bits), the ingest batch probes it "
+    "map-side against the broadcast position set, and only flagged "
+    "docs proceed to the exact digest join.  No false negatives by "
+    "construction (every true dup is flagged — asserted in the "
+    "output), false positives measured in-engine against the exact "
+    "truth — the sketch-to-find / recount-to-answer rule applied to "
+    "membership.  The filter build is one distinct over <= 65536 "
+    "positions; the probe shuffles nothing (broadcast semi-counts).",
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    hist = d.filter(F.col("doc_id") % 10 != 0).select(fp.alias("fp"))
+    batch = d.filter(F.col("doc_id") % 10 == 0).select("doc_id", fp.alias("fp"))
+
+    def positions(col):
+        return F.array(
+            *[
+                F.conv(F.substring(col, 1 + 8 * i, 8), 16, 10).cast("bigint")
+                % _BLOOM_BITS
+                for i in range(_BLOOM_K)
+            ]
+        )
+
+    bloom = (
+        hist.select(F.explode(positions(F.col("fp"))).alias("pos")).distinct()
+    )
+    probed = (
+        batch.select("doc_id", "fp", F.explode(positions(F.col("fp"))).alias("pos"))
+        .join(F.broadcast(bloom.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("doc_id", "fp")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"))
+    )
+    truth = hist.distinct().withColumn("is_dup", F.lit(1))
+    flagged = F.when(F.col("n_hit") == _BLOOM_K, 1).otherwise(0)
+    true_dup = F.when(F.col("is_dup").isNotNull(), 1).otherwise(0)
+    return (
+        probed.join(truth, "fp", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(flagged).cast("bigint").alias("n_flagged"),
+            F.sum(true_dup).cast("bigint").alias("n_true_dups"),
+            F.sum(
+                F.when((F.col("n_hit") == _BLOOM_K) & F.col("is_dup").isNull(), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_false_pos"),
+        )
+    )

@@ -25,3 +25,14 @@ def test_not_in_null_list_actually_contains_nulls(spark, sf_dir):
     row = QUERIES["not_in_null_semantics"].fn(spark, sf_dir).collect()[0]
     assert row["n_matched"] == 0
     assert row["n_customers"] > 0
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    # Bloom filters may over-flag, never under-flag: every true duplicate
+    # must be flagged, and the filter must actually flag something.
+    row = QUERIES["dedup_bloom_prefilter"].fn(spark, sf_dir).collect()[0]
+    assert row["n_flagged"] >= row["n_true_dups"]
+    # flagged = (true dups flagged) + false positives; no false negatives
+    # means the first term is exactly n_true_dups.
+    assert row["n_flagged"] == row["n_true_dups"] + row["n_false_pos"]
+    assert row["n_batch"] > 0
