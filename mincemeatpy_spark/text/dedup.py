@@ -1470,3 +1470,116 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_false_pos"),
         )
     )
+
+
+# --- 10. contrastive training-pair mining -------------------------------
+
+
+@register(
+    "contrastive_pairs_mining",
+    oracle=f"""
+        WITH {_ORACLE_SHINGLES},
+        based AS (
+            SELECT doc_id, {_ORACLE_H60.format(x="s")} AS base
+            FROM sh
+        ),
+        minh AS (
+            SELECT doc_id,
+                   {", ".join(f"min({_affine(i)}) AS m{i}" for i in range(_N_HASHES))}
+            FROM based GROUP BY doc_id
+        ),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_sig_sql(b)} AS sig FROM minh" for b in range(_N_HASHES // _BAND_SIZE))}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                        AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM based GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+            FROM based a JOIN based b ON a.base = b.base AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pos AS (
+            SELECT c.d1 AS anchor, c.d2 AS positive
+            FROM cand c
+            JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+            JOIN sizes sa ON sa.doc_id = c.d1
+            JOIN sizes sb ON sb.doc_id = c.d2
+            WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.25
+        ),
+        n_docs AS (SELECT count(*) AS n FROM documents),
+        probes AS (
+            SELECT p.anchor, p.positive, j,
+                   (p.anchor * 2654435761 + j) % (SELECT n FROM n_docs) AS neg
+            FROM pos p, (SELECT unnest(generate_series(0, 4)) AS j)
+        ),
+        valid AS (
+            SELECT pr.anchor, pr.positive, pr.j, pr.neg
+            FROM probes pr
+            LEFT JOIN pos q
+              ON q.anchor = least(pr.anchor, pr.neg)
+             AND q.positive = greatest(pr.anchor, pr.neg)
+            WHERE pr.neg <> pr.anchor AND pr.neg <> pr.positive
+              AND q.anchor IS NULL
+        )
+        SELECT anchor, positive,
+               CAST(min(neg ORDER BY j) AS BIGINT) AS negative
+        FROM (SELECT anchor, positive, j, neg,
+                     row_number() OVER (PARTITION BY anchor, positive
+                                        ORDER BY j) AS rk
+              FROM valid)
+        WHERE rk = 1
+        GROUP BY anchor, positive
+        """,
+    category="dedup",
+    doc="Contrastive training-triplet mining — the step that turns a "
+    "dedup index into embedding-model training data: anchors/positives "
+    "are the MinHash-LSH verified near-dup pairs (Jaccard >= 0.25), "
+    "and each pair gets a deterministic hard-ish negative probed by a "
+    "Knuth-multiplicative hash over the contiguous doc-id space "
+    "(first of 5 probes that is neither endpoint nor itself a known "
+    "positive of the anchor — no RNG, so the mined set is reproducible "
+    "across runs and engines, the property a versioned training set "
+    "needs).  Plan: the LSH pair stage is linear-shuffle as always; "
+    "probing explodes 5 candidates per pair and anti-joins the "
+    "canonicalized pair set — work scales with |pairs|, never |docs|².",
+)
+def contrastive_pairs_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pos = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.25)
+        .select(F.col("d1").alias("anchor"), F.col("d2").alias("positive"))
+    )
+    n_docs = t(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n"))
+    probes = (
+        pos.crossJoin(F.broadcast(n_docs))
+        .select(
+            "anchor",
+            "positive",
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j"),
+            "n",
+        )
+        .withColumn("neg", (F.col("anchor") * 2654435761 + F.col("j")) % F.col("n"))
+        .filter((F.col("neg") != F.col("anchor")) & (F.col("neg") != F.col("positive")))
+    )
+    canon = pos.select(
+        F.col("anchor").alias("qa"), F.col("positive").alias("qp")
+    )
+    valid = probes.join(
+        F.broadcast(canon),
+        (F.least("anchor", "neg") == F.col("qa"))
+        & (F.greatest("anchor", "neg") == F.col("qp")),
+        "left_anti",
+    )
+    w = Window.partitionBy("anchor", "positive").orderBy("j")
+    return (
+        valid.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("anchor", "positive", F.col("neg").cast("bigint").alias("negative"))
+    )
