@@ -787,3 +787,26 @@ def test_rolling_distinct_windows_on_small_tables_only(spark, sf_dir):
     # exchange allowed is above the tiny per-day delta aggregate.
     plan = _plan("events_rolling_distinct_users", spark, sf_dir)
     _assert_single_partition_only_after_agg(plan)
+
+
+def test_no_single_partition_exchange_over_raw_data_anywhere(spark, sf_dir):
+    """Repo-wide enforcement of SCALE.md rule 11: in EVERY registered
+    query's physical plan, an Exchange SinglePartition may only consume
+    pre-bounded rows — an Aggregate (partial/bucket rollup) or a
+    WindowGroupLimit (per-partition top-k pruning).  This is the guard
+    against the exact bug class round 3 flagged in
+    sessions_peak_concurrency: a global window/sort silently funneling
+    an unbounded stream through one task."""
+    offenders = {}
+    for name, q in QUERIES.items():
+        try:
+            plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception:  # noqa: BLE001 — runtime failures belong to other tests
+            continue
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" in line:
+                nxt = "".join(lines[i + 1 : i + 3])
+                if "Aggregate" not in nxt and "WindowGroupLimit" not in nxt:
+                    offenders.setdefault(name, []).append(nxt.strip()[:80])
+    assert not offenders, f"single-partition exchanges over raw data: {offenders}"
