@@ -42,14 +42,16 @@ from mincemeatpy_spark.tables import t
     category="udf",
     doc="Python UDTF (the declarative mapfn, reference mincemeat.py:"
     "167-173): one text row in, one row per token out with its position, "
-    "invoked via LATERAL so it runs distributed next to the scan.  "
+    "invoked via LATERAL so it runs distributed next to the scan, "
+    "Arrow-optimized (useArrow=True plans ArrowEvalPythonUDTF — batched "
+    "columnar transfer, not row-pickling).  "
     "Positions are assigned before the empty-token filter so they match "
     "the regex-split oracle exactly.",
 )
 def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="word: string, pos: int")
+    @udtf(returnType="word: string, pos: int", useArrow=True)
     class WordPositions:
         def eval(self, text: str):
             import re

@@ -789,7 +789,25 @@ def test_rolling_distinct_windows_on_small_tables_only(spark, sf_dir):
     _assert_single_partition_only_after_agg(plan)
 
 
-def test_no_single_partition_exchange_over_raw_data_anywhere(spark, sf_dir):
+import pytest
+
+
+@pytest.fixture(scope="module")
+def all_plans(spark, sf_dir):
+    """Executed-plan text for every registered query, built once; the
+    repo-wide plan sweeps below share it."""
+    plans = {}
+    for name, q in QUERIES.items():
+        try:
+            plans[name] = (
+                q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception:  # noqa: BLE001 — runtime failures belong to other tests
+            pass
+    return plans
+
+
+def test_no_single_partition_exchange_over_raw_data_anywhere(all_plans):
     """Repo-wide enforcement of SCALE.md rule 11: in EVERY registered
     query's physical plan, an Exchange SinglePartition may only consume
     pre-bounded rows — an Aggregate (partial/bucket rollup) or a
@@ -798,11 +816,7 @@ def test_no_single_partition_exchange_over_raw_data_anywhere(spark, sf_dir):
     sessions_peak_concurrency: a global window/sort silently funneling
     an unbounded stream through one task."""
     offenders = {}
-    for name, q in QUERIES.items():
-        try:
-            plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        except Exception:  # noqa: BLE001 — runtime failures belong to other tests
-            continue
+    for name, plan in all_plans.items():
         lines = plan.splitlines()
         for i, line in enumerate(lines):
             if "Exchange SinglePartition" in line:
@@ -810,3 +824,13 @@ def test_no_single_partition_exchange_over_raw_data_anywhere(spark, sf_dir):
                 if "Aggregate" not in nxt and "WindowGroupLimit" not in nxt:
                     offenders.setdefault(name, []).append(nxt.strip()[:80])
     assert not offenders, f"single-partition exchanges over raw data: {offenders}"
+
+
+def test_no_row_at_a_time_python_anywhere(all_plans):
+    """Repo-wide: BatchEvalPython (row-at-a-time pickled UDF execution)
+    must not appear in ANY registered query's plan.  Python stages are
+    Arrow-batched only (ArrowEvalPython / mapInPandas / mapInArrow /
+    FlatMapGroupsInPandas / cogroup) — the 10-100x rule for Python on
+    the hot path."""
+    offenders = [n for n, p in all_plans.items() if "BatchEvalPython" in p]
+    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
