@@ -834,3 +834,12 @@ def test_no_row_at_a_time_python_anywhere(all_plans):
     the hot path."""
     offenders = [n for n, p in all_plans.items() if "BatchEvalPython" in p]
     assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+
+
+def test_no_shuffle_cartesian_anywhere(all_plans):
+    """Repo-wide: CartesianProduct (the shuffle-based big-big cross
+    product) must never appear — every cross join in the registry is a
+    broadcast of a provably tiny side (scalars, centroids, planes,
+    probe lists), which plans as BroadcastNestedLoopJoin instead."""
+    offenders = [n for n, p in all_plans.items() if "CartesianProduct" in p]
+    assert not offenders, f"shuffle cartesian products in: {offenders}"
