@@ -1553,3 +1553,67 @@ def features_user_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         onehot.alias("top_type_onehot"),
     )
+
+
+@register(
+    "events_audience_overlap",
+    oracle="""
+        WITH ut AS (
+            SELECT DISTINCT user_id, event_type FROM events
+        ),
+        sizes AS (SELECT event_type, count(*) AS n FROM ut GROUP BY event_type)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_overlap,
+               sa.n AS n_a, sb.n AS n_b,
+               round(count(*)::DOUBLE / (sa.n + sb.n - count(*)), 6)
+                   AS jaccard
+        FROM ut a
+        JOIN ut b ON b.user_id = a.user_id AND a.event_type < b.event_type
+        JOIN sizes sa ON sa.event_type = a.event_type
+        JOIN sizes sb ON sb.event_type = b.event_type
+        GROUP BY a.event_type, b.event_type, sa.n, sb.n
+        """,
+    category="behavioral",
+    doc="Audience-overlap matrix — for every pair of event types, how "
+    "many users do both (plus each audience's size and the Jaccard "
+    "overlap): the segmentation readout behind 'do purchasers also "
+    "browse'.  The co-occurrence self-join runs on the DEDUPED "
+    "(user, type) grain — |users| x |types| rows, never raw events — "
+    "and pairs per user are bounded by the type vocabulary (k choose "
+    "2, single digits), so the join output is linear in users.  The "
+    "same plan with HLL sketches per cell is the approximate path "
+    "when the type vocabulary is large.",
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ut = (
+        t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    )
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ut.alias("a"), ut.alias("b")
+    jac = F.col("n_overlap").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_overlap")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a", "type_b", "n_overlap", "n_a", "n_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

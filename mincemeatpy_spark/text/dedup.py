@@ -1583,3 +1583,146 @@ def contrastive_pairs_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("anchor", "positive", F.col("neg").cast("bigint").alias("negative"))
     )
+
+
+def _band_sig_sql_rows(b: int, rows: int) -> str:
+    parts = [f"m{i}::VARCHAR" for i in range(b * rows, (b + 1) * rows)]
+    return " || ',' || ".join(parts)
+
+
+@register(
+    "dedup_lsh_band_tradeoff",
+    oracle=f"""
+        WITH {_ORACLE_SHINGLES},
+        shh AS (SELECT doc_id, {_ORACLE_H60.format(x='s')} AS base FROM sh),
+        minh AS (
+            SELECT doc_id,
+                   {", ".join(f"min({_affine(i)}) AS m{i}" for i in range(_N_HASHES))}
+            FROM shh GROUP BY doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+            FROM shh a JOIN shh b ON a.base = b.base AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        truth AS (
+            SELECT d1, d2 FROM inter
+            JOIN sizes sa ON sa.doc_id = d1
+            JOIN sizes sb ON sb.doc_id = d2
+            WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.25
+        ),
+        bands_44 AS (
+            {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_sig_sql_rows(b, 4)} AS sig FROM minh" for b in range(4))}
+        ),
+        cand_44 AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands_44 a JOIN bands_44 b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ),
+        bands_28 AS (
+            {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_sig_sql_rows(b, 8)} AS sig FROM minh" for b in range(2))}
+        ),
+        cand_28 AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands_28 a JOIN bands_28 b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        )
+        SELECT config, n_candidates, n_true,
+               n_hit,
+               round(n_hit::DOUBLE / nullif(n_true, 0), 6) AS recall
+        FROM (
+            SELECT '4x4' AS config,
+                   (SELECT count(*) FROM cand_44) AS n_candidates,
+                   (SELECT count(*) FROM truth) AS n_true,
+                   (SELECT count(*) FROM truth t
+                    JOIN cand_44 c ON c.d1 = t.d1 AND c.d2 = t.d2) AS n_hit
+            UNION ALL
+            SELECT '2x8',
+                   (SELECT count(*) FROM cand_28),
+                   (SELECT count(*) FROM truth),
+                   (SELECT count(*) FROM truth t
+                    JOIN cand_28 c ON c.d1 = t.d1 AND c.d2 = t.d2)
+        )
+        """,
+    category="dedup",
+    doc="LSH band-configuration tradeoff — the tuning loop run on a "
+    "sample before committing a 100 TB dedup pass: the SAME 16 MinHash "
+    "minima banded two ways (4 bands x 4 rows = recall-leaning, "
+    "2 bands x 8 rows = precision-leaning), each config's candidate "
+    "count and recall measured against the exact-Jaccard truth in one "
+    "query.  More bands / fewer rows per band shifts the S-curve left "
+    "(more candidates, higher recall) — this op quantifies that knob "
+    "with exact integers so the choice is data-driven, not folklore.  "
+    "Signatures are computed once; each banding is a cheap re-stack.",
+)
+def dedup_lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    based = (
+        _shingle_df(spark, sf_dir)
+        .select("doc_id", _hash60(F.col("s")).alias("base"))
+        .cache()
+    )
+    minh = based.groupBy("doc_id").agg(
+        *[F.min(F.expr(_affine(i))).alias(f"m{i}") for i in range(_N_HASHES)],
+        F.count(F.lit(1)).alias("n"),
+    )
+    sizes = minh.select("doc_id", "n")
+    a, b = based.alias("a"), based.alias("b")
+    inter = (
+        a.join(b, (F.col("a.base") == F.col("b.base")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    truth = (
+        inter.join(F.broadcast(sizes).alias("sa"), F.col("sa.doc_id") == F.col("d1"))
+        .join(F.broadcast(sizes).alias("sb"), F.col("sb.doc_id") == F.col("d2"))
+        .filter(jac >= 0.25)
+        .select("d1", "d2")
+    )
+
+    def candidates(n_bands: int, rows: int):
+        stack_args = ", ".join(
+            f"{bi}, concat_ws(',', {', '.join(f'm{i}' for i in range(bi * rows, (bi + 1) * rows))})"
+            for bi in range(n_bands)
+        )
+        bands = minh.selectExpr(
+            "doc_id", f"stack({n_bands}, {stack_args}) AS (band, sig)"
+        )
+        ba, bb = bands.alias("ba"), bands.alias("bb")
+        return (
+            ba.join(
+                bb,
+                (F.col("ba.band") == F.col("bb.band"))
+                & (F.col("ba.sig") == F.col("bb.sig"))
+                & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+            )
+            .select(F.col("ba.doc_id").alias("d1"), F.col("bb.doc_id").alias("d2"))
+            .distinct()
+        )
+
+    out = None
+    for config, nb, rows in (("4x4", 4, 4), ("2x8", 2, 8)):
+        cand = candidates(nb, rows)
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+        n_hit = truth.join(cand, ["d1", "d2"]).agg(
+            F.count(F.lit(1)).alias("n_hit")
+        )
+        row = (
+            n_cand.crossJoin(n_true)
+            .crossJoin(n_hit)
+            .select(
+                F.lit(config).alias("config"),
+                "n_candidates",
+                "n_true",
+                "n_hit",
+                F.round(
+                    F.col("n_hit").cast("double")
+                    / F.nullif(F.col("n_true"), F.lit(0)).cast("double"),
+                    6,
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
