@@ -358,3 +358,38 @@ def stream_stream_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_stream_join_e2e_sink",
         mode="append",
     )
+
+
+@register(
+    "stream_sliding_counts_e2e",
+    oracle="""
+        SELECT w_start, event_type, count(*) AS n
+        FROM (
+            SELECT time_bucket(INTERVAL '15 minutes', ts)
+                       - k * (INTERVAL '15 minutes') AS w_start,
+                   event_type
+            FROM events, (SELECT unnest(generate_series(0, 3)) AS k)
+        )
+        GROUP BY w_start, event_type
+        """,
+    category="streaming",
+    doc="END-TO-END sliding windows through the real micro-batch engine "
+    "(1 h size / 15 min slide, watermarked, complete-mode memory "
+    "sink): every event lands in 4 overlapping window instances whose "
+    "state the engine maintains across micro-batches; the sink must "
+    "hash-match the batch replication oracle exactly.  Completes the "
+    "window-family e2e set (tumbling / sliding / session / stateful / "
+    "stream-stream join all run the actual engine under the "
+    "correctness gate).",
+)
+def stream_sliding_counts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        events_stream,
+        run_to_completion,
+        sliding_counts_stream,
+    )
+
+    return run_to_completion(
+        sliding_counts_stream(events_stream(spark, sf_dir)),
+        "stream_sliding_e2e_sink",
+    )
