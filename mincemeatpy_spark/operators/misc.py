@@ -394,3 +394,45 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("trail_days").cast("bigint").alias("trail_days"),
         status.alias("status"),
     )
+
+
+@register(
+    "orders_nested_export",
+    oracle="""
+        SELECT o.o_orderkey,
+               count(*) AS n_lines,
+               list(l.l_linenumber ORDER BY l.l_linenumber) AS line_numbers,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey < 1000
+        GROUP BY o.o_orderkey
+        """,
+    category="relational",
+    doc="Nested document assembly — the denormalization/export step that "
+    "turns a normalized star schema into self-contained records (the "
+    "shape a JSON/parquet export or a feature-store snapshot wants): "
+    "each order gathers its line numbers into a deterministically "
+    "ORDERED array (collect_list + array_sort — collect order is "
+    "partition-dependent, the sort restores determinism) plus exact "
+    "integer totals.  One shuffle on the join/group key; at 100 TB "
+    "both sides bucketed by orderkey make it exchange-free.  The "
+    "orderkey < 1000 slice keeps the driver comparison small; the "
+    "plan is slice-independent.",
+)
+def orders_nested_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000).select("o_orderkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.array_sort(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )
