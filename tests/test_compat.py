@@ -270,3 +270,29 @@ def test_top_level_drop_in_import(spark):
     s.reducefn = reducefn
     assert s.run_server(password="changeme") == EXPECTED
     assert hasattr(mincemeat, "Client") and hasattr(mincemeat, "pipeline")
+
+
+def test_empty_datasource_returns_empty_dict(spark):
+    # Reference semantics: no tasks -> FINISHED immediately -> {} back.
+    assert mapreduce(spark, {}, mapfn, reducefn) == {}
+
+
+def test_arbitrary_picklable_keys_and_values(spark):
+    # The reference's contract is 'any picklable object' for keys and
+    # values (pickle at mincemeat.py:66,92) — tuples as keys, lists as
+    # values must round-trip.
+    ds = {("a", 1): [1, 2], ("b", 2): [3], ("a", 3): [4, 5, 6]}
+
+    def mfn(k, v):
+        yield k[0], len(v)
+
+    def rfn(k, vs):
+        return sorted(vs)
+
+    assert mapreduce(spark, ds, mfn, rfn) == {"a": [2, 3], "b": [1]}
+
+
+def test_unicode_round_trip(spark):
+    ds = {0: "héllo wörld héllo", 1: "wörld"}
+    out = mapreduce(spark, ds, mapfn, reducefn)
+    assert out == {"héllo": 2, "wörld": 2}
