@@ -283,3 +283,125 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").alias("chars"),
     )
+
+
+def _make_stream_writer_class():
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    class _Done(WriterCommitMessage):
+        def __init__(self, path: str, rows: int) -> None:
+            self.path, self.rows = path, rows
+
+    class JsonLinesStreamWriter(DataSourceStreamWriter):
+        """Streaming sink half of the connector: each micro-batch task
+        streams its partition to a JSON-lines file; commit(batchId) runs
+        driver-side per micro-batch and publishes a manifest-<batchId>
+        listing that batch's files — the per-batch two-phase commit that
+        gives a custom streaming sink exactly-once output (readers only
+        trust manifested files; an aborted batch leaves no manifest)."""
+
+        def __init__(self, options: dict) -> None:
+            self.path = options["path"]
+
+        def write(self, iterator):
+            import json
+            import os
+
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            os.makedirs(self.path, exist_ok=True)
+            out = os.path.join(
+                self.path, f"part-{tc.partitionId():05d}-{tc.taskAttemptId()}.json"
+            )
+            n = 0
+            with open(out, "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _Done(out, n)
+
+        def commit(self, messages, batchId) -> None:
+            import json
+            import os
+
+            manifest = {
+                "batch": batchId,
+                "files": sorted(m.path for m in messages if m is not None),
+                "rows": sum(m.rows for m in messages if m is not None),
+            }
+            with open(os.path.join(self.path, f"manifest-{batchId}.json"), "w") as f:
+                json.dump(manifest, f)
+
+        def abort(self, messages, batchId) -> None:
+            import os
+
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class JsonStreamSinkDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "mincemeat_jsonsink_stream"
+
+        def streamWriter(self, schema, overwrite) -> JsonLinesStreamWriter:
+            return JsonLinesStreamWriter(self.options)
+
+    return JsonStreamSinkDataSource
+
+
+@register(
+    "sink_python_datasource_stream",
+    oracle="""
+        SELECT event_type, count(*) AS n
+        FROM events
+        GROUP BY event_type
+        """,
+    category="source",
+    doc="Custom Python Data Source STREAMING writer (Spark 4 "
+    "DataSourceStreamWriter) — the last cell of the connector matrix "
+    "(batch read / stream read / batch write / STREAM write): the "
+    "events stream writes micro-batches through the custom sink, each "
+    "batch publishing a manifest in its driver-side commit(batchId) — "
+    "per-batch two-phase commit, the exactly-once contract a custom "
+    "streaming sink must implement.  Losslessness is proven the hard "
+    "way: read back ONLY manifested files and hash-match the per-type "
+    "counts against the batch oracle over the source table.",
+)
+def sink_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import shutil
+
+    from mincemeatpy_spark.sources.readers import _scratch
+    from mincemeatpy_spark.streaming.stream_ops import events_stream
+
+    path = _scratch(sf_dir, "pyds_stream_sink")
+    ck = _scratch(sf_dir, "pyds_stream_sink_ck")
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    spark.dataSource.register(_make_stream_writer_class())
+    q = (
+        events_stream(spark, sf_dir)
+        .select("event_id", "event_type")
+        .writeStream.format("mincemeat_jsonsink_stream")
+        .option("path", path)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    files = []
+    for mf in sorted(os.listdir(path)):
+        if mf.startswith("manifest-"):
+            with open(os.path.join(path, mf)) as f:
+                files.extend(json.load(f)["files"])
+    back = spark.read.schema("event_id bigint, event_type string").json(files)
+    return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
