@@ -272,3 +272,54 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("p_partkey").alias("min_key"),
         )
     )
+
+
+@register(
+    "udtf_table_argument",
+    oracle="""
+        SELECT event_type, event_id, value
+        FROM (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value DESC, event_id) AS rk
+            FROM events
+        )
+        WHERE rk <= 2
+        """,
+    category="udf",
+    doc="Polymorphic table function with a TABLE argument (Spark 4 "
+    "UDTF(TABLE(...) PARTITION BY ... ORDER BY ...)): the UDTF consumes "
+    "WHOLE ordered partitions — one instance per event_type, rows "
+    "arriving value-descending — and keeps the top 2 per partition in "
+    "O(1) state.  This is the API the reference's per-key reducefn "
+    "(all values of a key, one call — mincemeat.py:327-329) maps onto "
+    "when the reduction needs ordered streaming rather than a "
+    "materialized list; Spark plans the PARTITION BY as the shuffle "
+    "and the ORDER BY as an intra-partition sort, exactly one "
+    "exchange.  Deterministic tie-break (value DESC, event_id) makes "
+    "the emitted rows hash-stable.",
+)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_type string, event_id bigint, value double")
+    class Top2PerPartition:
+        def __init__(self) -> None:
+            self.n = 0
+
+        def eval(self, row):
+            if self.n < 2:
+                self.n += 1
+                yield row["event_type"], row["event_id"], row["value"]
+
+    spark.udtf.register("top2_per_partition", Top2PerPartition)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_udtf_v")
+    return spark.sql(
+        """
+        SELECT * FROM top2_per_partition(
+            TABLE(events_udtf_v)
+            PARTITION BY event_type
+            ORDER BY (value DESC, event_id)
+        )
+        """
+    )
