@@ -302,7 +302,7 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="event_type string, event_id bigint, value double")
+    @udtf(returnType="event_type string, event_id bigint, value double", useArrow=True)
     class Top2PerPartition:
         def __init__(self) -> None:
             self.n = 0
