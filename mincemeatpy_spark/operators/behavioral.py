@@ -1617,3 +1617,66 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+@register(
+    "events_ab_srm_check",
+    oracle="""
+        WITH assign AS (
+            SELECT DISTINCT user_id,
+                   CASE WHEN user_id % 100 < 52 THEN 'A' ELSE 'B' END
+                       AS variant
+            FROM events
+        ),
+        counts AS (
+            SELECT sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS n_a,
+                   sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS n_b
+            FROM assign
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               CAST(round(1000000.0 * (n_a - n_b) * (n_a - n_b)
+                          / (n_a + n_b)) AS BIGINT) AS chi2_micros,
+               CASE WHEN 1000000.0 * (n_a - n_b) * (n_a - n_b) / (n_a + n_b)
+                         > 3841459.0
+                    THEN 1 ELSE 0 END AS srm_flag
+        FROM counts
+        """,
+    category="behavioral",
+    doc="Sample-ratio-mismatch guardrail — the FIRST check any A/B "
+    "readout must pass (a biased assignment invalidates every "
+    "downstream metric before events_chi2_ab even runs): distinct "
+    "users per variant vs the expected 50/50, chi-square with 1 dof "
+    "= (n_a - n_b)^2 / n in exact integer micro-units, flagged above "
+    "the 0.05 critical value 3.841459.  The fixture's deterministic "
+    "52/48 assignment (user_id % 100 < 52) plants a real mismatch so "
+    "the flag's firing is itself under test.  One distinct-user "
+    "aggregate; the chi-square is driver-free scalar arithmetic on "
+    "two counts.",
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = (
+        t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn(
+            "variant",
+            F.when(F.col("user_id") % 100 < 52, "A").otherwise("B"),
+        )
+    )
+    counts = assign.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("n_b"),
+    )
+    chi2 = (
+        F.lit(1_000_000.0)
+        * (F.col("n_a") - F.col("n_b"))
+        * (F.col("n_a") - F.col("n_b"))
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    return counts.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(chi2).cast("bigint").alias("chi2_micros"),
+        F.when(chi2 > 3_841_459.0, 1).otherwise(0).alias("srm_flag"),
+    )
