@@ -949,3 +949,57 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "inverted_index_phrase_query",
+    oracle="""
+        WITH src AS (
+            SELECT doc_id, string_split_regex(text, '\\s+') AS w
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, i - 1 AS pos, w[i] AS word
+            FROM src, unnest(generate_series(1, len(w))) AS t(i)
+        ),
+        a AS (SELECT doc_id, pos FROM toks WHERE word = 'key'),
+        b AS (SELECT doc_id, pos FROM toks WHERE word = 'order')
+        SELECT a.doc_id,
+               count(*) AS n_occurrences,
+               min(a.pos) AS first_pos
+        FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        GROUP BY a.doc_id
+        """,
+    category="text",
+    doc="Phrase query over a POSITIONAL inverted index — the retrieval "
+    "capability bag-of-words BM25 cannot express: find documents "
+    "containing the exact phrase 'key order' by joining the two "
+    "terms' postings on (doc, adjacent positions).  Plan shape at "
+    "100 TB: only the QUERY TERMS' postings are read (two selective "
+    "filters on the token stream — in a stored index, two posting-"
+    "list fetches), the adjacency join keys on (doc_id, pos) — "
+    "8-byte-pair shuffle bounded by the rarer term's postings — and "
+    "per-doc occurrence counts come out of the same shuffle.  "
+    "Generalizes to n-term phrases by chaining +1 joins, and to "
+    "proximity search by widening the position predicate.",
+)
+def inverted_index_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "word"))
+    )
+    a = toks.filter(F.col("word") == "key").select("doc_id", "pos")
+    b = toks.filter(F.col("word") == "order").select(
+        F.col("doc_id").alias("b_doc"), F.col("pos").alias("b_pos")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("b_doc") == F.col("doc_id")) & (F.col("b_pos") == F.col("pos") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("pos").alias("first_pos"),
+        )
+    )
