@@ -491,3 +491,91 @@ def multimodal_text_embedding_align(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum(F.coalesce("nrm2", F.lit(0))).cast("bigint").alias("sum_nrm2"),
         )
     )
+
+
+@register(
+    "multimodal_frame_dedup",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) AS n
+            FROM documents WHERE octet_length(encode(text)) >= 64
+        ),
+        frames AS (
+            SELECT doc_id,
+                   md5(substring(h, f * 128 + 1, 128)) AS frame_fp
+            FROM b, unnest(generate_series(0, n // 64 - 1)) AS t(f)
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   count(*) AS n_frames,
+                   count(DISTINCT frame_fp) AS n_unique
+            FROM frames GROUP BY doc_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_assets,
+               CAST(sum(n_frames) AS BIGINT) AS n_frames,
+               CAST(sum(n_unique) AS BIGINT) AS n_unique_frames,
+               CAST(sum(n_frames - n_unique) AS BIGINT) AS n_dup_frames,
+               CAST(sum((n_frames - n_unique) * 64) AS BIGINT) AS bytes_saved
+        FROM per_doc
+        """,
+    category="multimodal",
+    doc="Intra-asset frame dedup — the within-video storage optimization "
+    "next to the cross-asset ledger (multimodal_dedup_digest): each "
+    "payload splits into fixed 64-byte frames whose digests are "
+    "deduplicated PER ASSET (static scenes, repeated intro frames), "
+    "reporting the duplicate-frame mass and reclaimable bytes.  "
+    "Frames digest scan-side in the mapInPandas decode slot (numpy "
+    "byte slicing over Arrow batches — a real codec's frame iterator "
+    "drops into the same loop); only (doc, 16-byte digest) rows "
+    "shuffle, aggregated twice (per-asset, then corpus totals).  The "
+    "byte-level oracle slices the hex encoding, so non-ASCII payloads "
+    "agree too.  Partial frames (< 64 bytes) are excluded on both "
+    "sides.",
+)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") >= 64)
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
+
+    def frame_stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        for pdf in batches:
+            out_doc, out_frames, out_unique = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                n_full = len(raw) // 64
+                fps = {
+                    hashlib.md5(raw[f * 64 : (f + 1) * 64]).hexdigest()
+                    for f in range(n_full)
+                }
+                out_doc.append(doc_id)
+                out_frames.append(n_full)
+                out_unique.append(len(fps))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "n_frames": out_frames,
+                    "n_unique": out_unique,
+                }
+            )
+
+    per_doc = d.mapInPandas(
+        frame_stats, schema="doc_id long, n_frames long, n_unique long"
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("n_frames").cast("bigint").alias("n_frames"),
+        F.sum("n_unique").cast("bigint").alias("n_unique_frames"),
+        F.sum(F.col("n_frames") - F.col("n_unique")).cast("bigint").alias(
+            "n_dup_frames"
+        ),
+        F.sum((F.col("n_frames") - F.col("n_unique")) * 64)
+        .cast("bigint")
+        .alias("bytes_saved"),
+    )
