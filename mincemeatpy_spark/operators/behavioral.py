@@ -1680,3 +1680,84 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2).cast("bigint").alias("chi2_micros"),
         F.when(chi2 > 3_841_459.0, 1).otherwise(0).alias("srm_flag"),
     )
+
+
+@register(
+    "events_bot_regularity_filter",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events
+        ),
+        g AS (SELECT user_id, gap_us FROM gaps WHERE gap_us IS NOT NULL),
+        med AS (
+            SELECT user_id, count(*) AS n_gaps,
+                   quantile_cont(gap_us, 0.5) AS med_gap
+            FROM g GROUP BY user_id
+        ),
+        mad AS (
+            SELECT g.user_id,
+                   quantile_cont(abs(g.gap_us - m.med_gap), 0.5) AS mad_gap
+            FROM g JOIN med m ON m.user_id = g.user_id
+            GROUP BY g.user_id
+        ),
+        scored AS (
+            SELECT m.user_id, m.n_gaps, m.med_gap, d.mad_gap,
+                   CASE WHEN m.n_gaps >= 5 AND d.mad_gap * 10 < m.med_gap
+                        THEN 1 ELSE 0 END AS is_bot
+            FROM med m JOIN mad d ON d.user_id = m.user_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users_scored,
+               CAST(sum(is_bot) AS BIGINT) AS n_flagged,
+               min(CASE WHEN is_bot = 1 THEN user_id END) AS example_bot
+        FROM scored
+        """,
+    category="behavioral",
+    doc="Bot/automation detection by inter-event timing regularity — the "
+    "abuse filter a training-data pipeline runs before user-generated "
+    "content enters a corpus: humans have heavy-tailed inter-event "
+    "gaps, schedulers fire metronomically, so a user whose gap MAD is "
+    "under 10% of their median gap (with >= 5 gaps observed) is "
+    "flagged.  Robust statistics (median/MAD, not mean/stddev) resist "
+    "the exact long-tail outliers that make variance useless here.  "
+    "Plan: one user-partitioned lag window, two grouped exact "
+    "percentile aggregates (per-user groups are session-sized; the "
+    "approx_percentile sketch swaps in for whale users), a user-keyed "
+    "join reusing the same partitioning, and a three-number corpus "
+    "rollup.  Exact integer microsecond gaps; quantile_cont "
+    "interpolation is bit-identical across engines.",
+)
+def events_bot_regularity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = (
+        e.withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+        .filter(F.col("gap_us").isNotNull())
+        .select("user_id", "gap_us")
+    )
+    med = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr("percentile(gap_us, 0.5)").alias("med_gap"),
+    )
+    mad = (
+        g.join(med.select("user_id", "med_gap"), "user_id")
+        .groupBy("user_id")
+        .agg(F.expr("percentile(abs(gap_us - med_gap), 0.5)").alias("mad_gap"))
+    )
+    scored = med.join(mad, "user_id").withColumn(
+        "is_bot",
+        F.when(
+            (F.col("n_gaps") >= 5) & (F.col("mad_gap") * 10 < F.col("med_gap")), 1
+        ).otherwise(0),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users_scored"),
+        F.sum("is_bot").cast("bigint").alias("n_flagged"),
+        F.min(F.when(F.col("is_bot") == 1, F.col("user_id"))).alias("example_bot"),
+    )
