@@ -324,3 +324,56 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"),
         F.min("node").alias("example_node"),
     )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle="""
+        WITH edges AS (
+            SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        deg AS (
+            SELECT src AS node, count(*) AS d FROM edges GROUP BY src
+            UNION ALL
+            SELECT dst + 1000000, count(*) FROM edges GROUP BY dst
+        )
+        SELECT CASE WHEN node < 1000000 THEN 'customer'
+                    ELSE 'supplier' END AS side,
+               length(bin(d)) - 1 AS degree_log2,
+               count(*) AS n_nodes,
+               CAST(sum(d) AS BIGINT) AS sum_degree
+        FROM deg
+        GROUP BY 1, 2
+        """,
+    category="graph",
+    doc="Degree distribution of the purchase graph in log2 buckets, per "
+    "bipartite side — the graph-health fingerprint read before any "
+    "iterative algorithm (a power-law tail predicts skewed Pregel "
+    "supersteps and drives salting/threshold choices; compare "
+    "text_zipf_fit for the token analogue).  Exact bit-length log2 "
+    "buckets, two keyed aggregates (degree, then histogram) — the "
+    "edge list is touched once per side and nothing quadratic exists.",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    deg = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        .select(F.lit("customer").alias("side"), "d")
+        .unionAll(
+            edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+            .select(F.lit("supplier").alias("side"), "d")
+        )
+    )
+    return deg.groupBy(
+        "side", (F.length(F.bin("d")) - 1).alias("degree_log2")
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("d").cast("bigint").alias("sum_degree"),
+    )

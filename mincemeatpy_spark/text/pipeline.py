@@ -914,3 +914,86 @@ def pipeline_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage("dup_in_batch", triage.filter(F.col("verdict") == "dup_in_batch")))
         .unionAll(stage("unique_new", triage.filter(F.col("verdict") == "unique_new")))
     )
+
+
+@register(
+    "corpus_quality_stratified_sample",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '')) AS n_tokens,
+                   len(list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                                 x -> x <> '')))::DOUBLE
+                       / nullif(len(list_filter(string_split_regex(text, '\\s+'),
+                                                x -> x <> '')), 0) AS uniq
+            FROM documents
+        ),
+        banded AS (
+            SELECT doc_id,
+                   CASE WHEN n_tokens >= 40 AND uniq >= 0.6 THEN 'high'
+                        WHEN n_tokens >= 10 AND uniq >= 0.4 THEN 'mid'
+                        ELSE 'low' END AS band,
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 1000 AS bucket
+            FROM scored
+        )
+        SELECT band,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN (band = 'high')
+                          OR (band = 'mid' AND bucket < 500)
+                          OR (band = 'low' AND bucket < 100)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               min(CASE WHEN (band = 'high')
+                          OR (band = 'mid' AND bucket < 500)
+                          OR (band = 'low' AND bucket < 100)
+                        THEN doc_id END) AS first_kept
+        FROM banded
+        GROUP BY band
+        """,
+    category="text",
+    doc="Quality-weighted corpus sampling — the curriculum step between "
+    "scoring and training: documents band into high/mid/low quality "
+    "(token count x uniqueness thresholds) and sample at 100%/50%/10% "
+    "via the deterministic md5 hash-bucket rule "
+    "(sample_stratified_hash's engine-independent keep set — "
+    "reproducible, incremental, partition-independent).  Upsampling "
+    "quality instead of filtering hard keeps distributional coverage "
+    "while shifting mass — the knob quality-curriculum recipes tune.  "
+    "Scan-side scoring and bucketing; the only shuffle is the band "
+    "rollup.",
+)
+def corpus_quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    n_tokens = F.size(toks)
+    uniq = F.size(F.array_distinct(toks)).cast("double") / F.nullif(
+        n_tokens, F.lit(0)
+    )
+    band = (
+        F.when((n_tokens >= 40) & (uniq >= 0.6), "high")
+        .when((n_tokens >= 10) & (uniq >= 0.4), "mid")
+        .otherwise("low")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    keep = (
+        (F.col("band") == "high")
+        | ((F.col("band") == "mid") & (F.col("bucket") < 500))
+        | ((F.col("band") == "low") & (F.col("bucket") < 100))
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", band.alias("band"), bucket.alias("bucket"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.min(F.when(keep, F.col("doc_id"))).alias("first_kept"),
+        )
+    )
