@@ -520,6 +520,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    return _min_label_components(edges)
+
+
+def _min_label_components(edges: DataFrame) -> DataFrame:
+    """Connected components by min-label propagation over (d1, d2) edges.
+
+    Each round every node adopts the smallest label in its neighborhood;
+    converges in <= diameter rounds.  Each round localCheckpoints so the
+    lineage (and thus the physical plan) stays flat.  (On a real cluster
+    use checkpoint() on reliable storage instead.)
+    """
     sym = (
         edges.select(F.col("d1").alias("u"), F.col("d2").alias("v"))
         .unionAll(edges.select(F.col("d2").alias("u"), F.col("d1").alias("v")))
@@ -531,10 +542,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", F.col("u").alias("label"))
         .localCheckpoint(eager=True)
     )
-    # Min-label propagation to fixpoint.  The iteration count is bounded
-    # by the largest cluster's diameter; each round localCheckpoints so
-    # the lineage (and thus the physical plan) stays flat.  (On a real
-    # cluster use checkpoint() on reliable storage instead.)
     for _ in range(32):
         lab_v = labels.select(
             F.col("u").alias("lv"), F.col("label").alias("vlabel")
@@ -1737,3 +1744,69 @@ def dedup_lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@register(
+    "dedup_clusters_lsh",
+    oracle=f"""
+        WITH RECURSIVE {_ORACLE_SHINGLES},
+        based AS (
+            SELECT doc_id, {_ORACLE_H60.format(x="s")} AS base
+            FROM sh
+        ),
+        minh AS (
+            SELECT doc_id,
+                   {", ".join(f"min({_affine(i)}) AS m{i}" for i in range(_N_HASHES))}
+            FROM based GROUP BY doc_id
+        ),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_sig_sql(b)} AS sig FROM minh" for b in range(_N_HASHES // _BAND_SIZE))}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                        AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM based GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+            FROM based a JOIN based b ON a.base = b.base AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        edges AS (
+            SELECT c.d1, c.d2
+            FROM cand c
+            JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+            JOIN sizes sa ON sa.doc_id = c.d1
+            JOIN sizes sb ON sb.doc_id = c.d2
+            WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.25
+        ),
+        sym AS (SELECT d1 AS u, d2 AS v FROM edges
+                UNION SELECT d2, d1 FROM edges),
+        reach(u, v) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+            UNION
+            SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        )
+        SELECT u AS doc_id, min(v) AS cluster_id, count(*) AS cluster_size
+        FROM reach GROUP BY u
+        """,
+    category="dedup",
+    doc="Near-dup clustering over the MinHash-LSH edge set — the SCALE "
+    "path of dedup_clusters, completing the production fuzzy-dedup "
+    "chain (LSH candidates → exact verify → components → keep min per "
+    "cluster): the same min-label-propagation loop, but the edge set "
+    "comes from the linear-shuffle LSH stage instead of the quadratic "
+    "inverted index, so the whole pipeline is candidates-bounded end "
+    "to end.  Deterministic md5-derived hashing keeps even the "
+    "clustered output exactly oracle-checkable (recursive-CTE "
+    "transitive closure over the identical edge set).",
+)
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.25)
+        .select("d1", "d2")
+    )
+    return _min_label_components(edges)
