@@ -50,6 +50,10 @@ _RISKIEST = [
     "dedup_semdedup_clusters",
     "search_hybrid_rrf",
     "kmeans_loop_2iter",
+    "dedup_clusters_lsh",
+    "dedup_bloom_prefilter",
+    "contrastive_pairs_mining",
+    "events_bot_regularity_filter",
 ]
 
 
