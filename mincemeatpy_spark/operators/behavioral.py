@@ -1761,3 +1761,54 @@ def events_bot_regularity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_bot").cast("bigint").alias("n_flagged"),
         F.min(F.when(F.col("is_bot") == 1, F.col("user_id"))).alias("example_bot"),
     )
+
+
+@register(
+    "orders_interpurchase_intervals",
+    oracle="""
+        WITH seq AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days
+            FROM orders
+        ),
+        g AS (SELECT o_custkey, gap_days FROM seq WHERE gap_days IS NOT NULL)
+        SELECT CAST(count(*) AS BIGINT) AS n_intervals,
+               quantile_cont(gap_days, 0.25) AS p25,
+               quantile_cont(gap_days, 0.5)  AS p50,
+               quantile_cont(gap_days, 0.9)  AS p90,
+               CAST(max(gap_days) AS BIGINT) AS p_max
+        FROM g
+        """,
+    category="behavioral",
+    doc="Inter-purchase interval distribution — the repeat-behavior "
+    "cadence readout that sets churn thresholds and re-engagement "
+    "timing (a customer is 'lapsed' past the p90 gap, not past an "
+    "arbitrary 30 days): per-customer ordered purchase gaps in whole "
+    "days via one customer-partitioned lag window, then corpus-level "
+    "exact percentiles.  Deterministic (o_orderdate, o_orderkey) "
+    "ordering; integer day gaps make quantile_cont interpolation "
+    "bit-identical across engines.  One keyed window shuffle plus a "
+    "single percentile aggregate.",
+)
+def orders_interpurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        o.withColumn(
+            "gap_days", F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        )
+        .filter(F.col("gap_days").isNotNull())
+        .select("gap_days")
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.expr("percentile(gap_days, 0.25)").alias("p25"),
+        F.expr("percentile(gap_days, 0.5)").alias("p50"),
+        F.expr("percentile(gap_days, 0.9)").alias("p90"),
+        F.max("gap_days").cast("bigint").alias("p_max"),
+    )
