@@ -1003,3 +1003,94 @@ def inverted_index_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pos").alias("first_pos"),
         )
     )
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents
+        ),
+        counts AS (
+            SELECT word, count(*) AS c FROM toks WHERE word <> '' GROUP BY word
+        ),
+        ranked AS (
+            SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rk
+            FROM counts
+        ),
+        total AS (SELECT sum(c) AS n FROM counts)
+        SELECT k AS cutoff,
+               CAST(sum(CASE WHEN rk <= k THEN c ELSE 0 END) AS BIGINT)
+                   AS tokens_covered,
+               CAST(round(1000000.0 * sum(CASE WHEN rk <= k THEN c ELSE 0 END)
+                          / (SELECT n FROM total)) AS BIGINT) AS coverage_ppm
+        FROM ranked, (SELECT unnest([10, 100, 1000]) AS k)
+        GROUP BY k
+        """,
+    category="text",
+    doc="Vocabulary coverage curve — what fraction of the corpus token "
+    "mass the top-10/100/1000 vocabulary entries cover (ppm-exact): "
+    "the measurement that sizes a tokenizer vocabulary and predicts "
+    "OOV rates before training one (tokenizer_vocab_coverage then "
+    "audits the chosen cut per source).  The descending frequency "
+    "rank uses the two-phase bucket recipe with LOG2-COUNT buckets "
+    "(bucket = 63 - floor(log2 c), ascending bucket = descending "
+    "count): per-bucket counts give exclusive prefix offsets over the "
+    "<= 64-row bucket table, intra-bucket row_number completes the "
+    "exact global rank — no vocabulary-scale single-partition sort, "
+    "which matters because a 100 TB corpus's vocabulary is itself "
+    "billions of keys.",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    d = counts.withColumn("bkt", F.lit(63) - (F.length(F.bin("c")) - 1))
+    offsets = (
+        d.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("bc").over(
+                    Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "off")
+    )
+    intra = Window.partitionBy("bkt").orderBy(F.col("c").desc(), "word")
+    ranked = d.join(F.broadcast(offsets), "bkt").select(
+        "c", (F.col("off") + F.row_number().over(intra)).alias("rk")
+    )
+    total = counts.agg(F.sum("c").alias("n"))
+    cutoffs = ranked.crossJoin(
+        F.broadcast(
+            t(spark, sf_dir, "documents")
+            .sparkSession.range(1)
+            .select(F.explode(F.array(F.lit(10), F.lit(100), F.lit(1000))).alias("k"))
+        )
+    )
+    return (
+        cutoffs.groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("k"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_covered")
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("k").alias("cutoff"),
+            "tokens_covered",
+            F.round(F.lit(1_000_000.0) * F.col("tokens_covered") / F.col("n"))
+            .cast("bigint")
+            .alias("coverage_ppm"),
+        )
+    )
