@@ -1206,3 +1206,151 @@ def embedding_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return overlap.crossJoin(F.broadcast(top1_full)).crossJoin(
         F.broadcast(top1_trunc)
     )
+
+
+def _ivf_curve_probe_sql(p: int) -> str:
+    return f"""
+        probe_{p} AS (SELECT vec_id AS q_id, c_id AS list_id FROM aff
+                      WHERE rn <= {p} AND vec_id < 10),
+        top_{p} AS (
+            SELECT q_id, neighbor_id
+            FROM (
+                SELECT s.q_id, s.neighbor_id,
+                       row_number() OVER (PARTITION BY s.q_id
+                                          ORDER BY s.cosine DESC, s.neighbor_id)
+                           AS rnk
+                FROM (
+                    SELECT probe_{p}.q_id, a.vec_id AS neighbor_id,
+                           list_sum(list_transform(generate_series(1, {_DIM}),
+                                i -> qv.e[i] * cv.e[i])) / (qv.nrm * cv.nrm)
+                               AS cosine
+                    FROM probe_{p}
+                    JOIN assign a ON a.list_id = probe_{p}.list_id
+                                 AND a.vec_id <> probe_{p}.q_id
+                    JOIN v qv ON qv.vec_id = probe_{p}.q_id
+                    JOIN v cv ON cv.vec_id = a.vec_id
+                ) s
+            )
+            WHERE rnk <= 5
+        )"""
+
+
+@register(
+    "similarity_ivf_nprobe_curve",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT vec_id AS c_id, e AS ce, nrm AS cnrm FROM v
+            WHERE vec_id < {_IVF_K}
+        ),
+        aff AS (
+            SELECT v.vec_id, cent.c_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_sum(list_transform(generate_series(1, {_DIM}),
+                                    i -> v.e[i] * cent.ce[i])) / (v.nrm * cent.cnrm)
+                                DESC, cent.c_id) AS rn
+            FROM v, cent
+        ),
+        assign AS (SELECT vec_id, c_id AS list_id FROM aff WHERE rn = 1),
+        exact AS (
+            SELECT q_id, neighbor_id
+            FROM (
+                SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_sum(list_transform(generate_series(1, {_DIM}),
+                                        i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm)
+                                    DESC, c.vec_id) AS rnk
+                FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+            )
+            WHERE rnk <= 5
+        ),
+        {",".join(_ivf_curve_probe_sql(p) for p in (1, 2, 4))}
+        SELECT nprobe,
+               CAST(n_hits AS BIGINT) AS n_hits,
+               CAST(round(1000000.0 * n_hits / 50) AS BIGINT) AS recall_ppm
+        FROM (
+            {" UNION ALL ".join(
+                f"SELECT {p} AS nprobe, (SELECT count(*) FROM exact e "
+                f"JOIN top_{p} t ON t.q_id = e.q_id "
+                f"AND t.neighbor_id = e.neighbor_id) AS n_hits"
+                for p in (1, 2, 4)
+            )}
+        )
+        """,
+    category="similarity",
+    doc="IVF recall-vs-nprobe curve — the ANN tuning loop next to "
+    "dedup_lsh_band_tradeoff: the SAME posting-list assignment probed "
+    "at nprobe = 1 / 2 / 4 for the 10 query vectors, recall@5 against "
+    "the exact brute-force truth reported in exact ppm per setting.  "
+    "This is the sample-scale measurement that picks the latency/"
+    "recall point before a 100 TB index build; the assignment and "
+    "affinity ranking are computed once (checkpointed) and each probe "
+    "depth reuses them — deeper probes only widen the posting-list "
+    "join.",
+)
+def similarity_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vecs(spark, sf_dir)
+    cent = F.broadcast(
+        v.filter(F.col("vec_id") < _IVF_K).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("e").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    aff_score = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    wa = Wnd.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("c_id"))
+    ranked = (
+        v.crossJoin(cent)
+        .select("vec_id", "c_id", aff_score.alias("aff"))
+        .withColumn("rn", F.row_number().over(wa))
+        .localCheckpoint(eager=False)
+    )
+    assign = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("c_id").alias("list_id")
+    )
+    lists = v.join(assign, "vec_id")
+    q = v.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    exact = (
+        QUERIES["similarity_topk"].fn(spark, sf_dir)
+        .select("q_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))
+    out = None
+    for p in (1, 2, 4):
+        probe = ranked.filter((F.col("rn") <= p) & (F.col("vec_id") < 10)).select(
+            F.col("vec_id").alias("q_id"), F.col("c_id").alias("list_id")
+        )
+        w5 = Wnd.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+        top = (
+            F.broadcast(probe.join(q, "q_id"))
+            .join(lists, "list_id")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+            .withColumn("rnk", F.row_number().over(w5))
+            .filter(F.col("rnk") <= 5)
+            .select("q_id", "neighbor_id")
+        )
+        hits = exact.join(top, ["q_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        row = hits.select(
+            F.lit(p).alias("nprobe"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.round(F.lit(1_000_000.0) * F.col("n_hits") / 50)
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
