@@ -1328,3 +1328,46 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("l_partkey").alias("first_part"),
         )
     )
+
+
+@register(
+    "orders_basket_profile",
+    oracle="""
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   count(*) AS n_lines,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT n_lines,
+               count(*) AS n_orders,
+               CAST(sum(total_qty) AS BIGINT) AS sum_qty,
+               quantile_cont(total_qty, 0.5) AS median_qty
+        FROM per_order
+        GROUP BY n_lines
+        """,
+    category="aggregation",
+    doc="Basket-size profile — the order-composition distribution "
+    "(lines per order with per-size order counts, quantity mass, and "
+    "the exact median quantity): the readout that shapes batch sizing "
+    "and co-purchase analyses (market_basket_pairs' pair work is "
+    "quadratic in exactly this distribution's tail).  Two keyed "
+    "aggregates: fact → per-order rollup (one shuffle), rollup → "
+    "size histogram (lines-per-order cardinality, tiny).  Whole-"
+    "integer quantities keep the median interpolation engine-exact.",
+)
+def orders_basket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_order = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.round("l_quantity").cast("bigint")).alias("total_qty"),
+        )
+    )
+    return per_order.groupBy("n_lines").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("total_qty").cast("bigint").alias("sum_qty"),
+        F.expr("percentile(total_qty, 0.5)").alias("median_qty"),
+    )

@@ -1810,3 +1810,67 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2")
     )
     return _min_label_components(edges)
+
+
+_DF_CAP = 50  # shingles appearing in more docs than this are stop-shingles
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    oracle=f"""
+        WITH {_ORACLE_SHINGLES},
+        shh AS (SELECT doc_id, {_ORACLE_H60.format(x='s')} AS s FROM sh),
+        df AS (SELECT s, count(*) AS df FROM shh GROUP BY s),
+        kept AS (
+            SELECT shh.doc_id, shh.s
+            FROM shh JOIN df ON df.s = shh.s
+            WHERE df.df <= {_DF_CAP}
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+            FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT d1, d2,
+               round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = d1
+        JOIN sizes sb ON sb.doc_id = d2
+        WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.25
+        """,
+    category="dedup",
+    doc="Document-frequency-capped Jaccard pairing — the hot-shingle "
+    "mitigation dedup_ngram_jaccard's docstring prescribes for scale, "
+    "made real: shingles appearing in more than 50 documents are "
+    "stop-shingles (boilerplate n-grams whose posting lists drive the "
+    "quadratic blowup — a shingle in f docs creates f^2/2 pairs) and "
+    "are dropped BEFORE the self-join, so pair work is bounded by "
+    "cap^2 per shingle.  Jaccard is then computed over the capped "
+    "shingle sets — a deliberate, measurable approximation "
+    "(boilerplate-only overlaps disappear; near-dup pairs driven by "
+    "distinctive content survive).  One extra df aggregate on the "
+    "8-byte hash; everything else is the exact pipeline's shape.",
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = (
+        _shingle_df(spark, sf_dir)
+        .select("doc_id", _hash60(F.col("s")).alias("s"))
+        .cache()
+    )
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    kept = sh.join(df.filter(F.col("df") <= _DF_CAP), "s").select("doc_id", "s")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("d1"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("d2"))
+        .filter(jac >= 0.25)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )
