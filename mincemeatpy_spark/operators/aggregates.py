@@ -1371,3 +1371,52 @@ def orders_basket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total_qty").cast("bigint").alias("sum_qty"),
         F.expr("percentile(total_qty, 0.5)").alias("median_qty"),
     )
+
+
+@register(
+    "supplier_return_scorecard",
+    oracle="""
+        WITH per_supp AS (
+            SELECT l_suppkey,
+                   count(*) AS n_lines,
+                   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_returned
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT l_suppkey, n_lines, n_returned,
+               CAST((1000000 * n_returned) // n_lines AS BIGINT)
+                   AS return_ppm
+        FROM per_supp
+        WHERE n_lines >= 20
+        ORDER BY return_ppm DESC, l_suppkey
+        LIMIT 15
+        """,
+    category="aggregation",
+    doc="Supplier return-rate scorecard — the vendor-quality ranking "
+    "behind 'who do we stop buying from': per-supplier returned-line "
+    "fraction in exact integer ppm (floor cross-multiplication, no "
+    "float ratios), a minimum-volume gate (>= 20 lines) so "
+    "low-sample suppliers can't top the list on noise, worst-15 via "
+    "TakeOrdered (no global sort).  One supplier-keyed two-phase "
+    "aggregate; the fact's partial counts collapse map-side.",
+)
+def supplier_return_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_supp = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returned"),
+        )
+    )
+    return (
+        per_supp.filter(F.col("n_lines") >= 20)
+        .withColumn(
+            "return_ppm",
+            F.expr("(1000000 * n_returned) div n_lines").cast("bigint"),
+        )
+        .orderBy(F.col("return_ppm").desc(), "l_suppkey")
+        .limit(15)
+    )
