@@ -1874,3 +1874,91 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.25)
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, {_ORACLE_H60.format(x="tok")} AS h
+            FROM toks WHERE tok <> ''
+        ),
+        bits AS (
+            SELECT doc_id, bit,
+                   sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM hashed, (SELECT unnest(generate_series(0, {_SIM_BITS - 1})) AS bit)
+            GROUP BY doc_id, bit
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                        AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, band, (simhash >> (band * 8)) & 255 AS sig
+            FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band) b
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        )
+        SELECT d1, d2,
+               bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = d1
+        JOIN sigs sb ON sb.doc_id = d2
+        WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
+        """,
+    category="dedup",
+    doc="SimHash near-dup PAIRS — the band-join stage the signature "
+    "operator (dedup_simhash) feeds: the 32-bit signature splits into "
+    "4 x 8-bit bands, documents sharing any band become candidates "
+    "(pigeonhole: hamming <= 3 GUARANTEES a shared band; the <= 6 "
+    "threshold trades that guarantee for recall like every banded "
+    "scheme), and candidates verify by exact popcount Hamming "
+    "distance.  Same linear-shuffle shape as MinHash banding and the "
+    "pHash image path — candidates scale with band collisions, one "
+    "int64 signature per doc is all that ever shuffles.  SimHash "
+    "catches weighted-token-frequency similarity that set-based "
+    "Jaccard discounts; the two methods' loser sets intentionally "
+    "differ.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup_simhash(spark, sf_dir)
+    bands = sigs.selectExpr(
+        "doc_id",
+        "simhash",
+        "stack(4, 0, shiftright(simhash, 0) & 255,"
+        "         1, shiftright(simhash, 8) & 255,"
+        "         2, shiftright(simhash, 16) & 255,"
+        "         3, shiftright(simhash, 24) & 255) AS (band, sig)",
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.sig") == F.col("bb.sig"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("d1"),
+            F.col("bb.doc_id").alias("d2"),
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"))
+    sb = sigs.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"))
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        cand.join(sa, "d1")
+        .join(sb, "d2")
+        .filter(hamming <= 6)
+        .select("d1", "d2", hamming.alias("hamming"))
+    )
