@@ -1962,3 +1962,142 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hamming <= 6)
         .select("d1", "d2", hamming.alias("hamming"))
     )
+
+
+@register(
+    "dedup_method_agreement",
+    oracle=f"""
+        WITH {_ORACLE_SHINGLES},
+        shh AS (SELECT doc_id, {_ORACLE_H60.format(x='s')} AS s FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+            FROM shh a JOIN shh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        exact_pairs AS (
+            SELECT d1, d2 FROM inter
+            JOIN sizes sa ON sa.doc_id = d1
+            JOIN sizes sb ON sb.doc_id = d2
+            WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.25
+        ),
+        minh AS (
+            SELECT doc_id,
+                   {", ".join(f"min({_affine(i)}) AS m{i}" for i in range(_N_HASHES))}
+            FROM (SELECT doc_id, s AS base FROM shh) GROUP BY doc_id
+        ),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_sig_sql(b)} AS sig FROM minh" for b in range(_N_HASHES // _BAND_SIZE))}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                        AND a.doc_id < b.doc_id
+        ),
+        lsh_pairs AS (
+            SELECT e.d1, e.d2 FROM exact_pairs e
+            JOIN cand c ON c.d1 = e.d1 AND c.d2 = e.d2
+        ),
+        toks AS (
+            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, {_ORACLE_H60.format(x="tok")} AS h
+            FROM toks WHERE tok <> ''
+        ),
+        bits AS (
+            SELECT doc_id, bit,
+                   sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM hashed, (SELECT unnest(generate_series(0, {_SIM_BITS - 1})) AS bit)
+            GROUP BY doc_id, bit
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                        AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        ),
+        sbands AS (
+            SELECT doc_id, band, (simhash >> (band * 8)) & 255 AS sig
+            FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band) b
+        ),
+        scand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM sbands a JOIN sbands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ),
+        simhash_pairs AS (
+            SELECT c.d1, c.d2
+            FROM scand c
+            JOIN sigs sa ON sa.doc_id = c.d1
+            JOIN sigs sb ON sb.doc_id = c.d2
+            WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
+        )
+        SELECT method_a, method_b,
+               CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               CAST(n_common AS BIGINT) AS n_common
+        FROM (
+            SELECT 'exact' AS method_a, 'lsh' AS method_b,
+                   (SELECT count(*) FROM exact_pairs) AS n_a,
+                   (SELECT count(*) FROM lsh_pairs) AS n_b,
+                   (SELECT count(*) FROM exact_pairs e
+                    JOIN lsh_pairs l ON l.d1 = e.d1 AND l.d2 = e.d2) AS n_common
+            UNION ALL
+            SELECT 'exact', 'simhash',
+                   (SELECT count(*) FROM exact_pairs),
+                   (SELECT count(*) FROM simhash_pairs),
+                   (SELECT count(*) FROM exact_pairs e
+                    JOIN simhash_pairs s ON s.d1 = e.d1 AND s.d2 = e.d2)
+            UNION ALL
+            SELECT 'lsh', 'simhash',
+                   (SELECT count(*) FROM lsh_pairs),
+                   (SELECT count(*) FROM simhash_pairs),
+                   (SELECT count(*) FROM lsh_pairs l
+                    JOIN simhash_pairs s ON s.d1 = l.d1 AND s.d2 = l.d2)
+        )
+        """,
+    category="dedup",
+    doc="Dedup method-agreement matrix — the capstone eval that answers "
+    "'do our fuzzy methods find the same duplicates': pairwise overlap "
+    "counts between the exact-Jaccard truth pairs, the MinHash-LSH "
+    "verified pairs (⊆ exact by construction — their gap IS the LSH "
+    "recall loss), and the SimHash Hamming pairs (weighted-frequency "
+    "similarity, intentionally a DIFFERENT notion — low agreement "
+    "with Jaccard is signal, not error).  Run at sample scale when "
+    "choosing which method (or union of methods) a 100 TB dedup pass "
+    "should trust.  Each pair set is the registered operator's exact "
+    "plan; the matrix is three broadcast-joined counts.",
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2").localCheckpoint(eager=False)
+    lsh = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.25)
+        .select("d1", "d2")
+        .localCheckpoint(eager=False)
+    )
+    simhash = dedup_simhash_pairs(spark, sf_dir).select("d1", "d2").localCheckpoint(eager=False)
+
+    def row(name_a, name_b, a, b):
+        na = a.agg(F.count(F.lit(1)).alias("n_a"))
+        nb = b.agg(F.count(F.lit(1)).alias("n_b"))
+        nc = a.join(b, ["d1", "d2"]).agg(F.count(F.lit(1)).alias("n_common"))
+        return (
+            na.crossJoin(nb)
+            .crossJoin(nc)
+            .select(
+                F.lit(name_a).alias("method_a"),
+                F.lit(name_b).alias("method_b"),
+                F.col("n_a").cast("bigint"),
+                F.col("n_b").cast("bigint"),
+                F.col("n_common").cast("bigint"),
+            )
+        )
+
+    return (
+        row("exact", "lsh", exact, lsh)
+        .unionAll(row("exact", "simhash", exact, simhash))
+        .unionAll(row("lsh", "simhash", lsh, simhash))
+    )
