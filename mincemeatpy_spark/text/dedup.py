@@ -2101,3 +2101,120 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("exact", "simhash", exact, simhash))
         .unionAll(row("lsh", "simhash", lsh, simhash))
     )
+
+
+@register(
+    "text_substring_dedup_cut",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, string_split_regex(text, '\\s+') AS w
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, len(w) AS n, i AS pos,
+                   md5(list_aggregate(w[i : i+9], 'string_agg', ' ')) AS h
+            FROM d, unnest(generate_series(1, len(w) - 9)) AS t(i)
+            WHERE len(w) >= 10
+        ),
+        keeper AS (
+            SELECT h, min(doc_id) AS keep_doc FROM g GROUP BY h
+            HAVING count(DISTINCT doc_id) > 1
+        ),
+        hits AS (
+            SELECT g.doc_id, g.n, g.pos, g.pos + 9 AS e
+            FROM g JOIN keeper k ON k.h = g.h AND g.doc_id <> k.keep_doc
+        ),
+        marked AS (
+            SELECT doc_id, n, pos, e,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS prev_e
+            FROM hits
+        ),
+        islands AS (
+            SELECT doc_id, n, pos, e,
+                   sum(CASE WHEN prev_e IS NULL OR pos > prev_e
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS isl
+            FROM marked
+        )
+        SELECT doc_id,
+               CAST(any_value(n) AS BIGINT) AS n_before,
+               CAST(sum(cov) AS BIGINT) AS n_removed,
+               CAST(any_value(n) - sum(cov) AS BIGINT) AS n_after
+        FROM (SELECT doc_id, n, isl, max(e) - min(pos) + 1 AS cov
+              FROM islands GROUP BY doc_id, n, isl)
+        GROUP BY doc_id
+        """,
+    category="dedup",
+    doc="Substring-dedup CUT — the transformation half of "
+    "text_substring_dup_spans, with the Lee et al. keep-one rule: for "
+    "every cross-document 10-token duplicated span, the LOWEST doc_id "
+    "keeps its text and every other occurrence is cut (merged-island "
+    "coverage removed), reported as per-doc before/removed/after token "
+    "counts — the numbers a pipeline logs when it rewrites the corpus. "
+    "Cutting all occurrences would delete the content from the corpus "
+    "entirely; the keeper rule preserves exactly one copy.  Same "
+    "linear-shuffle shape as the span finder (16-byte gram hashes + "
+    "per-doc windows over flagged positions only) plus one keeper "
+    "aggregate on the gram hash.",
+)
+def text_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(
+        spark, t(spark, sf_dir, "documents").select("doc_id", "text"), sf_dir
+    ).select("doc_id", F.split("text", _WS).alias("w"))
+    sized = docs.filter(F.size("w") >= 10).select(
+        "doc_id", F.size("w").alias("n"), "w"
+    )
+    gram = F.transform(
+        F.sequence(F.lit(1), F.col("n") - 9),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, 10)).cast("binary")).alias(
+                "h"
+            ),
+        ),
+    )
+    g = sized.select("doc_id", "n", F.explode(gram).alias("ph")).select(
+        "doc_id", "n", F.col("ph.pos").alias("pos"), F.col("ph.h").alias("h")
+    )
+    keeper = (
+        g.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .filter(F.col("nd") > 1)
+        .select("h", "keep_doc")
+    )
+    hits = (
+        g.join(keeper, "h")
+        .filter(F.col("doc_id") != F.col("keep_doc"))
+        .withColumn("e", F.col("pos") + 9)
+        .select("doc_id", "n", "pos", "e")
+    )
+    w_prev = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
+    )
+    new_island = F.when(
+        F.col("prev_e").isNull() | (F.col("pos") > F.col("prev_e")), 1
+    ).otherwise(0)
+    islands = (
+        hits.withColumn("prev_e", F.max("e").over(w_prev))
+        .withColumn("isl", F.sum(new_island).over(w_run))
+    )
+    return (
+        islands.groupBy("doc_id", "n", "isl")
+        .agg((F.max("e") - F.min("pos") + 1).alias("cov"))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("n").cast("bigint").alias("n_before"),
+            F.sum("cov").cast("bigint").alias("n_removed"),
+            (F.any_value("n") - F.sum("cov")).cast("bigint").alias("n_after"),
+        )
+    )
