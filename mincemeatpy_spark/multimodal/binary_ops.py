@@ -579,3 +579,53 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bytes_saved"),
     )
+
+
+@register(
+    "multimodal_aspect_buckets",
+    oracle="""
+        SELECT CASE WHEN 4 * width < 3 * height THEN 'tall'
+                    WHEN 3 * width > 4 * height THEN 'wide'
+                    ELSE 'square' END AS aspect_class,
+               count(*) AS n_assets,
+               CAST(min(doc_id) AS BIGINT) AS example_doc,
+               CAST(sum(CAST(width AS BIGINT) * height) AS BIGINT)
+                   AS total_pixels
+        FROM (
+            SELECT doc_id,
+                   octet_length(text::BLOB) % 640 + 1        AS width,
+                   (octet_length(text::BLOB) * 7) % 480 + 1  AS height
+            FROM documents
+        )
+        GROUP BY 1
+        """,
+    category="multimodal",
+    doc="Aspect-ratio bucketing — the batching policy readout for "
+    "vision training (aspect-bucketed batching avoids destructive "
+    "square-crop resizes; buckets must be sized BEFORE the loader is "
+    "configured): stub-decoded dimensions classify tall (w/h < 3/4), "
+    "square, wide (w/h > 4/3) via integer cross-multiplication — no "
+    "float ratios — with per-bucket asset counts and pixel mass "
+    "(the memory-budget number).  Decode + classify are scan-side; "
+    "one three-row aggregate.  A real decoder swaps into the same "
+    "dimension source (multimodal_decode_stub convention).",
+)
+def multimodal_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n = F.length(F.col("text").cast("binary"))
+    width = (n % 640 + 1).cast("bigint")
+    height = ((n * 7) % 480 + 1).cast("bigint")
+    cls = (
+        F.when(4 * width < 3 * height, "tall")
+        .when(3 * width > 4 * height, "wide")
+        .otherwise("square")
+    )
+    return (
+        d.select("doc_id", width.alias("w"), height.alias("h"), cls.alias("aspect_class"))
+        .groupBy("aspect_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.min("doc_id").cast("bigint").alias("example_doc"),
+            F.sum(F.col("w") * F.col("h")).cast("bigint").alias("total_pixels"),
+        )
+    )
