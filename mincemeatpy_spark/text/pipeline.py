@@ -997,3 +997,118 @@ def corpus_quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFr
             F.min(F.when(keep, F.col("doc_id"))).alias("first_kept"),
         )
     )
+
+
+@register(
+    "corpus_run_ledger",
+    oracle="""
+        WITH stats AS (
+            SELECT doc_id, n_chars, md5(text) AS fp,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '')) AS n_tokens,
+                   len(list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                                 x -> x <> '')))::DOUBLE
+                       / nullif(len(list_filter(string_split_regex(text, '\\s+'),
+                                                x -> x <> '')), 0) AS uniq
+            FROM documents
+        ),
+        cum AS (
+            SELECT n_chars,
+                   sum(n_chars) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_bytes
+            FROM documents
+        )
+        SELECT metric, CAST(value AS BIGINT) AS value
+        FROM (
+            SELECT 'n_docs' AS metric, count(*) AS value FROM stats
+            UNION ALL
+            SELECT 'total_bytes', sum(n_chars) FROM stats
+            UNION ALL
+            SELECT 'total_tokens', sum(n_tokens) FROM stats
+            UNION ALL
+            SELECT 'n_quality_pass',
+                   sum(CASE WHEN n_tokens >= 5 AND uniq >= 0.3
+                            THEN 1 ELSE 0 END) FROM stats
+            UNION ALL
+            SELECT 'n_unique_content', count(DISTINCT fp) FROM stats
+            UNION ALL
+            SELECT 'n_shards',
+                   count(DISTINCT (cum_bytes - n_chars) // 100000) FROM cum
+        )
+        """,
+    category="text",
+    doc="The corpus RUN LEDGER — the one-table summary an orchestrator "
+    "publishes after a pipeline run and dashboards diff between runs: "
+    "document/byte/token totals, quality-gate survivors, distinct-"
+    "content count (exact-dedup ceiling), and the shard count the "
+    "byte-budget sharder will emit.  Every number is a cheap aggregate "
+    "over artifacts the pipeline already computes (digests, token "
+    "stats, the two-phase byte prefix sum); publishing them together "
+    "is what makes run-over-run regressions (ingest drop, dedup-rate "
+    "spike, shard-count jump) visible before training consumes the "
+    "data.",
+)
+def corpus_run_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    n_tokens = F.size(toks)
+    uniq = F.size(F.array_distinct(toks)).cast("double") / F.nullif(
+        n_tokens, F.lit(0)
+    )
+    stats = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        n_tokens.alias("n_tokens"),
+        uniq.alias("uniq"),
+    )
+    base = stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_bytes"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(
+            F.when((F.col("n_tokens") >= 5) & (F.col("uniq") >= 0.3), 1).otherwise(0)
+        ).alias("n_quality_pass"),
+        F.countDistinct("fp").alias("n_unique_content"),
+    )
+    # shard count via the two-phase prefix sum (corpus_shard_bybytes)
+    bucket = (F.col("doc_id") / 500).cast("bigint").alias("bkt")
+    d = docs.select("doc_id", "n_chars", bucket)
+    offsets = (
+        d.groupBy("bkt")
+        .agg(F.sum("n_chars").alias("bkt_bytes"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("bkt_bytes").over(
+                    W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "offset")
+    )
+    intra = W.partitionBy("bkt").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    shards = (
+        d.join(F.broadcast(offsets), "bkt")
+        .withColumn("cum_bytes", F.col("offset") + F.sum("n_chars").over(intra))
+        .select(F.expr("(cum_bytes - n_chars) div 100000").alias("shard_id"))
+        .agg(F.countDistinct("shard_id").alias("n_shards"))
+    )
+    row = base.crossJoin(F.broadcast(shards))
+    metrics = [
+        "n_docs",
+        "total_bytes",
+        "total_tokens",
+        "n_quality_pass",
+        "n_unique_content",
+        "n_shards",
+    ]
+    out = None
+    for m in metrics:
+        r = row.select(F.lit(m).alias("metric"), F.col(m).cast("bigint").alias("value"))
+        out = r if out is None else out.unionAll(r)
+    return out
