@@ -1812,3 +1812,87 @@ def orders_interpurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFram
         F.expr("percentile(gap_days, 0.9)").alias("p90"),
         F.max("gap_days").cast("bigint").alias("p_max"),
     )
+
+
+@register(
+    "sessions_funnel_conversion",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts, event_type,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sid
+            FROM gaps
+        ),
+        per_sess AS (
+            SELECT user_id, sid,
+                   min(CASE WHEN event_type = 'click' THEN ts END)
+                       AS first_click,
+                   max(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS last_purchase
+            FROM sess
+            GROUP BY user_id, sid
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(CASE WHEN first_click IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_with_click,
+               CAST(sum(CASE WHEN first_click IS NOT NULL
+                         AND last_purchase > first_click
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+               CAST((1000000 * sum(CASE WHEN first_click IS NOT NULL
+                                    AND last_purchase > first_click
+                                   THEN 1 ELSE 0 END))
+                    // nullif(sum(CASE WHEN first_click IS NOT NULL
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS conversion_ppm
+        FROM per_sess
+        """,
+    category="behavioral",
+    doc="Session-scoped funnel conversion — the within-visit metric the "
+    "user-lifetime funnel (funnel_conversion) can't express: of the "
+    "sessions (10-min gap, matching window_session) that contain a "
+    "click, how many convert to a purchase AFTER that click in the "
+    "SAME session.  The stage test is conditional min/max event times "
+    "inside the session aggregate — one session_window groupBy, no "
+    "second pass over events — and the rate is exact integer ppm "
+    "(floor cross-multiplication).  Session boundary semantics are "
+    "identical to the oracle's gaps-and-islands encoding.",
+)
+def sessions_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    per_sess = (
+        e.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+                "first_click"
+            ),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "last_purchase"
+            ),
+        )
+    )
+    with_click = F.when(F.col("first_click").isNotNull(), 1).otherwise(0)
+    converted = F.when(
+        F.col("first_click").isNotNull()
+        & (F.col("last_purchase") > F.col("first_click")),
+        1,
+    ).otherwise(0)
+    return per_sess.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(with_click).cast("bigint").alias("n_with_click"),
+        F.sum(converted).cast("bigint").alias("n_converted"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN first_click IS NOT NULL "
+            "AND last_purchase > first_click THEN 1 ELSE 0 END)) div "
+            "nullif(sum(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END), 0) "
+            "AS BIGINT)"
+        ).alias("conversion_ppm"),
+    )
