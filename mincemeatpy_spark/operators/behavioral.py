@@ -1896,3 +1896,83 @@ def sessions_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT)"
         ).alias("conversion_ppm"),
     )
+
+
+@register(
+    "attribution_first_vs_last",
+    oracle="""
+        WITH purchases AS (
+            SELECT user_id, ts AS p_ts, event_id AS p_id
+            FROM events WHERE event_type = 'purchase'
+        ),
+        touches AS (
+            SELECT p.user_id, p.p_id,
+                   min_by(e.event_type,
+                          printf('%020d-%010d', epoch_us(e.ts), e.event_id))
+                       AS first_touch,
+                   max_by(e.event_type,
+                          printf('%020d-%010d', epoch_us(e.ts), e.event_id))
+                       AS last_touch
+            FROM purchases p
+            JOIN events e
+              ON e.user_id = p.user_id
+             AND e.event_type IN ('click', 'view', 'signup')
+             AND e.ts < p.p_ts
+             AND e.ts >= p.p_ts - INTERVAL 7 DAY
+            GROUP BY p.user_id, p.p_id
+        )
+        SELECT first_touch, last_touch,
+               count(*) AS n_purchases,
+               CAST(sum(CASE WHEN first_touch <> last_touch
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_differs
+        FROM touches
+        GROUP BY first_touch, last_touch
+        """,
+    category="behavioral",
+    doc="First-touch vs last-touch attribution, compared — the "
+    "measurement that decides whether the attribution model even "
+    "matters (when the two models agree, the argument is moot): for "
+    "every purchase, the earliest AND latest qualifying touch in the "
+    "7-day lookback come from ONE aggregate via min_by/max_by over "
+    "a zero-padded lexicographic (ts, event_id) key — no windows, no "
+    "second scan — "
+    "and the (first, last) matrix counts where credit would move.  "
+    "The time-banded join shuffles on user_id; at 100 TB the "
+    "lookback bound keeps each purchase's touch set small and the "
+    "min_by/max_by partials combine map-side.",
+)
+def attribution_first_vs_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    touches_src = e.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("t_type"),
+    )
+    ordkey = F.format_string(
+        "%020d-%010d", F.unix_micros(F.col("t_ts")), F.col("t_id")
+    )
+    touches = (
+        purchases.join(
+            touches_src,
+            (F.col("t_user") == F.col("user_id"))
+            & (F.col("t_ts") < F.col("p_ts"))
+            & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy("user_id", "p_id")
+        .agg(
+            F.min_by("t_type", ordkey).alias("first_touch"),
+            F.max_by("t_type", ordkey).alias("last_touch"),
+        )
+    )
+    return touches.groupBy("first_touch", "last_touch").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(
+            F.when(F.col("first_touch") != F.col("last_touch"), 1).otherwise(0)
+        ).cast("bigint").alias("n_differs"),
+    )
