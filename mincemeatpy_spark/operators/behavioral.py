@@ -1976,3 +1976,50 @@ def attribution_first_vs_last(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("first_touch") != F.col("last_touch"), 1).otherwise(0)
         ).cast("bigint").alias("n_differs"),
     )
+
+
+@register(
+    "events_new_vs_returning_daily",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS first_d
+            FROM events GROUP BY user_id
+        ),
+        active AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        )
+        SELECT a.d,
+               CAST(sum(CASE WHEN f.first_d = a.d THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN f.first_d < a.d THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returning
+        FROM active a JOIN first_seen f ON f.user_id = a.user_id
+        GROUP BY a.d
+        """,
+    category="behavioral",
+    doc="Daily new-vs-returning split — the growth-quality readout "
+    "(raw DAU hides whether growth is acquisition or retention): "
+    "each day's distinct actives classify by whether that day is the "
+    "user's first-seen day.  Both inputs reduce at the user grain "
+    "first (first-seen aggregate, user-day dedup) and join on the "
+    "8-byte user key — per-day classification never rescans events, "
+    "the same algebraic restatement as cumulative_distinct_users.",
+)
+def events_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    active = e.distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("first_d") == F.col("d"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("first_d") < F.col("d"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returning"),
+        )
+    )

@@ -2218,3 +2218,124 @@ def text_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.any_value("n") - F.sum("cov")).cast("bigint").alias("n_after"),
         )
     )
+
+
+@register(
+    "dedup_containment_lsh",
+    oracle=f"""
+        WITH {_ORACLE_SHINGLES},
+        based AS (
+            SELECT doc_id, {_ORACLE_H60.format(x="s")} AS base
+            FROM sh
+        ),
+        minh AS (
+            SELECT doc_id,
+                   {", ".join(f"min({_affine(i)}) AS m{i}" for i in range(_N_HASHES))}
+            FROM (SELECT doc_id, s AS base FROM (SELECT doc_id, base AS s FROM based))
+            GROUP BY doc_id
+        ),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_sig_sql(b)} AS sig FROM minh" for b in range(_N_HASHES // _BAND_SIZE))}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                        AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM based GROUP BY doc_id),
+        inter AS (
+            SELECT c.d1, c.d2, count(*) AS i
+            FROM cand c
+            JOIN based a ON a.doc_id = c.d1
+            JOIN based b ON b.doc_id = c.d2 AND b.base = a.base
+            GROUP BY c.d1, c.d2
+        )
+        SELECT contained_doc, container_doc,
+               round(containment, 6) AS containment
+        FROM (
+            SELECT i.d1 AS contained_doc, i.d2 AS container_doc,
+                   i.i::DOUBLE / sa.n AS containment
+            FROM inter i JOIN sizes sa ON sa.doc_id = i.d1
+            UNION ALL
+            SELECT i.d2, i.d1, i.i::DOUBLE / sb.n
+            FROM inter i JOIN sizes sb ON sb.doc_id = i.d2
+        )
+        WHERE containment >= 0.8
+        """,
+    category="dedup",
+    doc="Banded containment — the LSH scale path "
+    "dedup_containment_pairs' docstring prescribes: candidates come "
+    "from the SAME MinHash band collisions as Jaccard LSH, and each "
+    "candidate pair verifies containment in BOTH directions "
+    "(|A∩B|/|A| and /|B|) since either side may be the contained "
+    "one.  Known recall caveat, stated honestly: MinHash bands are "
+    "tuned for symmetric Jaccard, so a tiny doc inside a huge one "
+    "can miss the bucket (its minima are dominated by its own "
+    "shingles) — at scale the fix is one-sided sketches "
+    "(containment MinHash / SuperMinHash); the banding plumbing here "
+    "is identical.  Verification touches candidates only.",
+)
+def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    based = (
+        _shingle_df(spark, sf_dir)
+        .select("doc_id", _hash60(F.col("s")).alias("base"))
+        .cache()
+    )
+    minh = based.groupBy("doc_id").agg(
+        *[F.min(F.expr(_affine(i))).alias(f"m{i}") for i in range(_N_HASHES)],
+        F.count(F.lit(1)).alias("n"),
+    )
+    n_bands = _N_HASHES // _BAND_SIZE
+    stack_args = ", ".join(
+        f"{b}, concat_ws(',', {', '.join(f'm{i}' for i in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE))})"
+        for b in range(n_bands)
+    )
+    bands = minh.selectExpr(
+        "doc_id", f"stack({n_bands}, {stack_args}) AS (band, sig)"
+    )
+    ba, bb = bands.alias("ba"), F.broadcast(bands).alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.sig") == F.col("bb.sig"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("d1"), F.col("bb.doc_id").alias("d2"))
+        .distinct()
+    )
+    a, b = based.alias("a"), based.alias("b")
+    inter = (
+        F.broadcast(cand)
+        .join(a, F.col("a.doc_id") == F.col("d1"))
+        .join(b, (F.col("b.doc_id") == F.col("d2")) & (F.col("b.base") == F.col("a.base")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = minh.select("doc_id", "n")
+    fwd = (
+        inter.join(F.broadcast(sizes).alias("sa"), F.col("sa.doc_id") == F.col("d1"))
+        .select(
+            F.col("d1").alias("contained_doc"),
+            F.col("d2").alias("container_doc"),
+            (F.col("i").cast("double") / F.col("sa.n")).alias("containment"),
+        )
+    )
+    rev = (
+        inter.join(F.broadcast(sizes).alias("sb"), F.col("sb.doc_id") == F.col("d2"))
+        .select(
+            F.col("d2").alias("contained_doc"),
+            F.col("d1").alias("container_doc"),
+            (F.col("i").cast("double") / F.col("sb.n")).alias("containment"),
+        )
+    )
+    return (
+        fwd.unionAll(rev)
+        .filter(F.col("containment") >= 0.8)
+        .select(
+            "contained_doc",
+            "container_doc",
+            F.round("containment", 6).alias("containment"),
+        )
+    )
