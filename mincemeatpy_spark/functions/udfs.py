@@ -297,9 +297,16 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "materialized list; Spark plans the PARTITION BY as the shuffle "
     "and the ORDER BY as an intra-partition sort, exactly one "
     "exchange.  Deterministic tie-break (value DESC, event_id) makes "
-    "the emitted rows hash-stable.",
+    "the emitted rows hash-stable.  Scale shape: a JVM-side rank<=k "
+    "pre-reduction (WindowGroupLimit — map-side partial top-k, the "
+    "combiner rule) runs BEFORE the UDTF, so Python sees k rows per "
+    "key, never the full partition — feeding a TABLE-argument UDTF "
+    "the raw fact table would stream every row through the Python "
+    "worker at 0 selectivity.  The UDTF remains the final ordered "
+    "per-key reduce over the pre-reduced, column-pruned input.",
 )
 def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="event_type string, event_id bigint, value double", useArrow=True)
@@ -313,7 +320,17 @@ def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield row["event_type"], row["event_id"], row["value"]
 
     spark.udtf.register("top2_per_partition", Top2PerPartition)
-    t(spark, sf_dir, "events").createOrReplaceTempView("events_udtf_v")
+    # Combiner: JVM partial top-k (rank<=2 → WindowGroupLimit pushes the
+    # limit map-side) so the Python UDTF consumes 2 rows per key, not the
+    # whole fact table.  Column-pruned to exactly the UDTF's inputs.
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    (
+        t(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .drop("rk")
+    ).createOrReplaceTempView("events_udtf_v")
     return spark.sql(
         """
         SELECT * FROM top2_per_partition(

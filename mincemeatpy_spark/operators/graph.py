@@ -281,21 +281,25 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Narrow keys (SCALE rule 5): nodes travel as int64 through every
+    # join/distinct/shuffle — customers even (2k), suppliers odd (2k+1);
+    # the 'c…'/'s…' display labels are formatted only at the end, on the
+    # node-count-sized distance table, where no shuffle follows.
     e = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("u"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("v"),
+            (F.col("o_custkey") * 2).cast("bigint").alias("u"),
+            (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("v"),
         )
         .distinct()
     )
     # No distinct on the union: e is already distinct and a forward edge
-    # ('c…'→'s…') can never equal a reversed one ('s…'→'c…'), so the
+    # (even→odd) can never equal a reversed one (odd→even), so the
     # dedup would be a pure extra shuffle of the full edge list.
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.localCheckpoint(eager=True)
 
-    dist = spark.createDataFrame([("c1", 0)], "node string, d int")
+    dist = spark.createDataFrame([(2, 0)], "node bigint, d int")
     frontier, frontier_rows = dist, 1
     for hop in range(1, 5):
         # Broadcast the frontier only while it is provably small (row
@@ -320,7 +324,14 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         dist = dist.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
-    return dist.groupBy("d").agg(
+    labeled = dist.select(
+        "d",
+        F.expr(
+            "concat(CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END,"
+            " CAST(node div 2 AS STRING))"
+        ).alias("node"),
+    )
+    return labeled.groupBy("d").agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.min("node").alias("example_node"),
     )

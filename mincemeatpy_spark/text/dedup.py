@@ -1566,10 +1566,15 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def contrastive_pairs_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    # The pair set feeds BOTH the probe explosion and the anti-join's
+    # broadcast side; checkpoint it so the LSH pipeline runs once, not
+    # twice (pairs are pair-scale — tiny next to the corpus — so
+    # materializing them is the right shape at 100 TB too).
     pos = (
         dedup_minhash_lsh(spark, sf_dir)
         .filter(F.col("jaccard") >= 0.25)
         .select(F.col("d1").alias("anchor"), F.col("d2").alias("positive"))
+        .localCheckpoint(eager=False)
     )
     n_docs = t(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n"))
     probes = (
@@ -1939,8 +1944,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "         2, shiftright(simhash, 16) & 255,"
         "         3, shiftright(simhash, 24) & 255) AS (band, sig)",
     )
+    # The band rows CARRY the full signature (+8 bytes per row), so the
+    # self-join emits both signatures directly and the Hamming verify is
+    # a scan-side popcount BEFORE the pair distinct — no join back to a
+    # doc-count-sized signature table (which at 1B docs is far past
+    # broadcast range, i.e. two extra keyed shuffles in the old shape).
     ba, bb = bands.alias("ba"), bands.alias("bb")
-    cand = (
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
         ba.join(
             bb,
             (F.col("ba.band") == F.col("bb.band"))
@@ -1950,17 +1961,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("ba.doc_id").alias("d1"),
             F.col("bb.doc_id").alias("d2"),
+            F.col("ba.simhash").alias("h1"),
+            F.col("bb.simhash").alias("h2"),
         )
-        .distinct()
-    )
-    sa = sigs.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"))
-    sb = sigs.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"))
-    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return (
-        cand.join(sa, "d1")
-        .join(sb, "d2")
         .filter(hamming <= 6)
         .select("d1", "d2", hamming.alias("hamming"))
+        .distinct()
     )
 
 
