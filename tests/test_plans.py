@@ -843,3 +843,48 @@ def test_no_shuffle_cartesian_anywhere(all_plans):
     probe lists), which plans as BroadcastNestedLoopJoin instead."""
     offenders = [n for n, p in all_plans.items() if "CartesianProduct" in p]
     assert not offenders, f"shuffle cartesian products in: {offenders}"
+
+
+def test_udtf_input_is_prereduced(spark, sf_dir):
+    """udtf_table_argument: the JVM rank<=2 combiner (WindowGroupLimit)
+    must sit below the Python UDTF, so Python consumes k rows per key,
+    never the whole fact table."""
+    plan = _plan("udtf_table_argument", spark, sf_dir)
+    assert "WindowGroupLimit" in plan
+    # The events scan feeding the UDTF is column-pruned to its 3 inputs.
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "ts" not in read_schema and "user_id" not in read_schema
+
+
+def test_simhash_pairs_no_signature_rejoin(spark, sf_dir):
+    """dedup_simhash_pairs: the band self-join carries both signatures,
+    so the plan has exactly one join (the band collision) and no joins
+    back to the doc-count-sized signature table."""
+    plan = _plan("dedup_simhash_pairs", spark, sf_dir)
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins == 1, f"expected 1 join, plan has {n_joins}"
+
+
+def test_bfs_edges_shuffle_integer_keys(spark, sf_dir):
+    """graph_bfs_distances: node keys are int64 end-to-end (SCALE rule
+    5); the display-label concat appears only above the final
+    node-count-sized aggregate, never below a join or distinct."""
+    from mincemeatpy_spark.operators import graph as G
+    import pyspark.sql.functions as F
+    from mincemeatpy_spark.tables import t as tt
+
+    o = tt(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = tt(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("bigint").alias("u"),
+            (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("v"),
+        )
+        .distinct()
+    )
+    assert dict(e.dtypes) == {"u": "bigint", "v": "bigint"}
+    full = QUERIES["graph_bfs_distances"].fn(spark, sf_dir)
+    # Output labels are still the public 'c…'/'s…' strings.
+    assert dict(full.dtypes)["example_node"] == "string"
