@@ -1420,3 +1420,64 @@ def supplier_return_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("return_ppm").desc(), "l_suppkey")
         .limit(15)
     )
+
+
+@register(
+    "dp_noisy_counts",
+    oracle="""
+        WITH c AS (
+            SELECT event_type, count(*) AS n
+            FROM events GROUP BY event_type
+        ),
+        h AS (
+            SELECT event_type, n,
+                   ('0x' || substring(md5('dp-v1:' || event_type), 1, 15))::BIGINT AS h
+            FROM c
+        ),
+        z AS (
+            SELECT event_type, n,
+                   CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END AS sgn,
+                   bit_count((h >> 1) & ~((h >> 1) + 1)) AS mag
+            FROM h
+        )
+        SELECT event_type,
+               CAST(n + sgn * mag AS BIGINT) AS noisy_count
+        FROM z
+        """,
+    category="aggregation",
+    doc="Differentially-private count release via the two-sided geometric "
+    "(discrete Laplace) mechanism: noise magnitude k has P(k)=2^-(k+1) "
+    "— drawn EXACTLY as the trailing-ones count of an md5-derived "
+    "60-bit hash (bit_count(y & ~(y+1)), no libm, no RNG state) with a "
+    "hash-bit sign, giving eps = ln 2 for the count's sensitivity of "
+    "1.  The salt ('dp-v1:') is fixture-deterministic so the release "
+    "is reproducible and cross-engine exact; a production release "
+    "swaps it for a secret per-release nonce — the mechanism and the "
+    "plan are unchanged.  Sits next to k_anonymity_check as the "
+    "publish-side privacy gate.  Plan: one two-phase count aggregate; "
+    "the noise is scan-side integer bit arithmetic on the k-sized "
+    "group table.",
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dp-v1:"), F.col("event_type"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+        .withColumn("y", F.shiftright("h", 1))
+    )
+    mag = F.bit_count(F.col("y").bitwiseAND(F.bitwise_not(F.col("y") + 1)))
+    sgn = F.when(F.col("h") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    return c.select(
+        "event_type",
+        (F.col("n") + sgn * mag).cast("bigint").alias("noisy_count"),
+    )

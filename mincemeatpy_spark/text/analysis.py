@@ -1094,3 +1094,96 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coverage_ppm"),
         )
     )
+
+
+@register(
+    "word_pmi_collocations",
+    oracle="""
+        WITH w AS (
+            SELECT list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ),
+        bi AS (
+            SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                          i -> w[i])) AS w1,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                          i -> w[i+1])) AS w2
+            FROM w WHERE len(w) >= 2
+        ),
+        uni AS (
+            SELECT unnest(w) AS word FROM w
+        ),
+        uc AS (SELECT word, count(*) AS c FROM uni GROUP BY word),
+        n AS (SELECT count(*) AS n FROM uni),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2)
+        SELECT b.w1 || ' ' || b.w2 AS bigram,
+               CAST(b.c12 AS BIGINT) AS c12,
+               CAST(u1.c AS BIGINT)  AS c1,
+               CAST(u2.c AS BIGINT)  AS c2,
+               CAST((b.c12 - 2) * (SELECT n FROM n) AS DOUBLE)
+                   / CAST(u1.c * u2.c AS DOUBLE) AS score
+        FROM bc b
+        JOIN uc u1 ON u1.word = b.w1
+        JOIN uc u2 ON u2.word = b.w2
+        WHERE b.c12 >= 3
+        ORDER BY score DESC, bigram
+        LIMIT 50
+        """,
+    category="text",
+    doc="PMI collocation mining (word2phrase / Mikolov et al. 2013 "
+    "phrase score): adjacent-pair score = (c12 - delta) * N / "
+    "(c1 * c2) with discount delta=2 and min support c12 >= 3 — the "
+    "phrase-detection pass run before tokenizer training so 'new york' "
+    "becomes one vocabulary unit.  All counts are exact int64; the "
+    "score division is ONE IEEE double op on exactly-representable "
+    "integers (< 2^53), so ranking is bit-identical across engines.  "
+    "Plan: one tokenize feeds the unigram table (vocabulary-bounded, "
+    "BROADCAST to the bigram side) and the bigram aggregate (the only "
+    "corpus-scale shuffle, on the 2-word key); top-50 via "
+    "TakeOrderedAndProject, never a global sort.",
+)
+def word_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        t(spark, sf_dir, "documents")
+        .select(F.filter(tokens(F.col("text")), lambda x: x != "").alias("w"))
+    )
+    uni = w.select(F.explode("w").alias("word"))
+    uc = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    n = uni.agg(F.count(F.lit(1)).alias("n"))
+    bi = (
+        w.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.struct(
+                        F.element_at("w", i).alias("w1"),
+                        F.element_at("w", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    u1 = uc.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    score = ((F.col("c12") - 2) * F.col("n")).cast("double") / (
+        F.col("c1") * F.col("c2")
+    ).cast("double")
+    return (
+        bc.filter(F.col("c12") >= 3)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.concat("w1", F.lit(" "), "w2").alias("bigram"),
+            F.col("c12").cast("bigint"),
+            F.col("c1").cast("bigint"),
+            F.col("c2").cast("bigint"),
+            score.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "bigram")
+        .limit(50)
+    )
