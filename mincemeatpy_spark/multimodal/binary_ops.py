@@ -405,34 +405,37 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "phash": out})
 
     ph = d.mapInPandas(phash_batch, "doc_id long, phash long")
+    # Band rows carry the full hash (+8 bytes), so the self-join emits
+    # both hashes and the Hamming verify is a scan-side popcount — no
+    # joins back to the asset-count-sized hash table, and no forced
+    # broadcast of anything corpus-scale (AQE broadcasts while it fits).
     bands = ph.selectExpr(
         "doc_id",
+        "phash",
         "stack(4, 0, shiftright(phash, 0) & 32767,"
         "         1, shiftright(phash, 15) & 32767,"
         "         2, shiftright(phash, 30) & 32767,"
         "         3, shiftright(phash, 45) & 32767) AS (band, sig)",
     )
     ba = bands.alias("ba")
-    bb = F.broadcast(bands).alias("bb")
-    cand = (
+    bb = bands.alias("bb")
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
         ba.join(
             bb,
             (F.col("ba.band") == F.col("bb.band"))
             & (F.col("ba.sig") == F.col("bb.sig"))
             & (F.col("ba.doc_id") < F.col("bb.doc_id")),
         )
-        .select(F.col("ba.doc_id").alias("d1"), F.col("bb.doc_id").alias("d2"))
-        .distinct()
-    )
-    pa = ph.alias("pa")
-    pb = ph.alias("pb")
-    hamming = F.bit_count(F.col("pa.phash").bitwiseXOR(F.col("pb.phash")))
-    return (
-        F.broadcast(cand)
-        .join(pa, F.col("pa.doc_id") == F.col("d1"))
-        .join(pb, F.col("pb.doc_id") == F.col("d2"))
+        .select(
+            F.col("ba.doc_id").alias("d1"),
+            F.col("bb.doc_id").alias("d2"),
+            F.col("ba.phash").alias("h1"),
+            F.col("bb.phash").alias("h2"),
+        )
         .filter(hamming <= 6)
         .select("d1", "d2", hamming.alias("hamming"))
+        .distinct()
     )
 
 

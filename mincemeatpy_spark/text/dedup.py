@@ -281,11 +281,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{b}, concat_ws(',', {', '.join(f'm{i}' for i in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE))})"
         for b in range(n_bands)
     )
+    # Band rows CARRY the doc's shingle-set size (+8 bytes each), so the
+    # candidate pairs emerge with both sizes attached and the Jaccard
+    # denominator needs NO join back to a doc-count-sized size table —
+    # at 1B docs that table is way past broadcast range, so the old
+    # shape's two size joins were two extra keyed shuffles.  No forced
+    # broadcast on the self-join either: the band table scales with the
+    # corpus; AQE picks broadcast at runtime while it actually fits.
     bands = minh.selectExpr(
-        "doc_id", f"stack({n_bands}, {stack_args}) AS (band, sig)"
+        "doc_id", "n", f"stack({n_bands}, {stack_args}) AS (band, sig)"
     )
     ba = bands.alias("ba")
-    bb = F.broadcast(bands).alias("bb")
+    bb = bands.alias("bb")
     cand = (
         ba.join(
             bb,
@@ -293,10 +300,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ba.sig") == F.col("bb.sig"))
             & (F.col("ba.doc_id") < F.col("bb.doc_id")),
         )
-        .select(F.col("ba.doc_id").alias("d1"), F.col("bb.doc_id").alias("d2"))
+        .select(
+            F.col("ba.doc_id").alias("d1"),
+            F.col("bb.doc_id").alias("d2"),
+            F.col("ba.n").alias("n1"),
+            F.col("bb.n").alias("n2"),
+        )
         .distinct()
     )
-    sizes = minh.select("doc_id", "n")
     # Exact-jaccard verification restricted to LSH candidates: join the
     # candidate pairs back to their (hashed) shingle sets instead of
     # building the full co-shingle pair index — verification work scales
@@ -306,18 +317,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = based.alias("a")
     b = based.alias("b")
     inter = (
-        F.broadcast(cand)
-        .join(a, F.col("a.doc_id") == F.col("d1"))
+        cand.join(a, F.col("a.doc_id") == F.col("d1"))
         .join(b, (F.col("b.doc_id") == F.col("d2")) & (F.col("b.base") == F.col("a.base")))
-        .groupBy("d1", "d2")
+        .groupBy("d1", "d2", "n1", "n2")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
-    return (
-        inter.join(F.broadcast(sizes).alias("sa"), F.col("sa.doc_id") == F.col("d1"))
-        .join(F.broadcast(sizes).alias("sb"), F.col("sb.doc_id") == F.col("d2"))
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
-    )
+    jac = F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i"))
+    return inter.select("d1", "d2", F.round(jac, 6).alias("jaccard"))
 
 
 # --- 4. SimHash --------------------------------------------------------
@@ -941,8 +947,8 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est_j = matches.cast("double") / F.lit(_N_HASHES)
     pairs = (
-        inter.join(F.broadcast(ma), F.col("ma.doc_id") == F.col("d1"))
-        .join(F.broadcast(mb), F.col("mb.doc_id") == F.col("d2"))
+        inter.join(ma, F.col("ma.doc_id") == F.col("d1"))
+        .join(mb, F.col("mb.doc_id") == F.col("d2"))
         .filter(true_j >= 0.25)
         .select(F.abs(est_j - true_j).alias("abs_err"))
     )
@@ -1698,8 +1704,8 @@ def dedup_lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
     truth = (
-        inter.join(F.broadcast(sizes).alias("sa"), F.col("sa.doc_id") == F.col("d1"))
-        .join(F.broadcast(sizes).alias("sb"), F.col("sb.doc_id") == F.col("d2"))
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("d1"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("d2"))
         .filter(jac >= 0.25)
         .select("d1", "d2")
     ).localCheckpoint(eager=False)
@@ -2297,10 +2303,14 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{b}, concat_ws(',', {', '.join(f'm{i}' for i in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE))})"
         for b in range(n_bands)
     )
+    # Band rows carry the shingle-set size, so the candidate pairs emerge
+    # with both denominators attached — no joins back to a doc-count-
+    # sized size table, and nothing corpus-scale is force-broadcast
+    # (AQE picks broadcast at runtime while sides fit).
     bands = minh.selectExpr(
-        "doc_id", f"stack({n_bands}, {stack_args}) AS (band, sig)"
+        "doc_id", "n", f"stack({n_bands}, {stack_args}) AS (band, sig)"
     )
-    ba, bb = bands.alias("ba"), F.broadcast(bands).alias("bb")
+    ba, bb = bands.alias("ba"), bands.alias("bb")
     cand = (
         ba.join(
             bb,
@@ -2308,33 +2318,30 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ba.sig") == F.col("bb.sig"))
             & (F.col("ba.doc_id") < F.col("bb.doc_id")),
         )
-        .select(F.col("ba.doc_id").alias("d1"), F.col("bb.doc_id").alias("d2"))
+        .select(
+            F.col("ba.doc_id").alias("d1"),
+            F.col("bb.doc_id").alias("d2"),
+            F.col("ba.n").alias("n1"),
+            F.col("bb.n").alias("n2"),
+        )
         .distinct()
     )
     a, b = based.alias("a"), based.alias("b")
     inter = (
-        F.broadcast(cand)
-        .join(a, F.col("a.doc_id") == F.col("d1"))
+        cand.join(a, F.col("a.doc_id") == F.col("d1"))
         .join(b, (F.col("b.doc_id") == F.col("d2")) & (F.col("b.base") == F.col("a.base")))
-        .groupBy("d1", "d2")
+        .groupBy("d1", "d2", "n1", "n2")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sizes = minh.select("doc_id", "n")
-    fwd = (
-        inter.join(F.broadcast(sizes).alias("sa"), F.col("sa.doc_id") == F.col("d1"))
-        .select(
-            F.col("d1").alias("contained_doc"),
-            F.col("d2").alias("container_doc"),
-            (F.col("i").cast("double") / F.col("sa.n")).alias("containment"),
-        )
+    fwd = inter.select(
+        F.col("d1").alias("contained_doc"),
+        F.col("d2").alias("container_doc"),
+        (F.col("i").cast("double") / F.col("n1")).alias("containment"),
     )
-    rev = (
-        inter.join(F.broadcast(sizes).alias("sb"), F.col("sb.doc_id") == F.col("d2"))
-        .select(
-            F.col("d2").alias("contained_doc"),
-            F.col("d1").alias("container_doc"),
-            (F.col("i").cast("double") / F.col("sb.n")).alias("containment"),
-        )
+    rev = inter.select(
+        F.col("d2").alias("contained_doc"),
+        F.col("d1").alias("container_doc"),
+        (F.col("i").cast("double") / F.col("n2")).alias("containment"),
     )
     return (
         fwd.unionAll(rev)
