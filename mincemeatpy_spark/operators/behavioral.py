@@ -94,7 +94,8 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity = e.distinct()
     first_seen = activity.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     return (
-        activity.join(F.broadcast(first_seen), "user_id")
+        # No hint: first_seen is user-scale; AQE broadcasts while it fits.
+        activity.join(first_seen, "user_id")
         .groupBy("cohort_day", F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"))
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
@@ -1187,7 +1188,8 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first_order = o.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
     monthly = (
-        o.join(F.broadcast(first_order), "o_custkey")
+        # No hint: first_order is customer-scale; AQE broadcasts while it fits.
+        o.join(first_order, "o_custkey")
         .groupBy(
             "cohort",
             F.months_between(F.col("m"), F.col("cohort")).cast("int").alias("offset_m"),

@@ -56,7 +56,8 @@ _BFS_BROADCAST_MAX_ROWS = 2_000_000
     "integer fixed-point (1e-12 units, floor division) so the iteration "
     "is bit-identical across engines — float PageRank would drift by "
     "summation order.  The plan is the scale shape of every Pregel "
-    "superstep: edges ⋈ broadcast(degrees) → shuffle on dst → "
+    "superstep: edges ⋈ degrees (AQE broadcasts the node-scale side "
+    "while it fits, else a keyed shuffle) → shuffle on dst → "
     "aggregate; iterating is a Python loop re-running the same plan "
     "with the previous rank table, each step one shuffle of "
     "edge-contributions.",
@@ -78,7 +79,8 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     r0 = _PR_SCALE // n
     teleport = (15 * r0) // 100
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    contrib = edges.join(F.broadcast(deg), "src").select(
+    # No hint on the node-scale degree table; AQE broadcasts while it fits.
+    contrib = edges.join(deg, "src").select(
         "dst", F.expr(f"{r0} div d").alias("c")
     )
     s = t(spark, sf_dir, "supplier").select("s_suppkey")
@@ -128,7 +130,7 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="graph",
     doc="TWO PageRank power iterations via the generic iterative driver "
     "loop graph_pagerank_iter documents: a rank table over ALL nodes "
-    "(prefixed 'c'/'s' ids), each iteration one edges ⋈ broadcast(deg) "
+    "(prefixed 'c'/'s' ids), each iteration one edges ⋈ deg "
     "⋈ ranks plan re-run with the previous rank table, localCheckpoint "
     "truncating lineage between supersteps (the Pregel shape; same "
     "recipe as graph_bfs_distances).  Integer fixed-point throughout, "
@@ -168,7 +170,7 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.withColumn("r", F.lit(r0).cast("bigint"))
     for _ in range(2):
         contrib = (
-            edges.join(F.broadcast(deg), "src")
+            edges.join(deg, "src")
             .join(ranks, ranks.node == F.col("src"))
             .select("dst", F.expr("r div d").alias("c"))
         )

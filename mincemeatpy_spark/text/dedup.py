@@ -577,9 +577,11 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    # No broadcast hint: cluster count is doc-scale in the all-singleton
+    # worst case; AQE broadcasts at runtime while the side fits.
     csize = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
-        labels.join(F.broadcast(csize), "label")
+        labels.join(csize, "label")
         .select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"), "cluster_size")
     )
 
