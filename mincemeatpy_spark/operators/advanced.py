@@ -458,10 +458,19 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("eff_from") <= at)
         & (F.col("eff_to").isNull() | (F.col("eff_to") > at))
     )
-    n_open = versions.filter(F.col("eff_to").isNull()).count()
-    return asof.groupBy("status").agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.lit(n_open).cast("bigint").alias("n_open_versions"),
+    # The open-version total rides in the SAME plan as a broadcast 1-row
+    # aggregate — a mid-plan .count() here would execute the version
+    # window once for the scalar and again for the final result, plus a
+    # driver round-trip (SCALE rule 11).
+    n_open = (
+        versions.filter(F.col("eff_to").isNull())
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_open_versions"))
+    )
+    return (
+        asof.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .crossJoin(F.broadcast(n_open))
+        .select("status", "n_users", "n_open_versions")
     )
 
 

@@ -88,8 +88,11 @@ def _quality_and_exact_kept(spark: SparkSession, sf_dir: str):
 
 
 def _finish_pipeline(quality: DataFrame, losers: DataFrame) -> DataFrame:
+    # No hint on the loser set: it scales with the corpus's dup rate
+    # (easily GBs at 100 TB); AQE broadcasts while it actually fits,
+    # else the anti join shuffles on the 8-byte doc key.
     return (
-        quality.join(F.broadcast(losers), F.col("doc_id") == F.col("loser_id"), "left_anti")
+        quality.join(losers, F.col("doc_id") == F.col("loser_id"), "left_anti")
         .select("doc_id", "n_tokens", F.round("uniq_ratio", 6).alias("uniq_ratio"))
     )
 
@@ -640,7 +643,7 @@ def pipeline_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     final = (
         quality.join(exact_kept, "doc_id", "left_semi")
-        .join(F.broadcast(losers), "doc_id", "left_anti")
+        .join(losers, "doc_id", "left_anti")
     )
     return (
         t(spark, sf_dir, "documents")
