@@ -674,12 +674,16 @@ def test_headline_shuffle_budget(spark, sf_dir):
         "window_running_sum": 1,
         "window_session": 1,
         "json_extract_agg": 1,
-        "dedup_minhash_lsh": 5,  # linear, keyed: minh agg, bands, cand distinct, inter agg, sizes
+        # linear, keyed: minh agg + inter agg; band rows carry the set
+        # size so there is no size join, and the un-hinted band/candidate
+        # joins plan as AQE broadcasts at fixture scale
+        "dedup_minhash_lsh": 2,
         "similarity_topk": 1,
-        # LSH loser-set near-dup stage: the 5 dedup_minhash_lsh keyed
-        # shuffles + exact-dedup digest agg + the doc_id semi join
-        "pipeline_training_corpus": 7,
+        "pipeline_training_corpus": 5,
         "pipeline_training_corpus_exact": 5,
+        "dedup_simhash_pairs": 2,
+        "dedup_containment_lsh": 4,
+        "multimodal_phash_neardup": 1,
         "text_dup_ngram_fraction": 1,
         "dedup_decontaminate": 3,
         "bitmap_distinct_users": 2,
