@@ -2354,3 +2354,168 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("containment", 6).alias("containment"),
         )
     )
+
+
+# --- 13. incremental fuzzy dedup (daily batch vs persisted index) -------
+
+_EST_MATCH_MIN = 8  # signature agreement >= 8/16 ~ estimated Jaccard 0.5
+
+
+def _minh_cols_sql() -> str:
+    return ", ".join(f"min({_affine(i)}) AS m{i}" for i in range(_N_HASHES))
+
+
+def _matches_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {a}.m{i} = {b}.m{i} THEN 1 ELSE 0 END)"
+        for i in range(_N_HASHES)
+    )
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=f"""
+        WITH {_ORACLE_SHINGLES},
+        shh AS (SELECT doc_id, {_ORACLE_H60.format(x='s')} AS base FROM sh),
+        minh AS (SELECT doc_id, {_minh_cols_sql()} FROM shh GROUP BY doc_id),
+        bm AS (SELECT * FROM minh WHERE doc_id % 10 = 0),
+        im AS (SELECT * FROM minh WHERE doc_id % 10 <> 0),
+        bb AS (
+            {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_sig_sql(b)} AS sig FROM bm" for b in range(_N_HASHES // _BAND_SIZE))}
+        ),
+        ib AS (
+            {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_sig_sql(b)} AS sig FROM im" for b in range(_N_HASHES // _BAND_SIZE))}
+        ),
+        cand_idx AS (
+            SELECT DISTINCT b.doc_id AS bd, i.doc_id AS idx
+            FROM bb b JOIN ib i ON i.band = b.band AND i.sig = b.sig
+        ),
+        dup_idx AS (
+            SELECT DISTINCT c.bd
+            FROM cand_idx c
+            JOIN minh ma ON ma.doc_id = c.bd
+            JOIN minh mb ON mb.doc_id = c.idx
+            WHERE {_matches_sql("ma", "mb")} >= {_EST_MATCH_MIN}
+        ),
+        cand_bb AS (
+            SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+            FROM bb a JOIN bb c
+              ON c.band = a.band AND c.sig = a.sig AND a.doc_id < c.doc_id
+        ),
+        losers AS (
+            SELECT DISTINCT c.d2
+            FROM cand_bb c
+            JOIN minh ma ON ma.doc_id = c.d1
+            JOIN minh mb ON mb.doc_id = c.d2
+            WHERE {_matches_sql("ma", "mb")} >= {_EST_MATCH_MIN}
+        ),
+        batch AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+        SELECT status,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS first_doc
+        FROM (
+            SELECT b.doc_id,
+                   CASE WHEN di.bd IS NOT NULL THEN 'near_dup_of_index'
+                        WHEN lo.d2 IS NOT NULL THEN 'near_dup_in_batch'
+                        ELSE 'new' END AS status
+            FROM batch b
+            LEFT JOIN dup_idx di ON di.bd = b.doc_id
+            LEFT JOIN losers lo ON lo.d2 = b.doc_id
+        )
+        GROUP BY status
+        """,
+    category="dedup",
+    doc="Incremental FUZZY dedup against a persisted MinHash index — the "
+    "near-dup twin of dedup_incremental_index, i.e. how a 100 TB "
+    "corpus actually near-dedups a daily ingest: the historical corpus "
+    "is represented only by its stored (band, sig) postings and 16 "
+    "minima per doc (the index never re-shingles), the batch computes "
+    "signatures scan-side, band collisions propose batch-vs-index and "
+    "batch-vs-batch candidates, and verification uses SIGNATURE "
+    "AGREEMENT (>= 8/16 ~ Jaccard 0.5) — exact-Jaccard verify would "
+    "need the index side's shingles, which is precisely the re-scan "
+    "the index exists to avoid (dedup_minhash_estimate_error measures "
+    "what the estimate costs in accuracy).  Output is the triage "
+    "ledger (near_dup_of_index / near_dup_in_batch / new); intra-batch "
+    "losers resolve to the min-doc_id keeper.  Work scales with the "
+    "batch and its collisions, never the corpus; candidate-verify "
+    "joins carry no broadcast hint (the index is corpus-scale).  "
+    "Fixture split: doc_id % 10 == 0 is the incoming batch.",
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    based = _shingle_df(spark, sf_dir).select(
+        "doc_id", _hash60(F.col("s")).alias("base")
+    )
+    minh = based.groupBy("doc_id").agg(
+        *[F.min(F.expr(_affine(i))).alias(f"m{i}") for i in range(_N_HASHES)]
+    ).localCheckpoint(eager=False)
+    n_bands = _N_HASHES // _BAND_SIZE
+    stack_args = ", ".join(
+        f"{b}, concat_ws(',', {', '.join(f'm{i}' for i in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE))})"
+        for b in range(n_bands)
+    )
+    is_batch = F.col("doc_id") % 10 == 0
+    bands = minh.selectExpr(
+        "doc_id", f"stack({n_bands}, {stack_args}) AS (band, sig)"
+    )
+    bb = bands.filter(is_batch)
+    ib = bands.filter(~is_batch)
+
+    matches = sum(
+        (F.col(f"ma.m{i}") == F.col(f"mb.m{i}")).cast("int")
+        for i in range(_N_HASHES)
+    )
+    ma, mb = minh.alias("ma"), minh.alias("mb")
+
+    cand_idx = (
+        bb.alias("b")
+        .join(
+            ib.alias("i"),
+            (F.col("i.band") == F.col("b.band")) & (F.col("i.sig") == F.col("b.sig")),
+        )
+        .select(F.col("b.doc_id").alias("bd"), F.col("i.doc_id").alias("idx"))
+        .distinct()
+    )
+    dup_idx = (
+        cand_idx.join(ma, F.col("ma.doc_id") == F.col("bd"))
+        .join(mb, F.col("mb.doc_id") == F.col("idx"))
+        .filter(matches >= _EST_MATCH_MIN)
+        .select("bd")
+        .distinct()
+        .withColumn("hit_idx", F.lit(1))
+    )
+    cand_bb = (
+        bb.alias("a")
+        .join(
+            bb.alias("c"),
+            (F.col("c.band") == F.col("a.band"))
+            & (F.col("c.sig") == F.col("a.sig"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("c.doc_id").alias("d2"))
+        .distinct()
+    )
+    losers = (
+        cand_bb.join(ma, F.col("ma.doc_id") == F.col("d1"))
+        .join(mb, F.col("mb.doc_id") == F.col("d2"))
+        .filter(matches >= _EST_MATCH_MIN)
+        .select("d2")
+        .distinct()
+        .withColumn("hit_bb", F.lit(1))
+    )
+    batch = t(spark, sf_dir, "documents").filter(is_batch).select("doc_id")
+    status = (
+        F.when(F.col("hit_idx").isNotNull(), "near_dup_of_index")
+        .when(F.col("hit_bb").isNotNull(), "near_dup_in_batch")
+        .otherwise("new")
+    )
+    return (
+        batch.join(dup_idx, batch.doc_id == dup_idx.bd, "left")
+        .join(losers, batch.doc_id == losers.d2, "left")
+        .select("doc_id", status.alias("status"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

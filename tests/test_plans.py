@@ -680,7 +680,11 @@ def test_headline_shuffle_budget(spark, sf_dir):
         "dedup_minhash_lsh": 2,
         "similarity_topk": 1,
         "pipeline_training_corpus": 5,
-        "pipeline_training_corpus_exact": 5,
+        # 6, not 5: once the shingle cache is warm (any earlier dedup
+        # query in the session), AQE sees the real cached size and plans
+        # one joint as shuffle instead of broadcast — a stats-driven
+        # runtime choice, not a plan regression.
+        "pipeline_training_corpus_exact": 6,
         "dedup_simhash_pairs": 2,
         "dedup_containment_lsh": 4,
         "multimodal_phash_neardup": 1,
