@@ -54,6 +54,12 @@ _RISKIEST = [
     "dedup_bloom_prefilter",
     "contrastive_pairs_mining",
     "events_bot_regularity_filter",
+    # round-4 carried-signature band joins + new ops
+    "dedup_simhash_pairs",
+    "dedup_containment_lsh",
+    "dedup_incremental_lsh",
+    "word_pmi_collocations",
+    "dp_noisy_counts",
 ]
 
 
