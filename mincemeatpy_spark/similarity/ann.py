@@ -1354,3 +1354,123 @@ def similarity_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@register(
+    "embedding_knn_label_eval",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, label,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                       AS e
+            FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, label, e,
+                   sqrt(CAST(list_sum(list_transform(e, x -> x * x))
+                        AS DOUBLE)) AS nrm
+            FROM v
+        ),
+        p AS (
+            SELECT a.vec_id AS qa, a.label AS la, b.label AS lb, b.vec_id AS nb,
+                   CAST(list_sum(list_transform(generate_series(1, {_DIM}),
+                        i -> a.e[i] * b.e[i])) AS DOUBLE) / (a.nrm * b.nrm)
+                       AS cos
+            FROM n a JOIN n b ON b.vec_id <> a.vec_id
+        ),
+        top5 AS (
+            SELECT qa, la, lb FROM (
+                SELECT qa, la, lb,
+                       row_number() OVER (PARTITION BY qa
+                                          ORDER BY cos DESC, nb) AS rk
+                FROM p
+            ) WHERE rk <= 5
+        ),
+        votes AS (SELECT qa, la, lb, count(*) AS c FROM top5 GROUP BY qa, la, lb),
+        pred AS (
+            SELECT qa, la, lb AS predicted FROM (
+                SELECT qa, la, lb,
+                       row_number() OVER (PARTITION BY qa
+                                          ORDER BY c DESC, lb) AS r
+                FROM votes
+            ) WHERE r = 1
+        )
+        SELECT la AS label,
+               count(*) AS n_vectors,
+               CAST(sum(CASE WHEN predicted = la THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_correct,
+               (1000000 * CAST(sum(CASE WHEN predicted = la THEN 1 ELSE 0 END)
+                    AS BIGINT)) // count(*) AS accuracy_ppm
+        FROM pred GROUP BY la
+        """,
+    category="similarity",
+    doc="kNN label-prediction eval (k=5, majority vote, cosine) — the "
+    "standard embedding-quality probe: leave-one-out neighbors vote on "
+    "each vector\'s label, per-label accuracy says which classes the "
+    "embedding space actually separates (read BEFORE trusting semantic "
+    "dedup or clustering built on it).  Same exact integer Gram kernel "
+    "as dedup_embedding_cosine: vectors quantize to int64 (order-"
+    "independent dot products), the ranking cosine is elementwise IEEE "
+    "ops on those exact integers (sqrt is correctly rounded by spec), "
+    "ties break by neighbor id then label — bit-identical to the "
+    "oracle\'s sequential SQL.  Brute-force all-pairs is the EVAL role "
+    "at sample scale; at corpus scale the same vote runs over "
+    "similarity_ann_ivf\'s posting-list top-k instead "
+    "(similarity_ann_recall measures what that swap costs).  The vote "
+    "and argmax run inside the Arrow batch; only (label, prediction) "
+    "rows leave Python.",
+)
+def embedding_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    rows = e.select("vec_id", "label", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    labs = np.array([r["label"] for r in rows], dtype=np.int64)
+    mat = np.round(
+        np.array([r["embedding"] for r in rows], dtype=np.float64) * 1_000_000
+    ).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, labs, mat = ids[order], labs[order], mat[order]
+    nrm = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+    n_lab = int(labs.max()) + 1
+    bc = spark.sparkContext.broadcast((ids, labs, mat, nrm))
+
+    def knn(batches):
+        b_ids, b_labs, b_mat, b_nrm = bc.value
+        for batch in batches:
+            a_ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            a_labs = np.asarray(batch.column("label"), dtype=np.int64)
+            a_mat = np.round(
+                np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+                * 1_000_000
+            ).astype(np.int64)
+            a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1).astype(np.float64))
+            gram = a_mat @ b_mat.T  # exact int64
+            cos = gram.astype(np.float64) / np.outer(a_nrm, b_nrm)
+            preds = np.empty(len(a_ids), dtype=np.int64)
+            for i in range(len(a_ids)):
+                row = cos[i].copy()
+                row[b_ids == a_ids[i]] = -np.inf  # leave-one-out
+                # ORDER BY cos DESC, nb ASC: lexsort's last key is primary
+                top = np.lexsort((b_ids, -row))[:5]
+                preds[i] = np.argmax(np.bincount(b_labs[top], minlength=n_lab))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(a_labs, type=pa.int64()),
+                 pa.array(preds, type=pa.int64())],
+                ["la", "predicted"],
+            )
+
+    scored = e.mapInArrow(knn, "la long, predicted long")
+    return scored.groupBy(F.col("la").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum((F.col("predicted") == F.col("la")).cast("int"))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.expr(
+            "1000000 * cast(sum(cast(predicted = la as int)) as bigint)"
+            " div count(*)"
+        ).alias("accuracy_ppm"),
+    )
