@@ -97,6 +97,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid_rrf",
         "kmeans_loop_2iter",
         "stream_tumbling_counts_e2e",
+        # round-4 late additions: incremental fuzzy dedup, the kNN
+        # embedding-quality probe, PMI phrase mining, and the DP release.
+        "dedup_incremental_lsh",
+        "embedding_knn_label_eval",
+        "word_pmi_collocations",
+        "dp_noisy_counts",
     ):
         out[name] = qs[name].fn
     for row in zip_longest(*(by_cat[c] for c in order)):
