@@ -1474,3 +1474,113 @@ def embedding_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(*)"
         ).alias("accuracy_ppm"),
     )
+
+
+@register(
+    "embedding_label_separation",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, label,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                       AS e
+            FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, label, e,
+                   sqrt(CAST(list_sum(list_transform(e, x -> x * x))
+                        AS DOUBLE)) AS nrm
+            FROM v
+        ),
+        p AS (
+            SELECT a.label AS la, b.label AS lb,
+                   CAST(floor(1000000 * (
+                        CAST(list_sum(list_transform(generate_series(1, {_DIM}),
+                             i -> a.e[i] * b.e[i])) AS DOUBLE)
+                        / (a.nrm * b.nrm))) AS BIGINT) AS cq
+            FROM n a JOIN n b ON b.vec_id <> a.vec_id
+        )
+        SELECT la AS label_a, lb AS label_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(cq) AS BIGINT) // count(*) AS mean_cos_micros
+        FROM p GROUP BY la, lb
+        """,
+    category="similarity",
+    doc="Class-separation matrix — the eval read NEXT TO "
+    "embedding_knn_label_eval: mean pairwise cosine (in exact "
+    "micro-units) for every ordered label pair; a healthy space has "
+    "the diagonal (intra-class) well above the off-diagonal.  Floats "
+    "never sum across rows: each cosine quantizes scan-side to an "
+    "int64 floor(1e6*cos) — a deterministic function of the exact "
+    "integer Gram — and only INTEGER sums aggregate, so the matrix is "
+    "order/partition-independent and bit-identical to the oracle.  The "
+    "batch kernel emits per-(vector, label) partial sums (n_labels "
+    "rows per vector, never the pair grid), and the final aggregate "
+    "merges partials — the mergeable-partials rollup shape at any "
+    "scale; brute-force all-pairs is the eval role, sampled or "
+    "IVF-bucketed at corpus scale.",
+)
+def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    rows = e.collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    labs = np.array([r["label"] for r in rows], dtype=np.int64)
+    mat = np.round(
+        np.array([r["embedding"] for r in rows], dtype=np.float64) * 1_000_000
+    ).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, labs, mat = ids[order], labs[order], mat[order]
+    nrm = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+    uniq = np.unique(labs)
+    bc = spark.sparkContext.broadcast((ids, labs, mat, nrm, uniq))
+
+    def partials(batches):
+        b_ids, b_labs, b_mat, b_nrm, u = bc.value
+        masks = {int(l): b_labs == l for l in u}
+        for batch in batches:
+            a_ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            a_labs = np.asarray(batch.column("label"), dtype=np.int64)
+            a_mat = np.round(
+                np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+                * 1_000_000
+            ).astype(np.int64)
+            a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1).astype(np.float64))
+            gram = a_mat @ b_mat.T  # exact int64
+            cq = np.floor(
+                1_000_000 * (gram.astype(np.float64) / np.outer(a_nrm, b_nrm))
+            ).astype(np.int64)
+            la_out, lb_out, s_out, n_out = [], [], [], []
+            for i in range(len(a_ids)):
+                self_j = np.nonzero(b_ids == a_ids[i])[0]
+                for l in u:
+                    m = masks[int(l)]
+                    s = int(cq[i, m].sum())
+                    c = int(m.sum())
+                    if len(self_j) and m[self_j[0]]:
+                        s -= int(cq[i, self_j[0]])
+                        c -= 1
+                    if c:
+                        la_out.append(int(a_labs[i]))
+                        lb_out.append(int(l))
+                        s_out.append(s)
+                        n_out.append(c)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(la_out, type=pa.int64()),
+                 pa.array(lb_out, type=pa.int64()),
+                 pa.array(s_out, type=pa.int64()),
+                 pa.array(n_out, type=pa.int64())],
+                ["la", "lb", "s", "n"],
+            )
+
+    part = e.mapInArrow(partials, "la long, lb long, s long, n long")
+    return part.groupBy(
+        F.col("la").alias("label_a"), F.col("lb").alias("label_b")
+    ).agg(
+        F.sum("n").cast("bigint").alias("n_pairs"),
+        F.expr("cast(sum(s) as bigint) div cast(sum(n) as bigint)").alias(
+            "mean_cos_micros"
+        ),
+    )
