@@ -393,3 +393,43 @@ def stream_sliding_counts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         sliding_counts_stream(events_stream(spark, sf_dir)),
         "stream_sliding_e2e_sink",
     )
+
+
+@register(
+    "stream_dedup_e2e",
+    oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+        """,
+    category="streaming",
+    doc="END-TO-END STREAMING DEDUP under the correctness gate: TWO "
+    "file-source streams over the same events fixture union into one "
+    "stream (every row arrives exactly twice — the planted duplication "
+    "that makes the dedup observable), state-store dropDuplicates on "
+    "event_id keeps one copy of each, and the per-type counts must "
+    "hash-match the single-copy batch oracle — without the dedup every "
+    "count doubles and the gate goes red.  Watermarked so the "
+    "dedup+aggregate chain of stateful operators is planned; on the "
+    "finite fixture no state evicts, and at production scale the "
+    "within-watermark form bounds dedup state "
+    "(test_streaming_dedup_within_watermark covers it).",
+)
+def stream_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        events_stream,
+        run_to_completion,
+    )
+
+    def side():
+        return (
+            events_stream(spark, sf_dir)
+            .withWatermark("ts", "1 day")
+            .select("ts", "event_id", "event_type")
+        )
+
+    dd = side().unionAll(side()).dropDuplicates(["event_id"])
+    agg = dd.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    out = run_to_completion(agg, "stream_dedup_e2e_sink")
+    return out.select("event_type", "n")
