@@ -407,3 +407,33 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         """SELECT count(*) AS n_big, min(o_orderkey) AS first_key
            FROM orders WHERE o_totalprice > price_floor"""
     )
+
+
+_MODERN_AGG = """
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+               AS n_big,
+           CAST(min(o_orderkey) FILTER (WHERE o_totalprice > 200000)
+               AS BIGINT) AS first_big_key
+    FROM orders
+    GROUP BY ALL
+"""
+
+
+@register(
+    "sql_modern_agg",
+    oracle=_MODERN_AGG,
+    category="sqlapi",
+    doc="Modern ANSI aggregate surface, identical text in both engines: "
+    "GROUP BY ALL (grouping keys inferred from the non-aggregate "
+    "select list — no positional drift when columns are added) and the "
+    "FILTER (WHERE ...) aggregate clause (per-aggregate predicates "
+    "without CASE WHEN scaffolding).  Catalyst compiles FILTER to the "
+    "same conditional partial aggregate as the CASE form "
+    "(conditional_aggregates), so the two-phase HashAggregate shape — "
+    "and the single fact shuffle — is unchanged.",
+)
+def sql_modern_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _MODERN_AGG)
