@@ -390,3 +390,83 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum("d").cast("bigint").alias("sum_degree"),
     )
+
+
+_KCORE_K = 25  # median fixture degree is ~33; k=25 peels a real fringe
+
+
+def _kcore_round_sql(i: int) -> str:
+    return f"""
+        d{i} AS (SELECT u, count(*) AS c FROM e{i - 1} GROUP BY u),
+        k{i} AS (SELECT u FROM d{i} WHERE c >= {_KCORE_K}),
+        e{i} AS (
+            SELECT e.u, e.v FROM e{i - 1} e
+            JOIN k{i} a ON a.u = e.u
+            JOIN k{i} b ON b.u = e.v
+        )"""
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=f"""
+        WITH e AS (
+            SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        e0 AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        {",".join(_kcore_round_sql(i) for i in range(1, 5))}
+        SELECT CAST((SELECT count(DISTINCT u) FROM e0) AS BIGINT)
+                   AS n_nodes_start,
+               CAST(count(DISTINCT u) AS BIGINT) AS n_nodes_core,
+               CAST(count(*) / 2 AS BIGINT) AS n_edges_core,
+               CAST(max(c) AS BIGINT) AS max_degree_core
+        FROM e4 JOIN (SELECT u, count(*) AS c FROM e4 GROUP BY u) d
+          USING (u)
+        """,
+    category="graph",
+    doc="k-core peeling (k=25; the degeneracy primitive behind dense-"
+    "community mining): repeatedly delete vertices of degree < k from "
+    "the symmetric customer-supplier purchase graph — each deletion "
+    "can drop neighbors below k, so the peel cascades.  "
+    "Exactly FOUR peel rounds run in BOTH engines — peeling is "
+    "monotone, so converged rounds are no-ops and the unrolled oracle "
+    "recurrence stays bit-identical to the loop.  Each round is one "
+    "degree aggregate plus two semi joins on int64 node keys (rule 5; "
+    "the Pregel superstep shape, like BFS/PageRank), with "
+    "localCheckpoint truncating lineage between rounds.  Output is "
+    "the core summary a scheduler reads before running an expensive "
+    "community algorithm on the dense remainder.",
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("bigint").alias("u"),
+            (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("v"),
+        )
+        .distinct()
+    )
+    edges = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = edges.localCheckpoint(eager=False)
+    n_start = edges.agg(
+        F.countDistinct("u").cast("bigint").alias("n_nodes_start")
+    )
+    for _ in range(4):
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
+        keep = deg.filter(F.col("c") >= _KCORE_K).select("u")
+        edges = (
+            edges.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    deg4 = edges.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
+    core = edges.join(deg4, "u").agg(
+        F.countDistinct("u").cast("bigint").alias("n_nodes_core"),
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges_core"),
+        F.max("c").cast("bigint").alias("max_degree_core"),
+    )
+    return n_start.crossJoin(core).select(
+        "n_nodes_start", "n_nodes_core", "n_edges_core", "max_degree_core"
+    )
