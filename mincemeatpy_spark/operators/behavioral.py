@@ -2025,3 +2025,87 @@ def events_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("n_returning"),
         )
     )
+
+
+_ALERT_THRESHOLD = 100.0  # ~p88 of the fixture's value distribution
+_ALERT_MIN_RUN = 3
+
+
+@register(
+    "events_alert_debounce",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN value > {_ALERT_THRESHOLD} THEN 1 ELSE 0 END AS f
+            FROM events
+        ),
+        runs AS (
+            SELECT user_id, ts, f,
+                   row_number() OVER w
+                   - sum(f) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS grp
+            FROM flagged
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        episodes AS (
+            SELECT user_id, grp, count(*) AS run_len, min(ts) AS run_start
+            FROM runs WHERE f = 1
+            GROUP BY user_id, grp
+        ),
+        alerts AS (
+            SELECT user_id, run_len, run_start
+            FROM episodes WHERE run_len >= {_ALERT_MIN_RUN}
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_alerts,
+               CAST(max(run_len) AS BIGINT) AS longest_run,
+               min(run_start) AS first_alert_ts
+        FROM alerts
+        GROUP BY user_id
+        """,
+    category="behavioral",
+    doc="Debounced threshold alerting — the monitoring pattern that "
+    "separates a real incident from a blip: an alert fires only when a "
+    "user's value exceeds the threshold for >= 3 CONSECUTIVE events "
+    "(gaps-and-islands run grouping: row_number minus running flag sum "
+    "is constant within a breach run), reported as episodes with "
+    "length and start time.  Deterministic tie-break (ts, event_id) "
+    "makes run boundaries exact.  One shuffle on user_id feeds both "
+    "windows and the episode aggregate; at 100 TB this is the same "
+    "single-partition-by-key shape as sessionization, and the "
+    "streaming twin is applyInPandasWithState with a run-length "
+    "counter as O(1) per-key state.",
+)
+def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value") > _ALERT_THRESHOLD).cast("int").alias("f"),
+    )
+    runs = flagged.select(
+        "user_id",
+        "ts",
+        "f",
+        (
+            F.row_number().over(w)
+            - F.sum("f").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        ).alias("grp"),
+    )
+    episodes = (
+        runs.filter(F.col("f") == 1)
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"), F.min("ts").alias("run_start"))
+    )
+    return (
+        episodes.filter(F.col("run_len") >= _ALERT_MIN_RUN)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_alerts"),
+            F.max("run_len").cast("bigint").alias("longest_run"),
+            F.min("run_start").alias("first_alert_ts"),
+        )
+    )
