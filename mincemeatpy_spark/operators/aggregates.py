@@ -1481,3 +1481,100 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.col("n") + sgn * mag).cast("bigint").alias("noisy_count"),
     )
+
+
+_WMED_BKT = 100_000  # 1000-dollar buckets over price cents
+
+
+@register(
+    "weighted_median_two_phase",
+    oracle=f"""
+        WITH t AS (
+            SELECT l_returnflag AS f,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+                   CAST(l_quantity AS BIGINT) AS w
+            FROM lineitem
+        ),
+        tot AS (SELECT f, CAST(sum(w) AS BIGINT) AS tw FROM t GROUP BY f),
+        c AS (
+            SELECT f, p,
+                   CAST(sum(w) OVER (PARTITION BY f ORDER BY p) AS BIGINT)
+                       AS cw
+            FROM t
+        )
+        SELECT f AS l_returnflag,
+               CAST(min(p) AS BIGINT) AS wmedian_cents,
+               tw AS total_weight
+        FROM c JOIN tot USING (f)
+        WHERE 2 * cw >= tw
+        GROUP BY f, tw
+        """,
+    category="aggregation",
+    doc="Quantity-weighted median price per return flag, computed TWO-"
+    "PHASE (SCALE rule 11): prices bucket into 1000-dollar ranges, one "
+    "keyed shuffle sums weights per (flag, bucket), the cumulative "
+    "runs over the TINY bucket table to locate the single bucket "
+    "containing the median weight, and only that bucket's rows get an "
+    "exact in-bucket cumulative — no full-table sort ever passes "
+    "through one partition, unlike the textbook windowed form the "
+    "oracle states.  Ties share a cumulative value (RANGE frame) in "
+    "both phases, so 'smallest price whose cumulative weight reaches "
+    "half the total' is exact and engine-identical.  The weighted "
+    "median is the robust center for value-weighted metrics (order "
+    "books, token-weighted doc stats) that the unweighted "
+    "agg_median_mode can't express.",
+)
+def weighted_median_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t_ = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("f"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    bkt = t_.withColumn("b", F.expr(f"p div {_WMED_BKT}"))
+    per_bkt = bkt.groupBy("f", "b").agg(F.sum("w").alias("bw"))
+    wb = Window.partitionBy("f").orderBy("b")
+    cum = per_bkt.select(
+        "f",
+        "b",
+        "bw",
+        F.sum("bw").over(wb.rowsBetween(Window.unboundedPreceding, 0)).alias("cb"),
+    )
+    tot = cum.groupBy("f").agg(F.sum("bw").cast("bigint").alias("tw"))
+    with_tot = cum.join(tot, "f")
+    # The single bucket where the cumulative weight first reaches half.
+    target = (
+        with_tot.filter(2 * F.col("cb") >= F.col("tw"))
+        .groupBy("f", "tw")
+        .agg(F.min("b").alias("tb"))
+    )
+    # Weight strictly before the target bucket (offset for phase 2).
+    offset = (
+        with_tot.join(target, "f")
+        .filter(F.col("b") < F.col("tb"))
+        .groupBy("f")
+        .agg(F.sum("bw").alias("off"))
+    )
+    target_r = target.select(
+        F.col("f").alias("tf"), F.col("tw"), F.col("tb")
+    )
+    in_bucket = bkt.join(
+        F.broadcast(target_r),
+        (F.col("f") == F.col("tf")) & (F.col("b") == F.col("tb")),
+    ).select("f", "p", "w", "tw")
+    win = Window.partitionBy("f").orderBy("p").rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    scanned = in_bucket.join(F.broadcast(offset), "f", "left").select(
+        "f",
+        "p",
+        "tw",
+        (F.coalesce(F.col("off"), F.lit(0)) + F.sum("w").over(win)).alias("cw"),
+    )
+    return (
+        scanned.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy(F.col("f").alias("l_returnflag"), F.col("tw").alias("total_weight"))
+        .agg(F.min("p").cast("bigint").alias("wmedian_cents"))
+        .select("l_returnflag", "wmedian_cents", "total_weight")
+    )
