@@ -60,6 +60,10 @@ _RISKIEST = [
     "dedup_incremental_lsh",
     "word_pmi_collocations",
     "dp_noisy_counts",
+    "weighted_median_two_phase",
+    "graph_kcore_peel",
+    "events_alert_debounce",
+    "embedding_label_separation",
 ]
 
 
