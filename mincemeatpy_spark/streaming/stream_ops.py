@@ -425,3 +425,74 @@ def attribution_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_ALERT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_len", T.LongType()),
+        T.StructField("n_alerts", T.LongType()),
+        T.StructField("longest", T.LongType()),
+        T.StructField("first_alert_us", T.LongType()),
+        T.StructField("run_start_us", T.LongType()),
+    ]
+)
+_ALERT_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_alerts", T.LongType()),
+        T.StructField("longest_run", T.LongType()),
+        T.StructField("first_alert_ts", T.TimestampType()),
+    ]
+)
+
+
+def alert_debounce_stateful(events: DataFrame, threshold: float = 100.0) -> DataFrame:
+    """Streaming twin of events_alert_debounce: per-user run-length state
+    (current breach run, episode count, longest run, first alert start)
+    kept in the state store — O(1) scalars per key, the debounce state
+    machine as a custom stateful operator.  Rows sort by (ts, event_id)
+    inside each micro-batch; cross-batch correctness relies on the
+    source delivering a user's events in order (true for the staged
+    file source; a production feed uses watermark + event-time sort)."""
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            run_len, n_alerts, longest, first_us, start_us = state.get
+        else:
+            run_len, n_alerts, longest, first_us, start_us = 0, 0, 0, None, None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            flags = (pdf["value"].to_numpy() > threshold)
+            for t_us, f in zip(ts_us, flags):
+                if f:
+                    if run_len == 0:
+                        start_us = int(t_us)
+                    run_len += 1
+                    if run_len > longest:
+                        longest = run_len
+                    if run_len == 3:
+                        n_alerts += 1
+                        if first_us is None or start_us < first_us:
+                            first_us = start_us
+                else:
+                    run_len = 0
+        state.update((run_len, n_alerts, longest, first_us, start_us))
+        if n_alerts > 0:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_alerts": [n_alerts],
+                    "longest_run": [longest],
+                    "first_alert_ts": [pd.Timestamp(first_us, unit="us")],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_ALERT_OUT_SCHEMA,
+        stateStructType=_ALERT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -433,3 +433,75 @@ def stream_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_completion(agg, "stream_dedup_e2e_sink")
     return out.select("event_type", "n")
+
+
+def _alert_oracle() -> str:
+    from mincemeatpy_spark.operators.behavioral import (
+        _ALERT_MIN_RUN,
+        _ALERT_THRESHOLD,
+    )
+
+    return f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN value > {_ALERT_THRESHOLD} THEN 1 ELSE 0 END AS f
+            FROM events
+        ),
+        runs AS (
+            SELECT user_id, ts, f,
+                   row_number() OVER w
+                   - sum(f) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS grp
+            FROM flagged
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        episodes AS (
+            SELECT user_id, grp, count(*) AS run_len, min(ts) AS run_start
+            FROM runs WHERE f = 1
+            GROUP BY user_id, grp
+        ),
+        alerts AS (
+            SELECT user_id, run_len, run_start
+            FROM episodes WHERE run_len >= {_ALERT_MIN_RUN}
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_alerts,
+               CAST(max(run_len) AS BIGINT) AS longest_run,
+               min(run_start) AS first_alert_ts
+        FROM alerts
+        GROUP BY user_id
+        """
+
+
+@register(
+    "stream_alert_debounce_e2e",
+    oracle=_alert_oracle(),
+    category="streaming",
+    doc="END-TO-END STATEFUL ALERTING under the correctness gate: the "
+    "debounce state machine of events_alert_debounce (>=3 consecutive "
+    "breaches = one alert episode) runs as applyInPandasWithState — "
+    "per-user O(1) state: current run length, episode count, longest "
+    "run, first alert start — through the real micro-batch engine "
+    "(update mode, memory sink), and the collapsed per-user summary "
+    "must hash-match the batch gaps-and-islands oracle.  This is the "
+    "reference's per-key reducefn shape promoted to INCREMENTAL "
+    "execution: the same answer, maintained as events arrive instead "
+    "of recomputed from history.",
+)
+def stream_alert_debounce_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        alert_debounce_stateful,
+        events_stream,
+        run_to_completion,
+    )
+
+    out = run_to_completion(
+        alert_debounce_stateful(events_stream(spark, sf_dir)),
+        "stream_alert_debounce_sink",
+        mode="update",
+    )
+    return out.groupBy("user_id").agg(
+        F.max("n_alerts").alias("n_alerts"),
+        F.max("longest_run").alias("longest_run"),
+        F.min("first_alert_ts").alias("first_alert_ts"),
+    )
