@@ -1187,3 +1187,59 @@ def word_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "bigram")
         .limit(50)
     )
+
+
+def _lang_pred_sql() -> str:
+    return f"""
+        SELECT doc_id, lang,
+               CASE WHEN h_en >= h_fr AND h_en >= h_de THEN 'en'
+                    WHEN h_fr >= h_de THEN 'fr'
+                    ELSE 'de' END AS predicted_lang
+        FROM (
+            SELECT doc_id, lang,
+                   len(list_filter(words, w -> w IN ({_sql_list(_STOP['en'])}))) AS h_en,
+                   len(list_filter(words, w -> w IN ({_sql_list(_STOP['fr'])}))) AS h_fr,
+                   len(list_filter(words, w -> w IN ({_sql_list(_STOP['de'])}))) AS h_de
+            FROM (
+                SELECT doc_id, lang, string_split_regex(text, '\\s+') AS words
+                FROM documents
+            )
+        )
+    """
+
+
+@register(
+    "text_lang_confusion",
+    oracle=f"""
+        WITH pred AS ({_lang_pred_sql()})
+        SELECT lang AS declared_lang, predicted_lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               (1000000 * CAST(sum(CASE WHEN predicted_lang = lang
+                                        THEN 1 ELSE 0 END) AS BIGINT))
+                   // count(*) AS agree_ppm
+        FROM pred
+        GROUP BY lang, predicted_lang
+        """,
+    category="text",
+    doc="Language-label confusion matrix — the corpus-QA audit that "
+    "cross-checks the DECLARED lang column against the stopword "
+    "classifier (text_lang_id): per (declared, predicted) cell counts "
+    "plus exact agreement ppm.  High off-diagonal mass means either "
+    "mislabeled ingest metadata or a classifier gap — both of which "
+    "silently poison language-filtered training mixes if nobody "
+    "looks.  One scan, one k-by-k aggregate; the cell where "
+    "declared = predicted carries agree_ppm = 1e6 by construction, so "
+    "the matrix reads without a join back to totals.",
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = text_lang_id(spark, sf_dir).select(
+        F.col("lang").alias("declared_lang"), "predicted_lang"
+    )
+    agree = (F.col("predicted_lang") == F.col("declared_lang")).cast("int")
+    return pred.groupBy("declared_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            "1000000 * cast(sum(cast(predicted_lang = declared_lang as int))"
+            " as bigint) div count(*)"
+        ).alias("agree_ppm"),
+    )
