@@ -1584,3 +1584,176 @@ def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_cos_micros"
         ),
     )
+
+
+@register(
+    "similarity_mmr_rerank",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ),
+        q AS (SELECT * FROM v WHERE vec_id < 10),
+        cand AS (
+            SELECT q_id, c_id, rel FROM (
+                SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                       list_sum(list_transform(generate_series(1, 64),
+                            i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS rel,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_sum(list_transform(generate_series(1, 64),
+                                i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) DESC,
+                                c.vec_id) AS rk
+                FROM q JOIN v c ON c.vec_id <> q.vec_id
+            ) WHERE rk <= 8
+        ),
+        sim AS (
+            SELECT a.q_id, a.c_id AS c1, b.c_id AS c2,
+                   list_sum(list_transform(generate_series(1, 64),
+                        i -> x.e[i] * y.e[i])) / (x.nrm * y.nrm) AS s
+            FROM cand a
+            JOIN cand b ON b.q_id = a.q_id AND b.c_id <> a.c_id
+            JOIN v x ON x.vec_id = a.c_id
+            JOIN v y ON y.vec_id = b.c_id
+        ),
+        s1 AS (
+            SELECT q_id, c_id AS sel1 FROM (
+                SELECT q_id, c_id,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY rel DESC, c_id) AS r
+                FROM cand
+            ) WHERE r = 1
+        ),
+        sc2 AS (
+            SELECT c.q_id, c.c_id, c.rel - m.s AS score
+            FROM cand c
+            JOIN s1 ON s1.q_id = c.q_id AND c.c_id <> s1.sel1
+            JOIN sim m ON m.q_id = c.q_id AND m.c1 = c.c_id AND m.c2 = s1.sel1
+        ),
+        s2 AS (
+            SELECT q_id, c_id AS sel2 FROM (
+                SELECT q_id, c_id,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY score DESC, c_id) AS r
+                FROM sc2
+            ) WHERE r = 1
+        ),
+        sc3 AS (
+            SELECT c.q_id, c.c_id,
+                   c.rel - greatest(m1.s, m2.s) AS score
+            FROM cand c
+            JOIN s1 ON s1.q_id = c.q_id
+            JOIN s2 ON s2.q_id = c.q_id
+            JOIN sim m1 ON m1.q_id = c.q_id AND m1.c1 = c.c_id
+                        AND m1.c2 = s1.sel1
+            JOIN sim m2 ON m2.q_id = c.q_id AND m2.c1 = c.c_id
+                        AND m2.c2 = s2.sel2
+            WHERE c.c_id <> s1.sel1 AND c.c_id <> s2.sel2
+        ),
+        s3 AS (
+            SELECT q_id, c_id AS sel3 FROM (
+                SELECT q_id, c_id,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY score DESC, c_id) AS r
+                FROM sc3
+            ) WHERE r = 1
+        )
+        SELECT q_id, 1 AS pick, sel1 AS selected_id FROM s1
+        UNION ALL SELECT q_id, 2, sel2 FROM s2
+        UNION ALL SELECT q_id, 3, sel3 FROM s3
+        """,
+    category="similarity",
+    doc="MMR (maximal marginal relevance) diversified reranking — the "
+    "RAG retrieval step after top-k: from each query's top-8 cosine "
+    "candidates, greedily pick 3 where each pick maximizes relevance "
+    "minus its worst similarity to the already-picked set (lambda = "
+    "0.5, scaled out of the argmax), so near-duplicate passages don't "
+    "crowd the context window.  The greedy recurrence is UNROLLED to "
+    "three rounds in both engines — each round one window argmax over "
+    "the candidate table joined to the tiny pairwise-sim table "
+    "(candidates^2 per query, bounded by k^2, never corpus-scale).  "
+    "Cosines are the same bit-deterministic float pipeline as "
+    "similarity_topk; ties break on vec_id.",
+)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vecs(spark, sf_dir)
+    q = F.broadcast(v.filter(F.col("vec_id") < 10).alias("q"))
+    c = v.alias("c")
+    rel = _dot(F.col("q.e"), F.col("c.e")) / (F.col("q.nrm") * F.col("c.nrm"))
+    w = Wnd.partitionBy("q_id").orderBy(F.col("rel").desc(), "c_id")
+    cand = (
+        q.join(c, F.col("c.vec_id") != F.col("q.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("q_id"),
+            F.col("c.vec_id").alias("c_id"),
+            rel.alias("rel"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 8)
+        .drop("rk")
+        .localCheckpoint(eager=False)
+    )
+    x, y = v.alias("x"), v.alias("y")
+    s = _dot(F.col("x.e"), F.col("y.e")) / (F.col("x.nrm") * F.col("y.nrm"))
+    a, b = cand.alias("a"), cand.alias("b")
+    sim = (
+        a.join(
+            b,
+            (F.col("b.q_id") == F.col("a.q_id"))
+            & (F.col("b.c_id") != F.col("a.c_id")),
+        )
+        .join(x, F.col("x.vec_id") == F.col("a.c_id"))
+        .join(y, F.col("y.vec_id") == F.col("b.c_id"))
+        .select(
+            F.col("a.q_id").alias("q_id"),
+            F.col("a.c_id").alias("c1"),
+            F.col("b.c_id").alias("c2"),
+            s.alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def argmax(df, score_col, out_name):
+        wr = Wnd.partitionBy("q_id").orderBy(F.col(score_col).desc(), "c_id")
+        return (
+            df.withColumn("r", F.row_number().over(wr))
+            .filter(F.col("r") == 1)
+            .select("q_id", F.col("c_id").alias(out_name))
+        )
+
+    s1 = argmax(cand, "rel", "sel1")
+    sc2 = (
+        cand.join(s1, "q_id")
+        .filter(F.col("c_id") != F.col("sel1"))
+        .join(
+            sim.select("q_id", F.col("c1").alias("c_id"), F.col("c2").alias("m2c"), "s"),
+            ["q_id", "c_id"],
+        )
+        .filter(F.col("m2c") == F.col("sel1"))
+        .select("q_id", "c_id", (F.col("rel") - F.col("s")).alias("score"))
+    )
+    s2 = argmax(sc2, "score", "sel2")
+    m1 = sim.select("q_id", F.col("c1").alias("c_id"), F.col("c2").alias("mc1"), F.col("s").alias("s1v"))
+    m2 = sim.select("q_id", F.col("c1").alias("c_id"), F.col("c2").alias("mc2"), F.col("s").alias("s2v"))
+    sc3 = (
+        cand.join(s1, "q_id")
+        .join(s2, "q_id")
+        .filter((F.col("c_id") != F.col("sel1")) & (F.col("c_id") != F.col("sel2")))
+        .join(m1, ["q_id", "c_id"])
+        .filter(F.col("mc1") == F.col("sel1"))
+        .join(m2, ["q_id", "c_id"])
+        .filter(F.col("mc2") == F.col("sel2"))
+        .select(
+            "q_id",
+            "c_id",
+            (F.col("rel") - F.greatest(F.col("s1v"), F.col("s2v"))).alias("score"),
+        )
+    )
+    s3 = argmax(sc3, "score", "sel3")
+    return (
+        s1.select("q_id", F.lit(1).alias("pick"), F.col("sel1").alias("selected_id"))
+        .unionAll(s2.select("q_id", F.lit(2), "sel2"))
+        .unionAll(s3.select("q_id", F.lit(3), "sel3"))
+    )
