@@ -1243,3 +1243,105 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint) div count(*)"
         ).alias("agree_ppm"),
     )
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i AS pos,
+                   ('0x' || substring(md5(
+                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                        || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT AS h
+            FROM w, unnest(generate_series(1, len(w) - 4)) AS t(i)
+            WHERE len(w) >= 5
+        ),
+        mins AS (
+            SELECT doc_id, pos,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                       AS sel
+            FROM grams
+        ),
+        selected AS (SELECT DISTINCT doc_id, sel FROM mins WHERE pos >= 4),
+        per_doc AS (
+            SELECT g.doc_id,
+                   count(*) AS n_kgrams,
+                   (SELECT count(*) FROM selected s
+                    WHERE s.doc_id = g.doc_id) AS n_selected,
+                   (SELECT bit_xor(sel) FROM selected s
+                    WHERE s.doc_id = g.doc_id) AS fp_xor
+            FROM grams g GROUP BY g.doc_id
+        )
+        SELECT doc_id,
+               CAST(n_kgrams AS BIGINT) AS n_kgrams,
+               CAST(n_selected AS BIGINT) AS n_selected,
+               CAST(fp_xor AS BIGINT) AS fp_xor
+        FROM per_doc
+        """,
+    category="text",
+    doc="Winnowing fingerprint selection (Schleimer et al. 2003, the "
+    "MOSS algorithm): hash every 5-gram, slide a window of 4 positions, "
+    "keep each window's MINIMUM hash — guaranteeing any shared run of "
+    ">= 8 tokens between two documents shares a selected fingerprint, "
+    "while storing only ~2/(w+1) of the k-gram hashes.  This is the "
+    "position-robust third fingerprinting scheme next to the rolling "
+    "hash (text_fingerprint) and fixed-stride spans "
+    "(text_substring_dup_spans).  Per-doc output: k-gram count, "
+    "selected-set size, and an XOR checksum of the selected set "
+    "(order-independent, overflow-free, mergeable).  One scan + one "
+    "per-doc window; selected fingerprints are the 8-byte keys a "
+    "cross-doc match join would shuffle — never the text.",
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.filter(tokens(F.col("text")), lambda x: x != "").alias("w"))
+        .filter(F.size("w") >= 5)
+    )
+    gram = F.concat_ws(
+        " ",
+        *[F.element_at("w", F.col("pos") + i) for i in range(5)],
+    )
+    grams = (
+        w.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("w") - 4)).alias("pos"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5(gram.cast("binary")), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    mins = grams.select(
+        "doc_id", "pos", F.min("h").over(win).alias("sel")
+    )
+    selected = (
+        mins.filter(F.col("pos") >= 4).select("doc_id", "sel").distinct()
+    )
+    per_sel = selected.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.expr("bit_xor(sel)").alias("fp_xor"),
+    )
+    per_gram = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_kgrams"))
+    # Left join: a doc of 5-7 tokens has k-grams but no complete window,
+    # so its selected set is empty (0 / NULL), not absent.
+    return per_gram.join(per_sel, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_kgrams").cast("bigint"),
+        F.coalesce(F.col("n_selected"), F.lit(0)).cast("bigint").alias("n_selected"),
+        F.col("fp_xor").cast("bigint"),
+    )

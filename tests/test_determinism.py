@@ -64,6 +64,10 @@ _RISKIEST = [
     "graph_kcore_peel",
     "events_alert_debounce",
     "embedding_label_separation",
+    "embedding_knn_label_eval",
+    "similarity_mmr_rerank",
+    "text_lang_confusion",
+    "text_winnowing_fingerprints",
 ]
 
 
