@@ -1345,3 +1345,95 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_selected"), F.lit(0)).cast("bigint").alias("n_selected"),
         F.col("fp_xor").cast("bigint"),
     )
+
+
+@register(
+    "text_winnowing_matches",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i AS pos,
+                   ('0x' || substring(md5(
+                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                        || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT AS h
+            FROM w, unnest(generate_series(1, len(w) - 4)) AS t(i)
+            WHERE len(w) >= 5
+        ),
+        mins AS (
+            SELECT doc_id, pos,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                       AS sel
+            FROM grams
+        ),
+        selected AS (SELECT DISTINCT doc_id, sel FROM mins WHERE pos >= 4)
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM selected a JOIN selected b
+          ON b.sel = a.sel AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= 2
+        """,
+    category="text",
+    doc="Winnowing cross-document matches — the detection stage MOSS "
+    "actually reports: documents sharing >= 2 selected fingerprints, "
+    "with the shared count as match strength.  By the winnowing "
+    "guarantee a shared >= 8-token run ALWAYS surfaces here, and only "
+    "selected fingerprints (~2/(w+1) of k-grams, 8-byte keys) ever "
+    "join — the same linear-shuffle candidate shape as the LSH band "
+    "joins, work scaling with fingerprint collisions, never doc "
+    "pairs.  The >= 2 threshold drops single-fingerprint coincidence "
+    "hits scan-side before anything verifies them.",
+)
+def text_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.filter(tokens(F.col("text")), lambda x: x != "").alias("w"))
+        .filter(F.size("w") >= 5)
+    )
+    gram = F.concat_ws(
+        " ",
+        *[F.element_at("w", F.col("pos") + i) for i in range(5)],
+    )
+    grams = (
+        w.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("w") - 4)).alias("pos"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5(gram.cast("binary")), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    selected = (
+        grams.select("doc_id", "pos", F.min("h").over(win).alias("sel"))
+        .filter(F.col("pos") >= 4)
+        .select("doc_id", "sel")
+        .distinct()
+    )
+    a, b = selected.alias("a"), selected.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.sel") == F.col("a.sel"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .select("d1", "d2", F.col("n_shared").cast("bigint"))
+    )
