@@ -2109,3 +2109,55 @@ def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("run_start").alias("first_alert_ts"),
         )
     )
+
+
+@register(
+    "events_decay_engagement",
+    oracle="""
+        WITH hw AS (SELECT max(ts) AS m FROM events),
+        scored AS (
+            SELECT user_id,
+                   CAST(round(value * 100) AS BIGINT)
+                       >> least(date_diff('day', CAST(ts AS DATE),
+                                          CAST((SELECT m FROM hw) AS DATE)),
+                                40) AS dc
+            FROM events
+        )
+        SELECT user_id,
+               CAST(sum(dc) AS BIGINT) AS decayed_cents,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM scored
+        GROUP BY user_id
+        ORDER BY decayed_cents DESC, user_id
+        LIMIT 20
+        """,
+    category="behavioral",
+    doc="Recency-decayed engagement score with EXACT arithmetic: each "
+    "event's value (in cents) right-shifts by its age in days vs the "
+    "corpus high-water mark — a half-life of one day as a bigint bit "
+    "shift, so the 'exponential decay' is integer floor division by "
+    "2^age and the per-user sum is order/partition-independent (float "
+    "exp() decay would drift by summation order).  Age clamps at 40 "
+    "days (past ~2^40 the contribution is zero anyway).  The "
+    "high-water mark rides in-plan as a broadcast scalar; top-20 via "
+    "TakeOrderedAndProject.  The recency-weighted ranking pattern "
+    "(CRM scoring, feed ranking features) on one user-keyed shuffle.",
+)
+def events_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    hw = e.agg(F.max("ts").alias("m"))
+    dc = F.expr(
+        "shiftright(cast(round(value * 100) as bigint),"
+        " least(datediff(cast(m as date), cast(ts as date)), 40))"
+    )
+    return (
+        e.crossJoin(F.broadcast(hw))
+        .select("user_id", dc.alias("dc"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("dc").cast("bigint").alias("decayed_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.col("decayed_cents").desc(), "user_id")
+        .limit(20)
+    )
