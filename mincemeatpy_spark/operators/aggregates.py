@@ -1578,3 +1578,61 @@ def weighted_median_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("p").cast("bigint").alias("wmedian_cents"))
         .select("l_returnflag", "wmedian_cents", "total_weight")
     )
+
+
+@register(
+    "supplier_concentration_hhi",
+    oracle="""
+        WITH rev AS (
+            SELECT s.s_nationkey AS nk, l.l_suppkey AS sk,
+                   CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT) AS c
+            FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT nk, CAST(sum(c) AS BIGINT) AS tc FROM rev GROUP BY nk),
+        bp AS (
+            SELECT r.nk, (r.c * 10000) // t.tc AS share_bp
+            FROM rev r JOIN tot t USING (nk)
+        )
+        SELECT n.n_name AS nation,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(share_bp * share_bp) AS BIGINT) AS hhi_bp2
+        FROM bp JOIN nation n ON n.n_nationkey = bp.nk
+        GROUP BY n.n_name
+        """,
+    category="aggregation",
+    doc="Supplier revenue concentration per nation as a Herfindahl-"
+    "Hirschman index in EXACT integer arithmetic: each supplier's "
+    "share floors to basis points ((cents * 10000) div nation_cents) "
+    "BEFORE squaring, so both engines sum identical integers — 1e8 = "
+    "monopoly, ~1e8/n = perfect competition.  The procurement-risk "
+    "readout ('how single-sourced is this nation') next to the "
+    "supplier scorecard.  Plan: one supplier-keyed two-phase "
+    "aggregate, nation totals join on the supplier-count-sized table, "
+    "nation dim broadcast.  Cents * 10000 needs int64 headroom "
+    "(~1e17 at petabyte revenue) — past that, pre-scale cents to "
+    "dollars before the share division.",
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100)).cast("bigint").alias("c"))
+    )
+    tot = rev.groupBy("nk").agg(F.sum("c").cast("bigint").alias("tc"))
+    bp = rev.join(tot, "nk").select(
+        "nk", F.expr("(c * 10000) div tc").alias("share_bp")
+    )
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        bp.join(F.broadcast(n), bp.nk == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("share_bp") * F.col("share_bp"))
+            .cast("bigint")
+            .alias("hhi_bp2"),
+        )
+    )
