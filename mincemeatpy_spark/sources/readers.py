@@ -460,3 +460,62 @@ def source_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_nationkey").alias("min_key"),
         )
     )
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+        WITH days AS (
+            SELECT CAST(ts AS DATE) AS d, event_id, value FROM events
+        ),
+        target AS (SELECT min(d) AS td FROM days),
+        merged AS (
+            SELECT d, event_id,
+                   CASE WHEN d = (SELECT td FROM target)
+                        THEN value * 2 ELSE value END AS value
+            FROM days
+        )
+        SELECT d,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(round(value * 100)) AS BIGINT) AS cents
+        FROM merged
+        GROUP BY d
+        """,
+    category="source",
+    doc="Dynamic partition overwrite — the incremental day-rewrite every "
+    "partitioned data lake performs: a date-partitioned copy of events "
+    "is written once, then a corrected batch for ONE day (values "
+    "doubled, deterministically the earliest day) is written with "
+    "partitionOverwriteMode=dynamic, which replaces ONLY the touched "
+    "partition directory and leaves every other day's files untouched "
+    "— static overwrite mode would truncate the whole table, the "
+    "classic data-loss foot-gun this mode exists to prevent.  The "
+    "read-back per-day counts and exact cent checksums must equal the "
+    "oracle's merged view of original + corrected rows; at 100 TB "
+    "this is how daily restatements avoid rewriting years of history.",
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "events_dyn_overwrite")
+    shutil.rmtree(path, ignore_errors=True)
+    e = t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "event_id", "value"
+    )
+    e.write.partitionBy("d").mode("overwrite").parquet(path)
+
+    target_day = e.agg(F.min("d").alias("td"))
+    corrected = (
+        e.join(F.broadcast(target_day), e.d == F.col("td"))
+        .select("d", "event_id", (F.col("value") * 2).alias("value"))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        corrected.write.partitionBy("d").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = spark.read.parquet(path)
+    return back.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100)).cast("bigint").alias("cents"),
+    )
