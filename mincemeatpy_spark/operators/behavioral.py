@@ -2161,3 +2161,127 @@ def events_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("decayed_cents").desc(), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "events_ab_cuped",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(min(CAST(ts AS DATE)) AS DATE) + 15 AS cut FROM events
+        ),
+        per_user AS (
+            SELECT user_id, user_id % 2 AS arm,
+                   CAST(sum(CASE WHEN CAST(ts AS DATE) < (SELECT cut FROM b)
+                            THEN round(value * 100) ELSE 0 END) AS BIGINT) AS pre_c,
+                   CAST(sum(CASE WHEN CAST(ts AS DATE) >= (SELECT cut FROM b)
+                            THEN round(value * 100) ELSE 0 END) AS BIGINT) AS post_c
+            FROM events GROUP BY user_id
+        ),
+        mo AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(pre_c) AS BIGINT) AS sx,
+                   CAST(sum(post_c) AS BIGINT) AS sy,
+                   CAST(sum(pre_c * pre_c) AS BIGINT) AS sxx,
+                   CAST(sum(pre_c * post_c) AS BIGINT) AS sxy
+            FROM per_user
+        ),
+        th AS (
+            SELECT n, sx,
+                   CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+                        THEN 0
+                        ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   END AS theta
+            FROM mo
+        )
+        SELECT arm,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(post_c) AS DOUBLE) / count(*) AS mean_post_cents,
+               CAST(sum(post_c) AS DOUBLE) / count(*)
+                   - (SELECT theta FROM th)
+                     * (CAST(sum(pre_c) AS DOUBLE) / count(*)
+                        - CAST((SELECT sx FROM th) AS DOUBLE)
+                          / (SELECT n FROM th)) AS mean_adjusted_cents
+        FROM per_user
+        GROUP BY arm
+        """,
+    category="behavioral",
+    doc="CUPED variance reduction for A/B readouts (Deng et al. 2013): "
+    "each user's post-period metric is adjusted by theta times their "
+    "pre-period deviation from the pooled pre-mean, removing the "
+    "between-user variance a raw diff-of-means carries — the standard "
+    "trick that shrinks experiment confidence intervals ~40-60%.  Arms "
+    "split by user-id parity, periods by a data-derived day-15 cut.  "
+    "All moments (n, Sx, Sy, Sxx, Sxy) are EXACT int64 sums of cent "
+    "values (the stats_regression recipe), so theta and the adjusted "
+    "means are fixed sequences of IEEE ops on identical integers — "
+    "bit-stable across engines and partitionings.  One user-keyed "
+    "aggregate; the moment row broadcasts.",
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    cut = e.agg(F.date_add(F.min("d"), 15).alias("cut"))
+    per_user = (
+        e.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            (F.col("user_id") % 2).alias("arm"),
+            F.sum(F.when(F.col("d") < F.col("cut"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("pre_c"),
+            F.sum(F.when(F.col("d") >= F.col("cut"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("post_c"),
+        )
+    )
+    mo = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pre_c").cast("bigint").alias("sx"),
+        F.sum("post_c").cast("bigint").alias("sy"),
+        F.sum(F.col("pre_c") * F.col("pre_c")).cast("bigint").alias("sxx"),
+        F.sum(F.col("pre_c") * F.col("post_c")).cast("bigint").alias("sxy"),
+    )
+    th = mo.select(
+        "n",
+        "sx",
+        F.expr(
+            "CASE WHEN cast(n as double) * cast(sxx as double)"
+            "          - cast(sx as double) * cast(sx as double) = 0"
+            " THEN cast(0 as double)"
+            " ELSE (cast(n as double) * cast(sxy as double)"
+            "       - cast(sx as double) * cast(sy as double))"
+            "    / (cast(n as double) * cast(sxx as double)"
+            "       - cast(sx as double) * cast(sx as double)) END"
+        ).alias("theta"),
+    )
+    return (
+        per_user.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("post_c").cast("bigint").alias("spost"),
+            F.sum("pre_c").cast("bigint").alias("spre"),
+        )
+        .crossJoin(F.broadcast(th))
+        .select(
+            "arm",
+            "n_users",
+            (F.col("spost").cast("double") / F.col("n_users")).alias(
+                "mean_post_cents"
+            ),
+            (
+                F.col("spost").cast("double") / F.col("n_users")
+                - F.col("theta")
+                * (
+                    F.col("spre").cast("double") / F.col("n_users")
+                    - F.col("sx").cast("double") / F.col("n")
+                )
+            ).alias("mean_adjusted_cents"),
+        )
+    )
