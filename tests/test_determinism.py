@@ -68,6 +68,10 @@ _RISKIEST = [
     "similarity_mmr_rerank",
     "text_lang_confusion",
     "text_winnowing_fingerprints",
+    "text_winnowing_matches",
+    "events_decay_engagement",
+    "supplier_concentration_hhi",
+    "events_ab_cuped",
 ]
 
 
