@@ -866,7 +866,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cast("bigint")
     scored = (
-        tf.join(F.broadcast(df), "word")
+        tf.join(df, "word")  # vocab-scale df table: AQE decides
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .crossJoin(F.broadcast(total))
@@ -1174,8 +1174,8 @@ def word_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     return (
         bc.filter(F.col("c12") >= 3)
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        .join(u1, "w1")  # vocab-scale unigram tables: AQE decides
+        .join(u2, "w2")
         .crossJoin(F.broadcast(n))
         .select(
             F.concat("w1", F.lit(" "), "w2").alias("bigram"),

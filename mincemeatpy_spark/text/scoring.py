@@ -105,7 +105,9 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = F.broadcast(wc.groupBy("word").agg(F.count(F.lit(1)).alias("df")))
+    # Vocabulary-scale (Heaps' law: grows with the corpus) — no broadcast
+    # hint; AQE broadcasts only while the df table provably fits.
+    df = wc.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = F.broadcast(
         t(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -315,7 +317,7 @@ def text_surprisal_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.length(F.bin(c)) - 1
 
     scored = (
-        toks.join(F.broadcast(freq), "word")
+        toks.join(freq, "word")  # vocab-scale: AQE decides join strategy
         .crossJoin(F.broadcast(tot))
         .select("doc_id", (fl2(F.col("n")) - fl2(F.col("f"))).alias("bits"))
     )
@@ -409,7 +411,7 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.length(F.bin(c)) - 1
 
     scored = (
-        bigrams.join(F.broadcast(uni), bigrams.w1 == uni.word)
+        bigrams.join(uni, bigrams.w1 == uni.word)  # vocab-scale: AQE decides
         .join(bf, "bg")  # corpus-scale: shuffle join on the bigram key
         .select("doc_id", (fl2(F.col("uf")) - fl2(F.col("bff"))).alias("bits"))
     )
