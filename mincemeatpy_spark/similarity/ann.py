@@ -30,6 +30,29 @@ _N_PLANES = 8
 _DIM = 64
 _POW2_60 = float(2**60)
 
+# Deterministic hash-capped reference sample for the embedding evals:
+# vec_id % _EVAL_MOD == 0 AND vec_id < _EVAL_MOD * _EVAL_CAP bounds the
+# driver-collected side to <= _EVAL_CAP rows at ANY corpus size (a pure
+# scan-pushed filter); the probe side stays the full distributed table.
+_EVAL_MOD = 4
+_EVAL_CAP = 50_000
+
+
+def _q6_i64(x):
+    """Quantize doubles to int64 micro-units with HALF-AWAY-FROM-ZERO
+    rounding, matching DuckDB ``round()`` and Spark ``ROUND`` exactly.
+    ``np.round`` is banker's (half-to-even) and silently diverges
+    cross-engine whenever ``x * 1e6`` lands exactly on ``.5``.
+
+    DRIVER-SIDE ONLY: worker closures must define a local copy (pickled
+    by value) — a reference to this module function requires
+    ``mincemeatpy_spark`` on the executors' sys.path, which the driver
+    contract does not guarantee."""
+    import numpy as np
+
+    y = np.asarray(x, dtype=np.float64) * 1_000_000.0
+    return (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings with double-cast vectors and L2 norms."""
@@ -1377,7 +1400,10 @@ def similarity_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(list_sum(list_transform(generate_series(1, {_DIM}),
                         i -> a.e[i] * b.e[i])) AS DOUBLE) / (a.nrm * b.nrm)
                        AS cos
-            FROM n a JOIN n b ON b.vec_id <> a.vec_id
+            FROM n a JOIN n b
+              ON b.vec_id <> a.vec_id
+             AND b.vec_id % {_EVAL_MOD} = 0
+             AND b.vec_id < {_EVAL_MOD * _EVAL_CAP}
         ),
         top5 AS (
             SELECT qa, la, lb FROM (
@@ -1414,24 +1440,28 @@ def similarity_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "independent dot products), the ranking cosine is elementwise IEEE "
     "ops on those exact integers (sqrt is correctly rounded by spec), "
     "ties break by neighbor id then label — bit-identical to the "
-    "oracle\'s sequential SQL.  Brute-force all-pairs is the EVAL role "
-    "at sample scale; at corpus scale the same vote runs over "
-    "similarity_ann_ivf\'s posting-list top-k instead "
-    "(similarity_ann_recall measures what that swap costs).  The vote "
-    "and argmax run inside the Arrow batch; only (label, prediction) "
-    "rows leave Python.",
+    "oracle\'s sequential SQL.  The reference (voter) side is a "
+    "DETERMINISTIC HASH-CAPPED SAMPLE (vec_id % 4 == 0, hard cap 50k "
+    "rows — a pure scan-pushed filter), so the one driver collect is "
+    "bounded at ANY corpus size; the probe side streams the full "
+    "distributed table through Arrow batches.  At corpus scale the "
+    "same vote runs over similarity_ann_ivf\'s posting-list top-k "
+    "instead (similarity_ann_recall measures what that swap costs).  "
+    "The vote and argmax run inside the Arrow batch; only (label, "
+    "prediction) rows leave Python.",
 )
 def embedding_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pyarrow as pa
 
     e = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    rows = e.select("vec_id", "label", "embedding").collect()
+    rows = e.filter(
+        (F.col("vec_id") % _EVAL_MOD == 0)
+        & (F.col("vec_id") < _EVAL_MOD * _EVAL_CAP)
+    ).collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     labs = np.array([r["label"] for r in rows], dtype=np.int64)
-    mat = np.round(
-        np.array([r["embedding"] for r in rows], dtype=np.float64) * 1_000_000
-    ).astype(np.int64)
+    mat = _q6_i64([r["embedding"] for r in rows])
     order = np.argsort(ids, kind="stable")
     ids, labs, mat = ids[order], labs[order], mat[order]
     nrm = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
@@ -1439,14 +1469,17 @@ def embedding_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = spark.sparkContext.broadcast((ids, labs, mat, nrm))
 
     def knn(batches):
+        import numpy as np  # self-contained: closure ships by value
+
+        def q6(x):  # half-away-from-zero micro-quantize (matches oracle)
+            y = np.asarray(x, dtype=np.float64) * 1_000_000.0
+            return (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+
         b_ids, b_labs, b_mat, b_nrm = bc.value
         for batch in batches:
             a_ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
             a_labs = np.asarray(batch.column("label"), dtype=np.int64)
-            a_mat = np.round(
-                np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-                * 1_000_000
-            ).astype(np.int64)
+            a_mat = q6(batch.column("embedding").to_pylist())
             a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1).astype(np.float64))
             gram = a_mat @ b_mat.T  # exact int64
             cos = gram.astype(np.float64) / np.outer(a_nrm, b_nrm)
@@ -1498,7 +1531,10 @@ def embedding_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                         CAST(list_sum(list_transform(generate_series(1, {_DIM}),
                              i -> a.e[i] * b.e[i])) AS DOUBLE)
                         / (a.nrm * b.nrm))) AS BIGINT) AS cq
-            FROM n a JOIN n b ON b.vec_id <> a.vec_id
+            FROM n a JOIN n b
+              ON b.vec_id <> a.vec_id
+             AND b.vec_id % {_EVAL_MOD} = 0
+             AND b.vec_id < {_EVAL_MOD * _EVAL_CAP}
         )
         SELECT la AS label_a, lb AS label_b,
                CAST(count(*) AS BIGINT) AS n_pairs,
@@ -1517,20 +1553,23 @@ def embedding_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batch kernel emits per-(vector, label) partial sums (n_labels "
     "rows per vector, never the pair grid), and the final aggregate "
     "merges partials — the mergeable-partials rollup shape at any "
-    "scale; brute-force all-pairs is the eval role, sampled or "
-    "IVF-bucketed at corpus scale.",
+    "scale.  The reference side of each pair is a DETERMINISTIC "
+    "HASH-CAPPED SAMPLE (vec_id % 4 == 0, hard cap 50k rows — a pure "
+    "scan-pushed filter), so the one driver collect is bounded at ANY "
+    "corpus size; the probe side streams the full distributed table.",
 )
 def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pyarrow as pa
 
     e = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    rows = e.collect()
+    rows = e.filter(
+        (F.col("vec_id") % _EVAL_MOD == 0)
+        & (F.col("vec_id") < _EVAL_MOD * _EVAL_CAP)
+    ).collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     labs = np.array([r["label"] for r in rows], dtype=np.int64)
-    mat = np.round(
-        np.array([r["embedding"] for r in rows], dtype=np.float64) * 1_000_000
-    ).astype(np.int64)
+    mat = _q6_i64([r["embedding"] for r in rows])
     order = np.argsort(ids, kind="stable")
     ids, labs, mat = ids[order], labs[order], mat[order]
     nrm = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
@@ -1538,15 +1577,18 @@ def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = spark.sparkContext.broadcast((ids, labs, mat, nrm, uniq))
 
     def partials(batches):
+        import numpy as np  # self-contained: closure ships by value
+
+        def q6(x):  # half-away-from-zero micro-quantize (matches oracle)
+            y = np.asarray(x, dtype=np.float64) * 1_000_000.0
+            return (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+
         b_ids, b_labs, b_mat, b_nrm, u = bc.value
         masks = {int(l): b_labs == l for l in u}
         for batch in batches:
             a_ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
             a_labs = np.asarray(batch.column("label"), dtype=np.int64)
-            a_mat = np.round(
-                np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-                * 1_000_000
-            ).astype(np.int64)
+            a_mat = q6(batch.column("embedding").to_pylist())
             a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1).astype(np.float64))
             gram = a_mat @ b_mat.T  # exact int64
             cq = np.floor(
