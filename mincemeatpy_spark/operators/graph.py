@@ -70,28 +70,37 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
         .distinct()
     )
-    # node count: customers + suppliers (driver-side scalars — dimension
-    # metadata, one count job each, fine at any scale)
-    n = (
-        t(spark, sf_dir, "customer").count()
-        + t(spark, sf_dir, "supplier").count()
+    # Node count rides IN-PLAN as a broadcast 1-row aggregate (customers
+    # + suppliers) — no driver-side count jobs before the main action.
+    nb = F.broadcast(
+        t(spark, sf_dir, "customer")
+        .agg(F.count(F.lit(1)).alias("ncust"))
+        .crossJoin(
+            t(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("nsupp"))
+        )
+        .select((F.col("ncust") + F.col("nsupp")).cast("bigint").alias("n_nodes"))
     )
-    r0 = _PR_SCALE // n
-    teleport = (15 * r0) // 100
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # No hint on the node-scale degree table; AQE broadcasts while it fits.
-    contrib = edges.join(deg, "src").select(
-        "dst", F.expr(f"{r0} div d").alias("c")
+    contrib = (
+        edges.join(deg, "src")
+        .crossJoin(nb)
+        .select("dst", F.expr(f"({_PR_SCALE} div n_nodes) div d").alias("c"))
     )
     s = t(spark, sf_dir, "supplier").select("s_suppkey")
     return (
         s.join(contrib, s.s_suppkey == contrib.dst, "left")
         .groupBy("s_suppkey")
-        .agg(
+        .agg(F.expr("85 * coalesce(sum(c), 0) div 100").alias("flow"))
+        .crossJoin(nb)
+        .select(
+            "s_suppkey",
             (
-                F.lit(teleport)
-                + F.expr("85 * coalesce(sum(c), 0) div 100")
-            ).alias("rank_scaled")
+                F.expr(f"15 * ({_PR_SCALE} div n_nodes) div 100")
+                + F.col("flow")
+            )
+            .cast("bigint")
+            .alias("rank_scaled"),
         )
     )
 
@@ -162,12 +171,18 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    n = nodes.count()
-    r0 = _PR_SCALE // n
-    teleport = (15 * r0) // 100
+    # Node count rides IN-PLAN as a broadcast 1-row aggregate; each
+    # superstep's checkpoint job evaluates it as a subtree of the same
+    # action — no separate driver-side count job.  (The per-superstep
+    # eager localCheckpoint jobs are loop-control, exempt by design.)
+    nb = F.broadcast(
+        nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    r0_col = F.expr(f"cast({_PR_SCALE} div n_nodes as bigint)")
+    tele_col = F.expr(f"cast(15 * ({_PR_SCALE} div n_nodes) div 100 as bigint)")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
 
-    ranks = nodes.withColumn("r", F.lit(r0).cast("bigint"))
+    ranks = nodes.crossJoin(nb).select("node", r0_col.alias("r"))
     for _ in range(2):
         contrib = (
             edges.join(deg, "src")
@@ -177,10 +192,11 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = (
             nodes.join(inflow, nodes.node == inflow.dst, "left")
+            .crossJoin(nb)
             .select(
                 "node",
                 (
-                    F.lit(teleport)
+                    tele_col
                     + F.expr("85 * coalesce(s, 0) div 100")
                 ).cast("bigint").alias("r"),
             )

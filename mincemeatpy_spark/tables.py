@@ -29,6 +29,22 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Per-application parquet schema cache: the first read of a path infers
+# the schema (one tiny footer-read job); every later read passes the
+# cached schema explicitly, so re-building a query plan launches ZERO
+# driver jobs.  Keyed by applicationId so a fresh session re-infers.
+_SCHEMAS: dict[tuple[str, str], object] = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMAS.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMAS[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table from ``sf_dir``.
@@ -48,7 +64,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = _read_parquet(spark, path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
@@ -60,7 +76,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # identity on the stored microseconds.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(path)
+    return _read_parquet(spark, path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
