@@ -87,16 +87,42 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_count_distinct",
-    oracle=None,  # HLL sketch values are engine-specific; rows-only check.
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               TRUE AS within_bound
+        FROM lineitem
+        GROUP BY l_returnflag
+        """,
     category="approximate",
     doc="HyperLogLog++ approximate distinct — the 100 TB substitute for "
-    "exact COUNT(DISTINCT) when 2% error is acceptable (no expand, one pass).",
+    "exact COUNT(DISTINCT) when 2% error is acceptable (no expand, one "
+    "pass).  The sketch estimate itself is engine-specific, so the "
+    "registered form is a BOUND ASSERTION: Spark computes both the "
+    "sketch and the exact twin and emits within_bound = "
+    "|approx - exact| <= 10% * exact + 10 (rsd 0.02, 5-sigma plus "
+    "small-group slack); the oracle emits the exact value and literal "
+    "TRUE.  A healthy sketch hash-matches; a broken one goes red in the "
+    "driver gate instead of hiding behind no_oracle.  The production "
+    "op is the approx aggregate alone — the exact twin here is the "
+    "verification harness.",
 )
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("apx"),
+            F.count_distinct("l_partkey").cast("bigint").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("apx") - F.col("exact_parts")).cast("double")
+                <= 0.10 * F.col("exact_parts") + 10
+            ).alias("within_bound"),
+        )
     )
 
 
@@ -227,15 +253,42 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "percentiles_approx",
-    oracle=None,  # KLL/GK sketch is engine-specific; rows-only check.
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS median_px,
+               TRUE AS within_bound
+        FROM lineitem
+        GROUP BY l_returnflag
+        """,
     category="approximate",
-    doc="approx_percentile: mergeable quantile sketch, the scale path.",
+    doc="approx_percentile: mergeable quantile sketch, the scale path.  "
+    "The sketch's returned element is engine-specific, so the "
+    "registered form is a BOUND ASSERTION: within_bound checks the "
+    "approx median lies between the exact 0.495 and 0.505 quantiles "
+    "(5x the accuracy=1000 rank-error guarantee); the hash-matched "
+    "median_px column is the exact interpolated median both engines "
+    "compute identically.  A broken sketch goes red in the driver gate "
+    "instead of hiding behind no_oracle.",
 )
 def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.percentile_approx("l_extendedprice", 0.5, 1000).alias("median_px"))
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("apx"),
+            F.expr("percentile(l_extendedprice, 0.495)").alias("lo"),
+            F.expr("percentile(l_extendedprice, 0.505)").alias("hi"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+                "median_px"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            "median_px",
+            ((F.col("apx") >= F.col("lo")) & (F.col("apx") <= F.col("hi"))).alias(
+                "within_bound"
+            ),
+        )
     )
 
 
@@ -424,25 +477,48 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hll_sketch_reaggregate",
-    oracle=None,  # sketch estimates are engine-specific (rows-only check)
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS within_bound
+        FROM events
+        GROUP BY event_type
+        """,
     category="relational",
     doc="Mergeable HLL datasketches (Spark 3.5): per (event_type, day) "
     "partial sketches of user_id, then hll_union_agg rolls daily "
     "sketches up to one per-type estimate WITHOUT re-scanning raw data "
     "— the store-partials-reaggregate pattern that makes daily 100 TB "
     "distinct-count dashboards O(days) instead of O(events).  Estimates "
-    "are Datasketches-specific, so this is a rows-only query; the exact "
-    "twin bitmap_distinct_users is the oracle-checked counterpart.",
+    "are Datasketches-specific, so the registered form is a BOUND "
+    "ASSERTION: within_bound = |estimate - exact| <= 10% * exact + 10 "
+    "(default lgConfigK=12 gives ~1.6% rsd; the bound is >5 sigma).  "
+    "The oracle emits the exact value and literal TRUE, so a broken "
+    "sketch or merge goes red in the driver gate instead of hiding "
+    "behind no_oracle.  The exact twin bitmap_distinct_users remains "
+    "the production-exact counterpart.",
 )
 def hll_sketch_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
-    return daily.groupBy("event_type").agg(
+    merged = daily.groupBy("event_type").agg(
         F.expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)").alias(
-            "approx_users"
+            "apx"
         )
+    )
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_users"))
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("apx") - F.col("exact_users")).cast("double")
+            <= 0.10 * F.col("exact_users") + 10
+        ).alias("within_bound"),
     )
 
 
@@ -1450,15 +1526,22 @@ def supplier_return_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— drawn EXACTLY as the trailing-ones count of an md5-derived "
     "60-bit hash (bit_count(y & ~(y+1)), no libm, no RNG state) with a "
     "hash-bit sign, giving eps = ln 2 for the count's sensitivity of "
-    "1.  The salt ('dp-v1:') is fixture-deterministic so the release "
-    "is reproducible and cross-engine exact; a production release "
-    "swaps it for a secret per-release nonce — the mechanism and the "
-    "plan are unchanged.  Sits next to k_anonymity_check as the "
-    "publish-side privacy gate.  Plan: one two-phase count aggregate; "
-    "the noise is scan-side integer bit arithmetic on the k-sized "
-    "group table.",
+    "1 — PROVIDED the salt is secret and single-use.  The registered "
+    "form fixes salt='dp-v1:' (a public constant) so the release is "
+    "reproducible and cross-engine exact: that makes it a MECHANISM "
+    "DEMO WITH NO ACTUAL PRIVACY — the noise is then a deterministic "
+    "public function of the data, and anyone can subtract it.  A real "
+    "release MUST pass a cryptographically random, secret, per-release "
+    "nonce via the salt parameter; reusing a nonce across releases or "
+    "leaking it likewise voids the guarantee entirely (the mechanism "
+    "and the plan are unchanged either way).  Sits next to "
+    "k_anonymity_check as the publish-side privacy gate.  Plan: one "
+    "two-phase count aggregate; the noise is scan-side integer bit "
+    "arithmetic on the k-sized group table.",
 )
-def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dp_noisy_counts(
+    spark: SparkSession, sf_dir: str, salt: str = "dp-v1:"
+) -> DataFrame:
     c = (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -1467,7 +1550,7 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h",
             F.conv(
                 F.substring(
-                    F.md5(F.concat(F.lit("dp-v1:"), F.col("event_type"))), 1, 15
+                    F.md5(F.concat(F.lit(salt), F.col("event_type"))), 1, 15
                 ),
                 16,
                 10,

@@ -91,16 +91,45 @@ def cross_join_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "table_sample",
-    oracle=None,  # sampling RNG is engine-specific; rows-only check.
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               TRUE AS within_bound
+        FROM orders
+        """,
     category="approximate",
     doc="Bernoulli TABLESAMPLE with a fixed seed — reproducible within "
-    "Spark (same seed, same split), not across engines.",
+    "Spark (same seed, same split), not across engines, so the "
+    "registered form is a BOUND ASSERTION: within_bound checks the "
+    "sample size sits within 6 binomial standard deviations of "
+    "fraction * n (plus small-table slack) AND the sampled keys lie "
+    "inside the table's key range.  The oracle emits the exact row "
+    "count and literal TRUE — a broken sampler (wrong fraction, empty, "
+    "out-of-range rows) goes red in the driver gate instead of hiding "
+    "behind no_oracle.",
 )
 def table_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        t(spark, sf_dir, "orders")
-        .sample(fraction=0.1, seed=42)
-        .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("o_orderkey").alias("first_key"))
+    o = t(spark, sf_dir, "orders")
+    samp = o.sample(fraction=0.1, seed=42).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("o_orderkey").alias("s_min"),
+        F.max("o_orderkey").alias("s_max"),
+    )
+    full = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("o_orderkey").alias("f_min"),
+        F.max("o_orderkey").alias("f_max"),
+    )
+    # 6-sigma binomial bound: sd = sqrt(n * p * (1-p)) at p = 0.1
+    return samp.crossJoin(full).select(
+        "n_rows",
+        (
+            (
+                F.abs(F.col("n_sampled") - 0.1 * F.col("n_rows"))
+                <= 6 * F.sqrt(0.09 * F.col("n_rows")) + 5
+            )
+            & (F.col("s_min") >= F.col("f_min"))
+            & (F.col("s_max") <= F.col("f_max"))
+        ).alias("within_bound"),
     )
 
 
