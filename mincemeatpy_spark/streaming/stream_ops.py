@@ -185,6 +185,60 @@ def click_purchase_join_stream(
     ).select("user_id", "click_id", "click_ts", "purchase_ts", "purchase_value")
 
 
+def ensure_protobuf(spark: SparkSession) -> bool:
+    """Make ``google.protobuf`` importable on the driver AND the Python
+    workers, provisioning the repo's pure-Python shim
+    (``mincemeatpy_spark/pbshim``) when no pip-installed runtime exists.
+
+    transformWithStateInPandas' worker-side state client imports the
+    generated StateMessage protobuf module, so driver ``sys.path`` alone
+    is not enough — the shim ships to workers via ``addPyFile`` (worker
+    processes may have been forked before any PYTHONPATH change).
+    Returns False when neither a real runtime nor the shim's SDK backing
+    is available (callers raise a clear gate error).
+    """
+    import os as _os
+    import sys as _sys
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    shim = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..", "pbshim")
+    shim = _os.path.normpath(shim)
+    sdk = "/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf"
+    if not (_os.path.isdir(shim) and _os.path.isdir(sdk)):
+        return False
+    if shim not in _sys.path:
+        _sys.path.insert(0, shim)
+    # Ship to workers: a zip of the shim package, attached once per context.
+    import tempfile
+    import zipfile
+
+    zpath = _os.path.join(tempfile.gettempdir(), "mincemeatpy_pbshim.zip")
+    if not _os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            z.write(_os.path.join(shim, "google", "__init__.py"), "google/__init__.py")
+    sc = spark.sparkContext
+    if _os.path.basename(zpath) not in getattr(sc, "_python_includes", []):
+        sc.addPyFile(zpath)
+    # Spawned Python workers (including the state-schema "driver worker",
+    # which bypasses the addPyFile include list) build their env from
+    # sc.environment at UDF-creation time — so a runtime mutation here
+    # reaches every worker created for plans built after this call.
+    env = sc.environment
+    if shim not in env.get("PYTHONPATH", ""):
+        env["PYTHONPATH"] = shim + _os.pathsep + env.get("PYTHONPATH", "")
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def run_to_completion(stream_df: DataFrame, query_name: str, mode: str | None = None) -> DataFrame:
     """Drive a streaming DataFrame over the (finite) file source to
     completion into an in-memory table; return it as a batch DataFrame."""

@@ -322,6 +322,66 @@ def stream_stateful_counts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_user_stats_tws_e2e",
+    oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1000000 AS total_value,
+               max(value) AS max_value
+        FROM events
+        GROUP BY user_id
+        """,
+    category="streaming",
+    doc="END-TO-END Spark 4 stateful v2 (transformWithStateInPandas) "
+    "under the correctness gate: per-user running stats held in typed "
+    "ValueState on the RocksDB state store, driven through the "
+    "micro-batch engine (update mode, memory sink).  The running sum "
+    "accumulates integer micro-units (half-up per element, matching "
+    "the oracle's floor(v*1e6 + 0.5)), so the final emission equals "
+    "the batch fixed-point aggregate bit-for-bit regardless of "
+    "micro-batch boundaries; n_events is monotone, so max-by-n per "
+    "user selects the final state even if the source splits into "
+    "multiple batches.  Runtime gate: the worker-side state client "
+    "speaks protobuf to the JVM state server — ensure_protobuf() "
+    "provisions the repo's pure-Python shim (driver sys.path + "
+    "addPyFile for workers) when no pip-installed runtime exists, and "
+    "the query raises a clear gate error only if neither is available.",
+)
+def stream_user_stats_tws_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        ensure_protobuf,
+        events_stream,
+        run_to_completion,
+        user_value_stats_tws,
+    )
+
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf; neither a "
+            "pip-installed runtime nor the pbshim SDK backing is available"
+        )
+    out = run_to_completion(
+        user_value_stats_tws(events_stream(spark, sf_dir)),
+        "stream_tws_e2e_sink",
+        mode="update",
+    )
+    final = F.max(
+        F.struct("n_events", "total_value", "max_value")
+    ).alias("s")
+    return (
+        out.groupBy("user_id")
+        .agg(final)
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_value").alias("total_value"),
+            F.col("s.max_value").alias("max_value"),
+        )
+    )
+
+
+@register(
     "stream_stream_join_e2e",
     oracle="""
         SELECT c.user_id,

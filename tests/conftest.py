@@ -7,6 +7,29 @@ tests default to sf0.001 for speed — override with TEST_SF_DIR.
 from __future__ import annotations
 
 import os
+import sys
+
+# Protobuf shim (mincemeatpy_spark/pbshim): when no pip-installed
+# google.protobuf exists, expose the container's public pure-Python
+# runtime so the transformWithStateInPandas e2e test runs instead of
+# skipping.  Must happen BEFORE the SparkSession is created: Python
+# workers inherit PYTHONPATH through the JVM, and the state-server
+# client imports the generated protobuf module worker-side.
+_PBSHIM = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "mincemeatpy_spark",
+    "pbshim",
+)
+try:
+    import google.protobuf  # noqa: F401
+except ImportError:
+    if os.path.isdir(
+        "/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf"
+    ) and os.path.isdir(_PBSHIM):
+        sys.path.insert(0, _PBSHIM)
+        os.environ["PYTHONPATH"] = (
+            _PBSHIM + os.pathsep + os.environ.get("PYTHONPATH", "")
+        )
 
 import duckdb
 import pytest

@@ -284,3 +284,32 @@ def test_attribution_stream_matches_batch(spark, sf_dir, events):
         .collect()
     }
     assert got == want
+
+
+def test_alert_debounce_source_is_single_batch(spark, sf_dir, events):
+    """alert_debounce_stateful's run-length state is correct across
+    micro-batches only if each user's events arrive in event-time order;
+    the staged file source guarantees this trivially by delivering the
+    whole fixture as ONE micro-batch (single staged file, no
+    maxFilesPerTrigger).  Pin that assumption: if staging ever splits
+    into multiple batches, this fails loudly instead of the e2e oracle
+    passing flakily on accidental batch ordering."""
+    from mincemeatpy_spark.streaming import stream_ops
+
+    stream = stream_ops.alert_debounce_stateful(events)
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("alert_single_batch_probe")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.recentProgress
+    finally:
+        q.stop()
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data_batches) == 1, (
+        f"staged events source produced {len(data_batches)} data batches; "
+        "alert_debounce's cross-batch ordering assumption no longer holds"
+    )
