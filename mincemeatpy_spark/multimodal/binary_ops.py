@@ -26,12 +26,71 @@ from mincemeatpy_spark.tables import t
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """Real image decode — requires an imaging library not present in
-    this container.  The mapInPandas pipeline below calls the stub
-    instead; swap it for this when PIL is available."""
+    """Real, dependency-free image decode for the two trivial formats a
+    from-scratch parser can own: binary PPM (``P6``) and uncompressed
+    24-bit BMP (``BM``, bottom-up rows padded to 4 bytes).  Returns
+    ``{fmt, width, height, mean_r, mean_g, mean_b}`` with channel means
+    computed over the REAL pixel array (integer floor division).
+
+    Compressed formats (JPEG/PNG/...) genuinely need a codec library
+    that is not in this container — only those still raise
+    ``NotImplementedError``.  ``multimodal_decode_real`` drives this
+    decoder end-to-end through the same Arrow stage as the stub.
+    """
+    if payload[:2] == b"P6":
+        # header: b"P6" <ws> width <ws> height <ws> maxval <single ws> pixels
+        parts = payload.split(None, 4)
+        w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+        if maxval != 255:
+            raise NotImplementedError("PPM maxval != 255 needs 2-byte samples")
+        # pixel block starts right after the single whitespace ending maxval
+        hdr_end = payload.index(parts[3], len(parts[0])) + len(parts[3]) + 1
+        px = payload[hdr_end : hdr_end + 3 * w * h]
+        sums = [0, 0, 0]
+        for c in range(3):
+            sums[c] = sum(px[c::3])
+        return {
+            "fmt": "ppm",
+            "width": w,
+            "height": h,
+            "mean_r": sums[0] // (w * h),
+            "mean_g": sums[1] // (w * h),
+            "mean_b": sums[2] // (w * h),
+        }
+    if payload[:2] == b"BM":
+        import struct
+
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_sz = struct.unpack_from("<I", payload, 14)[0]
+        if hdr_sz < 40:
+            raise NotImplementedError("BMP core-header variant not supported")
+        w, h = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError("only uncompressed 24-bit BMP supported")
+        h = abs(h)
+        stride = (3 * w + 3) // 4 * 4
+        sums = [0, 0, 0]
+        for row in range(h):
+            base = data_off + row * stride
+            line = payload[base : base + 3 * w]
+            # BMP stores BGR
+            sums[2] += sum(line[0::3])
+            sums[1] += sum(line[1::3])
+            sums[0] += sum(line[2::3])
+        return {
+            "fmt": "bmp",
+            "width": w,
+            "height": h,
+            "mean_r": sums[0] // (w * h),
+            "mean_g": sums[1] // (w * h),
+            "mean_b": sums[2] // (w * h),
+        }
     raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "use the deterministic stub (fake_decode_meta) instead"
+        "compressed image formats (JPEG/PNG/...) need a codec library "
+        "not present in this environment; PPM (P6) and 24-bit BMP decode "
+        "natively here"
     )
 
 
@@ -120,6 +179,119 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return d.mapInPandas(
         decode, schema="doc_id long, width int, height int, channels int, fmt string"
+    )
+
+
+def _ship_by_value(fn):
+    """Rebind a module-level function onto plain builtins globals so
+    cloudpickle ships it BY VALUE into executor closures — the driver
+    contract does not put ``mincemeatpy_spark`` on worker sys.path, so a
+    by-reference pickle would die with ModuleNotFoundError worker-side.
+    The function body must be self-contained (imports inside the body,
+    otherwise builtins only)."""
+    import types
+
+    return types.FunctionType(
+        fn.__code__,
+        {"__builtins__": __builtins__},
+        fn.__name__,
+        fn.__defaults__,
+        fn.__closure__,
+    )
+
+
+@register(
+    "multimodal_decode_real",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+               CAST(n_chars % 16 + 1 AS BIGINT) AS width,
+               CAST(doc_id % 12 + 1 AS BIGINT) AS height,
+               CAST(doc_id % 256 AS BIGINT) AS mean_r,
+               CAST((n_chars * 7) % 256 AS BIGINT) AS mean_g,
+               CAST((doc_id * 31 + n_chars) % 256 AS BIGINT) AS mean_b
+        FROM documents
+        """,
+    category="multimodal",
+    doc="REAL image bytes end-to-end through the same Arrow plumbing as "
+    "the stub: stage 1 encodes a genuine image per document — binary "
+    "PPM (P6) for even doc_ids, uncompressed 24-bit BMP (bottom-up "
+    "rows, 4-byte padded stride) for odd — with dimensions and a "
+    "uniform fill color derived from the base columns; stage 2 runs "
+    "decode_image_real, the dependency-free parser, which reads the "
+    "actual headers and pixel arrays and emits per-channel means.  "
+    "The oracle recomputes the expected metadata in closed form from "
+    "the SAME base columns, so a decoder that mis-parses a header, "
+    "stride or channel order goes red.  The NotImplementedError gate "
+    "now covers only formats that genuinely need a codec library "
+    "(JPEG/PNG).  Both stages are narrow mapInPandas passes — bytes "
+    "stream batch-wise through Arrow, never to the driver.",
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        def make_ppm(w, h, rgb):
+            return b"P6\n%d %d\n255\n" % (w, h) + bytes(rgb) * (w * h)
+
+        def make_bmp(w, h, rgb):
+            stride = (3 * w + 3) // 4 * 4
+            row = bytes((rgb[2], rgb[1], rgb[0])) * w + b"\x00" * (stride - 3 * w)
+            header = (
+                b"BM"
+                + struct.pack("<IHHI", 54 + h * stride, 0, 0, 54)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, h * stride, 0, 0, 0, 0)
+            )
+            return header + row * h
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                w, h = n_chars % 16 + 1, doc_id % 12 + 1
+                rgb = (
+                    doc_id % 256,
+                    (n_chars * 7) % 256,
+                    (doc_id * 31 + n_chars) % 256,
+                )
+                payloads.append(
+                    make_ppm(w, h, rgb) if doc_id % 2 == 0 else make_bmp(w, h, rgb)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    encoded = d.mapInPandas(encode, schema="doc_id long, payload binary")
+
+    dec = _ship_by_value(decode_image_real)
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            metas = [dec(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "fmt": [m["fmt"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "mean_r": [m["mean_r"] for m in metas],
+                    "mean_g": [m["mean_g"] for m in metas],
+                    "mean_b": [m["mean_b"] for m in metas],
+                }
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, fmt string, width long, height long, "
+            "mean_r long, mean_g long, mean_b long"
+        ),
     )
 
 
