@@ -896,3 +896,160 @@ def test_bfs_edges_shuffle_integer_keys(spark, sf_dir):
     full = QUERIES["graph_bfs_distances"].fn(spark, sf_dir)
     # Output labels are still the public 'c…'/'s…' strings.
     assert dict(full.dtypes)["example_node"] == "string"
+
+
+_TOKEN_COLS = {"word", "w1", "w2", "bg", "token", "shingle", "term", "ngram"}
+
+
+def _walk_jvm(root):
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        yield node
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+
+
+@pytest.fixture(scope="module")
+def all_hinted_subtrees(spark, sf_dir):
+    """Broadcast-hinted logical subtrees for every registered query,
+    from the ANALYZED plan (where forced hints survive as ResolvedHint
+    before AQE gets a vote)."""
+    subtrees = {}
+    for name, q in QUERIES.items():
+        try:
+            jplan = q.fn(spark, sf_dir)._jdf.queryExecution().analyzed()
+        except Exception:  # noqa: BLE001 — runtime failures belong elsewhere
+            continue
+        found = [
+            n.children().apply(0)
+            for n in _walk_jvm(jplan)
+            if n.nodeName() == "ResolvedHint"
+        ]
+        if found:
+            subtrees[name] = found
+    return subtrees
+
+
+def test_no_broadcast_hint_on_unbounded_word_aggregate(all_hinted_subtrees):
+    """Repo-wide enforcement of SCALE.md rule 13: a forced F.broadcast
+    hint may only wrap a PROVABLY bounded subtree.  Vocabulary-scale
+    aggregates (grouped by a word/token/shingle column) are unbounded —
+    Heaps' law says the vocabulary grows with the corpus — so a hint on
+    one OOMs the driver at 100 TB where AQE would have shuffle-joined.
+    A word-grouped aggregate inside a hint is allowed only when a
+    bounding node sits between the hint and the aggregate: a
+    row_number/Limit top-N, a global (no-grouping) aggregate, or a
+    fixed-cardinality bucket rollup — each caps the hinted output
+    regardless of what feeds it."""
+
+    def _grouping_bases(node):
+        ge = node.groupingExpressions()
+        return [
+            ge.apply(i).toString().split("#")[0].strip().lower()
+            for i in range(ge.size())
+        ]
+
+    def _token_aggs_below(root):
+        """Token-grouped Aggregates reachable from `root` without
+        crossing a bounding node (global agg / bucket rollup)."""
+        bad, stack = [], [root]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() == "Aggregate":
+                bases = _grouping_bases(node)
+                if not bases or set(bases) <= {"bkt"}:
+                    continue  # 1-row or fixed-bucket output: bounded, stop descent
+                bad.extend(b for b in bases if b in _TOKEN_COLS)
+            for i in range(node.children().size()):
+                stack.append(node.children().apply(i))
+        return bad
+
+    offenders = {}
+    for name, subs in all_hinted_subtrees.items():
+        for sub in subs:
+            s = sub.toString()
+            if "row_number" in s or "GlobalLimit" in s:
+                continue  # top-N bounded — cardinality is fixed, not corpus-scale
+            bad = _token_aggs_below(sub)
+            if bad:
+                offenders.setdefault(name, []).extend(sorted(set(bad)))
+    assert not offenders, (
+        f"rule-13 violation — forced broadcast of vocabulary-scale aggregates: {offenders}"
+    )
+
+
+def test_pagerank_scalars_ride_in_plan(spark, sf_dir):
+    """graph_pagerank_iter: the node-count scalar rides in-plan as a
+    broadcast 1-row aggregate — BUILDING the query launches zero driver
+    jobs (no .count() before the main action).  Iterative loop-control
+    counts (BFS frontier, CC convergence, the 2iter checkpoints) are
+    exempt by design."""
+    QUERIES["graph_pagerank_iter"].fn(spark, sf_dir)  # warm schema inference
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    df = QUERIES["graph_pagerank_iter"].fn(spark, sf_dir)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "building graph_pagerank_iter ran driver-side jobs"
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "n_nodes" in analyzed  # the in-plan count aggregate
+
+
+def test_kcore_four_rounds_reach_fixpoint(spark, sf_dir):
+    """graph_kcore_peel unrolls exactly 4 peel rounds in both engines and
+    its doc claims converged rounds are no-ops — verify the claim: a 5th
+    peel round must leave the edge set unchanged at the fixture scale.
+    If data growth ever makes 4 rounds a PARTIAL peel, this fails and
+    both the loop and the oracle recurrence need one more round (they
+    would still agree with each other — which is exactly why the oracle
+    gate cannot catch it)."""
+    from pyspark.sql import functions as F
+    from mincemeatpy_spark.operators.graph import _KCORE_K
+    from mincemeatpy_spark.tables import t as tt
+
+    o = tt(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = tt(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("bigint").alias("u"),
+            (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("v"),
+        )
+        .distinct()
+    )
+    edges = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    counts = []
+    for _ in range(5):
+        counts.append(edges.count())
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
+        keep = deg.filter(F.col("c") >= _KCORE_K).select("u")
+        edges = (
+            edges.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    n5 = edges.count()
+    assert n5 == counts[4], (
+        f"5th peel round changed the edge count {counts[4]} -> {n5}: "
+        "4 rounds is a partial peel at this scale"
+    )
+
+
+def test_r4_scale_fixes_no_midplan_collect(spark, sf_dir):
+    """The r3->r4 scale-shape rewrites (sessions_peak_concurrency,
+    customer_rfm_segments, orders_gini_coefficient) must stay free of
+    mid-plan driver actions: BUILDING each query launches zero jobs.
+    Their window-shape pins above guard the two-phase bucketed form;
+    this guards the other regression class (a .collect()/.count()
+    sneaking back in to compute a bucket boundary or total)."""
+    tracker = spark.sparkContext.statusTracker()
+    for name in (
+        "sessions_peak_concurrency",
+        "customer_rfm_segments",
+        "orders_gini_coefficient",
+    ):
+        QUERIES[name].fn(spark, sf_dir)  # warm schema inference
+        before = set(tracker.getJobIdsForGroup(None) or [])
+        QUERIES[name].fn(spark, sf_dir)
+        after = set(tracker.getJobIdsForGroup(None) or [])
+        assert after == before, f"{name}: building the query ran driver jobs"
