@@ -181,6 +181,23 @@ def compat_mapreduce_wordcount(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+# In-process server rendezvous: run_server registers itself per port so
+# a Client "worker" thread can authenticate and block for the job's
+# lifetime — the reference's client lifecycle (conn returns when the
+# server closes the connection, reference mincemeat.py:148-150) without
+# reimplementing the TCP mesh (wire protocol is O14, N/A by design).
+_DEFAULT_PORT = 11235  # the reference's DEFAULT_PORT (mincemeat.py:24)
+_SERVER_RUNS: dict[int, "_ServerRun"] = {}
+
+
+class _ServerRun:
+    def __init__(self, password: str) -> None:
+        import threading
+
+        self.password = password
+        self.done = threading.Event()
+
+
 class Server:
     """Drop-in for the reference's ``Server`` (reference mincemeat.py:208-242,
     README.md:28-41): assign ``datasource`` / ``mapfn`` / ``reducefn`` /
@@ -188,11 +205,15 @@ class Server:
     ``{key: reduced_value}`` dict back.
 
     Differences, all strict upgrades and documented:
-    - execution is a Spark job, not a TCP master/worker mesh, so
-      ``password`` and ``port`` are accepted for signature parity and
-      ignored (cluster auth is ``spark.authenticate``, reference O13);
-    - workers are Spark executors — there is no separate worker process
-      to launch (reference O8/O11 are the scheduler's job);
+    - execution is a Spark job, not a TCP master/worker mesh; the real
+      compute workers are Spark executors (reference O8/O11 are the
+      scheduler's job) and cluster auth is ``spark.authenticate``
+      (reference O13);
+    - ``password``/``port`` keep their API role for the in-process
+      ``Client.conn`` rendezvous: a client thread connecting to the
+      same port must present the same password (the reference's HMAC
+      handshake outcome, reference mincemeat.py:99-128) and blocks
+      until the run completes;
     - closures and referenced globals ship with the functions
       (cloudpickle), so imports inside the function body (reference
       README.md:93-96) are supported but no longer required.
@@ -208,9 +229,9 @@ class Server:
     def run_server(self, password: str = "", port: int | None = None) -> dict[Any, Any]:
         """Run the job; returns the result dict (reference mincemeat.py:225).
 
-        ``password``/``port`` are parity no-ops (see class docstring).
+        Registers an in-process run at ``port`` for the lifetime of the
+        job so ``Client.conn`` threads can rendezvous (see class doc).
         """
-        del password, port
         if self.mapfn is None:
             raise TypeError("mapfn is required (reference mincemeat.py:169)")
         spark = self.spark
@@ -218,28 +239,50 @@ class Server:
             from mincemeatpy_spark.session import get_spark
 
             spark = get_spark("mincemeat-compat-server")
-        return mapreduce(
-            spark, self.datasource, self.mapfn, self.reducefn, self.collectfn
-        )
+        run = _ServerRun(password)
+        key = port or _DEFAULT_PORT
+        _SERVER_RUNS[key] = run
+        try:
+            return mapreduce(
+                spark, self.datasource, self.mapfn, self.reducefn, self.collectfn
+            )
+        finally:
+            run.done.set()
+            if _SERVER_RUNS.get(key) is run:
+                del _SERVER_RUNS[key]
 
 
 class Client:
-    """Parity stub for the reference's ``Client`` (reference
-    mincemeat.py:130-150, README.md:83-89).  Spark manages its own
-    executors, so there is no worker process for user code to run;
-    ``conn()`` explains instead of hanging.
+    """Drop-in for the reference's ``Client`` worker loop (reference
+    mincemeat.py:130-150, README.md:83-89).
+
+    On Spark the compute workers are executors, so a user's worker
+    script has no tasks to pull — but its LIFECYCLE is honored:
+    ``conn()`` rendezvouses with an in-process ``Server.run_server``
+    at the same port (checking ``self.password``, the reference's HMAC
+    handshake outcome) and blocks until that run completes, exactly
+    when the reference's ``conn`` returns (server closes the socket,
+    mincemeat.py:148-150).  With no server running it returns
+    immediately — the cluster has no work for an external worker.
+    Cross-process worker scripts simply exit; their machines join a
+    real deployment as Spark executors instead (O15 maps to
+    spark-submit, SURVEY.md §2a).
     """
 
     def __init__(self) -> None:
         self.password = ""
 
-    def conn(self, server: str, port: int | None = None) -> None:
-        raise NotImplementedError(
-            "Workers are Spark executors managed by the cluster manager; "
-            "there is no separate worker to connect (reference O8/O11/O15 "
-            "are built into Spark). Submit jobs via Server.run_server() or "
-            "mapreduce()."
-        )
+    def conn(self, server: str = "localhost", port: int | None = None) -> None:
+        run = _SERVER_RUNS.get(port or _DEFAULT_PORT)
+        if run is None:
+            return  # no in-process server: nothing for a worker to do
+        if run.password != self.password:
+            # the reference's failed HMAC handshake closes the channel
+            raise ConnectionRefusedError(
+                "authentication failed: client password does not match "
+                "the running server (reference mincemeat.py:99-128)"
+            )
+        run.done.wait()
 
 
 def pipeline(

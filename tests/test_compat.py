@@ -152,15 +152,92 @@ def test_server_class_drop_in(spark):
     assert sum(results.values()) == sum(len(line.split()) for line in data)
 
 
-def test_client_stub_explains(spark):
+def test_client_conn_no_server_returns_immediately(spark):
+    # With no in-process server running there is nothing for a worker
+    # to do — the reference worker would fail to connect and exit; here
+    # conn() returns at once instead of hanging.
     from mincemeatpy_spark import compat
 
     c = compat.Client()
     c.password = "changeme"
-    import pytest as _pytest
+    c.conn("localhost")  # must not raise or block
 
-    with _pytest.raises(NotImplementedError):
-        c.conn("localhost")
+
+def test_client_conn_joins_running_server(spark):
+    # The reference worker pattern (README.md:83-89): a client thread
+    # conn()s to the server and returns when the server's run completes.
+    # Drive it threaded in-process: the client must observe the run's
+    # full lifetime (block while running, return after) and the job's
+    # result must be unaffected.
+    import threading
+    import time
+
+    from mincemeatpy_spark import compat
+
+    s = compat.Server(spark)
+    s.datasource = {0: "a b", 1: "b"}
+    s.mapfn = mapfn
+    s.reducefn = reducefn
+
+    states = {}
+
+    def worker():
+        c = compat.Client()
+        c.password = "s3cret"
+        # wait for the server run to register (startup race, test-only)
+        for _ in range(200):
+            if compat._SERVER_RUNS:
+                break
+            time.sleep(0.01)
+        states["saw_run"] = bool(compat._SERVER_RUNS)
+        c.conn("localhost", 11235)
+        states["returned_after_done"] = (
+            not compat._SERVER_RUNS or compat._SERVER_RUNS.get(11235) is None
+        )
+
+    th = threading.Thread(target=worker)
+    th.start()
+    result = s.run_server(password="s3cret")
+    th.join(timeout=30)
+    assert not th.is_alive(), "client thread never returned"
+    assert result == {"a": 1, "b": 2}
+    assert states.get("saw_run"), "client never observed the running server"
+    assert states.get("returned_after_done")
+
+
+def test_client_conn_wrong_password_refused(spark):
+    # The reference's failed HMAC handshake closes the channel; here a
+    # mismatched password raises ConnectionRefusedError.
+    import threading
+    import time
+
+    from mincemeatpy_spark import compat
+
+    s = compat.Server(spark)
+    s.datasource = {0: "a"}
+    s.mapfn = mapfn
+    s.reducefn = reducefn
+
+    outcome = {}
+
+    def worker():
+        c = compat.Client()
+        c.password = "wrong"
+        for _ in range(200):
+            if compat._SERVER_RUNS:
+                break
+            time.sleep(0.01)
+        try:
+            c.conn("localhost")
+            outcome["raised"] = False
+        except ConnectionRefusedError:
+            outcome["raised"] = True
+
+    th = threading.Thread(target=worker)
+    th.start()
+    s.run_server(password="right")
+    th.join(timeout=30)
+    assert outcome.get("raised") is True
 
 
 def test_file_backed_lazy_datasource(spark, tmp_path):
