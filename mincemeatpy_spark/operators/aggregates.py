@@ -268,7 +268,12 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(5x the accuracy=1000 rank-error guarantee); the hash-matched "
     "median_px column is the exact interpolated median both engines "
     "compute identically.  A broken sketch goes red in the driver gate "
-    "instead of hiding behind no_oracle.",
+    "instead of hiding behind no_oracle.  The exact percentile is the "
+    "VERIFICATION HARNESS only — its sort-based buffer holds a group's "
+    "values in memory, so at corpus scale the production op is the "
+    "sketch alone (mergeable, bounded state) and this bound check runs "
+    "on a sampled slice; weighted_median_two_phase is the EXACT median "
+    "that does scale (bucket counts + one in-bucket pass, no full sort).",
 )
 def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -276,16 +281,15 @@ def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.percentile_approx("l_extendedprice", 0.5, 1000).alias("apx"),
-            F.expr("percentile(l_extendedprice, 0.495)").alias("lo"),
-            F.expr("percentile(l_extendedprice, 0.505)").alias("hi"),
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
-                "median_px"
-            ),
+            # one sort-based aggregate evaluates all three exact quantiles
+            F.expr(
+                "percentile(l_extendedprice, array(0.495, 0.5, 0.505))"
+            ).alias("pq"),
         )
         .select(
             "l_returnflag",
-            "median_px",
-            ((F.col("apx") >= F.col("lo")) & (F.col("apx") <= F.col("hi"))).alias(
+            F.round(F.col("pq")[1], 4).alias("median_px"),
+            ((F.col("apx") >= F.col("pq")[0]) & (F.col("apx") <= F.col("pq")[2])).alias(
                 "within_bound"
             ),
         )
