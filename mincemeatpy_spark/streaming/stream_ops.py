@@ -86,6 +86,68 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def events_stream_multibatch(
+    spark: SparkSession, sf_dir: str, n_files: int = 3
+) -> DataFrame:
+    """events table staged as ``n_files`` parquet files that the file
+    source delivers as SEPARATE MICRO-BATCHES, in a deterministic order
+    (file i = rows with ``event_id % n_files == i``, strictly increasing
+    mtimes, ``maxFilesPerTrigger=1``).
+
+    The single-file ``events_stream`` proves stream==batch on one
+    micro-batch; this staging is the cross-batch form — state merge,
+    watermark advancement and late-row dropping only mean anything when
+    the data actually spans batches.  ts travels as int64 micros and is
+    rebuilt streaming-side, sidestepping parquet timestamp-annotation
+    drift between writers.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from mincemeatpy_spark.tables import t
+
+    src = Path(sf_dir) / "events.parquet"
+    src_stat = src.stat()
+    stamp = f"{src}|{src_stat.st_size}|{src_stat.st_mtime}|{n_files}"
+    stage = (
+        Path(tempfile.gettempdir())
+        / "mincemeatpy_stream_multi"
+        / hashlib.md5(stamp.encode()).hexdigest()[:12]
+    )
+    marker = stage / "_STAGED"
+    if not marker.exists():
+        shutil.rmtree(stage, ignore_errors=True)
+        stage.mkdir(parents=True, exist_ok=True)
+        ev = t(spark, sf_dir, "events").select(
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        tmp = stage / "_tmp"
+        for i in range(n_files):
+            sub = ev.filter(F.col("event_id") % n_files == i)
+            sub.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+            part = next(p for p in tmp.iterdir() if p.name.endswith(".parquet"))
+            dst = stage / f"batch-{i:03d}.parquet"
+            shutil.move(str(part), str(dst))
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        shutil.rmtree(tmp, ignore_errors=True)
+        marker.touch()
+
+    raw = (
+        spark.readStream.format("parquet")
+        .schema("event_id long, ts_us long, user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(stage))
+    )
+    return raw.withColumn("ts", F.timestamp_micros("ts_us")).drop("ts_us")
+
+
 def tumbling_counts_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Tumbling 1-hour counts with a watermark (streaming form of the
     window_tumbling batch query)."""

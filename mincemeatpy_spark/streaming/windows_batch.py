@@ -322,6 +322,96 @@ def stream_stateful_counts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_multibatch_stateful_e2e",
+    oracle="""
+        SELECT user_id, count(*) AS n_events
+        FROM events
+        GROUP BY user_id
+        """,
+    category="streaming",
+    doc="CROSS-BATCH stateful streaming under the correctness gate: the "
+    "events fixture stages as THREE files delivered as three separate "
+    "micro-batches (maxFilesPerTrigger=1, event_id % 3 split, mtime-"
+    "ordered), so the per-user applyInPandasWithState counts MUST "
+    "accumulate through the state store across real batch boundaries — "
+    "unlike the single-batch e2e twins, a state handle that dropped or "
+    "double-counted on merge would pass there and fail here.  Update "
+    "mode emits per batch; the count is monotone, so max(n_events) per "
+    "user is the final state and must equal the batch aggregate "
+    "exactly.",
+)
+def stream_multibatch_stateful_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        events_stream_multibatch,
+        run_to_completion,
+        running_counts_stateful,
+    )
+
+    out = run_to_completion(
+        running_counts_stateful(events_stream_multibatch(spark, sf_dir)),
+        "stream_multibatch_stateful_sink",
+        mode="update",
+    )
+    return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@register(
+    "stream_late_drop_e2e",
+    oracle="""
+        WITH g0 AS (SELECT ts, event_type FROM events WHERE event_id % 3 = 0),
+             g1 AS (SELECT ts, event_type FROM events WHERE event_id % 3 = 1),
+             g2 AS (SELECT ts, event_type FROM events WHERE event_id % 3 = 2),
+             wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM g0),
+             kept AS (
+                 SELECT ts, event_type FROM g0
+                 UNION ALL SELECT ts, event_type FROM g1
+                 UNION ALL
+                 SELECT g2.ts, g2.event_type
+                 FROM g2, wm
+                 WHERE time_bucket(INTERVAL '1 hour', g2.ts) + INTERVAL 1 HOUR
+                       > wm.w
+             )
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM kept
+        GROUP BY 1, 2
+        """,
+    category="streaming",
+    doc="WATERMARK LATE-DATA DROPPING, demonstrated and hash-matched: "
+    "three mtime-ordered micro-batches (event_id % 3 split); a 10-min "
+    "watermark on a 1-hour tumbling count.  Spark's late-event filter "
+    "uses the watermark established TWO commits back (eviction uses "
+    "one back — measured on this engine, see NOTES_r05), so batches 0 "
+    "and 1 are fully admitted and batch 2 drops exactly the rows whose "
+    "window END is at or below max(batch0.ts) - 10min.  The oracle "
+    "reproduces that rule in closed form over the same split, so the "
+    "result differs from the naive batch aggregate by precisely the "
+    "dropped rows — the stream==batch equality twins prove windows are "
+    "arrival-order-independent; THIS query proves bounded state has "
+    "the documented cost and nothing more.  Kept late rows can only "
+    "land in not-yet-evicted windows (eviction before batch N uses the "
+    "same two-back watermark), so update-mode max(n) per window is the "
+    "final count with no restart ambiguity.",
+)
+def stream_late_drop_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        events_stream_multibatch,
+        run_to_completion,
+        tumbling_counts_stream,
+    )
+
+    out = run_to_completion(
+        tumbling_counts_stream(
+            events_stream_multibatch(spark, sf_dir), watermark="10 minutes"
+        ),
+        "stream_late_drop_sink",
+        mode="update",
+    )
+    return out.groupBy("w_start", "event_type").agg(F.max("n").alias("n"))
+
+
+@register(
     "stream_user_stats_tws_e2e",
     oracle="""
         SELECT user_id,

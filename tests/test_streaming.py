@@ -313,3 +313,57 @@ def test_alert_debounce_source_is_single_batch(spark, sf_dir, events):
         f"staged events source produced {len(data_batches)} data batches; "
         "alert_debounce's cross-batch ordering assumption no longer holds"
     )
+
+
+def test_multibatch_source_delivers_three_batches(spark, sf_dir):
+    """events_stream_multibatch must actually produce three data
+    micro-batches in file order — the whole point of the cross-batch
+    e2e family; if staging or maxFilesPerTrigger ever collapses them,
+    those queries degrade to single-batch tests silently."""
+    from mincemeatpy_spark.streaming import stream_ops
+
+    stream = stream_ops.events_stream_multibatch(spark, sf_dir)
+    q = (
+        stream.groupBy("event_type")
+        .count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("multibatch_probe")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.recentProgress
+    finally:
+        q.stop()
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data_batches) == 3, f"expected 3 data batches, got {len(data_batches)}"
+
+
+def test_late_drop_actually_drops(spark, sf_dir):
+    """stream_late_drop_e2e's oracle encodes the drop rule — but the
+    demo is vacuous unless rows are really dropped.  Assert the state
+    operator's numRowsDroppedByWatermark is positive on this fixture
+    (batch 2 carries rows far older than the established watermark)."""
+    from mincemeatpy_spark.streaming import stream_ops
+
+    agg = stream_ops.tumbling_counts_stream(
+        stream_ops.events_stream_multibatch(spark, sf_dir), watermark="10 minutes"
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("late_drop_probe")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.recentProgress
+    finally:
+        q.stop()
+    dropped = sum(
+        o.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for o in p.get("stateOperators", [])
+    )
+    assert dropped > 0, "no rows were dropped by the watermark — vacuous demo"
