@@ -247,9 +247,11 @@ class Server:
                 spark, self.datasource, self.mapfn, self.reducefn, self.collectfn
             )
         finally:
-            run.done.set()
+            # Deregister BEFORE waking waiters: a woken client must never
+            # observe a completed run still listed as live.
             if _SERVER_RUNS.get(key) is run:
                 del _SERVER_RUNS[key]
+            run.done.set()
 
 
 class Client:

@@ -38,14 +38,25 @@ def decode_image_real(payload: bytes) -> dict:
     decoder end-to-end through the same Arrow stage as the stub.
     """
     if payload[:2] == b"P6":
-        # header: b"P6" <ws> width <ws> height <ws> maxval <single ws> pixels
-        parts = payload.split(None, 4)
-        w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+        # header: b"P6" <ws> width <ws> height <ws> maxval <single ws> pixels.
+        # Tokenize positionally — a substring search for the maxval token
+        # would mis-anchor whenever width/height themselves contain "255".
+        pos, vals = 2, []
+        ws = b" \t\r\n"
+        for _ in range(3):
+            while payload[pos] in ws:
+                pos += 1
+            if payload[pos : pos + 1] == b"#":  # comment lines are rare; gate
+                raise NotImplementedError("PPM comment headers not supported")
+            start = pos
+            while payload[pos] not in ws:
+                pos += 1
+            vals.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace byte terminating maxval
+        w, h, maxval = vals
         if maxval != 255:
             raise NotImplementedError("PPM maxval != 255 needs 2-byte samples")
-        # pixel block starts right after the single whitespace ending maxval
-        hdr_end = payload.index(parts[3], len(parts[0])) + len(parts[3]) + 1
-        px = payload[hdr_end : hdr_end + 3 * w * h]
+        px = payload[pos : pos + 3 * w * h]
         sums = [0, 0, 0]
         for c in range(3):
             sums[c] = sum(px[c::3])

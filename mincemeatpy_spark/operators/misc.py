@@ -101,34 +101,25 @@ def cross_join_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Spark (same seed, same split), not across engines, so the "
     "registered form is a BOUND ASSERTION: within_bound checks the "
     "sample size sits within 6 binomial standard deviations of "
-    "fraction * n (plus small-table slack) AND the sampled keys lie "
-    "inside the table's key range.  The oracle emits the exact row "
-    "count and literal TRUE — a broken sampler (wrong fraction, empty, "
-    "out-of-range rows) goes red in the driver gate instead of hiding "
-    "behind no_oracle.",
+    "fraction * n (plus small-table slack).  The oracle emits the "
+    "exact row count and literal TRUE — a broken sampler (wrong "
+    "fraction, empty, whole-table) goes red in the driver gate instead "
+    "of hiding behind no_oracle.  (A key-range clause would be "
+    "tautological — the sample is drawn from the same DataFrame — so "
+    "none is asserted.)",
 )
 def table_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     samp = o.sample(fraction=0.1, seed=42).agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        F.min("o_orderkey").alias("s_min"),
-        F.max("o_orderkey").alias("s_max"),
+        F.count(F.lit(1)).alias("n_sampled")
     )
-    full = o.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.min("o_orderkey").alias("f_min"),
-        F.max("o_orderkey").alias("f_max"),
-    )
+    full = o.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     # 6-sigma binomial bound: sd = sqrt(n * p * (1-p)) at p = 0.1
     return samp.crossJoin(full).select(
         "n_rows",
         (
-            (
-                F.abs(F.col("n_sampled") - 0.1 * F.col("n_rows"))
-                <= 6 * F.sqrt(0.09 * F.col("n_rows")) + 5
-            )
-            & (F.col("s_min") >= F.col("f_min"))
-            & (F.col("s_max") <= F.col("f_max"))
+            F.abs(F.col("n_sampled") - 0.1 * F.col("n_rows"))
+            <= 6 * F.sqrt(0.09 * F.col("n_rows")) + 5
         ).alias("within_bound"),
     )
 

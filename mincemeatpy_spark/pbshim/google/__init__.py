@@ -27,8 +27,11 @@ def _lenient_validate(domain, major, minor, patch, suffix, location):
     try:
         _orig_validate(domain, major, minor, patch, suffix, location)
     except _rv.VersionError:
-        # Same major, runtime one minor behind gencode: accept (test-only).
-        if major != _rv.MAJOR:
+        # Accept ONLY the documented case: same major, gencode at most
+        # one minor ahead of the runtime.  Anything wider (a big minor
+        # jump, or runtime-newer rejections) keeps the clear version
+        # gate instead of surfacing as opaque wire decode errors.
+        if major != _rv.MAJOR or not (0 <= minor - _rv.MINOR <= 1):
             raise
 
 

@@ -275,14 +275,23 @@ def ensure_protobuf(spark: SparkSession) -> bool:
         return False
     if shim not in _sys.path:
         _sys.path.insert(0, shim)
-    # Ship to workers: a zip of the shim package, attached once per context.
+    # Ship to workers: a zip of the shim package, attached once per
+    # context.  The zip name carries the shim's content hash, so editing
+    # the shim can never leave a stale zip shipping, and a same-named
+    # file another process happened to create is never trusted.
+    import hashlib
     import tempfile
     import zipfile
 
-    zpath = _os.path.join(tempfile.gettempdir(), "mincemeatpy_pbshim.zip")
+    shim_src = _os.path.join(shim, "google", "__init__.py")
+    with open(shim_src, "rb") as f:
+        digest = hashlib.md5(f.read()).hexdigest()[:12]
+    zpath = _os.path.join(
+        tempfile.gettempdir(), f"mincemeatpy_pbshim_{digest}.zip"
+    )
     if not _os.path.exists(zpath):
         with zipfile.ZipFile(zpath, "w") as z:
-            z.write(_os.path.join(shim, "google", "__init__.py"), "google/__init__.py")
+            z.write(shim_src, "google/__init__.py")
     sc = spark.sparkContext
     if _os.path.basename(zpath) not in getattr(sc, "_python_includes", []):
         sc.addPyFile(zpath)

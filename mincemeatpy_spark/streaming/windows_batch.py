@@ -380,19 +380,23 @@ def stream_multibatch_stateful_e2e(spark: SparkSession, sf_dir: str) -> DataFram
     category="streaming",
     doc="WATERMARK LATE-DATA DROPPING, demonstrated and hash-matched: "
     "three mtime-ordered micro-batches (event_id % 3 split); a 10-min "
-    "watermark on a 1-hour tumbling count.  Spark's late-event filter "
-    "uses the watermark established TWO commits back (eviction uses "
-    "one back — measured on this engine, see NOTES_r05), so batches 0 "
-    "and 1 are fully admitted and batch 2 drops exactly the rows whose "
-    "window END is at or below max(batch0.ts) - 10min.  The oracle "
-    "reproduces that rule in closed form over the same split, so the "
-    "result differs from the naive batch aggregate by precisely the "
-    "dropped rows — the stream==batch equality twins prove windows are "
-    "arrival-order-independent; THIS query proves bounded state has "
-    "the documented cost and nothing more.  Kept late rows can only "
-    "land in not-yet-evicted windows (eviction before batch N uses the "
-    "same two-back watermark), so update-mode max(n) per window is the "
-    "final count with no restart ambiguity.",
+    "watermark on a 1-hour tumbling count.  Measured on this engine "
+    "(NOTES_r05 'Watermark timing'): during batch N the late-event "
+    "filter uses wm_late(N) = max ts of batches 0..N-2 minus the "
+    "delay, while state eviction at the END of batch N uses "
+    "wm_evict(N) = max of batches 0..N-1 minus the delay.  So batches "
+    "0 and 1 are fully admitted and batch 2 drops exactly the rows "
+    "whose window END is at or below max(batch0.ts) - 10min.  The "
+    "oracle reproduces that rule in closed form over the same split, "
+    "so the result differs from the naive batch aggregate by precisely "
+    "the dropped rows — the stream==batch equality twins prove windows "
+    "are arrival-order-independent; THIS query proves bounded state "
+    "has the documented cost and nothing more.  No restart ambiguity: "
+    "the state present when batch N starts was last evicted with "
+    "wm_evict(N-1), which equals wm_late(N) — a kept late row "
+    "(window end > wm_late(N)) therefore always finds its window "
+    "state intact, so update-mode max(n) per window is the final "
+    "count.",
 )
 def stream_late_drop_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mincemeatpy_spark.streaming.stream_ops import (

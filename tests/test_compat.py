@@ -163,14 +163,49 @@ def test_client_conn_no_server_returns_immediately(spark):
     c.conn("localhost")  # must not raise or block
 
 
-def test_client_conn_joins_running_server(spark):
-    # The reference worker pattern (README.md:83-89): a client thread
-    # conn()s to the server and returns when the server's run completes.
-    # Drive it threaded in-process: the client must observe the run's
-    # full lifetime (block while running, return after) and the job's
-    # result must be unaffected.
+def test_client_conn_lifecycle_deterministic():
+    # Rendezvous semantics pinned without racing a real Spark job: a
+    # registered run blocks the client; completion (deregister-then-set)
+    # releases it, and the released client can never observe the run
+    # still listed as live.
     import threading
     import time
+
+    from mincemeatpy_spark import compat
+
+    run = compat._ServerRun("s3cret")
+    compat._SERVER_RUNS[11235] = run
+    observed = {}
+
+    def worker():
+        c = compat.Client()
+        c.password = "s3cret"
+        c.conn("localhost", 11235)
+        observed["live_after_return"] = compat._SERVER_RUNS.get(11235) is run
+
+    th = threading.Thread(target=worker)
+    try:
+        th.start()
+        time.sleep(0.2)
+        assert th.is_alive(), "client returned while the server run was live"
+        # complete the run exactly as run_server's finally does
+        if compat._SERVER_RUNS.get(11235) is run:
+            del compat._SERVER_RUNS[11235]
+        run.done.set()
+        th.join(timeout=10)
+        assert not th.is_alive(), "client thread never returned"
+        assert observed["live_after_return"] is False
+    finally:
+        compat._SERVER_RUNS.pop(11235, None)
+        run.done.set()
+
+
+def test_client_conn_joins_real_server_run(spark):
+    # Integration: a client thread conn()ing while run_server executes a
+    # real Spark job returns once the job completes, and the result is
+    # unaffected.  (Lifecycle ordering is pinned deterministically above;
+    # here we only require completion and correctness.)
+    import threading
 
     from mincemeatpy_spark import compat
 
@@ -179,21 +214,10 @@ def test_client_conn_joins_running_server(spark):
     s.mapfn = mapfn
     s.reducefn = reducefn
 
-    states = {}
-
     def worker():
         c = compat.Client()
         c.password = "s3cret"
-        # wait for the server run to register (startup race, test-only)
-        for _ in range(200):
-            if compat._SERVER_RUNS:
-                break
-            time.sleep(0.01)
-        states["saw_run"] = bool(compat._SERVER_RUNS)
         c.conn("localhost", 11235)
-        states["returned_after_done"] = (
-            not compat._SERVER_RUNS or compat._SERVER_RUNS.get(11235) is None
-        )
 
     th = threading.Thread(target=worker)
     th.start()
@@ -201,43 +225,27 @@ def test_client_conn_joins_running_server(spark):
     th.join(timeout=30)
     assert not th.is_alive(), "client thread never returned"
     assert result == {"a": 1, "b": 2}
-    assert states.get("saw_run"), "client never observed the running server"
-    assert states.get("returned_after_done")
 
 
-def test_client_conn_wrong_password_refused(spark):
+def test_client_conn_wrong_password_refused():
     # The reference's failed HMAC handshake closes the channel; here a
-    # mismatched password raises ConnectionRefusedError.
-    import threading
-    import time
+    # mismatched password raises ConnectionRefusedError.  Pinned against
+    # a registered run directly — racing a real job can complete before
+    # the client connects, making the assertion vacuous.
+    import pytest as _pytest
 
     from mincemeatpy_spark import compat
 
-    s = compat.Server(spark)
-    s.datasource = {0: "a"}
-    s.mapfn = mapfn
-    s.reducefn = reducefn
-
-    outcome = {}
-
-    def worker():
+    run = compat._ServerRun("right")
+    compat._SERVER_RUNS[11235] = run
+    try:
         c = compat.Client()
         c.password = "wrong"
-        for _ in range(200):
-            if compat._SERVER_RUNS:
-                break
-            time.sleep(0.01)
-        try:
+        with _pytest.raises(ConnectionRefusedError):
             c.conn("localhost")
-            outcome["raised"] = False
-        except ConnectionRefusedError:
-            outcome["raised"] = True
-
-    th = threading.Thread(target=worker)
-    th.start()
-    s.run_server(password="right")
-    th.join(timeout=30)
-    assert outcome.get("raised") is True
+    finally:
+        compat._SERVER_RUNS.pop(11235, None)
+        run.done.set()
 
 
 def test_file_backed_lazy_datasource(spark, tmp_path):

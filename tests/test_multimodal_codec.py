@@ -77,3 +77,12 @@ def test_compressed_formats_still_gated():
 def test_ppm_maxval_gate():
     with pytest.raises(NotImplementedError):
         decode_image_real(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+
+
+def test_ppm_dimensions_containing_255_parse_correctly():
+    # Regression: a substring search for the maxval token would anchor on
+    # a width/height that equals 255 and silently corrupt the pixel read.
+    px = [(7, 8, 9)] * (255 * 1)
+    m = decode_image_real(_ppm(255, 1, px))
+    assert (m["width"], m["height"]) == (255, 1)
+    assert (m["mean_r"], m["mean_g"], m["mean_b"]) == (7, 8, 9)

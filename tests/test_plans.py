@@ -914,12 +914,14 @@ def _walk_jvm(root):
 def all_hinted_subtrees(spark, sf_dir):
     """Broadcast-hinted logical subtrees for every registered query,
     from the ANALYZED plan (where forced hints survive as ResolvedHint
-    before AQE gets a vote)."""
-    subtrees = {}
+    before AQE gets a vote).  Returns (subtrees, skipped) so queries
+    whose build fails are a VISIBLE enforcement gap, not a silent one."""
+    subtrees, skipped = {}, []
     for name, q in QUERIES.items():
         try:
             jplan = q.fn(spark, sf_dir)._jdf.queryExecution().analyzed()
         except Exception:  # noqa: BLE001 — runtime failures belong elsewhere
+            skipped.append(name)
             continue
         found = [
             n.children().apply(0)
@@ -928,7 +930,15 @@ def all_hinted_subtrees(spark, sf_dir):
         ]
         if found:
             subtrees[name] = found
-    return subtrees
+    return subtrees, skipped
+
+
+def test_rule13_sweep_covers_every_query(all_hinted_subtrees):
+    """A query that cannot even build its plan is invisible to the
+    rule-13 sweep — require the skip list to be empty so a broken build
+    cannot hide a hinted unbounded aggregate."""
+    _, skipped = all_hinted_subtrees
+    assert not skipped, f"queries excluded from the rule-13 sweep: {skipped}"
 
 
 def test_no_broadcast_hint_on_unbounded_word_aggregate(all_hinted_subtrees):
@@ -938,10 +948,12 @@ def test_no_broadcast_hint_on_unbounded_word_aggregate(all_hinted_subtrees):
     Heaps' law says the vocabulary grows with the corpus — so a hint on
     one OOMs the driver at 100 TB where AQE would have shuffle-joined.
     A word-grouped aggregate inside a hint is allowed only when a
-    bounding node sits between the hint and the aggregate: a
-    row_number/Limit top-N, a global (no-grouping) aggregate, or a
-    fixed-cardinality bucket rollup — each caps the hinted output
-    regardless of what feeds it."""
+    bounding node sits between the hint and the aggregate: a Limit, a
+    Filter over a row_number (an actual top-N cut, not a mere
+    row_number anywhere in the subtree), a global (no-grouping)
+    aggregate, or a fixed-cardinality bucket rollup — each caps the
+    hinted output regardless of what feeds it."""
+    import re
 
     def _grouping_bases(node):
         ge = node.groupingExpressions()
@@ -950,13 +962,25 @@ def test_no_broadcast_hint_on_unbounded_word_aggregate(all_hinted_subtrees):
             for i in range(ge.size())
         ]
 
+    def _is_topn_filter(node):
+        # Filter whose predicate caps a window rank: condition like
+        # (rk#12 <= 100) with a row_number window right below it.
+        if node.nodeName() != "Filter":
+            return False
+        cond = node.condition().toString()
+        return bool(re.search(r"<=?\s*\d+", cond)) and "row_number" in node.toString()
+
     def _token_aggs_below(root):
         """Token-grouped Aggregates reachable from `root` without
-        crossing a bounding node (global agg / bucket rollup)."""
+        crossing a bounding node (limit / top-N filter / global agg /
+        bucket rollup)."""
         bad, stack = [], [root]
         while stack:
             node = stack.pop()
-            if node.nodeName() == "Aggregate":
+            name = node.nodeName()
+            if name in ("GlobalLimit", "LocalLimit") or _is_topn_filter(node):
+                continue  # bounded: do not descend
+            if name == "Aggregate":
                 bases = _grouping_bases(node)
                 if not bases or set(bases) <= {"bkt"}:
                     continue  # 1-row or fixed-bucket output: bounded, stop descent
@@ -966,11 +990,9 @@ def test_no_broadcast_hint_on_unbounded_word_aggregate(all_hinted_subtrees):
         return bad
 
     offenders = {}
-    for name, subs in all_hinted_subtrees.items():
+    subtrees, _ = all_hinted_subtrees
+    for name, subs in subtrees.items():
         for sub in subs:
-            s = sub.toString()
-            if "row_number" in s or "GlobalLimit" in s:
-                continue  # top-N bounded — cardinality is fixed, not corpus-scale
             bad = _token_aggs_below(sub)
             if bad:
                 offenders.setdefault(name, []).extend(sorted(set(bad)))
