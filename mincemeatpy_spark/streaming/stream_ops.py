@@ -47,6 +47,36 @@ def _events_schema(src: str) -> tuple[T.StructType, str]:
     )
 
 
+def _stage_single_file(src) -> str:
+    """Stage one fixture parquet into a per-source temp directory for the
+    file stream source (which requires a directory).  Idempotent, and
+    re-staged whenever the fixture regenerates — a same-path regenerated
+    fixture must not silently stream stale data.  Shared by
+    events_stream and documents_stream so the staleness rule cannot
+    diverge between them."""
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    src = Path(src)
+    stage = (
+        Path(tempfile.gettempdir())
+        / "mincemeatpy_stream_src"
+        / hashlib.md5(str(src).encode()).hexdigest()[:12]
+    )
+    stage.mkdir(parents=True, exist_ok=True)
+    dst = stage / src.name
+    st = src.stat()
+    if (
+        not dst.exists()
+        or dst.stat().st_size != st.st_size
+        or dst.stat().st_mtime < st.st_mtime
+    ):
+        shutil.copy2(src, dst)
+    return str(stage)
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table as a file-source stream (one file = one micro-batch).
 
@@ -54,26 +84,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet file, so stage it into a per-sf temp dir (idempotent).  In
     production this is a watched landing directory or a Kafka topic.
     """
-    import hashlib
-    import shutil
-    import tempfile
     from pathlib import Path
 
     src = Path(sf_dir) / "events.parquet"
-    stage = (
-        Path(tempfile.gettempdir())
-        / "mincemeatpy_stream_src"
-        / hashlib.md5(str(src).encode()).hexdigest()[:12]
-    )
-    stage.mkdir(parents=True, exist_ok=True)
-    dst = stage / "events.parquet"
-    src_stat = src.stat()
-    if (
-        not dst.exists()
-        or dst.stat().st_size != src_stat.st_size
-        or dst.stat().st_mtime < src_stat.st_mtime
-    ):
-        shutil.copy2(src, dst)
+    stage = _stage_single_file(src)
 
     schema, kind = _events_schema(str(src))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -428,29 +442,10 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Production shape: a landing directory that crawler/loader jobs drop
     parquet into; each drop becomes a micro-batch.
     """
-    import hashlib
     from pathlib import Path
-    import shutil
-    import tempfile
 
-    src = Path(sf_dir) / "documents.parquet"
-    stage = (
-        Path(tempfile.gettempdir())
-        / "mincemeatpy_stream_src"
-        / hashlib.md5(str(src).encode()).hexdigest()[:12]
-    )
-    stage.mkdir(parents=True, exist_ok=True)
-    dst = stage / "documents.parquet"
-    st = src.stat()
-    # re-stage whenever the fixture changed — a same-path regenerated
-    # fixture must not silently stream stale data
-    if (
-        not dst.exists()
-        or dst.stat().st_size != st.st_size
-        or dst.stat().st_mtime < st.st_mtime
-    ):
-        shutil.copy2(src, dst)
-    return spark.readStream.format("parquet").schema(_DOCS_SCHEMA).load(str(stage))
+    stage = _stage_single_file(Path(sf_dir) / "documents.parquet")
+    return spark.readStream.format("parquet").schema(_DOCS_SCHEMA).load(stage)
 
 
 def corpus_ingest_stream(docs: DataFrame) -> DataFrame:
