@@ -443,22 +443,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the role F.broadcast plays for small join sides.
     rows = e.collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.round(
-        np.array([r["embedding"] for r in rows], dtype=np.float64) * 1_000_000
-    ).astype(np.int64)
+
+    # HALF-AWAY-FROM-ZERO micro-quantization, matching DuckDB round()
+    # and Spark F.round (the semdedup cluster path) exactly — np.round
+    # is banker's half-to-even and diverges whenever x*1e6 lands on .5
+    # (e.g. any odd multiple of 2^-7, exactly representable in floats).
+    def _q6(x):
+        y = np.asarray(x, dtype=np.float64) * 1_000_000.0
+        return (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+
+    mat = _q6([r["embedding"] for r in rows])
     order = np.argsort(ids, kind="stable")
     ids, mat = ids[order], mat[order]
     nrm = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
     bc = spark.sparkContext.broadcast((ids, mat, nrm))
 
     def pairs(batches):
+        import numpy as np  # self-contained: closure ships by value
+
+        def q6(x):
+            y = np.asarray(x, dtype=np.float64) * 1_000_000.0
+            return (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+
         b_ids, b_mat, b_nrm = bc.value
         for batch in batches:
             a_ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
-            a_mat = np.round(
-                np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-                * 1_000_000
-            ).astype(np.int64)
+            a_mat = q6(batch.column("embedding").to_pylist())
             a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1).astype(np.float64))
             gram = a_mat @ b_mat.T  # exact int64
             cos = gram.astype(np.float64) / np.outer(a_nrm, b_nrm)
@@ -481,7 +491,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_clusters",
-    oracle="""
+    oracle=f"""
         WITH RECURSIVE sh AS (
             SELECT doc_id,
                    unnest(list_distinct(list_transform(
@@ -490,10 +500,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
             WHERE len(w) >= 3
         ),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        -- join on the SAME 60-bit md5-derived hash the engine shuffles
+        -- (collision-symmetric, like every other pair oracle in this
+        -- file) — a string-keyed join here would disagree with the
+        -- engine exactly when two shingles collide in the hash
+        shh AS (SELECT doc_id, {_ORACLE_H60.format(x='s')} AS s FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            FROM shh a JOIN shh b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         ),
         edges AS (
@@ -548,6 +563,7 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
         .select("u", F.col("u").alias("label"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(32):
         lab_v = labels.select(
             F.col("u").alias("lv"), F.col("label").alias("vlabel")
@@ -576,7 +592,18 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # A silent partial propagation would emit multiple cluster_ids
+        # (with wrong sizes) for one component — and the transitive-
+        # closure oracle would disagree.  Min-label converges in <=
+        # diameter rounds; a >32-diameter near-dup chain means the
+        # round cap must be raised, not the result trusted.
+        raise RuntimeError(
+            "connected components did not converge within 32 label-"
+            "propagation rounds (component diameter > 32); raise the cap"
+        )
     # No broadcast hint: cluster count is doc-scale in the all-singleton
     # worst case; AQE broadcasts at runtime while the side fits.
     csize = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -926,14 +953,19 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mincemeatpy_spark.operators._util import decsum
 
+    # based feeds the quadratic self-join (both aliases) AND the minhash
+    # aggregate, and minh feeds two aliases — cache/checkpoint so the
+    # expensive scan/split/explode/md5 stage runs once, not ~5x (the
+    # same reason the siblings cache based / checkpoint minh).
     based = (
         _shingle_df(spark, sf_dir)
         .select("doc_id", _hash60(F.col("s")).alias("base"))
+        .cache()
     )
     minh = based.groupBy("doc_id").agg(
         *[F.min(F.expr(_affine(i))).alias(f"m{i}") for i in range(_N_HASHES)],
         F.count(F.lit(1)).alias("n"),
-    )
+    ).localCheckpoint(eager=False)
     a = based.alias("a")
     b = based.alias("b")
     inter = (
@@ -1427,16 +1459,19 @@ def _bloom_positions_sql(fp: str) -> str:
             SELECT b.doc_id, b.fp,
                    (SELECT count(*) FROM bloom
                     WHERE pos IN ({_bloom_positions_sql('b.fp')}))
-                       AS n_hit
+                       AS n_hit,
+                   (SELECT count(DISTINCT p) FROM
+                        (SELECT unnest([{_bloom_positions_sql('b.fp')}]) AS p))
+                       AS n_pos
             FROM batch b
         ),
         truth AS (SELECT DISTINCT fp FROM hist)
         SELECT CAST((SELECT count(*) FROM batch) AS BIGINT) AS n_batch,
-               CAST(sum(CASE WHEN n_hit = {_BLOOM_K} THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN n_hit = n_pos THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_flagged,
                CAST(sum(CASE WHEN t.fp IS NOT NULL THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_true_dups,
-               CAST(sum(CASE WHEN n_hit = {_BLOOM_K} AND t.fp IS NULL
+               CAST(sum(CASE WHEN n_hit = n_pos AND t.fp IS NULL
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
         FROM probe p LEFT JOIN truth t ON t.fp = p.fp
         """,
@@ -1472,14 +1507,26 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = (
         hist.select(F.explode(positions(F.col("fp"))).alias("pos")).distinct()
     )
+    # Membership = every DISTINCT probe position is set.  A digest whose
+    # k md5-slices collide mod m yields fewer than k distinct positions;
+    # requiring n_hit == k there would FALSE-NEGATIVE a true dup (and
+    # counting duplicate positions twice would over-flag) — both engines
+    # therefore compare distinct hits to distinct probes.
     probed = (
-        batch.select("doc_id", "fp", F.explode(positions(F.col("fp"))).alias("pos"))
+        batch.select(
+            "doc_id",
+            "fp",
+            F.explode(F.array_distinct(positions(F.col("fp")))).alias("pos"),
+        )
         .join(F.broadcast(bloom.withColumn("hit", F.lit(1))), "pos", "left")
         .groupBy("doc_id", "fp")
-        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"))
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+            F.count(F.lit(1)).alias("n_pos"),
+        )
     )
     truth = hist.distinct().withColumn("is_dup", F.lit(1))
-    flagged = F.when(F.col("n_hit") == _BLOOM_K, 1).otherwise(0)
+    flagged = F.when(F.col("n_hit") == F.col("n_pos"), 1).otherwise(0)
     true_dup = F.when(F.col("is_dup").isNotNull(), 1).otherwise(0)
     return (
         probed.join(truth, "fp", "left")
@@ -1488,8 +1535,9 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(flagged).cast("bigint").alias("n_flagged"),
             F.sum(true_dup).cast("bigint").alias("n_true_dups"),
             F.sum(
-                F.when((F.col("n_hit") == _BLOOM_K) & F.col("is_dup").isNull(), 1)
-                .otherwise(0)
+                F.when(
+                    (F.col("n_hit") == F.col("n_pos")) & F.col("is_dup").isNull(), 1
+                ).otherwise(0)
             ).cast("bigint").alias("n_false_pos"),
         )
     )
@@ -1532,7 +1580,9 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
             JOIN sizes sa ON sa.doc_id = c.d1
             JOIN sizes sb ON sb.doc_id = c.d2
-            WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.25
+            -- the Spark side consumes dedup_minhash_lsh's ROUNDED 6-dp
+            -- jaccard column; threshold the same rounded value here
+            WHERE round(i.i::DOUBLE / (sa.n + sb.n - i.i), 6) >= 0.25
         ),
         n_docs AS (SELECT count(*) AS n FROM documents),
         probes AS (
@@ -1793,7 +1843,9 @@ def dedup_lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
             JOIN sizes sa ON sa.doc_id = c.d1
             JOIN sizes sb ON sb.doc_id = c.d2
-            WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.25
+            -- the Spark side consumes dedup_minhash_lsh's ROUNDED 6-dp
+            -- jaccard column; threshold the same rounded value here
+            WHERE round(i.i::DOUBLE / (sa.n + sb.n - i.i), 6) >= 0.25
         ),
         sym AS (SELECT d1 AS u, d2 AS v FROM edges
                 UNION SELECT d2, d1 FROM edges),
@@ -1995,6 +2047,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN sizes sb ON sb.doc_id = d2
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.25
         ),
+        -- the Spark LSH side thresholds dedup_minhash_lsh's ROUNDED 6-dp
+        -- jaccard column (exact_pairs above mirrors dedup_ngram_jaccard's
+        -- UNROUNDED filter) — keep both asymmetries faithfully
+        lsh_verified AS (
+            SELECT d1, d2 FROM inter
+            JOIN sizes sa ON sa.doc_id = d1
+            JOIN sizes sb ON sb.doc_id = d2
+            WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.25
+        ),
         minh AS (
             SELECT doc_id,
                    {", ".join(f"min({_affine(i)}) AS m{i}" for i in range(_N_HASHES))}
@@ -2009,7 +2070,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AND a.doc_id < b.doc_id
         ),
         lsh_pairs AS (
-            SELECT e.d1, e.d2 FROM exact_pairs e
+            SELECT e.d1, e.d2 FROM lsh_verified e
             JOIN cand c ON c.d1 = e.d1 AND c.d2 = e.d2
         ),
         toks AS (
