@@ -575,12 +575,23 @@ def word_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def mg_partition(pdfs):
         # Misra-Gries with _HH_K counters over this partition's tokens.
+        # Tokenize with the SAME \s+ rule as the exact recount and the
+        # oracle.  Python str.split()/re \s are Unicode-aware (NBSP
+        # splits) while Java regex and DuckDB RE2 \s are ASCII-only —
+        # a token containing Unicode whitespace would then be missing
+        # from the candidate set, breaking the no-false-negatives
+        # guarantee.  Spell out Java's ASCII \s class explicitly.
+        import re
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
         counters: dict[str, int] = {}
         for pdf in pdfs:
             for text in pdf["text"]:
                 if not text:
                     continue
-                for w in text.split():
+                for w in ws.split(text):
+                    if not w:
+                        continue
                     if w in counters:
                         counters[w] += 1
                     elif len(counters) < _HH_K:
@@ -1073,9 +1084,9 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = counts.agg(F.sum("c").alias("n"))
     cutoffs = ranked.crossJoin(
         F.broadcast(
-            t(spark, sf_dir, "documents")
-            .sparkSession.range(1)
-            .select(F.explode(F.array(F.lit(10), F.lit(100), F.lit(1000))).alias("k"))
+            spark.range(1).select(
+                F.explode(F.array(F.lit(10), F.lit(100), F.lit(1000))).alias("k")
+            )
         )
     )
     return (
@@ -1235,7 +1246,6 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = text_lang_id(spark, sf_dir).select(
         F.col("lang").alias("declared_lang"), "predicted_lang"
     )
-    agree = (F.col("predicted_lang") == F.col("declared_lang")).cast("int")
     return pred.groupBy("declared_lang", "predicted_lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.expr(

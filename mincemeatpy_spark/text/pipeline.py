@@ -25,6 +25,7 @@ from mincemeatpy_spark.text.dedup import (
     _ORACLE_SHINGLES,
     _affine,
     _band_sig_sql,
+    _hash60,
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
 )
@@ -132,7 +133,9 @@ def _finish_pipeline(quality: DataFrame, losers: DataFrame) -> DataFrame:
             JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
             JOIN sizes sa ON sa.doc_id = c.d1
             JOIN sizes sb ON sb.doc_id = c.d2
-            WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.25
+            -- the Spark side thresholds dedup_minhash_lsh's ROUNDED 6-dp
+            -- jaccard column; threshold the same rounded value here
+            WHERE round(i.i::DOUBLE / (sa.n + sb.n - i.i), 6) >= 0.25
         )
         {_PIPELINE_SELECT}
         """,
@@ -329,7 +332,10 @@ def corpus_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
                    len(string_split_regex(text, '\\s+')) AS n,
                    row_number() OVER (PARTITION BY lang ORDER BY doc_id)
                        AS rn
-            FROM documents
+            -- NULL-lang docs are excluded on BOTH sides: the recursion's
+            -- d.lang = p.lang join never matches NULL, so without the
+            -- filter the engines would diverge on a NULL-lang group
+            FROM documents WHERE lang IS NOT NULL
         ),
         packed AS (
             SELECT lang, rn, n, 0 AS batch_id, n AS running
@@ -363,8 +369,13 @@ def corpus_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    docs = t(spark, sf_dir, "documents").select(
-        "lang", "doc_id", F.size(tokens(F.col("text"))).alias("n")
+    docs = (
+        t(spark, sf_dir, "documents")
+        # NULL lang is excluded in the oracle too (its recursive join
+        # can never traverse a NULL group); packing unlabeled docs is a
+        # policy decision, not a default
+        .filter(F.col("lang").isNotNull())
+        .select("lang", "doc_id", F.size(tokens(F.col("text"))).alias("n"))
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -450,7 +461,10 @@ def corpus_shard_bybytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(F.broadcast(offsets), "bkt")
         .withColumn("cum_bytes", F.col("offset") + F.sum("n_chars").over(intra))
     )
-    shard = ((F.col("cum_bytes") - F.col("n_chars")) / 100000).cast("bigint")
+    # Integer div, not a double quotient: past 2^53 cumulative bytes a
+    # double loses integer precision and a boundary doc can land in the
+    # wrong shard while the oracle's integer // stays exact.
+    shard = F.expr("(cum_bytes - n_chars) div 100000")
     return (
         cum.groupBy(shard.alias("shard_id"))
         .agg(
@@ -493,8 +507,6 @@ def corpus_shard_bybytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reads it.",
 )
 def corpus_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mincemeatpy_spark.text.dedup import _hash60
-
     d = t(spark, sf_dir, "documents")
     h = _hash60(F.col("doc_id").cast("string")) % 100
     split = (
@@ -544,8 +556,6 @@ def corpus_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "materialized via a tiny lateral epoch table.",
 )
 def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mincemeatpy_spark.text.dedup import _hash60
-
     d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
     j = d.crossJoin(F.broadcast(epochs))
