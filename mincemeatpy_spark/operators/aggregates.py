@@ -828,7 +828,7 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events e JOIN bounds b USING (event_type)
         GROUP BY e.event_type
         """,
-    category="aggregate",
+    category="aggregation",
     doc="Winsorization — the outlier-clipping cleanup every metrics/"
     "feature pipeline runs before training: exact per-group p1/p99 "
     "bounds, then values clamped to them, reporting the clipped count "
@@ -882,7 +882,7 @@ def winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM masked m JOIN means s USING (user_id)
         GROUP BY m.user_id
         """,
-    category="aggregate",
+    category="aggregation",
     doc="Null imputation by group mean — the feature-cleanup op: 'error' "
     "readings are treated as missing, each user's mean over present "
     "values fills the gaps, and the result audits how many cells were "
@@ -935,7 +935,7 @@ def impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dev d JOIN mad x USING (event_type)
         GROUP BY d.event_type
         """,
-    category="aggregate",
+    category="aggregation",
     doc="Robust outlier detection via median/MAD (the modified z-score "
     "rule) — unlike 3-sigma, immune to the outliers it hunts: per "
     "group the exact median, then the median absolute deviation, then "

@@ -201,7 +201,9 @@ _ORACLE_PLANES = f"""
     "Deterministic md5-derived hyperplanes keep it oracle-checkable.",
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _vecs(spark, sf_dir).cache()
+    # localCheckpoint, not cache(): intra-query reuse without pinning the
+    # whole corpus projection in executor storage for the session lifetime
+    v = _vecs(spark, sf_dir).localCheckpoint(eager=False)
     planes = F.broadcast(_planes(spark))
     proj = v.crossJoin(planes).select(
         "vec_id",
@@ -469,13 +471,22 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mincemeatpy_spark.tables import fan_out
 
     def gram_partials(batches):
-        acc = np.zeros((_DIM, _DIM), dtype=np.int64)
+        import numpy as np  # self-contained: closure ships by value
+
+        acc = np.zeros((64, 64), dtype=np.int64)
         seen = False
         for batch in batches:
-            vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-            if len(vecs) == 0:
+            # zero-copy-ish: list offsets -> flat values -> reshape; no
+            # per-element Python objects on the hot path
+            flat = batch.column("embedding").flatten().to_numpy(
+                zero_copy_only=False
+            )
+            if len(flat) == 0:
                 continue
-            q = np.round(vecs * _PCA_SCALE).astype(np.int64)
+            vecs = flat.astype(np.float64).reshape(-1, 64)
+            # half-away-from-zero, matching the oracle's round()
+            y = vecs * 1_000_000.0
+            q = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
             acc += q.T @ q
             seen = True
         if seen:
@@ -667,8 +678,6 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle-checked.",
 )
 def ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from mincemeatpy_spark.sources.readers import _scratch
 
     v = _vecs(spark, sf_dir)
@@ -786,18 +795,13 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     rows = e.filter(F.col("vec_id") < 16).collect()
-    cent = np.round(
-        np.array(
-            [r["embedding"] for r in sorted(rows, key=lambda r: r["vec_id"])],
-            dtype=np.float64,
-        )
-        * 1_000_000
-    ).astype(np.int64)  # [16][64]
+    # half-away-from-zero micro-quantization (matches the oracle's round())
+    cent = _q6_i64(
+        [r["embedding"] for r in sorted(rows, key=lambda r: r["vec_id"])]
+    )  # [16][64]
     qrows = e.filter(F.col("vec_id") % 97 == 0).collect()
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    q_mat = np.round(
-        np.array([r["embedding"] for r in qrows], dtype=np.float64) * 1_000_000
-    ).astype(np.int64)
+    q_mat = _q6_i64([r["embedding"] for r in qrows])
     # Per-subspace query→codeword distance tables: [8][nq][16]
     qtab = np.stack(
         [
@@ -811,13 +815,16 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = spark.sparkContext.broadcast((cent, q_ids, qtab))
 
     def adc(batches):
+        import numpy as np  # self-contained: closure ships by value
+
         c, qi, qt = bc.value
         for batch in batches:
             ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
-            mat = np.round(
-                np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-                * 1_000_000
-            ).astype(np.int64)
+            flat = batch.column("embedding").flatten().to_numpy(
+                zero_copy_only=False
+            )
+            y = flat.astype(np.float64).reshape(-1, 64) * 1_000_000.0
+            mat = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
             n = len(ids)
             total = np.zeros((len(qi), n), dtype=np.int64)
             for s in range(8):
@@ -933,19 +940,21 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qrows = e.filter(F.col("vec_id") % 97 == 0).collect()
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    q_mat = np.round(
-        np.array([r["embedding"] for r in qrows], dtype=np.float64) * 1_000_000
-    ).astype(np.int64)
+    # half-away-from-zero micro-quantization (matches the oracle's round())
+    q_mat = _q6_i64([r["embedding"] for r in qrows])
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
     def exact_dists(batches):
+        import numpy as np  # self-contained: closure ships by value
+
         qi, qm = bc.value
         for batch in batches:
             ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
-            mat = np.round(
-                np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-                * 1_000_000
-            ).astype(np.int64)
+            flat = batch.column("embedding").flatten().to_numpy(
+                zero_copy_only=False
+            )
+            y = flat.astype(np.float64).reshape(-1, 64) * 1_000_000.0
+            mat = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
             # ||q-v||^2 = q.q - 2 q.v + v.v — exact int64 (terms <= ~4e13)
             d = (
                 (qm * qm).sum(axis=1)[:, None]
@@ -1479,16 +1488,22 @@ def embedding_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         for batch in batches:
             a_ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
             a_labs = np.asarray(batch.column("label"), dtype=np.int64)
-            a_mat = q6(batch.column("embedding").to_pylist())
+            flat = batch.column("embedding").flatten().to_numpy(
+                zero_copy_only=False
+            )
+            a_mat = q6(flat.astype(np.float64).reshape(-1, 64))
             a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1).astype(np.float64))
             gram = a_mat @ b_mat.T  # exact int64
             cos = gram.astype(np.float64) / np.outer(a_nrm, b_nrm)
             preds = np.empty(len(a_ids), dtype=np.int64)
             for i in range(len(a_ids)):
-                row = cos[i].copy()
-                row[b_ids == a_ids[i]] = -np.inf  # leave-one-out
+                # leave-one-out by EXCLUDING self from the candidate set
+                # (an -inf mask would still occupy a top-5 slot and vote
+                # for its own label whenever the sample has <= 5 rows)
+                m = b_ids != a_ids[i]
+                cand = np.nonzero(m)[0]
                 # ORDER BY cos DESC, nb ASC: lexsort's last key is primary
-                top = np.lexsort((b_ids, -row))[:5]
+                top = cand[np.lexsort((b_ids[m], -cos[i][m]))[:5]]
                 preds[i] = np.argmax(np.bincount(b_labs[top], minlength=n_lab))
             yield pa.RecordBatch.from_arrays(
                 [pa.array(a_labs, type=pa.int64()),
@@ -1588,7 +1603,10 @@ def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         for batch in batches:
             a_ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
             a_labs = np.asarray(batch.column("label"), dtype=np.int64)
-            a_mat = q6(batch.column("embedding").to_pylist())
+            flat = batch.column("embedding").flatten().to_numpy(
+                zero_copy_only=False
+            )
+            a_mat = q6(flat.astype(np.float64).reshape(-1, 64))
             a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1).astype(np.float64))
             gram = a_mat @ b_mat.T  # exact int64
             cq = np.floor(

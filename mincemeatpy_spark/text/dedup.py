@@ -468,7 +468,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         b_ids, b_mat, b_nrm = bc.value
         for batch in batches:
             a_ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
-            a_mat = q6(batch.column("embedding").to_pylist())
+            flat = batch.column("embedding").flatten().to_numpy(
+                zero_copy_only=False
+            )
+            a_mat = q6(flat.astype(np.float64).reshape(-1, 64))
             a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1).astype(np.float64))
             gram = a_mat @ b_mat.T  # exact int64
             cos = gram.astype(np.float64) / np.outer(a_nrm, b_nrm)
