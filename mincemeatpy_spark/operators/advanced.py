@@ -562,3 +562,59 @@ def item_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .drop("rk")
     )
+
+
+@register(
+    "ivm_incremental_join",
+    oracle="""
+        SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+               count(*) AS n_rows,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+        """,
+    category="relational",
+    doc="Incremental view maintenance for a JOIN view: with base "
+    "snapshots A,B and insert deltas dA,dB, the refreshed join is "
+    "exactly (A JOIN B) UNION ALL (dA JOIN B) UNION ALL (A JOIN dB) "
+    "UNION ALL (dA JOIN dB) — the standard delta-join identity, the "
+    "join companion to ivm_incremental_agg's self-maintainable "
+    "aggregates.  Here A = orders (key%13<>0 base, %13=0 delta), "
+    "B = lineitem (suppkey%11<>0 base, %11=0 delta); the engine "
+    "assembles the view from the four disjoint pieces and aggregates "
+    "to monthly revenue, while the oracle recomputes the join from "
+    "scratch — hash equality is the IVM proof.  At 100 TB the three "
+    "delta terms are the refresh cost: each joins a days-sized delta "
+    "against one base (AQE broadcasts the delta side), never base "
+    "against base, and the monthly aggregate merges into the stored "
+    "view as month-grain partials.",
+)
+def ivm_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    a_old = o.filter(F.col("o_orderkey") % 13 != 0)
+    a_new = o.filter(F.col("o_orderkey") % 13 == 0)
+    b_old = li.filter(F.col("l_suppkey") % 11 != 0)
+    b_new = li.filter(F.col("l_suppkey") % 11 == 0)
+
+    def j(a, b):
+        return a.join(b, a.o_orderkey == b.l_orderkey).select("month", "cents")
+
+    view = (
+        j(a_old, b_old)
+        .unionAll(j(a_new, b_old))
+        .unionAll(j(a_old, b_new))
+        .unionAll(j(a_new, b_new))
+    )
+    return view.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )

@@ -2285,3 +2285,74 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_adjusted_cents"),
         )
     )
+
+
+@register(
+    "features_hashing_trick",
+    oracle="""
+        WITH feats AS (
+            SELECT user_id, feat
+            FROM (
+                SELECT user_id,
+                       unnest([
+                           'et:' || event_type,
+                           'k:' || CAST(CAST(json_extract_string(props, '$.k')
+                                             AS BIGINT) // 10 AS VARCHAR)
+                       ]) AS feat
+                FROM events
+                WHERE user_id % 17 = 0
+            )
+        )
+        SELECT user_id,
+               CAST(('0x' || substring(md5('fh-v1:' || feat), 1, 15))::BIGINT
+                    % 16 AS BIGINT) AS bucket,
+               count(*) AS n
+        FROM feats
+        GROUP BY user_id,
+                 CAST(('0x' || substring(md5('fh-v1:' || feat), 1, 15))::BIGINT
+                      % 16 AS BIGINT)
+        """,
+    category="behavioral",
+    doc="The hashing trick for ML feature vectorization: categorical "
+    "features (event type; props.k decile) are hashed into a fixed "
+    "16-bucket space via the salted-md5 integer derivation (the same "
+    "cross-engine hash as dp_noisy_counts), so the feature matrix has "
+    "bounded width no matter how many distinct categories appear — the "
+    "standard trick for training on unbounded vocabularies without a "
+    "dictionary build.  The plan is scan → generate 2 features/row → "
+    "one (user,bucket) hash aggregate; no dictionary join, no Python.  "
+    "The user sample (user_id%17=0) bounds the demo output; at 100 TB "
+    "the same plan runs unsampled — work is one shuffle of (user, "
+    "bucket) pairs.  Counts are exact integers, so the oracle "
+    "hash-compare is exact.",
+)
+def features_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") % 17 == 0)
+    feat = F.explode(
+        F.array(
+            F.concat(F.lit("et:"), F.col("event_type")),
+            F.concat(
+                F.lit("k:"),
+                (
+                    F.get_json_object("props", "$.k").cast("bigint")
+                    / F.lit(10)
+                )
+                .cast("bigint")
+                .cast("string"),
+            ),
+        )
+    ).alias("feat")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("fh-v1:"), F.col("feat"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 16
+    ).alias("bucket")
+    return (
+        e.select("user_id", feat)
+        .select("user_id", bucket)
+        .groupBy("user_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -486,3 +486,89 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_start.crossJoin(core).select(
         "n_nodes_start", "n_nodes_core", "n_edges_core", "max_degree_core"
     )
+
+
+@register(
+    "graph_sssp_weighted",
+    oracle="""
+        WITH e AS (
+            SELECT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v,
+                   CAST(min(l.l_quantity) AS BIGINT) AS w
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        ),
+        sym AS (SELECT u, v, w FROM e UNION ALL SELECT v, u, w FROM e),
+        d0(node, d) AS (SELECT 2, CAST(0 AS BIGINT)),
+        d1 AS (SELECT node, min(d) AS d FROM (
+                   SELECT node, d FROM d0
+                   UNION ALL
+                   SELECT s.v, d0.d + s.w FROM d0 JOIN sym s ON s.u = d0.node
+               ) GROUP BY node),
+        d2 AS (SELECT node, min(d) AS d FROM (
+                   SELECT node, d FROM d1
+                   UNION ALL
+                   SELECT s.v, d1.d + s.w FROM d1 JOIN sym s ON s.u = d1.node
+               ) GROUP BY node),
+        d3 AS (SELECT node, min(d) AS d FROM (
+                   SELECT node, d FROM d2
+                   UNION ALL
+                   SELECT s.v, d2.d + s.w FROM d2 JOIN sym s ON s.u = d2.node
+               ) GROUP BY node)
+        SELECT (node - 1) // 2 AS s_suppkey, d AS dist_qty
+        FROM d3
+        WHERE node % 2 = 1 AND (node - 1) // 2 <= 25
+        """,
+    category="graph",
+    doc="Weighted single-source shortest paths (Bellman-Ford, 3 "
+    "relaxation rounds) from customer 1 over the customer-supplier "
+    "purchase graph, edge cost = the cheapest quantity ever traded on "
+    "that edge — the weighted companion to graph_bfs_distances (hops) "
+    "with genuinely different results: a 3-hop path can undercut a "
+    "1-hop edge.  Each round is one join of the tentative-distance "
+    "table against the edge list then a min-aggregate on node — the "
+    "Pregel superstep as a relational plan; per-round localCheckpoint "
+    "keeps the physical plan flat (reliable checkpoint on a cluster).  "
+    "Weights are exact integers (TPC-H quantities are whole), so "
+    "distances are bit-identical across engines.  The reference could "
+    "express one relaxation only as a whole map-reduce job, re-run per "
+    "round (reference mincemeat.py:294-297).  At 100 TB each round "
+    "shuffles the node-scale distance table on the join key; AQE "
+    "broadcasts it while it fits.",
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    # Narrow int64 node keys (SCALE rule 5): customers even, suppliers odd.
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).cast("bigint").alias("u"),
+            (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("v"),
+        )
+        .agg(F.min("l_quantity").cast("bigint").alias("w"))
+    )
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    ).localCheckpoint(eager=True)
+
+    dist = spark.createDataFrame([(2, 0)], "node bigint, d bigint")
+    for _ in range(3):
+        relaxed = dist.join(sym, dist.node == sym.u).select(
+            F.col("v").alias("node"), (dist.d + sym.w).alias("d")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    # Integer div (not float /): node keys overflow double exactness at
+    # billion-node scale.
+    return dist.filter(
+        (F.col("node") % 2 == 1) & (F.expr("(node - 1) div 2") <= 25)
+    ).select(
+        F.expr("(node - 1) div 2").cast("bigint").alias("s_suppkey"),
+        F.col("d").alias("dist_qty"),
+    )

@@ -1447,3 +1447,47 @@ def text_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= 2)
         .select("d1", "d2", F.col("n_shared").cast("bigint"))
     )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_tok) AS BIGINT)
+                   AS chars_per_token
+        FROM (SELECT lang, n_chars,
+                     len(list_filter(string_split_regex(text, '\\s+'),
+                                     w -> w <> '')) AS n_tok
+              FROM documents)
+        GROUP BY lang
+        """,
+    category="text",
+    doc="Tokenizer fertility per language: characters per whitespace "
+    "token, the first-order proxy for how many subword tokens a BPE "
+    "tokenizer will spend per language (the fertility metric used to "
+    "size multilingual training mixes).  Token counting is a scan-side "
+    "size(filter(split)) column expression — no explode, so the shuffle "
+    "carries one row per document, then one tiny lang-keyed aggregate.  "
+    "All sums are exact integers; the final ratio is a single IEEE "
+    "division, so the oracle hash-compare is exact.  The reference "
+    "could express this only as a full map-reduce over (lang, counts) "
+    "pairs (reference mincemeat.py:294-297, example.py:12-18).",
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(tokens(F.col("text")), lambda w: w != ""))
+    return (
+        docs.select("lang", "n_chars", n_tok.alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            (F.sum("n_chars").cast("double") / F.sum("n_tok").cast("bigint")).alias(
+                "chars_per_token"
+            ),
+        )
+    )

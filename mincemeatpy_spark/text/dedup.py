@@ -2583,3 +2583,58 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@register(
+    "dedup_cluster_representatives",
+    oracle=f"""
+        WITH clusters AS (
+            SELECT * FROM ({{dedup_clusters_oracle}}) c
+        ),
+        ranked AS (
+            SELECT c.cluster_id, c.cluster_size, c.doc_id, d.source, d.n_chars,
+                   row_number() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY d.n_chars DESC, c.doc_id) AS rk
+            FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+        )
+        SELECT cluster_id, doc_id AS rep_doc, source AS rep_source,
+               CAST(n_chars AS BIGINT) AS rep_chars, cluster_size
+        FROM ranked WHERE rk = 1
+        """,
+    category="dedup",
+    doc="Representative selection for near-dup clusters: instead of "
+    "keep-lowest-id, each cluster keeps its highest-quality member "
+    "(longest document, doc_id tiebreak) — the policy production "
+    "pipelines actually want, since the near-dups of a page are its "
+    "truncations and boilerplate-stripped variants.  Plan: the "
+    "connected-components labels (cluster-membership scale, tiny vs the "
+    "corpus) join back to documents for the quality columns — AQE "
+    "broadcasts the label side — then one row_number window per "
+    "cluster.  Only clustered docs join; the corpus never reshuffles.",
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = dedup_clusters(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        cl.join(docs, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc"),
+            F.col("source").alias("rep_source"),
+            F.col("n_chars").cast("bigint").alias("rep_chars"),
+            "cluster_size",
+        )
+    )
+
+
+# Compose the representative oracle from the registered clusters oracle so
+# the two can never drift apart.
+QUERIES["dedup_cluster_representatives"].oracle = QUERIES[
+    "dedup_cluster_representatives"
+].oracle.format(dedup_clusters_oracle=QUERIES["dedup_clusters"].oracle)

@@ -72,6 +72,11 @@ _RISKIEST = [
     "events_decay_engagement",
     "supplier_concentration_hhi",
     "events_ab_cuped",
+    # round-5 additions: iterative min-distances, component-representative
+    # window, md5-bucketed feature counts
+    "graph_sssp_weighted",
+    "dedup_cluster_representatives",
+    "features_hashing_trick",
 ]
 
 
