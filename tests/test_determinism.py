@@ -77,6 +77,7 @@ _RISKIEST = [
     "graph_sssp_weighted",
     "dedup_cluster_representatives",
     "features_hashing_trick",
+    "similarity_ann_ivfpq",
 ]
 
 
