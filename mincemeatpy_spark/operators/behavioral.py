@@ -2356,3 +2356,70 @@ def features_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "events_ewma_daily_counts",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        ),
+        sm AS (
+            SELECT d2.day,
+                   sum(CAST(d1.n AS DOUBLE)
+                       / (1 << date_diff('day', d1.day, d2.day))) AS num,
+                   sum(1.0 / (1 << date_diff('day', d1.day, d2.day))) AS den
+            FROM daily d1
+            JOIN daily d2
+              ON d1.day <= d2.day
+             AND d1.day >= d2.day - INTERVAL 12 DAY
+            GROUP BY d2.day
+        )
+        SELECT sm.day, daily.n AS n_events, sm.num / sm.den AS ewma
+        FROM sm JOIN daily ON daily.day = sm.day
+        """,
+    category="behavioral",
+    doc="Exponentially-weighted moving average of daily event volume "
+    "(half-life 1 day, 13-day support) — the trend-smoothing primitive "
+    "behind alerting baselines and seasonality-adjusted dashboards.  "
+    "Weights are 2^-j via integer shift + division, so every term, "
+    "every partial sum, and the final ratio are EXACTLY representable "
+    "doubles (counts < 2^40, 12 fractional bits → < 53 significand "
+    "bits): the sum is order-independent and the oracle hash-compare "
+    "exact, where a generic float EWMA would drift by summation order.  "
+    "Plan: events collapse to day grain first (one fact shuffle), then "
+    "the bounded 13x day-to-day expansion joins day-scale tables only "
+    "— at 100 TB the smoothing cost is independent of event count.",
+)
+def events_ewma_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    d1, d2 = daily.alias("d1"), daily.alias("d2")
+    pairs = d1.join(
+        d2,
+        (F.col("d1.day") <= F.col("d2.day"))
+        & (F.col("d1.day") >= F.date_sub(F.col("d2.day"), 12)),
+    ).select(
+        F.col("d2.day").alias("day"),
+        F.col("d1.n").alias("n1"),
+        F.datediff(F.col("d2.day"), F.col("d1.day")).alias("j"),
+    )
+    # 2^-j by integer shift + division — exact, no libm pow.
+    sm = (
+        pairs.withColumn("w", F.expr("1.0 / shiftleft(1, j)"))
+        .groupBy("day")
+        .agg(
+            F.sum(F.col("n1").cast("double") * F.col("w")).alias("num"),
+            F.sum("w").alias("den"),
+        )
+    )
+    return sm.join(daily, "day").select(
+        "day",
+        F.col("n").alias("n_events"),
+        (F.col("num") / F.col("den")).alias("ewma"),
+    )

@@ -78,6 +78,7 @@ _RISKIEST = [
     "dedup_cluster_representatives",
     "features_hashing_trick",
     "similarity_ann_ivfpq",
+    "events_ewma_daily_counts",
 ]
 
 
