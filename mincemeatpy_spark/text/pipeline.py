@@ -1125,3 +1125,84 @@ def corpus_run_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = row.select(F.lit(m).alias("metric"), F.col(m).cast("bigint").alias("value"))
         out = r if out is None else out.unionAll(r)
     return out
+
+
+@register(
+    "corpus_select_token_budget",
+    oracle="""
+        WITH stats AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                                   w -> w <> '')) AS ntok,
+                   len(list_distinct(list_filter(
+                       string_split_regex(text, '\\s+'),
+                       w -> w <> ''))) AS q
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, ntok, q,
+                   COALESCE(sum(ntok) OVER (
+                       ORDER BY q DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_excl
+            FROM stats
+        )
+        SELECT count(*) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS total_tokens,
+               CAST(min(q) AS BIGINT) AS min_quality,
+               CAST(max(cum_excl + ntok) AS BIGINT) AS tokens_consumed
+        FROM cum WHERE cum_excl < 50000
+        """,
+    category="text",
+    doc="Data selection under a token budget: rank documents by a "
+    "quality score (distinct-token count, the vocabulary-richness "
+    "proxy), admit in rank order until the 50k-token training budget "
+    "is consumed — the selection step behind quality-pruned training "
+    "mixes, where you keep the best N tokens, not the best N docs.  "
+    "The running token total over the quality order is the classic "
+    "single-partition-window trap, so it is a two-phase prefix sum "
+    "like corpus_shard_bybytes but over an ARBITRARY sort order: "
+    "coarse buckets = negated quality-score octiles (monotone with "
+    "the quality order), per-bucket subtotals get exclusive offsets "
+    "on the tiny bucket table, intra-bucket running sums recompose "
+    "the exact global prefix under any partitioning.  Exact integer "
+    "token counts end to end.",
+)
+def corpus_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    stats = docs.select(
+        "doc_id",
+        F.size(toks).alias("ntok"),
+        F.size(F.array_distinct(toks)).alias("q"),
+    )
+    # Coarse bucket monotone with (q DESC): negated octile of the score.
+    d = stats.withColumn("bkt", F.expr("-(q div 8)"))
+    offsets = (
+        d.groupBy("bkt")
+        .agg(F.sum("ntok").alias("bkt_toks"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("bkt_toks").over(
+                    W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "offset")
+    )
+    intra = W.partitionBy("bkt").orderBy(
+        F.col("q").desc(), F.col("doc_id")
+    ).rowsBetween(W.unboundedPreceding, 0)
+    cum = (
+        d.join(F.broadcast(offsets), "bkt")
+        .withColumn("cum_incl", F.col("offset") + F.sum("ntok").over(intra))
+        .withColumn("cum_excl", F.col("cum_incl") - F.col("ntok"))
+    )
+    return cum.filter(F.col("cum_excl") < 50000).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("total_tokens"),
+        F.min("q").cast("bigint").alias("min_quality"),
+        F.max("cum_incl").cast("bigint").alias("tokens_consumed"),
+    )

@@ -79,6 +79,7 @@ _RISKIEST = [
     "features_hashing_trick",
     "similarity_ann_ivfpq",
     "events_ewma_daily_counts",
+    "corpus_select_token_budget",
 ]
 
 
