@@ -225,15 +225,27 @@ def running_counts_stateful(events: DataFrame) -> DataFrame:
 
 
 def click_purchase_join_stream(
-    events: DataFrame, watermark: str = "1 hour", horizon: str = "10 minutes"
+    events: DataFrame,
+    watermark: str = "1 hour",
+    horizon: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: pair each click with same-user purchases
+    """Stream-stream join: pair each click with same-user purchases
     within ``horizon`` after it.
 
     Both sides carry watermarks and the join condition bounds purchase
     time relative to click time, so the state store can evict a click
     once its horizon passes the watermark — without the time bound a
     stream-stream join would buffer both streams forever.
+
+    ``how="leftOuter"`` additionally emits a null-purchase row for each
+    click whose state expires unmatched.  Expiry is strict: a click
+    emits once ``click_ts + horizon < W`` where the global watermark
+    ``W = min(max click_ts, max purchase_ts) - watermark_delay`` (the
+    engine takes the min across both inputs' event-time columns, and
+    state removal in the symmetric hash join is ``<``, measured by the
+    probe documented in NOTES_r05.md: the max-click_ts row itself never
+    expires because its own arrival pins W an hour behind it).
     """
     clicks = (
         events.filter(F.col("event_type") == "click")
@@ -258,6 +270,7 @@ def click_purchase_join_stream(
         (F.col("user_id") == F.col("p_user_id"))
         & (F.col("purchase_ts") > F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        how,
     ).select("user_id", "click_id", "click_ts", "purchase_ts", "purchase_value")
 
 

@@ -659,3 +659,73 @@ def stream_alert_debounce_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("longest_run").alias("longest_run"),
         F.min("first_alert_ts").alias("first_alert_ts"),
     )
+
+
+@register(
+    "stream_stream_left_outer_join_e2e",
+    oracle="""
+        WITH wm AS (
+            SELECT least(
+                (SELECT max(ts) FROM events WHERE event_type = 'click'),
+                (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+            ) - INTERVAL 1 HOUR AS w
+        ),
+        matched AS (
+            SELECT c.user_id,
+                   c.event_id AS click_id,
+                   c.ts       AS click_ts,
+                   p.ts       AS purchase_ts,
+                   p.value    AS purchase_value
+            FROM events c
+            JOIN events p
+              ON p.user_id = c.user_id
+             AND p.ts >  c.ts
+             AND p.ts <= c.ts + INTERVAL 10 MINUTE
+            WHERE c.event_type = 'click'
+              AND p.event_type = 'purchase'
+        )
+        SELECT * FROM matched
+        UNION ALL
+        SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+               CAST(NULL AS TIMESTAMP) AS purchase_ts,
+               CAST(NULL AS DOUBLE)    AS purchase_value
+        FROM events c
+        WHERE c.event_type = 'click'
+          AND NOT EXISTS (
+              SELECT 1 FROM events p
+              WHERE p.event_type = 'purchase'
+                AND p.user_id = c.user_id
+                AND p.ts >  c.ts
+                AND p.ts <= c.ts + INTERVAL 10 MINUTE)
+          AND c.ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
+        """,
+    category="streaming",
+    doc="END-TO-END stream-stream LEFT OUTER join under the correctness "
+    "gate — the join mode whose semantics only exist in streaming: an "
+    "unmatched click emits its null-purchase row not when the batch "
+    "ends but when the state store can PROVE no purchase can still "
+    "arrive, i.e. when the global watermark passes the click's match "
+    "horizon.  The oracle encodes the engine's exact emission rule, "
+    "measured by probe (NOTES_r05.md): global watermark = min over "
+    "BOTH inputs' event-time maxima minus the delay — so the "
+    "max-click_ts row itself never expires, its own arrival pins the "
+    "click-side watermark an hour behind it — and state removal is "
+    "strictly click_ts + horizon < W.  Matched pairs must also "
+    "hash-match the batch interval self-join row for row, so the gate "
+    "checks buffering, matching, AND timeout emission across the "
+    "append-mode micro-batch run.",
+)
+def stream_stream_left_outer_join_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        click_purchase_join_stream,
+        events_stream,
+        run_to_completion,
+    )
+
+    return run_to_completion(
+        click_purchase_join_stream(events_stream(spark, sf_dir), how="leftOuter"),
+        "stream_stream_loj_e2e_sink",
+        mode="append",
+    )
