@@ -1491,3 +1491,90 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "word_countmin_sketch",
+    oracle="""
+        WITH wc AS (
+            SELECT word, count(*) AS c
+            FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY word
+        ),
+        h AS (
+            SELECT word, c,
+                   CAST(('0x' || substring(md5('cms-0:' || word), 1, 15))::BIGINT
+                        % 64 AS BIGINT) AS h0,
+                   CAST(('0x' || substring(md5('cms-1:' || word), 1, 15))::BIGINT
+                        % 64 AS BIGINT) AS h1
+            FROM wc
+        ),
+        r0 AS (SELECT h0 AS col, CAST(sum(c) AS BIGINT) AS cnt
+               FROM h GROUP BY h0),
+        r1 AS (SELECT h1 AS col, CAST(sum(c) AS BIGINT) AS cnt
+               FROM h GROUP BY h1),
+        top AS (SELECT word, c, h0, h1 FROM h
+                ORDER BY c DESC, word LIMIT 20)
+        SELECT t.word,
+               CAST(t.c AS BIGINT) AS exact_count,
+               least(r0.cnt, r1.cnt) AS cms_estimate,
+               least(r0.cnt, r1.cnt) >= t.c AS overcount_ok
+        FROM top t
+        JOIN r0 ON r0.col = t.h0
+        JOIN r1 ON r1.col = t.h1
+        """,
+    category="text",
+    doc="Count-min sketch, the second sketch family next to the "
+    "Misra-Gries word_heavy_hitters: a 2x64 counter grid addressed by "
+    "salted-md5 hashes, estimate = min over rows — the fixed-memory "
+    "frequency summary used when the vocabulary cannot be held.  "
+    "Because the hash functions are the engine-independent md5 "
+    "derivation, the oracle REBUILDS the identical sketch and the "
+    "estimates hash-match exactly (not just within a probabilistic "
+    "bound); the one-sided overcount invariant (estimate >= truth, "
+    "CMS never undercounts) rides along as a checked column.  Plan: "
+    "the (word,count) aggregate is the only fact-scale shuffle; the "
+    "128-cell counter grid is a tiny aggregate of the vocab table and "
+    "AQE broadcasts it back to the top-k probe.  At 100 TB the grid "
+    "is still 128 cells — CMS size is independent of corpus AND "
+    "vocabulary, which is its entire point.",
+)
+def word_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def _h(salt: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt), F.col("word"))), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            % 64
+        )
+
+    h = wc.select("word", "c", _h("cms-0:").alias("h0"), _h("cms-1:").alias("h1"))
+    r0 = h.groupBy(F.col("h0").alias("col0")).agg(
+        F.sum("c").cast("bigint").alias("cnt0")
+    )
+    r1 = h.groupBy(F.col("h1").alias("col1")).agg(
+        F.sum("c").cast("bigint").alias("cnt1")
+    )
+    top = h.orderBy(F.col("c").desc(), "word").limit(20)
+    return (
+        top.join(r0, top.h0 == r0.col0)
+        .join(r1, top.h1 == r1.col1)
+        .select(
+            "word",
+            F.col("c").cast("bigint").alias("exact_count"),
+            F.least("cnt0", "cnt1").alias("cms_estimate"),
+            (F.least("cnt0", "cnt1") >= F.col("c")).alias("overcount_ok"),
+        )
+    )

@@ -80,6 +80,7 @@ _RISKIEST = [
     "similarity_ann_ivfpq",
     "events_ewma_daily_counts",
     "corpus_select_token_budget",
+    "word_countmin_sketch",
 ]
 
 
