@@ -405,3 +405,157 @@ def sink_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame
                 files.extend(json.load(f)["files"])
     back = spark.read.schema("event_id bigint, event_type string").json(files)
     return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- WARC-style record-framed file source ------------------------------
+
+_WARC_MAGIC = b"WARC/1.0\r\n"
+
+
+def _make_warc_source_class():
+    # Deferred import + local definitions: the class ships to executors
+    # by value (SCALE rule 14), so everything it needs lives inside.
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _Range(InputPartition):
+        def __init__(self, start: int, end: int) -> None:
+            self.start, self.end = start, end
+
+    class WarcReader(DataSourceReader):
+        def __init__(self, options: dict) -> None:
+            self.path = options["path"]
+            self.splits = int(options.get("splits", "8"))
+            self.maxrec = int(options["maxrec"])
+
+        def partitions(self):
+            # Fixed byte ranges over the file — the Hadoop-input-split
+            # shape: no driver-side record index, so partitioning cost
+            # is O(1) no matter how many records the file holds.
+            import os
+
+            size = os.path.getsize(self.path)
+            step = max(1, size // self.splits)
+            bounds = list(range(0, size, step)) + [size]
+            return [
+                _Range(bounds[i], bounds[i + 1])
+                for i in range(len(bounds) - 1)
+            ]
+
+        def read(self, part):
+            # Split semantics: a record belongs to the range holding the
+            # FIRST byte of its magic.  Overscan by maxrec + magic so the
+            # last record starting in-range parses completely; payloads
+            # are CR/LF-free by construction, so a magic match is always
+            # a real record head (documented resync precondition).
+            magic = b"WARC/1.0\r\n"
+            with open(self.path, "rb") as f:
+                f.seek(part.start)
+                chunk = f.read((part.end - part.start) + self.maxrec + len(magic))
+            limit = part.end - part.start  # magic must START before this
+            pos = 0
+            while True:
+                hit = chunk.find(magic, pos)
+                if hit < 0 or hit >= limit:
+                    break
+                hdr_end = chunk.index(b"\r\n\r\n", hit)
+                headers = {}
+                for line in chunk[hit + len(magic): hdr_end].split(b"\r\n"):
+                    k, _, v = line.partition(b": ")
+                    headers[k.decode()] = v.decode()
+                n = int(headers["Content-Length"])
+                payload = chunk[hdr_end + 4: hdr_end + 4 + n]
+                yield (
+                    int(headers["WARC-Record-ID"]),
+                    n,
+                    payload.decode("utf-8"),
+                )
+                pos = hdr_end + 4 + n
+
+    class WarcDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "mincemeat_warc"
+
+        def schema(self) -> str:
+            return "doc_id bigint, n_bytes bigint, text string"
+
+        def reader(self, schema) -> WarcReader:
+            return WarcReader(self.options)
+
+    return WarcDataSource
+
+
+def _stage_warc(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Write the first 500 documents as a WARC-style record file
+    (bounded by the filter, like source_binaryfile's fixture write);
+    returns (path, max record size) — maxrec caps the reader overscan."""
+    import os
+
+    from mincemeatpy_spark.sources.readers import _scratch
+    from mincemeatpy_spark.tables import t
+
+    path = _scratch(sf_dir, "docs_warc")
+    os.makedirs(path, exist_ok=True)
+    fpath = os.path.join(path, "docs.warc")
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "text")
+        .collect()
+    )
+    maxrec = 0
+    buf = bytearray()
+    for row in sorted(docs, key=lambda r: r.doc_id):
+        payload = row.text.encode("utf-8")
+        rec = (
+            _WARC_MAGIC
+            + f"WARC-Record-ID: {row.doc_id}\r\n".encode()
+            + f"Content-Length: {len(payload)}\r\n".encode()
+            + b"\r\n"
+            + payload
+            + b"\r\n\r\n"
+        )
+        maxrec = max(maxrec, len(rec))
+        buf += rec
+    tmp = fpath + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(buf)
+    os.replace(tmp, fpath)
+    return fpath, maxrec
+
+
+@register(
+    "source_warc_datasource",
+    oracle="""
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_bytes, text
+        FROM documents WHERE doc_id < 500
+        """,
+    category="source",
+    doc="WARC-style record-framed ingestion — the format web-scale text "
+    "corpora actually arrive in (Common Crawl WARC/WET): a Spark 4 "
+    "Python DataSource whose partitions are FIXED BYTE RANGES with "
+    "record-boundary resync (each reader scans its range for the "
+    "record magic, owns records STARTING in-range, and overscans by "
+    "the max record size to finish its last one) — the Hadoop input-"
+    "split pattern, so partitioning needs no driver-side record index "
+    "and scales to any file size at O(1) planning cost.  Payloads are "
+    "CR/LF-free, making the magic-resync unambiguous (real WARC "
+    "readers resync on gzip member boundaries the same way).  The "
+    "fixture file is staged from the first 500 documents (bounded "
+    "write, like source_binaryfile) and every parsed record must "
+    "hash-match the source table byte for byte.",
+)
+def source_warc_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fpath, maxrec = _stage_warc(spark, sf_dir)
+    spark.dataSource.register(_make_warc_source_class())
+    return (
+        spark.read.format("mincemeat_warc")
+        .option("path", fpath)
+        .option("splits", "8")
+        .option("maxrec", str(maxrec))
+        .load()
+    )
