@@ -36,3 +36,32 @@ def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
     # means the first term is exactly n_true_dups.
     assert row["n_flagged"] == row["n_true_dups"] + row["n_false_pos"]
     assert row["n_batch"] > 0
+
+
+def test_warc_reader_invariant_to_split_count(spark, sf_dir):
+    # The byte-range + magic-resync framing must assign every record to
+    # exactly one partition for ANY split count — including splits that
+    # land mid-header, mid-payload, and mid-magic.  Prime split counts
+    # maximize odd boundary placements.
+    from mincemeatpy_spark.sources.python_datasource import (
+        _make_warc_source_class,
+        _stage_warc,
+    )
+
+    fpath, maxrec = _stage_warc(spark, sf_dir)
+    spark.dataSource.register(_make_warc_source_class())
+
+    def rows(splits: int):
+        df = (
+            spark.read.format("mincemeat_warc")
+            .option("path", fpath)
+            .option("splits", str(splits))
+            .option("maxrec", str(maxrec))
+            .load()
+        )
+        return sorted(tuple(r) for r in df.collect())
+
+    base = rows(1)  # single range = trivially correct framing
+    assert len(base) == 500
+    for s in (3, 7, 17, 64):
+        assert rows(s) == base, f"splits={s} lost or duplicated records"
