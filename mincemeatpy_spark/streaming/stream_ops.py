@@ -629,3 +629,80 @@ def alert_debounce_stateful(events: DataFrame, threshold: float = 100.0) -> Data
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def run_with_restart(
+    spark: SparkSession, sf_dir: str, query_name: str
+) -> DataFrame:
+    """Drive the per-type counts/sums aggregate across a mid-stream
+    QUERY RESTART: phase 1 sees only staged file 0, commits it, and
+    stops; files 1-2 are then added and a NEW query starts from the
+    SAME checkpoint.  The complete-mode output of phase 2 is the full
+    aggregate only if the state store restored batch 0's partials —
+    a fresh query on an empty state would count files 1-2 alone.
+
+    Deterministic by construction: which files each phase processes is
+    controlled by what exists in the source directory, not by stop()
+    timing.
+    """
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    # Reuse the deterministic multibatch staging as the file fountain.
+    events_stream_multibatch(spark, sf_dir)  # ensure staged
+    import hashlib
+
+    src = Path(sf_dir) / "events.parquet"
+    st = src.stat()
+    stamp = f"{src}|{st.st_size}|{st.st_mtime}|3"
+    fountain = (
+        Path(tempfile.gettempdir())
+        / "mincemeatpy_stream_multi"
+        / hashlib.md5(stamp.encode()).hexdigest()[:12]
+    )
+    files = sorted(fountain.glob("batch-*.parquet"))
+
+    run_dir = Path(tempfile.mkdtemp(prefix="mincemeatpy_restart_"))
+    src_dir, ck = run_dir / "in", run_dir / "ck"
+    src_dir.mkdir()
+
+    schema = "event_id long, ts_us long, user_id long, event_type string, value double"
+
+    def agg_query():
+        s = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src_dir))
+        )
+        return s.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("micro_sum"),
+        )
+
+    def run_phase(name: str) -> None:
+        q = (
+            agg_query()
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(ck))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    try:
+        shutil.copy2(files[0], src_dir / files[0].name)
+        run_phase(query_name + "_phase1")
+        for f in files[1:]:
+            shutil.copy2(f, src_dir / f.name)
+        run_phase(query_name)
+        return spark.sql(f"SELECT * FROM {query_name}")
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)

@@ -729,3 +729,34 @@ def stream_stream_left_outer_join_e2e(
         "stream_stream_loj_e2e_sink",
         mode="append",
     )
+
+
+@register(
+    "stream_restart_recovery_e2e",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS micro_sum
+        FROM events
+        GROUP BY event_type
+        """,
+    category="streaming",
+    doc="END-TO-END CHECKPOINT RECOVERY under the correctness gate: a "
+    "complete-mode aggregate commits micro-batch 0, the query is "
+    "STOPPED, two more files land, and a NEW query starts from the "
+    "same checkpoint — its output equals the full-corpus aggregate "
+    "only if the state store restored batch 0's partials across the "
+    "restart (a fresh state would count the last two files alone, and "
+    "the hash gate would go red).  Deterministic by construction: "
+    "which files each phase sees is controlled by what exists in the "
+    "source directory, not by stop() timing.  This is the engine-side "
+    "half of the reference's fault-tolerance story (O11): the "
+    "reference re-runs the whole job on worker death (mincemeat.py:"
+    "317-333); Structured Streaming resumes from the last committed "
+    "offset + state snapshot, reprocessing nothing.",
+)
+def stream_restart_recovery_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import run_with_restart
+
+    return run_with_restart(spark, sf_dir, "stream_restart_recovery_sink")

@@ -367,3 +367,28 @@ def test_late_drop_actually_drops(spark, sf_dir):
         for o in p.get("stateOperators", [])
     )
     assert dropped > 0, "no rows were dropped by the watermark — vacuous demo"
+
+
+def test_restart_recovery_actually_restarts(spark, sf_dir):
+    """stream_restart_recovery_e2e is only a recovery proof if phase 1
+    committed a real but PARTIAL prefix: the phase-1 memory table must
+    hold exactly file 0's rows (1/3 of the corpus by event_id % 3), and
+    the restarted query's final output must hold all of them."""
+    from mincemeatpy_spark.registry import load_all_queries
+
+    out = load_all_queries()["stream_restart_recovery_e2e"].fn(spark, sf_dir)
+    total = out.agg(F.sum("n")).collect()[0][0]
+    phase1 = spark.sql(
+        "SELECT sum(n) FROM stream_restart_recovery_sink_phase1"
+    ).collect()[0][0]
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    n_file0 = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_id") % 3 == 0)
+        .count()
+    )
+    assert total == n_events, "restarted query lost or duplicated rows"
+    assert phase1 == n_file0, (
+        "phase 1 did not commit exactly file 0 — the restart demo is "
+        "not exercising cross-restart state recovery"
+    )
