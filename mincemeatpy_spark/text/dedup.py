@@ -2638,3 +2638,123 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
 QUERIES["dedup_cluster_representatives"].oracle = QUERIES[
     "dedup_cluster_representatives"
 ].oracle.format(dedup_clusters_oracle=QUERIES["dedup_clusters"].oracle)
+
+
+@register(
+    "text_suffix_array",
+    oracle="""
+        WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+        sfx AS (
+            SELECT doc_id, p AS pos, text[p:] AS suffix
+            FROM (SELECT doc_id, text,
+                         unnest(generate_series(1, len(text))) AS p
+                  FROM docs)
+        ),
+        ranked AS (
+            SELECT doc_id, pos, suffix,
+                   row_number() OVER (ORDER BY suffix, doc_id, pos) AS rk
+            FROM sfx
+        )
+        SELECT CAST(rk AS BIGINT) AS sa_rank,
+               doc_id,
+               CAST(pos AS BIGINT) AS pos,
+               substring(suffix, 1, 8) AS prefix8
+        FROM ranked
+        WHERE rk <= 25
+        """,
+    category="dedup",
+    doc="Distributed suffix array by PREFIX DOUBLING — the real "
+    "machinery behind exact substring dedup (Lee et al. 2022 build "
+    "suffix arrays where text_substring_dup_spans approximates with "
+    "k-grams).  Round k sorts suffixes by the integer pair "
+    "(rank[i], rank[i+2^k]) and re-ranks, so suffix ORDER converges in "
+    "log(maxlen) rounds while only fixed-width int64 keys ever "
+    "shuffle — the O(n^2) suffix bytes the naive sort would "
+    "materialize never exist.  Ranking within a round is the tera-sort "
+    "pattern: range-partitioned sort, per-partition row counts (one "
+    "row per partition) prefix-summed into global offsets, "
+    "global index = offset + intra-partition row_number, and "
+    "rank = min(index) over equal keys — deterministic regardless of "
+    "sampled range boundaries because the underlying total order "
+    "carries a (doc, pos) tie-break.  The demo runs on a bounded "
+    "30-document slice (like source_binaryfile's fixture); at corpus "
+    "scale the identical plan runs per shard with the same "
+    "log-round sort budget.  The oracle sorts materialized suffix "
+    "strings — affordable only at fixture scale, which is the point.  "
+    "Output: the first 25 suffix-array entries with display prefixes.",
+)
+def text_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", "text")
+    )
+    # Loop-control scalar from the bounded slice (exempt driver action).
+    maxlen = docs.agg(F.max(F.length("text"))).collect()[0][0]
+    r = docs.select(
+        F.col("doc_id").alias("d"),
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("p"),
+        "text",
+    ).select(
+        "d", "p", F.expr("ascii(substr(text, p, 1))").cast("bigint").alias("rank")
+    ).localCheckpoint(eager=True)
+
+    k = 1
+    while k < maxlen:
+        nxt = r.select(
+            F.col("d").alias("d2"),
+            (F.col("p") - F.lit(k)).alias("p2"),
+            F.col("rank").alias("r2"),
+        )
+        keyed = (
+            r.join(nxt, (F.col("d") == F.col("d2")) & (F.col("p") == F.col("p2")), "left")
+            .select(
+                "d",
+                "p",
+                F.col("rank").alias("r1"),
+                F.coalesce(F.col("r2"), F.lit(0)).alias("r2"),
+            )
+        )
+        srt = keyed.repartitionByRange(8, "r1", "r2").withColumn(
+            "pid", F.spark_partition_id()
+        )
+        offsets = (
+            srt.groupBy("pid")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn(
+                "off",
+                F.coalesce(
+                    F.sum("c").over(
+                        W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .select("pid", "off")
+        )
+        li = W.partitionBy("pid").orderBy("r1", "r2", "d", "p")
+        idx = (
+            srt.withColumn("li", F.row_number().over(li))
+            .join(F.broadcast(offsets), "pid")
+            .select("d", "p", "r1", "r2", (F.col("off") + F.col("li")).alias("gidx"))
+        )
+        ranks = idx.groupBy("r1", "r2").agg(F.min("gidx").alias("new_rank"))
+        r = (
+            idx.join(ranks, ["r1", "r2"])
+            .select("d", "p", F.col("new_rank").alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+        k *= 2
+
+    top = r.orderBy("rank", "d", "p").limit(25)
+    w = W.orderBy("rank", "d", "p")  # 25 rows — global window is safe here
+    return (
+        top.withColumn("sa_rank", F.row_number().over(w).cast("bigint"))
+        .join(F.broadcast(docs), F.col("d") == F.col("doc_id"))
+        .select(
+            "sa_rank",
+            "doc_id",
+            F.col("p").cast("bigint").alias("pos"),
+            F.expr("substr(text, p, 8)").alias("prefix8"),
+        )
+    )

@@ -81,6 +81,7 @@ _RISKIEST = [
     "events_ewma_daily_counts",
     "corpus_select_token_budget",
     "word_countmin_sketch",
+    "text_suffix_array",
 ]
 
 
