@@ -2033,3 +2033,97 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "ann_index_incremental_add",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT vec_id AS c_id, e AS ce, nrm AS cnrm FROM v
+            WHERE vec_id < {_IVF_K}
+        ),
+        aff AS (
+            SELECT v.vec_id, cent.c_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_sum(list_transform(generate_series(1, {_DIM}),
+                                    i -> v.e[i] * cent.ce[i])) / (v.nrm * cent.cnrm)
+                                DESC, cent.c_id) AS rn
+            FROM v, cent
+        ),
+        assign AS (SELECT vec_id, c_id AS list_id FROM aff WHERE rn = 1)
+        SELECT list_id,
+               CAST(sum(CASE WHEN vec_id % 4 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_base,
+               CAST(sum(CASE WHEN vec_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_delta,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(vec_id) AS BIGINT) AS vec_id_sum
+        FROM assign
+        GROUP BY list_id
+        """,
+    category="similarity",
+    doc="INCREMENTAL IVF index maintenance — the ANN companion to "
+    "dedup_incremental_index and ivm_incremental_join: the base corpus "
+    "(vec_id %% 4 != 0) builds the partitioned posting lists once; a "
+    "new-vector batch (%% 4 == 0) is assigned against the SAME frozen "
+    "centroids and APPENDED to the per-list partitions — no rebuild, "
+    "ingest cost O(batch), and the read-back summary must hash-match a "
+    "from-scratch full-corpus assignment (append == rebuild is the "
+    "maintenance invariant; centroid drift is handled by periodic "
+    "retrains, kmeans_loop_2iter).  At 100 TB this is how a serving "
+    "index tracks a growing corpus: daily batches append to "
+    "list-partitioned parquet, probes keep pruning partitions, "
+    "sink_compaction keeps shards at target size.",
+)
+def ann_index_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.sources.readers import _scratch
+
+    v = _vecs(spark, sf_dir)
+    cent = F.broadcast(
+        v.filter(F.col("vec_id") < _IVF_K).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("e").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    aff_score = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    wa = Wnd.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("c_id"))
+
+    def assign(side: DataFrame) -> DataFrame:
+        return (
+            side.crossJoin(cent)
+            .select("vec_id", "c_id", aff_score.alias("aff"))
+            .withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("c_id").alias("list_id"))
+        )
+
+    path = _scratch(sf_dir, "ivf_index_incr")
+    # Base build clears the directory (overwrite), the delta batch
+    # appends into the same list_id partitions — never a rebuild.
+    assign(v.filter(F.col("vec_id") % 4 != 0)).write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(path)
+    assign(v.filter(F.col("vec_id") % 4 == 0)).write.mode(
+        "append"
+    ).partitionBy("list_id").parquet(path)
+
+    back = spark.read.parquet(path)
+    return back.groupBy("list_id").agg(
+        F.sum(F.when(F.col("vec_id") % 4 != 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_base"),
+        F.sum(F.when(F.col("vec_id") % 4 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_delta"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("vec_id").cast("bigint").alias("vec_id_sum"),
+    )
