@@ -572,3 +572,137 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(node - 1) div 2").cast("bigint").alias("s_suppkey"),
         F.col("d").alias("dist_qty"),
     )
+
+
+@register(
+    "graph_modularity",
+    oracle="""
+        WITH RECURSIVE a AS (
+            SELECT DISTINCT l_orderkey, l_partkey
+            FROM lineitem WHERE l_partkey < 800
+        ),
+        e AS (SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+              FROM a x JOIN a y ON x.l_orderkey = y.l_orderkey
+                                AND x.l_partkey < y.l_partkey),
+        m AS (SELECT count(*) AS m FROM e),
+        sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        deg AS (SELECT u AS node, count(*) AS d FROM sym GROUP BY u),
+        reach(u, v) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+            UNION
+            SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        ),
+        comp AS (SELECT u AS node, min(v) AS c FROM reach GROUP BY u),
+        parts AS (
+            SELECT 'components' AS part, node, c FROM comp
+            UNION ALL
+            SELECT 'hash8', node, node % 8 FROM deg
+        ),
+        intra AS (
+            SELECT p.part, pu.c, count(*) AS l_c
+            FROM e
+            JOIN parts pu ON pu.node = e.u
+            JOIN parts pv ON pv.node = e.v AND pv.part = pu.part
+                          AND pv.c = pu.c
+            JOIN (SELECT DISTINCT part FROM parts) p ON p.part = pu.part
+            WHERE pu.part = p.part
+            GROUP BY p.part, pu.c
+        ),
+        dsum AS (
+            SELECT pt.part, pt.c, CAST(sum(dg.d) AS BIGINT) AS d_c
+            FROM parts pt JOIN deg dg ON dg.node = pt.node
+            GROUP BY pt.part, pt.c
+        )
+        SELECT ds.part,
+               count(*) AS n_communities,
+               CAST(sum(4 * (SELECT m FROM m) * COALESCE(i.l_c, 0)
+                        - ds.d_c * ds.d_c) AS BIGINT) AS q_num,
+               CAST(4 * (SELECT m FROM m) * (SELECT m FROM m) AS BIGINT)
+                   AS q_denom
+        FROM dsum ds
+        LEFT JOIN intra i ON i.part = ds.part AND i.c = ds.c
+        GROUP BY ds.part
+        """,
+    category="graph",
+    doc="Partition-quality evaluation for the graph family (the "
+    "companion to the ANN recall evals): Newman modularity of the "
+    "connected-components partition vs a degree-null hash-random "
+    "partition of the same part co-purchase graph, in EXACT integer "
+    "arithmetic — Q is emitted as the integer pair (q_num, q_denom) = "
+    "(sum_c(4*m*L_c - d_c^2), 4*m^2), so no float division ever "
+    "happens and the oracle hash-matches bit for bit.  The structural "
+    "partition must score above the random one (Q_components > "
+    "Q_hash8 after cross-multiplying — same denominator here), which "
+    "is what makes this an eval rather than a statistic.  Plan: "
+    "edge list + degree table + two community labelings, all keyed "
+    "shuffles on int64 node ids; the min-label components loop is "
+    "shared with dedup_clusters' recipe.",
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.text.dedup import _min_label_components
+
+    a = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 800)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = a.alias("x"), a.alias("y")
+    e = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m = F.broadcast(e.agg(F.count(F.lit(1)).alias("m")))
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    comp = _min_label_components(
+        e.select(F.col("u").alias("d1"), F.col("v").alias("d2"))
+    ).select(F.col("doc_id").alias("node"), F.col("cluster_id").alias("c"))
+    parts = comp.select(F.lit("components").alias("part"), "node", "c").unionAll(
+        deg.select(
+            F.lit("hash8").alias("part"), "node", (F.col("node") % 8).alias("c")
+        )
+    )
+    pu = parts.select(
+        F.col("part").alias("part_u"), F.col("node").alias("nu"), F.col("c").alias("cu")
+    )
+    pv = parts.select(
+        F.col("part").alias("part_v"), F.col("node").alias("nv"), F.col("c").alias("cv")
+    )
+    intra = (
+        e.join(pu, e.u == pu.nu)
+        .join(
+            pv,
+            (e.v == pv.nv) & (pu.part_u == pv.part_v) & (pu.cu == pv.cv),
+        )
+        .groupBy(F.col("part_u").alias("part"), F.col("cu").alias("c"))
+        .agg(F.count(F.lit(1)).alias("l_c"))
+    )
+    dsum = (
+        parts.join(deg, "node")
+        .groupBy("part", "c")
+        .agg(F.sum("d").cast("bigint").alias("d_c"))
+    )
+    return (
+        dsum.join(intra, ["part", "c"], "left")
+        .crossJoin(m)
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.sum(
+                4 * F.col("m") * F.coalesce(F.col("l_c"), F.lit(0))
+                - F.col("d_c") * F.col("d_c")
+            )
+            .cast("bigint")
+            .alias("q_num"),
+            (4 * F.max("m") * F.max("m")).cast("bigint").alias("q_denom"),
+        )
+    )

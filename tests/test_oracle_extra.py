@@ -65,3 +65,14 @@ def test_warc_reader_invariant_to_split_count(spark, sf_dir):
     assert len(base) == 500
     for s in (3, 7, 17, 64):
         assert rows(s) == base, f"splits={s} lost or duplicated records"
+
+
+def test_modularity_structure_beats_random(spark, sf_dir):
+    # The eval is only meaningful if the components partition actually
+    # scores above the degree-null hash partition (same denominator, so
+    # comparing numerators suffices).
+    rows = {r["part"]: r for r in QUERIES["graph_modularity"].fn(spark, sf_dir).collect()}
+    assert rows["components"]["q_num"] > rows["hash8"]["q_num"], (
+        "components modularity does not beat the random partition — "
+        "the fixture graph has no structure for the eval to detect"
+    )
