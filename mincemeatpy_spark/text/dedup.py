@@ -2715,8 +2715,15 @@ def text_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("r2"), F.lit(0)).alias("r2"),
             )
         )
-        srt = keyed.repartitionByRange(8, "r1", "r2").withColumn(
-            "pid", F.spark_partition_id()
+        # Materialize the range partitioning ONCE: offsets and the
+        # row_number pass are separate jobs, and an un-checkpointed
+        # repartitionByRange re-executes (and may re-SAMPLE boundaries)
+        # per job — offsets from one layout + indexes from another give
+        # inconsistent global positions.
+        srt = (
+            keyed.repartitionByRange(8, "r1", "r2")
+            .withColumn("pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
         )
         offsets = (
             srt.groupBy("pid")
