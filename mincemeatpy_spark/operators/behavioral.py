@@ -2342,14 +2342,13 @@ def features_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     ).alias("feat")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("fh-v1:"), F.col("feat"))), 1, 15),
-            16,
-            10,
-        ).cast("bigint")
-        % 16
-    ).alias("bucket")
+    # Shared md5->int60 derivation (text.dedup._hash60) — one site to
+    # keep bit-identical with the oracle's hex form.
+    from mincemeatpy_spark.text.dedup import _hash60
+
+    bucket = (_hash60(F.concat(F.lit("fh-v1:"), F.col("feat"))) % 16).alias(
+        "bucket"
+    )
     return (
         e.select("user_id", feat)
         .select("user_id", bucket)

@@ -1933,14 +1933,13 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
 
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    crows = e.filter(F.col("vec_id") < 8).collect()
-    cc = _q6_i64(
-        [r["embedding"] for r in sorted(crows, key=lambda r: r["vec_id"])]
-    )  # [8][64] coarse centroids
+    # One bounded collect: the 8 coarse centroids are a prefix slice of
+    # the 16 codebook seeds.
     rows16 = e.filter(F.col("vec_id") < 16).collect()
     m16 = _q6_i64(
         [r["embedding"] for r in sorted(rows16, key=lambda r: r["vec_id"])]
     )  # [16][64]
+    cc = m16[:8]  # [8][64] coarse centroids
     # Codebook = residuals of the first 16 vectors w.r.t. their own
     # coarse assignment (argmin = first minimum = lowest centroid id,
     # matching the oracle's ORDER BY dist, c).

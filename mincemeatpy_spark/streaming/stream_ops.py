@@ -100,6 +100,24 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _multibatch_stage_dir(sf_dir: str, n_files: int = 3):
+    """The deterministic staging directory events_stream_multibatch
+    writes its batch files into — derived in ONE place so consumers
+    (run_with_restart) can never drift from the producer's recipe."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    src = Path(sf_dir) / "events.parquet"
+    st = src.stat()
+    stamp = f"{src}|{st.st_size}|{st.st_mtime}|{n_files}"
+    return (
+        Path(tempfile.gettempdir())
+        / "mincemeatpy_stream_multi"
+        / hashlib.md5(stamp.encode()).hexdigest()[:12]
+    )
+
+
 def events_stream_multibatch(
     spark: SparkSession, sf_dir: str, n_files: int = 3
 ) -> DataFrame:
@@ -115,22 +133,12 @@ def events_stream_multibatch(
     rebuilt streaming-side, sidestepping parquet timestamp-annotation
     drift between writers.
     """
-    import hashlib
     import os
     import shutil
-    import tempfile
-    from pathlib import Path
 
     from mincemeatpy_spark.tables import t
 
-    src = Path(sf_dir) / "events.parquet"
-    src_stat = src.stat()
-    stamp = f"{src}|{src_stat.st_size}|{src_stat.st_mtime}|{n_files}"
-    stage = (
-        Path(tempfile.gettempdir())
-        / "mincemeatpy_stream_multi"
-        / hashlib.md5(stamp.encode()).hexdigest()[:12]
-    )
+    stage = _multibatch_stage_dir(sf_dir, n_files)
     marker = stage / "_STAGED"
     if not marker.exists():
         shutil.rmtree(stage, ignore_errors=True)
@@ -649,18 +657,10 @@ def run_with_restart(
     import tempfile
     from pathlib import Path
 
-    # Reuse the deterministic multibatch staging as the file fountain.
+    # Reuse the deterministic multibatch staging as the file fountain
+    # (shared path helper — consumers cannot drift from the producer).
     events_stream_multibatch(spark, sf_dir)  # ensure staged
-    import hashlib
-
-    src = Path(sf_dir) / "events.parquet"
-    st = src.stat()
-    stamp = f"{src}|{st.st_size}|{st.st_mtime}|3"
-    fountain = (
-        Path(tempfile.gettempdir())
-        / "mincemeatpy_stream_multi"
-        / hashlib.md5(stamp.encode()).hexdigest()[:12]
-    )
+    fountain = _multibatch_stage_dir(sf_dir)
     files = sorted(fountain.glob("batch-*.parquet"))
 
     run_dir = Path(tempfile.mkdtemp(prefix="mincemeatpy_restart_"))

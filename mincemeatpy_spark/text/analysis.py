@@ -1550,15 +1550,13 @@ def word_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
 
+    # The one md5->int60 derivation shared repo-wide (text.dedup._hash60)
+    # — every cross-engine hash site must stay bit-identical to the
+    # oracle's '0x' || substring(md5(...), 1, 15) form.
+    from mincemeatpy_spark.text.dedup import _hash60
+
     def _h(salt: str) -> F.Column:
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(salt), F.col("word"))), 1, 15),
-                16,
-                10,
-            ).cast("bigint")
-            % 64
-        )
+        return _hash60(F.concat(F.lit(salt), F.col("word"))) % 64
 
     h = wc.select("word", "c", _h("cms-0:").alias("h0"), _h("cms-1:").alias("h1"))
     r0 = h.groupBy(F.col("h0").alias("col0")).agg(

@@ -2643,7 +2643,8 @@ QUERIES["dedup_cluster_representatives"].oracle = QUERIES[
 @register(
     "text_suffix_array",
     oracle="""
-        WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+        WITH docs AS (SELECT doc_id, text FROM documents
+                      WHERE doc_id < 30 AND len(text) >= 1),
         sfx AS (
             SELECT doc_id, p AS pos, text[p:] AS suffix
             FROM (SELECT doc_id, text,
@@ -2686,7 +2687,10 @@ QUERIES["dedup_cluster_representatives"].oracle = QUERIES[
 def text_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 30)
+        # length >= 1: Spark's sequence(1, 0) yields a DESCENDING [1, 0]
+        # for empty text (default step -1) and would fabricate phantom
+        # rank-0 suffixes DuckDB's generate_series never produces.
+        .filter((F.col("doc_id") < 30) & (F.length("text") >= 1))
         .select("doc_id", "text")
     )
     # Loop-control scalar from the bounded slice (exempt driver action).
