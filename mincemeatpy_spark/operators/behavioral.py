@@ -2422,3 +2422,131 @@ def events_ewma_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_events"),
         (F.col("num") / F.col("den")).alias("ewma"),
     )
+
+
+# Poisson(1) CDF thresholds against a uniform 60-bit hash:
+# floor(P(X<=k) * 2^60) for k = 0..6, weight 7 beyond (P < 6e-6).
+# Integer literals shared verbatim with the oracle, so the resample
+# weights are bit-identical across engines — no libm exp() at runtime.
+_POIS1_T = [
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+]
+
+
+def _pois1_case(h: str) -> str:
+    branches = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS1_T)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+@register(
+    "events_bootstrap_ci",
+    oracle=f"""
+        WITH x AS (
+            SELECT event_id,
+                   CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+            FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL
+        ),
+        w AS (
+            SELECT b.b, x.v,
+                   {_pois1_case("('0x' || substring(md5('bs:' || CAST(b.b AS VARCHAR) || ':' || CAST(x.event_id AS VARCHAR)), 1, 15))::BIGINT")} AS w
+            FROM x, (SELECT unnest(generate_series(0, 31)) AS b) b
+        ),
+        means AS (
+            SELECT b,
+                   CAST(sum(v * w) AS DOUBLE) / CAST(sum(w) AS BIGINT) AS m
+            FROM w WHERE w > 0 GROUP BY b
+        ),
+        ranked AS (
+            SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM means
+        ),
+        pt AS (SELECT CAST(sum(v) AS DOUBLE) / count(*) AS mean_full,
+                      count(*) AS n_rows
+               FROM x)
+        SELECT pt.n_rows,
+               CAST(32 AS BIGINT) AS n_resamples,
+               pt.mean_full,
+               (SELECT m FROM ranked WHERE rn = 2)  AS ci_lo,
+               (SELECT m FROM ranked WHERE rn = 31) AS ci_hi
+        FROM pt
+        """,
+    category="behavioral",
+    doc="POISSON BOOTSTRAP confidence interval for mean purchase value — "
+    "the bootstrap that actually runs at 100 TB: instead of drawing B "
+    "global resamples (impossible distributed — each needs a "
+    "whole-corpus pass with shared state), every row derives its own "
+    "Poisson(1) multiplicity per resample from a salted hash, so the "
+    "32 resample means fall out of ONE scan + one 32-group aggregate.  "
+    "The Poisson inverse-CDF thresholds are precomputed integer "
+    "literals against the 60-bit hash (no runtime exp()), making every "
+    "resample weight bit-identical across engines; sums are exact "
+    "int64 micro-units, so the CI bounds hash-match exactly.  CI = "
+    "2nd / 31st order statistics of the 32 resample means "
+    "(~94% coverage).  The 32x row fan-out is scan-side and bounded — "
+    "work scales linearly with B, never with resample passes.",
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from mincemeatpy_spark.text.dedup import _hash60
+
+    x = (
+        t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            "event_id",
+            F.floor(F.col("value") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("v"),
+        )
+    )
+    h = _hash60(
+        F.concat(
+            F.lit("bs:"),
+            F.col("b").cast("string"),
+            F.lit(":"),
+            F.col("event_id").cast("string"),
+        )
+    )
+    w_expr = F.expr(_pois1_case("h"))
+    means = (
+        x.select("event_id", "v", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
+        .withColumn("h", h)
+        .withColumn("w", w_expr)
+        .filter(F.col("w") > 0)
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("v") * F.col("w")).cast("double")
+                / F.sum("w").cast("bigint")
+            ).alias("m")
+        )
+    )
+    ranked = means.withColumn(
+        "rn", F.row_number().over(W.orderBy("m", "b"))  # 32 rows — safe
+    )
+    lo = ranked.filter(F.col("rn") == 2).select(F.col("m").alias("ci_lo"))
+    hi = ranked.filter(F.col("rn") == 31).select(F.col("m").alias("ci_hi"))
+    pt = x.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_full"),
+    )
+    return (
+        pt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_rows",
+            F.lit(32).cast("bigint").alias("n_resamples"),
+            "mean_full",
+            "ci_lo",
+            "ci_hi",
+        )
+    )

@@ -82,6 +82,7 @@ _RISKIEST = [
     "corpus_select_token_budget",
     "word_countmin_sketch",
     "text_suffix_array",
+    "events_bootstrap_ci",
 ]
 
 
