@@ -1576,3 +1576,157 @@ def word_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.least("cnt0", "cnt1") >= F.col("c")).alias("overcount_ok"),
         )
     )
+
+
+def _bpe_oracle_sql(iters: int) -> str:
+    """Unrolled DuckDB oracle for bpe_train_3merges — generated from the
+    same iteration template the Spark loop runs, so the two cannot
+    drift.  Each iteration: weighted pair counts (a <> b, see op doc) →
+    deterministic top pair → canonical left-to-right merge via
+    window marks (non-overlap is guaranteed by a <> b)."""
+    sql = """
+        WITH wc AS (
+            SELECT word, count(*) AS cnt
+            FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY word
+        ),
+        s0 AS (
+            SELECT word, cnt, i AS pos, word[i] AS sym
+            FROM (SELECT word, cnt,
+                         unnest(generate_series(1, len(word))) AS i
+                  FROM wc)
+        )"""
+    for k in range(1, iters + 1):
+        p = k - 1
+        sql += f""",
+        n{k} AS (
+            SELECT word, cnt, pos, sym,
+                   lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+            FROM s{p}
+        ),
+        p{k} AS (
+            SELECT sym AS a, nxt AS b, CAST(sum(cnt) AS BIGINT) AS c
+            FROM n{k} WHERE nxt IS NOT NULL AND sym <> nxt
+            GROUP BY sym, nxt
+        ),
+        t{k} AS (SELECT a, b, c FROM p{k} ORDER BY c DESC, a, b LIMIT 1),
+        m{k} AS (
+            SELECT word, cnt, pos, sym,
+                   (sym = (SELECT a FROM t{k})
+                    AND nxt = (SELECT b FROM t{k})) AS mg
+            FROM n{k}
+        ),
+        s{k} AS (
+            SELECT word, cnt,
+                   row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+                   CASE WHEN mg THEN sym || (SELECT b FROM t{k})
+                        ELSE sym END AS sym
+            FROM (SELECT word, cnt, pos, sym, mg,
+                         lag(mg) OVER (PARTITION BY word ORDER BY pos)
+                             AS prev_mg
+                  FROM m{k})
+            WHERE NOT coalesce(prev_mg, FALSE)
+        )"""
+    selects = [
+        f"""SELECT {k} AS step, (SELECT a FROM t{k}) AS pair_a,
+               (SELECT b FROM t{k}) AS pair_b,
+               (SELECT c FROM t{k}) AS pair_weight,
+               (SELECT count(*) FROM s{k}) AS n_symbols_after"""
+        for k in range(1, iters + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "bpe_train_3merges",
+    oracle=_bpe_oracle_sql(3),
+    category="text",
+    doc="BPE tokenizer TRAINING loop in-engine — three full merge "
+    "iterations, not just the pair-count step (bpe_pair_counts): each "
+    "round counts corpus-weighted adjacent symbol pairs over the "
+    "distinct-word symbol table, picks the heaviest pair "
+    "(count DESC, pair ASC — deterministic), and rewrites every word's "
+    "symbol sequence by the canonical left-to-right merge, expressed "
+    "as pure window marks: a position merges when it starts the pair, "
+    "and drops when its predecessor merged.  Restricting to pairs "
+    "with a <> b makes matches provably non-overlapping, so the "
+    "window form IS canonical BPE (self-pairs like 'aa' need "
+    "run-parity handling — the sequential scan applyInPandas shape of "
+    "pack_sequences; excluded here and unlikely to win a merge in "
+    "natural text).  The top pair rides IN-PLAN as a broadcast 1-row "
+    "aggregate — no driver collect inside the loop.  All work is "
+    "vocab-scale (distinct words x word length), never corpus-scale; "
+    "counts are exact int64.  The oracle is generated from the same "
+    "iteration template, unrolled — engine and oracle cannot drift.",
+)
+def bpe_train_3merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sym = wc.select(
+        "word",
+        "cnt",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
+        ).alias("pos0", "sym"),
+    ).select("word", "cnt", (F.col("pos0") + 1).alias("pos"), "sym")
+    sym = sym.localCheckpoint(eager=True)
+
+    from pyspark.sql import Window as Wn
+
+    per_word = Wn.partitionBy("word").orderBy("pos")
+    out = []
+    for step in range(1, 4):
+        n = sym.withColumn("nxt", F.lead("sym").over(per_word))
+        pairs = (
+            n.filter(F.col("nxt").isNotNull() & (F.col("sym") != F.col("nxt")))
+            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+        )
+        top = F.broadcast(
+            pairs.orderBy(F.col("c").desc(), "a", "b").limit(1)
+        )
+        marked = n.crossJoin(top).withColumn(
+            "mg", (F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b"))
+        )
+        sym = (
+            marked.withColumn("prev_mg", F.lag("mg").over(per_word))
+            .filter(~F.coalesce(F.col("prev_mg"), F.lit(False)))
+            .select(
+                "word",
+                "cnt",
+                F.row_number().over(per_word).alias("pos"),
+                F.when(F.col("mg"), F.concat(F.col("sym"), F.col("b")))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+                "a",
+                "b",
+                "c",
+            )
+            .localCheckpoint(eager=True)
+        )
+        stats = F.broadcast(
+            sym.groupBy("a", "b", "c").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_symbols_after")
+            )
+        )
+        out.append(
+            stats.select(
+                F.lit(step).cast("int").alias("step"),
+                F.col("a").alias("pair_a"),
+                F.col("b").alias("pair_b"),
+                F.col("c").alias("pair_weight"),
+                "n_symbols_after",
+            )
+        )
+        sym = sym.select("word", "cnt", "pos", "sym")
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionAll(o)
+    return res

@@ -83,6 +83,7 @@ _RISKIEST = [
     "word_countmin_sketch",
     "text_suffix_array",
     "events_bootstrap_ci",
+    "bpe_train_3merges",
 ]
 
 
