@@ -2550,3 +2550,89 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+@register(
+    "events_markov_eval_holdout",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type AS prev,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+            FROM events
+        ),
+        train AS (
+            SELECT prev, nxt, count(*) AS c
+            FROM seq WHERE nxt IS NOT NULL AND user_id % 5 <> 0
+            GROUP BY prev, nxt
+        ),
+        model AS (
+            SELECT prev, nxt AS predicted
+            FROM (SELECT prev, nxt,
+                         row_number() OVER (PARTITION BY prev
+                                            ORDER BY c DESC, nxt) AS rn
+                  FROM train)
+            WHERE rn = 1
+        ),
+        test AS (
+            SELECT prev, nxt FROM seq
+            WHERE nxt IS NOT NULL AND user_id % 5 = 0
+        )
+        SELECT t.prev AS prev_type,
+               m.predicted,
+               count(*) AS n_test,
+               CAST(sum(CASE WHEN t.nxt = m.predicted THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               CAST(sum(CASE WHEN t.nxt = m.predicted THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS accuracy
+        FROM test t JOIN model m ON m.prev = t.prev
+        GROUP BY t.prev, m.predicted
+        """,
+    category="behavioral",
+    doc="Train/holdout evaluation of the first-order Markov next-event "
+    "model — the eval half events_markov_transitions lacks: the model "
+    "(per-state argmax of transition counts, deterministic tie-break) "
+    "is FIT on 80% of users and SCORED on the held-out 20% by "
+    "top-1 accuracy per state — the same deterministic-hash-split "
+    "train/eval discipline as corpus_train_test_split, applied to "
+    "model fitting.  Plan: one user-keyed window builds sequences, "
+    "the model is a states-x-states aggregate (tiny — AQE broadcasts "
+    "it to the test join), counts exact int64, accuracy one IEEE "
+    "division.  In-engine model training joins kmeans (centroids), "
+    "BPE (merges), and the Markov chain — fit and eval never leave "
+    "the engine.",
+)
+def events_markov_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    seq = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("prev"),
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    )
+    train = (
+        seq.filter(F.col("nxt").isNotNull() & (F.col("user_id") % 5 != 0))
+        .groupBy("prev", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("prev").orderBy(F.col("c").desc(), "nxt")
+    )
+    model = (
+        train.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("nxt").alias("predicted"))
+    )
+    test = seq.filter(F.col("nxt").isNotNull() & (F.col("user_id") % 5 == 0))
+    hit = F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0)
+    return (
+        test.join(model, "prev")
+        .groupBy(F.col("prev").alias("prev_type"), "predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("accuracy"),
+        )
+    )

@@ -706,3 +706,104 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (4 * F.max("m") * F.max("m")).cast("bigint").alias("q_denom"),
         )
     )
+
+
+@register(
+    "graph_link_prediction_jaccard",
+    oracle="""
+        WITH a AS (SELECT DISTINCT l_orderkey, l_partkey
+                   FROM lineitem WHERE l_partkey < 800),
+        e AS (SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+              FROM a x JOIN a y ON x.l_orderkey = y.l_orderkey
+                                AND x.l_partkey < y.l_partkey),
+        sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        deg AS (SELECT u AS node, count(*) AS d FROM sym GROUP BY u),
+        wedge AS (
+            SELECT s1.v AS u, s2.v AS v, count(*) AS common
+            FROM sym s1 JOIN sym s2 ON s2.u = s1.u AND s1.v < s2.v
+            GROUP BY s1.v, s2.v
+        ),
+        cand AS (
+            SELECT w.u, w.v, w.common, du.d AS du, dv.d AS dv
+            FROM wedge w
+            JOIN deg du ON du.node = w.u
+            JOIN deg dv ON dv.node = w.v
+            WHERE NOT EXISTS (SELECT 1 FROM e
+                              WHERE e.u = w.u AND e.v = w.v)
+        )
+        SELECT u, v,
+               CAST(common AS BIGINT) AS n_common,
+               CAST(du + dv - common AS BIGINT) AS n_union
+        FROM (SELECT u, v, common, du, dv,
+                     row_number() OVER (
+                         ORDER BY CAST(common AS DOUBLE) / (du + dv - common)
+                                  DESC, u, v) AS rk
+              FROM cand)
+        WHERE rk <= 20
+        """,
+    category="graph",
+    doc="Link prediction by common-neighbor Jaccard — the classic "
+    "recommend-an-edge primitive: for every NON-edge pair sharing at "
+    "least one neighbor, score |N(u) n N(v)| / |N(u) u N(v)| and rank "
+    "the top 20 predicted links.  The candidate set is the wedge "
+    "(2-path) join — work scales with sum of squared degrees, the same "
+    "budget as triangle counting, never all pairs; the existing-edge "
+    "anti-join removes known links.  Scores emit as exact integer "
+    "(intersection, union) pairs; the ranking division is a single "
+    "IEEE op identical in both engines.  At 100 TB the refinement is "
+    "degree-capping hub nodes before the wedge join (the same hot-key "
+    "mitigation as dedup_ngram_jaccard_capped's stop-shingles).",
+)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 800)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = a.alias("x"), a.alias("y")
+    e = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedge = (
+        s1.join(
+            s2,
+            (F.col("s2.u") == F.col("s1.u")) & (F.col("s1.v") < F.col("s2.v")),
+        )
+        .groupBy(F.col("s1.v").alias("u"), F.col("s2.v").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    du = deg.select(F.col("node").alias("nu"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("nv"), F.col("d").alias("dv"))
+    cand = (
+        wedge.join(e, ["u", "v"], "left_anti")
+        .join(du, F.col("u") == F.col("nu"))
+        .join(dv, F.col("v") == F.col("nv"))
+    )
+    score = F.col("common").cast("double") / (
+        F.col("du") + F.col("dv") - F.col("common")
+    )
+    # top-20 via orderBy+limit = TakeOrderedAndProject (per-partition
+    # partial top-k, no global sort, no single-partition window).
+    return (
+        cand.orderBy(score.desc(), "u", "v")
+        .limit(20)
+        .select(
+            "u",
+            "v",
+            F.col("common").cast("bigint").alias("n_common"),
+            (F.col("du") + F.col("dv") - F.col("common"))
+            .cast("bigint")
+            .alias("n_union"),
+        )
+    )
