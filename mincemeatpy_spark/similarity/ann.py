@@ -2126,3 +2126,122 @@ def ann_index_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_total"),
         F.sum("vec_id").cast("bigint").alias("vec_id_sum"),
     )
+
+
+@register(
+    "similarity_ivfpq_recall",
+    oracle=f"""
+        WITH ivfpq AS (
+            SELECT query_id, neighbor_id FROM ({{ivfpq_oracle}}) iv
+        ),
+        q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                       AS e
+            FROM embeddings
+        ),
+        queries AS (SELECT vec_id AS query_id, e FROM q WHERE vec_id % 97 = 0),
+        exact_top AS (
+            SELECT query_id, vec_id
+            FROM (SELECT qu.query_id, v.vec_id,
+                         row_number() OVER (PARTITION BY qu.query_id ORDER BY
+                             list_sum(list_transform(generate_series(1, 64),
+                                 d -> (qu.e[d] - v.e[d]) * (qu.e[d] - v.e[d]))),
+                             v.vec_id) AS rnk
+                  FROM queries qu CROSS JOIN q v
+                  WHERE v.vec_id <> qu.query_id)
+            WHERE rnk <= 3
+        )
+        SELECT e.query_id,
+               CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
+               round(CAST(count(p.neighbor_id) AS DOUBLE) / 3, 6)
+                   AS recall_at_3
+        FROM exact_top e
+        LEFT JOIN ivfpq p
+          ON p.query_id = e.query_id AND p.neighbor_id = e.vec_id
+        GROUP BY e.query_id
+        """,
+    category="similarity",
+    doc="Recall@3 of the combined IVF-PQ index against exact integer-L2 "
+    "brute force — completes the eval symmetry (similarity_ann_recall "
+    "scores IVF, similarity_pq_recall scores PQ, this scores their "
+    "composition, whose losses compound: a missed probe list AND "
+    "residual quantization error both cost recall).  Rankings on both "
+    "sides are deterministic int64, so the eval itself hash-matches; "
+    "the oracle's candidate side is composed verbatim from the "
+    "registered similarity_ann_ivfpq oracle, so index and eval cannot "
+    "drift.  Ground truth is the only quadratic piece — query-sampled, "
+    "never corpus x corpus.",
+)
+def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    ivfpq_top = similarity_ann_ivfpq(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = e.filter(F.col("vec_id") % 97 == 0).collect()
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = _q6_i64([r["embedding"] for r in qrows])
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def exact_dists(batches):
+        import numpy as np  # self-contained: closure ships by value
+
+        qi, qm = bc.value
+        for batch in batches:
+            ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            flat = batch.column("embedding").flatten().to_numpy(
+                zero_copy_only=False
+            )
+            y = flat.astype(np.float64).reshape(-1, 64) * 1_000_000.0
+            mat = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+            d = (
+                (qm * qm).sum(axis=1)[:, None]
+                - 2 * (qm @ mat.T)
+                + (mat * mat).sum(axis=1)[None, :]
+            )
+            qq, vv = np.meshgrid(
+                np.arange(len(qi)), np.arange(len(ids)), indexing="ij"
+            )
+            qq, vv = qq.ravel(), vv.ravel()
+            keep = qi[qq] != ids[vv]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qi[qq][keep], type=pa.int64()),
+                    pa.array(ids[vv][keep], type=pa.int64()),
+                    pa.array(d[qq, vv][keep], type=pa.int64()),
+                ],
+                ["query_id", "vec_id", "dist"],
+            )
+
+    exact = e.mapInArrow(exact_dists, "query_id long, vec_id long, dist long")
+    w = Wnd.partitionBy("query_id").orderBy("dist", "vec_id")
+    exact_top = (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "vec_id")
+    )
+    hit = F.col("neighbor_id").isNotNull().cast("int")
+    return (
+        exact_top.join(
+            F.broadcast(ivfpq_top),
+            (ivfpq_top.query_id == exact_top.query_id)
+            & (ivfpq_top.neighbor_id == exact_top.vec_id),
+            "left_outer",
+        )
+        .drop(ivfpq_top.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.sum(hit).cast("bigint").alias("n_hits"),
+            F.round(F.sum(hit).cast("double") / 3, 6).alias("recall_at_3"),
+        )
+    )
+
+
+QUERIES["similarity_ivfpq_recall"].oracle = QUERIES[
+    "similarity_ivfpq_recall"
+].oracle.format(ivfpq_oracle=QUERIES["similarity_ann_ivfpq"].oracle)
