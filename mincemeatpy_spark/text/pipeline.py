@@ -1206,3 +1206,181 @@ def corpus_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("q").cast("bigint").alias("min_quality"),
         F.max("cum_incl").cast("bigint").alias("tokens_consumed"),
     )
+
+
+@register(
+    "rag_chunk_index_retrieve",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(text, '\\s+') AS w
+            FROM documents
+        ),
+        sized AS (
+            SELECT doc_id, w,
+                   CASE WHEN len(w) <= 32 THEN 1
+                        ELSE (len(w) - 32 + 23) // 24 + 1 END AS nc
+            FROM toks WHERE len(w) >= 1
+        ),
+        chunks AS (
+            SELECT doc_id, i AS chunk_idx,
+                   array_to_string(w[i*24 + 1 : i*24 + 32], ' ') AS ctext
+            FROM (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS i
+                  FROM sized)
+        ),
+        emb AS (
+            SELECT doc_id, chunk_idx,
+                   list_transform(generate_series(1, 16),
+                       d -> ('0x' || substring(md5('emb:' || CAST(d AS VARCHAR)
+                                 || ':' || ctext), 1, 15))::BIGINT
+                            % 2001 - 1000) AS e
+            FROM chunks
+        ),
+        cent AS (
+            SELECT doc_id AS c, e AS ce FROM emb
+            WHERE doc_id < 4 AND chunk_idx = 0
+        ),
+        assign AS (
+            SELECT doc_id, chunk_idx, c AS lst
+            FROM (SELECT x.doc_id, x.chunk_idx, cent.c,
+                         row_number() OVER (
+                             PARTITION BY x.doc_id, x.chunk_idx
+                             ORDER BY list_sum(list_transform(
+                                 generate_series(1, 16),
+                                 d -> (x.e[d] - cent.ce[d])
+                                    * (x.e[d] - cent.ce[d]))), cent.c) AS rn
+                  FROM emb x, cent)
+            WHERE rn = 1
+        ),
+        q AS (SELECT e AS qe FROM emb WHERE doc_id = 7 AND chunk_idx = 0),
+        probes AS (
+            SELECT c FROM (
+                SELECT cent.c,
+                       row_number() OVER (ORDER BY
+                           list_sum(list_transform(generate_series(1, 16),
+                               d -> (q.qe[d] - cent.ce[d])
+                                  * (q.qe[d] - cent.ce[d]))), cent.c) AS rn
+                FROM cent, q)
+            WHERE rn <= 2
+        )
+        SELECT CAST(rk AS BIGINT) AS rank, doc_id, chunk_idx,
+               CAST(dist AS BIGINT) AS dist
+        FROM (SELECT x.doc_id, x.chunk_idx,
+                     list_sum(list_transform(generate_series(1, 16),
+                         d -> (x.e[d] - q.qe[d]) * (x.e[d] - q.qe[d]))) AS dist,
+                     row_number() OVER (ORDER BY
+                         list_sum(list_transform(generate_series(1, 16),
+                             d -> (x.e[d] - q.qe[d]) * (x.e[d] - q.qe[d]))),
+                         x.doc_id, x.chunk_idx) AS rk
+              FROM emb x
+              JOIN assign a ON a.doc_id = x.doc_id
+                           AND a.chunk_idx = x.chunk_idx
+              CROSS JOIN q
+              WHERE a.lst IN (SELECT c FROM probes)
+                AND NOT (x.doc_id = 7 AND x.chunk_idx = 0))
+        WHERE rk <= 5
+        """,
+    category="text",
+    doc="RAG ingestion END TO END in one declarative plan: documents → "
+    "32-token chunks (stride 24, the text_chunk_overlap arithmetic) → "
+    "deterministic hash-projection embeddings (16 dims of salted-md5 "
+    "integers — the stub for a model encoder, same role as the "
+    "multimodal decode stub: the Spark-side plumbing is real, the "
+    "model is swappable) → 4-centroid IVF assignment → nprobe=2 "
+    "retrieval of the top-5 chunks for a query chunk.  Everything is "
+    "exact integer arithmetic, so the full chunk→embed→index→retrieve "
+    "chain hash-matches the oracle.  The corpus side is ONE linear "
+    "pass (chunk + embed + assign are scan-side against 4 broadcast "
+    "centroids); only centroid seeds and the query are bounded picks.  "
+    "At 100 TB: swap the hash embed for an Arrow-batched encoder "
+    "(vector_quantize_int8's kernel shape), keep the plan.",
+)
+def rag_chunk_index_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.text.dedup import _hash60
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", r"\s+").alias("w")
+    ).filter(F.size("w") >= 1)
+    nc = F.when(F.size("w") <= 32, F.lit(1)).otherwise(
+        F.expr("(size(w) - 32 + 23) div 24 + 1")
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), nc - 1)).alias("chunk_idx"),
+        "w",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(
+            " ", F.expr("slice(w, chunk_idx * 24 + 1, 32)")
+        ).alias("ctext"),
+    )
+    emb = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.array(
+            *[
+                (
+                    _hash60(
+                        F.concat(
+                            F.lit(f"emb:{d}:"), F.col("ctext")
+                        )
+                    )
+                    % 2001
+                    - 1000
+                )
+                for d in range(1, 17)
+            ]
+        ).alias("e"),
+    ).localCheckpoint(eager=True)
+
+    def l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    cent = F.broadcast(
+        emb.filter((F.col("doc_id") < 4) & (F.col("chunk_idx") == 0)).select(
+            F.col("doc_id").alias("c"), F.col("e").alias("ce")
+        )
+    )
+    # nearest centroid per chunk: min (dist, c) struct — one aggregate,
+    # no per-chunk window.
+    assign = (
+        emb.crossJoin(cent)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.struct(l2(F.col("e"), F.col("ce")).alias("d"), F.col("c")).alias(
+                "dc"
+            ),
+        )
+        .groupBy("doc_id", "chunk_idx")
+        .agg(F.min("dc").alias("dc"))
+        .select("doc_id", "chunk_idx", F.col("dc.c").alias("lst"))
+    )
+    q = F.broadcast(
+        emb.filter((F.col("doc_id") == 7) & (F.col("chunk_idx") == 0)).select(
+            F.col("e").alias("qe")
+        )
+    )
+    probes = F.broadcast(
+        cent.crossJoin(q)
+        .select("c", l2(F.col("ce"), F.col("qe")).alias("d"))
+        .orderBy("d", "c")
+        .limit(2)
+        .select(F.col("c").alias("plst"))
+    )
+    cand = (
+        emb.join(assign, ["doc_id", "chunk_idx"])
+        .join(probes, F.col("lst") == F.col("plst"))
+        .filter(~((F.col("doc_id") == 7) & (F.col("chunk_idx") == 0)))
+        .crossJoin(q)
+        .select("doc_id", "chunk_idx", l2(F.col("e"), F.col("qe")).alias("dist"))
+    )
+    top = cand.orderBy("dist", "doc_id", "chunk_idx").limit(5)
+    w = W.orderBy("dist", "doc_id", "chunk_idx")  # 5 rows — safe
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "rank", "doc_id", "chunk_idx", F.col("dist").cast("bigint").alias("dist")
+    )

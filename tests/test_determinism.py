@@ -84,6 +84,7 @@ _RISKIEST = [
     "text_suffix_array",
     "events_bootstrap_ci",
     "bpe_train_3merges",
+    "rag_chunk_index_retrieve",
 ]
 
 
