@@ -85,6 +85,11 @@ _RISKIEST = [
     "events_bootstrap_ci",
     "bpe_train_3merges",
     "rag_chunk_index_retrieve",
+    "similarity_ivfpq_recall",
+    "graph_link_prediction_jaccard",
+    "events_markov_eval_holdout",
+    "graph_modularity",
+    "ann_index_incremental_add",
 ]
 
 
