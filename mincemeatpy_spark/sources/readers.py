@@ -519,3 +519,90 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(F.col("value") * 100)).cast("bigint").alias("cents"),
     )
+
+
+@register(
+    "source_csv_gzip",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n,
+               CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        FROM customer
+        GROUP BY c_mktsegment
+        """,
+    category="source",
+    doc="Gzip-compressed CSV ingest — the format raw data dumps actually "
+    "arrive in.  Spark reads .csv.gz transparently (codec from the "
+    "extension), but gzip is NOT SPLITTABLE: one file = one task no "
+    "matter its size, so a single 100 GB .gz serializes an entire "
+    "executor.  The write side therefore partitions FIRST (4 output "
+    "files here) so the read back parallelizes per file — the "
+    "operational rule at scale: many ~100 MB-1 GB gzip members (or a "
+    "splittable codec like bzip2/zstd-seekable) instead of one "
+    "monolith.  Values survive compression + text encoding exactly; "
+    "the aggregate hash-matches the parquet-sourced oracle.",
+)
+def source_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "customer_csv_gz")
+    (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .repartition(4)  # pre-split: each gzip member is one read task
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("compression", "gzip")
+        .csv(path)
+    )
+    back = (
+        spark.read.schema("c_custkey bigint, c_mktsegment string")
+        .option("header", True)
+        .csv(path)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+    )
+
+
+@register(
+    "source_json_multiline",
+    oracle="""
+        SELECT r_regionkey, r_name
+        FROM region
+        """,
+    category="source",
+    doc="multiLine JSON ingest (one file = one JSON ARRAY, not "
+    "json-lines) — the shape API exports and config dumps arrive in.  "
+    "multiLine=true makes the whole file a single record boundary, so "
+    "the file is NOT SPLITTABLE and is parsed by one task: correct for "
+    "the small documents the format is used for, and exactly the "
+    "reason bulk data should be json-lines (source_json_roundtrip) — "
+    "the caveat is the content of this demo.  The array is written "
+    "driver-side from the 5-row region dim (bounded by construction) "
+    "and every field survives the roundtrip.",
+)
+def source_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    path = _scratch(sf_dir, "region_json_array")
+    rows = (
+        t(spark, sf_dir, "region")
+        .select("r_regionkey", "r_name")
+        .collect()
+    )  # 5-row dimension — bounded
+    os.makedirs(path, exist_ok=True)
+    fpath = os.path.join(path, "region.json")
+    tmp = fpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            [
+                {"r_regionkey": r["r_regionkey"], "r_name": r["r_name"]}
+                for r in sorted(rows, key=lambda r: r["r_regionkey"])
+            ],
+            f,
+        )
+    os.replace(tmp, fpath)
+    return (
+        spark.read.schema("r_regionkey bigint, r_name string")
+        .option("multiLine", True)
+        .json(fpath)
+    )
