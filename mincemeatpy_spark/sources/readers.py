@@ -606,3 +606,51 @@ def source_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("multiLine", True)
         .json(fpath)
     )
+
+
+@register(
+    "source_text_fixedwidth",
+    oracle="""
+        SELECT n_regionkey,
+               count(*) AS n,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+               min(trim(n_name)) AS first_name
+        FROM nation
+        GROUP BY n_regionkey
+        """,
+    category="source",
+    doc="Fixed-width record ingest — the mainframe/legacy-export format "
+    "with no delimiters at all: columns live at byte offsets "
+    "(nationkey 1-4, name 5-29, regionkey 30-33 here).  The parse is "
+    "spark.read.text + substring/trim/cast column expressions — pure "
+    "scan-side whole-stage codegen, no UDF, and the text source splits "
+    "by line so the read parallelizes like any delimited file.  The "
+    "writer pads with the same layout (format_string), and the "
+    "aggregate hash-matches the parquet-sourced oracle, proving the "
+    "offset arithmetic on both sides.",
+)
+def source_text_fixedwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "nation_fixedwidth")
+    (
+        t(spark, sf_dir, "nation")
+        .select(
+            F.format_string(
+                "%4d%-25s%4d",
+                F.col("n_nationkey"),
+                F.col("n_name"),
+                F.col("n_regionkey"),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(path)
+    )
+    back = spark.read.text(path).select(
+        F.substring("value", 1, 4).cast("int").alias("n_nationkey"),
+        F.trim(F.substring("value", 5, 25)).alias("n_name"),
+        F.substring("value", 30, 4).cast("int").alias("n_regionkey"),
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        F.min("n_name").alias("first_name"),
+    )
