@@ -2636,3 +2636,88 @@ def events_markov_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("accuracy"),
         )
     )
+
+
+@register(
+    "funnel_windowed_conversion",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, min(ts) AS t_signup
+            FROM events WHERE event_type = 'signup'
+            GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN s ON s.user_id = e.user_id
+            WHERE e.event_type = 'click'
+              AND e.ts > s.t_signup
+              AND e.ts <= s.t_signup + INTERVAL 7 DAY
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase'
+              AND e.ts > c.t_click
+              AND e.ts <= c.t_click + INTERVAL 7 DAY
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM s) AS n_signup,
+               (SELECT count(*) FROM c) AS n_click_7d,
+               (SELECT count(*) FROM p) AS n_purchase_7d,
+               CAST((SELECT count(*) FROM p) * 1000000
+                    // (SELECT count(*) FROM s) AS BIGINT) AS conv_ppm
+        """,
+    category="behavioral",
+    doc="Time-WINDOWED funnel: signup -> first click within 7 days -> "
+    "first purchase within 7 days OF THAT CLICK — the bounded-window "
+    "form product analytics actually reports (funnel_conversion is the "
+    "unbounded lifetime form; the window changes the answer because a "
+    "stage completed late no longer counts).  Each stage is one "
+    "user-keyed aggregate joined forward, so all three stages reuse "
+    "the same user_id shuffle key; the stage tables shrink "
+    "monotonically and AQE broadcasts them into the next stage's "
+    "probe.  Conversion emits in exact integer ppm.",
+)
+def funnel_windowed_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_signup"))
+            & (F.col("ts") <= F.col("t_signup") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    ns = F.broadcast(s.agg(F.count(F.lit(1)).alias("n_signup")))
+    nc = F.broadcast(c.agg(F.count(F.lit(1)).alias("n_click_7d")))
+    np_ = F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchase_7d")))
+    return (
+        ns.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_signup",
+            "n_click_7d",
+            "n_purchase_7d",
+            F.expr("n_purchase_7d * 1000000 div n_signup")
+            .cast("bigint")
+            .alias("conv_ppm"),
+        )
+    )
