@@ -340,3 +340,81 @@ def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "udtf_dynamic_schema",
+    oracle="""
+        SELECT event_type,
+               CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+               CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+               CAST(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+               CAST(sum(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+        FROM (SELECT event_type,
+                     least(greatest(CAST(floor(value / 25) AS BIGINT), 0), 3)
+                         AS b
+              FROM events WHERE value IS NOT NULL)
+        GROUP BY event_type
+        """,
+    category="udf",
+    doc="DYNAMIC-SCHEMA polymorphic UDTF (Spark 4 analyze()): the output "
+    "schema is computed at PLAN time from a constant argument — "
+    "hist_by_type(4, TABLE(...)) emits event_type plus FOUR bucket "
+    "columns because analyze() read the literal 4; call it with 8 and "
+    "the relation has eight, no code change.  This is the API "
+    "completion of udtf_table_argument (fixed schema, ordered "
+    "partitions): together they cover the full Spark 4 UDTF surface "
+    "the reference's reducefn maps onto.  One instance per PARTITION "
+    "BY group accumulates O(n_buckets) state and emits a single row "
+    "at terminate() — counts are order-independent, so no ORDER BY "
+    "and no sort.  Bucket arithmetic (floor(value/25) clamped) is a "
+    "single IEEE division identical in Python, Spark, and DuckDB.",
+)
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    class HistByType:
+        @staticmethod
+        def analyze(n_arg, table_arg):
+            from pyspark.sql.functions import AnalyzeResult
+            from pyspark.sql.types import LongType, StringType, StructType
+
+            k = n_arg.value
+            schema = StructType().add("event_type", StringType())
+            for i in range(k):
+                schema = schema.add(f"b{i}", LongType())
+            return AnalyzeResult(schema=schema)
+
+        def __init__(self) -> None:
+            self.counts: list[int] | None = None
+            self.et = None
+
+        def eval(self, n: int, row):
+            import math
+
+            if self.counts is None:
+                self.counts = [0] * n
+            v = row["value"]
+            if v is None:
+                return
+            self.et = row["event_type"]
+            b = min(max(int(math.floor(v / 25)), 0), n - 1)
+            self.counts[b] += 1
+
+        def terminate(self):
+            if self.et is not None:
+                yield (self.et, *self.counts)
+
+    spark.udtf.register("hist_by_type", udtf(HistByType))
+    (
+        t(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .createOrReplaceTempView("events_hist_v")
+    )
+    return spark.sql(
+        """
+        SELECT * FROM hist_by_type(
+            4, TABLE(events_hist_v) PARTITION BY event_type
+        )
+        """
+    )
