@@ -405,7 +405,7 @@ def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
             if self.et is not None:
                 yield (self.et, *self.counts)
 
-    spark.udtf.register("hist_by_type", udtf(HistByType))
+    spark.udtf.register("hist_by_type", udtf(HistByType, useArrow=True))
     (
         t(spark, sf_dir, "events")
         .select("event_type", "value")
