@@ -264,8 +264,9 @@ class Client:
     at the same port (checking ``self.password``, the reference's HMAC
     handshake outcome) and blocks until that run completes, exactly
     when the reference's ``conn`` returns (server closes the socket,
-    mincemeat.py:148-150).  With no server running it returns
-    immediately — the cluster has no work for an external worker.
+    mincemeat.py:148-150).  With no server running it warns and
+    returns ``False`` — the cluster has no work for an external
+    worker, and the no-op is visible rather than a silent success.
     Cross-process worker scripts simply exit; their machines join a
     real deployment as Spark executors instead (O15 maps to
     spark-submit, SURVEY.md §2a).
@@ -274,10 +275,25 @@ class Client:
     def __init__(self) -> None:
         self.password = ""
 
-    def conn(self, server: str = "localhost", port: int | None = None) -> None:
+    def conn(self, server: str = "localhost", port: int | None = None) -> bool:
+        """Returns True after rendezvousing with a completed in-process
+        server run; False (with a warning) when no server is registered
+        — a cross-process worker invocation is then VISIBLY a no-op,
+        not a silent success (the reference worker would block trying
+        to reach a real socket, mincemeat.py:148-150)."""
         run = _SERVER_RUNS.get(port or _DEFAULT_PORT)
         if run is None:
-            return  # no in-process server: nothing for a worker to do
+            import warnings
+
+            warnings.warn(
+                "Client.conn: no in-process Server.run_server is "
+                "registered at this port — nothing for a worker to do. "
+                "Cross-process workers join a Spark deployment as "
+                "executors (spark-submit), not via this compat shim.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return False
         if run.password != self.password:
             # the reference's failed HMAC handshake closes the channel
             raise ConnectionRefusedError(
@@ -285,6 +301,7 @@ class Client:
                 "the running server (reference mincemeat.py:99-128)"
             )
         run.done.wait()
+        return True
 
 
 def pipeline(

@@ -105,6 +105,60 @@ def decode_image_real(payload: bytes) -> dict:
     )
 
 
+def decode_audio_real(payload: bytes) -> dict:
+    """Real, dependency-free audio decode for the one format a
+    from-scratch parser can own: RIFF/WAVE containing uncompressed
+    PCM16 little-endian.  Walks the chunk list (word-aligned sizes,
+    unknown chunks like LIST/INFO skipped — real WAV files carry them),
+    parses the ``fmt `` chunk, and decodes the ``data`` chunk's int16
+    samples.  Returns ``{sample_rate, n_channels, n_samples,
+    sample_sum, energy}`` with the sums computed over the REAL sample
+    array in exact integer arithmetic (energy = sum of squares, <= 2^22
+    per sample, exact in int64 up to ~2^41 samples).
+
+    Compressed codecs (MP3/AAC/FLAC/...) genuinely need a library not
+    in this container — only those still raise ``NotImplementedError``.
+    ``multimodal_decode_audio_real`` drives this decoder end-to-end
+    through the same Arrow stage as the PPM/BMP image path.
+    """
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "compressed audio containers (MP3/AAC/FLAC/...) need a codec "
+            "library not present in this environment; RIFF/WAVE PCM16 "
+            "decodes natively here"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, ch, rate, _br, _align, bits = struct.unpack_from(
+                "<HHIIHH", body
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    "only uncompressed PCM16 WAVE is supported natively"
+                )
+            fmt = (ch, rate)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("malformed WAVE: missing fmt/data chunk")
+    ch, rate = fmt
+    samples = struct.unpack(f"<{len(data) // 2}h", data)
+    return {
+        "sample_rate": rate,
+        "n_channels": ch,
+        "n_samples": len(samples),
+        "sample_sum": sum(samples),
+        "energy": sum(s * s for s in samples),
+    }
+
+
 def fake_decode_meta(payload: bytes) -> tuple[int, int, int, str]:
     """Deterministic stand-in for an image decoder: metadata derived
     purely from the byte content, so tests and oracles are stable."""
@@ -302,6 +356,113 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id long, fmt string, width long, height long, "
             "mean_r long, mean_g long, mean_b long"
+        ),
+    )
+
+
+@register(
+    "multimodal_decode_audio_real",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   doc_id % 2 + 1            AS ch,
+                   n_chars % 32 + 4          AS nfr,
+                   8000 + (doc_id % 4) * 4000 AS rate
+            FROM documents
+        ),
+        samples AS (
+            SELECT b.doc_id, b.ch, b.rate,
+                   ((b.doc_id * 131 + i.i * 17 + c.c * 7) % 4096) - 2048 AS s
+            FROM base b,
+                 LATERAL unnest(generate_series(0, b.nfr - 1)) AS i(i),
+                 LATERAL unnest(generate_series(0, b.ch - 1)) AS c(c)
+        )
+        SELECT doc_id,
+               CAST(any_value(rate) AS BIGINT) AS sample_rate,
+               CAST(any_value(ch) AS BIGINT)   AS n_channels,
+               CAST(count(*) AS BIGINT)        AS n_samples,
+               CAST(sum(s) AS BIGINT)          AS sample_sum,
+               CAST(sum(s * s) AS BIGINT)      AS energy
+        FROM samples
+        GROUP BY doc_id
+        """,
+    category="multimodal",
+    doc="REAL audio bytes end-to-end through the same Arrow plumbing as "
+    "the PPM/BMP image path (VERDICT r5 task 4): stage 1 encodes a "
+    "genuine RIFF/WAVE PCM16 file per document — sample rate, channel "
+    "count, frame count and every int16 sample derived "
+    "deterministically from the base columns, with a LIST/INFO chunk "
+    "inserted before data for doc_id % 3 == 0 so the chunk walk is "
+    "exercised, not just assumed; stage 2 runs decode_audio_real, the "
+    "dependency-free parser, which walks the word-aligned chunk list, "
+    "reads the actual fmt header and decodes the interleaved sample "
+    "array.  The oracle recomputes rate/channels/count and the exact "
+    "integer sample-sum and energy from the SAME base columns, so a "
+    "decoder that mis-parses a header field, chunk size or sample "
+    "byte order goes red.  The NotImplementedError gate now covers "
+    "only genuinely compressed codecs (MP3/AAC/FLAC).  Both stages "
+    "are narrow mapInPandas passes — bytes stream batch-wise through "
+    "Arrow, never to the driver.",
+)
+def multimodal_decode_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        def make_wav(doc_id, n_chars):
+            ch = doc_id % 2 + 1
+            nfr = n_chars % 32 + 4
+            rate = 8000 + (doc_id % 4) * 4000
+            vals = [
+                ((doc_id * 131 + i * 17 + c * 7) % 4096) - 2048
+                for i in range(nfr)
+                for c in range(ch)
+            ]
+            data = struct.pack(f"<{len(vals)}h", *vals)
+            fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+            chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            if doc_id % 3 == 0:  # unknown chunk the parser must skip
+                chunks += b"LIST" + struct.pack("<I", 6) + b"INFOab"
+            chunks += b"data" + struct.pack("<I", len(data)) + data
+            return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+        for pdf in batches:
+            payloads = [
+                make_wav(int(i), int(n))
+                for i, n in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    encoded = d.mapInPandas(encode, schema="doc_id long, payload binary")
+
+    dec = _ship_by_value(decode_audio_real)
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            metas = [dec(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "sample_rate": [m["sample_rate"] for m in metas],
+                    "n_channels": [m["n_channels"] for m in metas],
+                    "n_samples": [m["n_samples"] for m in metas],
+                    "sample_sum": [m["sample_sum"] for m in metas],
+                    "energy": [m["energy"] for m in metas],
+                }
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, sample_rate long, n_channels long, "
+            "n_samples long, sample_sum long, energy long"
         ),
     )
 

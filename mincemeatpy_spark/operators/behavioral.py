@@ -2385,9 +2385,12 @@ def features_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
     "behind alerting baselines and seasonality-adjusted dashboards.  "
     "Weights are 2^-j via integer shift + division, so every term, "
     "every partial sum, and the final ratio are EXACTLY representable "
-    "doubles (counts < 2^40, 12 fractional bits → < 53 significand "
-    "bits): the sum is order-independent and the oracle hash-compare "
-    "exact, where a generic float EWMA would drift by summation order.  "
+    "doubles while daily counts stay below ~2^37 (~1.4e11/day: a term "
+    "needs up to 37+12 fractional+integer bits and the 13-term sum can "
+    "carry ~4 more, staying under the 53-bit significand): the sum is "
+    "order-independent and the oracle hash-compare exact, where a "
+    "generic float EWMA would drift by summation order.  Past that "
+    "scale, accumulate in 2^-12 fixed-point int64 and divide once.  "
     "Plan: events collapse to day grain first (one fact shuffle), then "
     "the bounded 13x day-to-day expansion joins day-scale tables only "
     "— at 100 TB the smoothing cost is independent of event count.",

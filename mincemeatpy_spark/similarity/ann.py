@@ -37,6 +37,23 @@ _POW2_60 = float(2**60)
 _EVAL_MOD = 4
 _EVAL_CAP = 50_000
 
+# Same hash-cap discipline for the PQ-family QUERY sets: vec_id % _PQ_QMOD
+# == 0 AND vec_id < _PQ_QMOD * _PQ_QCAP bounds the driver-collected query
+# sample (and therefore the broadcast [8][nq][16] distance tables and the
+# per-batch O(nq * n) ADC kernels) to <= _PQ_QCAP queries at ANY corpus
+# size, instead of an unbounded 1/97 corpus fraction.  A pure scan-pushed
+# predicate; every PQ oracle applies the identical one.
+_PQ_QMOD = 97
+_PQ_QCAP = 1_000
+
+
+def _pq_queries(e: DataFrame) -> DataFrame:
+    """The bounded PQ query sample (<= _PQ_QCAP rows at any scale)."""
+    return e.filter(
+        (F.col("vec_id") % _PQ_QMOD == 0)
+        & (F.col("vec_id") < _PQ_QMOD * _PQ_QCAP)
+    )
+
 
 def _q6_i64(x):
     """Quantize doubles to int64 micro-units with HALF-AWAY-FROM-ZERO
@@ -748,7 +765,8 @@ def ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM sub)
             WHERE rn = 1
         ),
-        queries AS (SELECT vec_id AS query_id, e FROM q WHERE vec_id % 97 = 0),
+        queries AS (SELECT vec_id AS query_id, e FROM q
+                    WHERE vec_id % 97 = 0 AND vec_id < 97000),
         qd AS (
             SELECT qu.query_id, a.vec_id, a.s,
                    list_sum(list_transform(generate_series(1, 8),
@@ -799,7 +817,7 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = _q6_i64(
         [r["embedding"] for r in sorted(rows, key=lambda r: r["vec_id"])]
     )  # [16][64]
-    qrows = e.filter(F.col("vec_id") % 97 == 0).collect()
+    qrows = _pq_queries(e).collect()  # <= _PQ_QCAP rows at any corpus size
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = _q6_i64([r["embedding"] for r in qrows])
     # Per-subspace query→codeword distance tables: [8][nq][16]
@@ -882,7 +900,8 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM sub)
             WHERE rn = 1
         ),
-        queries AS (SELECT vec_id AS query_id, e FROM q WHERE vec_id % 97 = 0),
+        queries AS (SELECT vec_id AS query_id, e FROM q
+                    WHERE vec_id % 97 = 0 AND vec_id < 97000),
         qd AS (
             SELECT qu.query_id, a.vec_id, a.s,
                    list_sum(list_transform(generate_series(1, 8),
@@ -938,7 +957,7 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_top = similarity_ann_pq(spark, sf_dir).select("query_id", "neighbor_id")
 
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    qrows = e.filter(F.col("vec_id") % 97 == 0).collect()
+    qrows = _pq_queries(e).collect()  # <= _PQ_QCAP rows at any corpus size
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     # half-away-from-zero micro-quantization (matches the oracle's round())
     q_mat = _q6_i64([r["embedding"] for r in qrows])
@@ -1869,7 +1888,8 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM sub)
             WHERE rn = 1
         ),
-        queries AS (SELECT vec_id AS query_id, e FROM q WHERE vec_id % 97 = 0),
+        queries AS (SELECT vec_id AS query_id, e FROM q
+                    WHERE vec_id % 97 = 0 AND vec_id < 97000),
         probes AS (
             SELECT query_id, c AS lst
             FROM (SELECT qu.query_id, c.c,
@@ -1946,7 +1966,7 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     a16 = ((m16[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
     book = m16 - cc[a16]  # [16][64]
 
-    qrows = e.filter(F.col("vec_id") % 97 == 0).collect()
+    qrows = _pq_queries(e).collect()  # <= _PQ_QCAP rows at any corpus size
     q_ids = np.array(
         sorted(r["vec_id"] for r in qrows), dtype=np.int64
     )
@@ -2141,7 +2161,8 @@ def ann_index_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS e
             FROM embeddings
         ),
-        queries AS (SELECT vec_id AS query_id, e FROM q WHERE vec_id % 97 = 0),
+        queries AS (SELECT vec_id AS query_id, e FROM q
+                    WHERE vec_id % 97 = 0 AND vec_id < 97000),
         exact_top AS (
             SELECT query_id, vec_id
             FROM (SELECT qu.query_id, v.vec_id,
@@ -2183,7 +2204,7 @@ def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    qrows = e.filter(F.col("vec_id") % 97 == 0).collect()
+    qrows = _pq_queries(e).collect()  # <= _PQ_QCAP rows at any corpus size
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = _q6_i64([r["embedding"] for r in qrows])
     bc = spark.sparkContext.broadcast((q_ids, q_mat))

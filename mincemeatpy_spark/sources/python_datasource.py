@@ -531,7 +531,10 @@ def _stage_warc(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
 @register(
     "source_warc_datasource",
     oracle="""
-        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_bytes, text
+        -- octet_length(encode(..)) = UTF-8 BYTE length, matching the
+        -- Content-Length the reader parses; n_chars would silently
+        -- diverge on the first non-ASCII fixture document.
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, text
         FROM documents WHERE doc_id < 500
         """,
     category="source",

@@ -254,6 +254,16 @@ def click_purchase_join_stream(
     state removal in the symmetric hash join is ``<``, measured by the
     probe documented in NOTES_r05.md: the max-click_ts row itself never
     expires because its own arrival pins W an hour behind it).
+
+    ``how="rightOuter"`` emits a null-click row for each purchase whose
+    state expires unmatched — and the purchase-side rule differs in
+    strictness: a purchase emits once ``purchase_ts <= W`` (NON-strict,
+    measured at the millisecond boundary, NOTES_r06.md — the engine
+    derives the purchase buffer's expiry from ``purchase_ts >
+    click_ts``: a purchase at exactly W can no longer meet a future
+    click, whose event time is already >= W).  ``how="fullOuter"``
+    applies both rules.  The output ``user_id`` coalesces the two
+    sides' keys so outer rows keep their key (identity for inner/left).
     """
     clicks = (
         events.filter(F.col("event_type") == "click")
@@ -279,7 +289,13 @@ def click_purchase_join_stream(
         & (F.col("purchase_ts") > F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
         how,
-    ).select("user_id", "click_id", "click_ts", "purchase_ts", "purchase_value")
+    ).select(
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
 
 
 def ensure_protobuf(spark: SparkSession) -> bool:

@@ -475,22 +475,85 @@ def stream_user_stats_tws_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ssjoin_oracle(null_clicks: bool, null_purchases: bool) -> str:
+    """ONE source of truth for all four stream-stream join oracles, so
+    the measured watermark rule cannot drift between join types.
+
+    Measured emission rules (probes in NOTES_r05.md / NOTES_r06.md,
+    Spark 4.1.2 StreamingSymmetricHashJoinExec, ms-boundary checked):
+
+    - global watermark ``W = min(max click_ts, max purchase_ts) - delay``
+      (each withWatermark column tracks its own max; the engine takes
+      the min across inputs);
+    - an unmatched CLICK emits its null-purchase row iff
+      ``click_ts + horizon < W`` — STRICT (state removal is ``<``);
+    - an unmatched PURCHASE emits its null-click row iff
+      ``purchase_ts <= W`` — NON-strict (the purchase buffer's expiry
+      derives from ``purchase_ts > click_ts``: a purchase at exactly W
+      cannot meet any future click, whose event time is already >= W).
+
+    ``null_clicks`` adds the unmatched-click branch (left/full outer);
+    ``null_purchases`` the unmatched-purchase branch (right/full outer).
+    """
+    sql = """
+        WITH wm AS (
+            SELECT least(
+                (SELECT max(ts) FROM events WHERE event_type = 'click'),
+                (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+            ) - INTERVAL 1 HOUR AS w
+        ),
+        matched AS (
+            SELECT c.user_id,
+                   c.event_id AS click_id,
+                   c.ts       AS click_ts,
+                   p.ts       AS purchase_ts,
+                   p.value    AS purchase_value
+            FROM events c
+            JOIN events p
+              ON p.user_id = c.user_id
+             AND p.ts >  c.ts
+             AND p.ts <= c.ts + INTERVAL 10 MINUTE
+            WHERE c.event_type = 'click'
+              AND p.event_type = 'purchase'
+        )
+        SELECT * FROM matched"""
+    if null_clicks:
+        sql += """
+        UNION ALL
+        SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+               CAST(NULL AS TIMESTAMP) AS purchase_ts,
+               CAST(NULL AS DOUBLE)    AS purchase_value
+        FROM events c
+        WHERE c.event_type = 'click'
+          AND NOT EXISTS (
+              SELECT 1 FROM events p
+              WHERE p.event_type = 'purchase'
+                AND p.user_id = c.user_id
+                AND p.ts >  c.ts
+                AND p.ts <= c.ts + INTERVAL 10 MINUTE)
+          AND c.ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)"""
+    if null_purchases:
+        sql += """
+        UNION ALL
+        SELECT p.user_id,
+               CAST(NULL AS BIGINT)    AS click_id,
+               CAST(NULL AS TIMESTAMP) AS click_ts,
+               p.ts AS purchase_ts, p.value AS purchase_value
+        FROM events p
+        WHERE p.event_type = 'purchase'
+          AND NOT EXISTS (
+              SELECT 1 FROM events c
+              WHERE c.event_type = 'click'
+                AND c.user_id = p.user_id
+                AND p.ts >  c.ts
+                AND p.ts <= c.ts + INTERVAL 10 MINUTE)
+          AND p.ts <= (SELECT w FROM wm)"""
+    return sql
+
+
 @register(
     "stream_stream_join_e2e",
-    oracle="""
-        SELECT c.user_id,
-               c.event_id AS click_id,
-               c.ts       AS click_ts,
-               p.ts       AS purchase_ts,
-               p.value    AS purchase_value
-        FROM events c
-        JOIN events p
-          ON p.user_id = c.user_id
-         AND p.ts >  c.ts
-         AND p.ts <= c.ts + INTERVAL 10 MINUTE
-        WHERE c.event_type = 'click'
-          AND p.event_type = 'purchase'
-        """,
+    oracle=_ssjoin_oracle(null_clicks=False, null_purchases=False),
     category="streaming",
     doc="END-TO-END stream-stream interval join under the correctness "
     "gate: both sides are watermarked streams over the same file "
@@ -663,42 +726,7 @@ def stream_alert_debounce_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stream_left_outer_join_e2e",
-    oracle="""
-        WITH wm AS (
-            SELECT least(
-                (SELECT max(ts) FROM events WHERE event_type = 'click'),
-                (SELECT max(ts) FROM events WHERE event_type = 'purchase')
-            ) - INTERVAL 1 HOUR AS w
-        ),
-        matched AS (
-            SELECT c.user_id,
-                   c.event_id AS click_id,
-                   c.ts       AS click_ts,
-                   p.ts       AS purchase_ts,
-                   p.value    AS purchase_value
-            FROM events c
-            JOIN events p
-              ON p.user_id = c.user_id
-             AND p.ts >  c.ts
-             AND p.ts <= c.ts + INTERVAL 10 MINUTE
-            WHERE c.event_type = 'click'
-              AND p.event_type = 'purchase'
-        )
-        SELECT * FROM matched
-        UNION ALL
-        SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
-               CAST(NULL AS TIMESTAMP) AS purchase_ts,
-               CAST(NULL AS DOUBLE)    AS purchase_value
-        FROM events c
-        WHERE c.event_type = 'click'
-          AND NOT EXISTS (
-              SELECT 1 FROM events p
-              WHERE p.event_type = 'purchase'
-                AND p.user_id = c.user_id
-                AND p.ts >  c.ts
-                AND p.ts <= c.ts + INTERVAL 10 MINUTE)
-          AND c.ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
-        """,
+    oracle=_ssjoin_oracle(null_clicks=True, null_purchases=False),
     category="streaming",
     doc="END-TO-END stream-stream LEFT OUTER join under the correctness "
     "gate — the join mode whose semantics only exist in streaming: an "
@@ -727,6 +755,67 @@ def stream_stream_left_outer_join_e2e(
     return run_to_completion(
         click_purchase_join_stream(events_stream(spark, sf_dir), how="leftOuter"),
         "stream_stream_loj_e2e_sink",
+        mode="append",
+    )
+
+
+@register(
+    "stream_stream_right_outer_join_e2e",
+    oracle=_ssjoin_oracle(null_clicks=False, null_purchases=True),
+    category="streaming",
+    doc="END-TO-END stream-stream RIGHT OUTER join under the correctness "
+    "gate — completes the outer-join matrix with the left-outer twin.  "
+    "The purchase side's null-emission rule differs from the click "
+    "side's in STRICTNESS, which is exactly why all four join types "
+    "share one oracle helper (_ssjoin_oracle): an unmatched purchase "
+    "emits its null-click row iff purchase_ts <= W (non-strict, "
+    "measured at the millisecond boundary — the purchase buffer's "
+    "expiry derives from purchase_ts > click_ts, so a purchase at "
+    "exactly W cannot meet any future click), while an unmatched "
+    "click's rule is the strict click_ts + horizon < W.  The output "
+    "user_id coalesces both sides' keys so outer rows keep theirs.",
+)
+def stream_stream_right_outer_join_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        click_purchase_join_stream,
+        events_stream,
+        run_to_completion,
+    )
+
+    return run_to_completion(
+        click_purchase_join_stream(events_stream(spark, sf_dir), how="rightOuter"),
+        "stream_stream_roj_e2e_sink",
+        mode="append",
+    )
+
+
+@register(
+    "stream_stream_full_outer_join_e2e",
+    oracle=_ssjoin_oracle(null_clicks=True, null_purchases=True),
+    category="streaming",
+    doc="END-TO-END stream-stream FULL OUTER join under the correctness "
+    "gate: the union of both outer emission rules from one shared "
+    "oracle helper — unmatched clicks at the strict click_ts + "
+    "horizon < W, unmatched purchases at the non-strict purchase_ts "
+    "<= W, matched pairs identical to the batch interval self-join.  "
+    "One state store serves all three result classes; the hash gate "
+    "proves the engine neither duplicates a matched row into an outer "
+    "row nor drops an expiring one across micro-batches.",
+)
+def stream_stream_full_outer_join_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        click_purchase_join_stream,
+        events_stream,
+        run_to_completion,
+    )
+
+    return run_to_completion(
+        click_purchase_join_stream(events_stream(spark, sf_dir), how="fullOuter"),
+        "stream_stream_foj_e2e_sink",
         mode="append",
     )
 

@@ -32,12 +32,35 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Per-application parquet schema cache: the first read of a path infers
 # the schema (one tiny footer-read job); every later read passes the
 # cached schema explicitly, so re-building a query plan launches ZERO
-# driver jobs.  Keyed by applicationId so a fresh session re-infers.
-_SCHEMAS: dict[tuple[str, str], object] = {}
+# driver jobs.  Keyed by applicationId so a fresh session re-infers,
+# and by the file set's (size, mtime) fingerprint so a fixture
+# regenerated IN-PLACE during one application (the build loop does
+# this; ts encodings have flipped between int64-nanos and timestamp
+# across fixture writers) re-infers instead of silently misreading
+# with a stale schema.
+_SCHEMAS: dict[tuple, object] = {}
+
+
+def _path_fingerprint(path: str) -> tuple:
+    """(size, mtime_ns) over the parquet file-or-directory — cheap
+    driver-local stat calls, no Spark job."""
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return (st.st_size, st.st_mtime_ns)
+        parts = []
+        for f in sorted(os.listdir(path)):
+            if f.startswith(("_", ".")):
+                continue
+            s = os.stat(os.path.join(path, f))
+            parts.append((f, s.st_size, s.st_mtime_ns))
+        return tuple(parts)
+    except OSError:
+        return ("missing",)
 
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, path)
+    key = (spark.sparkContext.applicationId, path, _path_fingerprint(path))
     schema = _SCHEMAS.get(key)
     if schema is None:
         df = spark.read.parquet(path)

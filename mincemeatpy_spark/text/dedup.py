@@ -215,6 +215,58 @@ def _band_sig_sql(b: int) -> str:
     return " || ',' || ".join(parts)
 
 
+def _minhash_band_rows(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the MinHash-LSH family: hashed shingles
+    (``based``) and band-signature rows (``bands``), each band row
+    carrying the doc's shingle-set size ``n``."""
+    based = (
+        _shingle_df(spark, sf_dir)
+        .select("doc_id", _hash60(F.col("s")).alias("base"))
+        .cache()
+    )
+    # One pass over the hashed shingles computes the 16 minima AND the
+    # set size — sizes ride along instead of a second 260k-row agg.
+    minh = based.groupBy("doc_id").agg(
+        *[F.min(F.expr(_affine(i))).alias(f"m{i}") for i in range(_N_HASHES)],
+        F.count(F.lit(1)).alias("n"),
+    )
+    n_bands = _N_HASHES // _BAND_SIZE
+    stack_args = ", ".join(
+        f"{b}, concat_ws(',', {', '.join(f'm{i}' for i in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE))})"
+        for b in range(n_bands)
+    )
+    # Band rows CARRY the doc's shingle-set size (+8 bytes each), so the
+    # candidate pairs emerge with both sizes attached and the Jaccard
+    # denominator needs NO join back to a doc-count-sized size table —
+    # at 1B docs that table is way past broadcast range, so the old
+    # shape's two size joins were two extra keyed shuffles.  No forced
+    # broadcast on the self-join either: the band table scales with the
+    # corpus; AQE picks broadcast at runtime while it actually fits.
+    bands = minh.selectExpr(
+        "doc_id", "n", f"stack({n_bands}, {stack_args}) AS (band, sig)"
+    )
+    return based, bands
+
+
+def _lsh_verify_candidates(based: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-jaccard verification restricted to LSH candidates (shared
+    by the capped and uncapped ops): join candidate pairs back to their
+    (hashed) shingle sets — verification work scales with |candidates|,
+    not with all co-shingled pairs (the whole point of LSH at 100 TB)."""
+    a = based.alias("a")
+    b = based.alias("b")
+    inter = (
+        cand.join(a, F.col("a.doc_id") == F.col("d1"))
+        .join(b, (F.col("b.doc_id") == F.col("d2")) & (F.col("b.base") == F.col("a.base")))
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i"))
+    return inter.select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -265,32 +317,7 @@ def _band_sig_sql(b: int) -> str:
     "in the collision case.)",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    based = (
-        _shingle_df(spark, sf_dir)
-        .select("doc_id", _hash60(F.col("s")).alias("base"))
-        .cache()
-    )
-    # One pass over the hashed shingles computes the 16 minima AND the
-    # set size — sizes ride along instead of a second 260k-row agg.
-    minh = based.groupBy("doc_id").agg(
-        *[F.min(F.expr(_affine(i))).alias(f"m{i}") for i in range(_N_HASHES)],
-        F.count(F.lit(1)).alias("n"),
-    )
-    n_bands = _N_HASHES // _BAND_SIZE
-    stack_args = ", ".join(
-        f"{b}, concat_ws(',', {', '.join(f'm{i}' for i in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE))})"
-        for b in range(n_bands)
-    )
-    # Band rows CARRY the doc's shingle-set size (+8 bytes each), so the
-    # candidate pairs emerge with both sizes attached and the Jaccard
-    # denominator needs NO join back to a doc-count-sized size table —
-    # at 1B docs that table is way past broadcast range, so the old
-    # shape's two size joins were two extra keyed shuffles.  No forced
-    # broadcast on the self-join either: the band table scales with the
-    # corpus; AQE picks broadcast at runtime while it actually fits.
-    bands = minh.selectExpr(
-        "doc_id", "n", f"stack({n_bands}, {stack_args}) AS (band, sig)"
-    )
+    based, bands = _minhash_band_rows(spark, sf_dir)
     ba = bands.alias("ba")
     bb = bands.alias("bb")
     cand = (
@@ -308,27 +335,126 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Exact-jaccard verification restricted to LSH candidates: join the
-    # candidate pairs back to their (hashed) shingle sets instead of
-    # building the full co-shingle pair index — verification work scales
-    # with |candidates|, not with all co-shingled pairs (the whole point
-    # of LSH at 100 TB).  Candidate pairs and per-doc sizes are tiny
-    # relative to the shingle index, so both broadcast.
-    a = based.alias("a")
-    b = based.alias("b")
-    inter = (
-        cand.join(a, F.col("a.doc_id") == F.col("d1"))
-        .join(b, (F.col("b.doc_id") == F.col("d2")) & (F.col("b.base") == F.col("a.base")))
-        .groupBy("d1", "d2", "n1", "n2")
-        .agg(F.count(F.lit(1)).alias("i"))
+    return _lsh_verify_candidates(based, cand)
+
+
+_BAND_CAP = 50  # LSH buckets with more members than this are hot bands
+
+
+@register(
+    "dedup_minhash_lsh_capped",
+    oracle=f"""
+        WITH {_ORACLE_SHINGLES},
+        based AS (
+            SELECT doc_id, {_ORACLE_H60.format(x="s")} AS base
+            FROM sh
+        ),
+        minh AS (
+            SELECT doc_id,
+                   {", ".join(f"min({_affine(i)}) AS m{i}" for i in range(_N_HASHES))},
+                   count(*) AS n
+            FROM based GROUP BY doc_id
+        ),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT doc_id, n, {b} AS band, {_band_sig_sql(b)} AS sig FROM minh" for b in range(_N_HASHES // _BAND_SIZE))}
+        ),
+        bc AS (
+            SELECT band, sig, count(*) AS cnt
+            FROM bands GROUP BY band, sig
+        ),
+        keptb AS (
+            SELECT b.doc_id, b.n, b.band, b.sig
+            FROM bands b JOIN bc ON bc.band = b.band AND bc.sig = b.sig
+            WHERE bc.cnt <= {_BAND_CAP}
+        ),
+        acct AS (
+            SELECT CAST(count(*) AS BIGINT) AS dropped_bands,
+                   CAST(coalesce(sum(cnt * (cnt - 1) // 2), 0) AS BIGINT)
+                       AS pairs_skipped
+            FROM bc WHERE cnt > {_BAND_CAP}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                            a.n AS n1, b.n AS n2
+            FROM keptb a
+            JOIN keptb b ON a.band = b.band AND a.sig = b.sig
+                        AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT c.d1, c.d2, c.n1, c.n2, count(*) AS i
+            FROM cand c
+            JOIN based a ON a.doc_id = c.d1
+            JOIN based b ON b.doc_id = c.d2 AND b.base = a.base
+            GROUP BY c.d1, c.d2, c.n1, c.n2
+        )
+        SELECT d1, d2,
+               round(i::DOUBLE / (n1 + n2 - i), 6) AS jaccard,
+               acct.dropped_bands, acct.pairs_skipped
+        FROM inter CROSS JOIN acct
+        """,
+    category="dedup",
+    doc="MinHash-LSH with the frequent-band cap real corpora need "
+    "(VERDICT r5 task 5): boilerplate-duplicate documents put "
+    "thousands of members into one (band, sig) bucket, and the "
+    "candidate self-join then explodes O(|bucket|^2) — AQE's skew "
+    "join rebalances the SHUFFLE but cannot shrink the pair count.  "
+    "Buckets with more than 50 members are dropped BEFORE the "
+    "self-join (the standard hot-band mitigation, the LSH analogue of "
+    "dedup_ngram_jaccard_capped's stop-shingles), so pair work is "
+    "bounded by cap^2 per bucket; a near-dup pair survives unless "
+    "EVERY one of its 4 shared bands is boilerplate-hot.  What was "
+    "dropped is surfaced, not silent: every output row carries "
+    "dropped_bands (hot buckets removed) and pairs_skipped (sum of "
+    "C(cnt, 2) over them) from a broadcast 1-row accounting aggregate "
+    "computed in-plan — no driver collect.  Verification is the exact "
+    "candidates-only jaccard of the uncapped op, shared code.",
+)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    based, bands = _minhash_band_rows(spark, sf_dir)
+    bc = bands.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("cnt"))
+    keptb = (
+        bands.join(bc, ["band", "sig"])
+        .filter(F.col("cnt") <= _BAND_CAP)
+        .select("doc_id", "n", "band", "sig")
     )
-    jac = F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i"))
-    return inter.select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    # Accounting rides in-plan as a broadcast 1-row global aggregate
+    # (the pagerank-counts pattern) — bounded output, rule-13 clean.
+    acct = bc.filter(F.col("cnt") > _BAND_CAP).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dropped_bands"),
+        F.coalesce(
+            F.sum(F.expr("CAST(cnt * (cnt - 1) DIV 2 AS BIGINT)")), F.lit(0)
+        ).cast("bigint").alias("pairs_skipped"),
+    )
+    ba = keptb.alias("ba")
+    bb = keptb.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.sig") == F.col("bb.sig"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("d1"),
+            F.col("bb.doc_id").alias("d2"),
+            F.col("ba.n").alias("n1"),
+            F.col("bb.n").alias("n2"),
+        )
+        .distinct()
+    )
+    return _lsh_verify_candidates(based, cand).crossJoin(F.broadcast(acct))
 
 
 # --- 4. SimHash --------------------------------------------------------
 
 _SIM_BITS = 32
+
+# Bound on the driver-collected side of the brute-force cosine ground
+# truth: a pure scan-pushed predicate (vec_id < _COS_BCAP) caps it at
+# <= 100k rows (~16 MB quantized) at ANY corpus size.  The oracle
+# applies the identical predicate, and the corpus-vs-corpus scale path
+# stays the LSH/semdedup family.
+_COS_BCAP = 100_000
 
 
 @register(
@@ -413,12 +539,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(list_sum(list_transform(generate_series(1, len(a.e)),
                      i -> a.e[i] * b.e[i])) AS DOUBLE) / (a.nrm * b.nrm), 6)
                    AS cosine
-        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        FROM v a JOIN v b ON a.vec_id < b.vec_id AND b.vec_id < 100000
         WHERE CAST(list_sum(list_transform(generate_series(1, len(a.e)),
               i -> a.e[i] * b.e[i])) AS DOUBLE) / (a.nrm * b.nrm) >= 0.4
         """,
     category="dedup",
-    doc="Embedding-cosine near-dup pairs, brute-force all-pairs — the "
+    doc="Embedding-cosine near-dup pairs, brute-force against a "
+    "predicate-capped ground-truth sample (vec_id < 100k — the whole "
+    "table at test SF, a hard bound at any corpus size) — the "
     "sf-small ground truth for the LSH/IVF scale paths "
     "(similarity_ann_lsh buckets by hyperplane signs so only "
     "bucket-mates pair up).  Vectors quantize to int64 micro-units "
@@ -437,11 +565,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
 
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # The whole quantized matrix rides to every task (the definition of
-    # brute-force all-pairs; ~16 MB per 1M vectors of dim 64 — the
-    # reason the LSH path exists at real scale).  collect() here plays
-    # the role F.broadcast plays for small join sides.
-    rows = e.collect()
+    # The collected side is bounded by a pure scan-pushed predicate
+    # (vec_id < _COS_BCAP, <= 100k rows ~ 16 MB quantized at ANY corpus
+    # size — same discipline as the _EVAL_MOD/_EVAL_CAP kNN evals); the
+    # probe side stays the full distributed table, so this is "all docs
+    # vs the capped ground-truth sample", and the registered scale path
+    # for corpus-vs-corpus remains the LSH/semdedup family.  The oracle
+    # applies the identical predicate on its b side.
+    rows = e.filter(F.col("vec_id") < _COS_BCAP).collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
 
     # HALF-AWAY-FROM-ZERO micro-quantization, matching DuckDB round()

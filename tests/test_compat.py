@@ -155,12 +155,18 @@ def test_server_class_drop_in(spark):
 def test_client_conn_no_server_returns_immediately(spark):
     # With no in-process server running there is nothing for a worker
     # to do — the reference worker would fail to connect and exit; here
-    # conn() returns at once instead of hanging.
+    # conn() returns at once instead of hanging, and the no-op is
+    # VISIBLE: a RuntimeWarning plus a False return (ADVICE r5).
+    import warnings
+
     from mincemeatpy_spark import compat
 
     c = compat.Client()
     c.password = "changeme"
-    c.conn("localhost")  # must not raise or block
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert c.conn("localhost") is False  # must not raise or block
+    assert any(issubclass(w.category, RuntimeWarning) for w in caught)
 
 
 def test_client_conn_lifecycle_deterministic():
@@ -381,3 +387,50 @@ def test_unicode_round_trip(spark):
     ds = {0: "héllo wörld héllo", 1: "wörld"}
     out = mapreduce(spark, ds, mapfn, reducefn)
     assert out == {"héllo": 2, "wörld": 2}
+
+
+def test_client_conn_two_concurrent_clients(spark):
+    # VERDICT r5 task 7b: the rendezvous must serve MULTIPLE workers —
+    # two client threads block on the same registered run; completion
+    # releases both, a wrong-password third client is refused while the
+    # others wait, and nobody observes the run still live after return.
+    import threading
+
+    from mincemeatpy_spark import compat
+
+    run = compat._ServerRun("s3cret")
+    compat._SERVER_RUNS[11236] = run
+    results = {}
+
+    def worker(tag):
+        c = compat.Client()
+        c.password = "s3cret"
+        ok = c.conn("localhost", 11236)
+        results[tag] = (ok, compat._SERVER_RUNS.get(11236) is run)
+
+    t1 = threading.Thread(target=worker, args=("a",))
+    t2 = threading.Thread(target=worker, args=("b",))
+    try:
+        t1.start()
+        t2.start()
+        import time as _time
+
+        _time.sleep(0.2)
+        assert t1.is_alive() and t2.is_alive(), "clients returned early"
+        bad = compat.Client()
+        bad.password = "wrong"
+        import pytest as _pytest
+
+        with _pytest.raises(ConnectionRefusedError):
+            bad.conn("localhost", 11236)
+        if compat._SERVER_RUNS.get(11236) is run:
+            del compat._SERVER_RUNS[11236]
+        run.done.set()
+        t1.join(timeout=10)
+        t2.join(timeout=10)
+        assert not t1.is_alive() and not t2.is_alive()
+        assert results["a"] == (True, False)
+        assert results["b"] == (True, False)
+    finally:
+        compat._SERVER_RUNS.pop(11236, None)
+        run.done.set()

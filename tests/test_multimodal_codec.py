@@ -86,3 +86,56 @@ def test_ppm_dimensions_containing_255_parse_correctly():
     m = decode_image_real(_ppm(255, 1, px))
     assert (m["width"], m["height"]) == (255, 1)
     assert (m["mean_r"], m["mean_g"], m["mean_b"]) == (7, 8, 9)
+
+
+# --- WAV/PCM16 (decode_audio_real) -------------------------------------
+
+from mincemeatpy_spark.multimodal.binary_ops import decode_audio_real  # noqa: E402
+
+
+def _wav(ch, rate, samples, extra_chunk=False, audio_fmt=1, bits=16):
+    """RIFF/WAVE PCM16 from interleaved int16 samples."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", audio_fmt, ch, rate, rate * ch * 2, ch * 2, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size, padded
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_decode_exact_sums():
+    s = [100, -200, 300, -400, 32767, -32768]
+    m = decode_audio_real(_wav(2, 16000, s))
+    assert m == {
+        "sample_rate": 16000,
+        "n_channels": 2,
+        "n_samples": 6,
+        "sample_sum": sum(s),
+        "energy": sum(x * x for x in s),
+    }
+
+
+def test_wav_unknown_chunk_skipped_word_aligned():
+    # LIST chunk with ODD size: the walker must pad to the word boundary
+    # or every later chunk misparses.
+    s = [1, 2, 3]
+    m = decode_audio_real(_wav(1, 8000, s, extra_chunk=True))
+    assert (m["n_samples"], m["sample_sum"]) == (3, 6)
+
+
+def test_wav_compressed_codecs_still_gated():
+    with pytest.raises(NotImplementedError):
+        decode_audio_real(b"ID3\x04" + b"\x00" * 32)  # MP3 container magic
+    with pytest.raises(NotImplementedError):
+        decode_audio_real(b"fLaC" + b"\x00" * 32)
+    with pytest.raises(NotImplementedError):  # non-PCM WAVE (e.g. float32)
+        decode_audio_real(_wav(1, 8000, [0], audio_fmt=3))
+    with pytest.raises(NotImplementedError):  # PCM but not 16-bit
+        decode_audio_real(_wav(1, 8000, [0], bits=8))
+
+
+def test_wav_missing_data_chunk_is_malformed_not_gated():
+    payload = b"RIFF" + struct.pack("<I", 4) + b"WAVE"
+    with pytest.raises(ValueError):
+        decode_audio_real(payload)

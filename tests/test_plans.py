@@ -963,12 +963,27 @@ def test_no_broadcast_hint_on_unbounded_word_aggregate(all_hinted_subtrees):
         ]
 
     def _is_topn_filter(node):
-        # Filter whose predicate caps a window rank: condition like
-        # (rk#12 <= 100) with a row_number window right below it.
+        # Filter whose OWN condition caps a window-rank attribute that a
+        # Window node below DEFINES via row_number — i.e. an actual
+        # top-N cut.  (Substring-matching node.toString() would match
+        # the whole subtree dump: any numeric <= whose subtree had a
+        # row_number anywhere would qualify.)
         if node.nodeName() != "Filter":
             return False
-        cond = node.condition().toString()
-        return bool(re.search(r"<=?\s*\d+", cond)) and "row_number" in node.toString()
+        capped = re.findall(
+            r"[A-Za-z_][A-Za-z0-9_]*(#\d+)L?\s*<=?\s*\d+",
+            node.condition().toString(),
+        )
+        if not capped:
+            return False
+        for c in _walk_jvm(node):
+            if c.nodeName() == "Window":
+                we = c.windowExpressions().toString()
+                if "row_number" in we and any(
+                    re.search(re.escape(a) + r"(?!\d)", we) for a in capped
+                ):
+                    return True
+        return False
 
     def _token_aggs_below(root):
         """Token-grouped Aggregates reachable from `root` without
