@@ -437,3 +437,43 @@ _MODERN_AGG = """
 )
 def sql_modern_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _MODERN_AGG)
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+          AND l_quantity < 30
+        GROUP BY l_returnflag
+        """,
+    category="sqlapi",
+    doc="Parameterized SQL (Spark 3.4+/4 named parameter markers): the "
+    "query text carries :ship_floor / :qty_cap placeholders and the "
+    "values travel OUT-OF-BAND via spark.sql(query, args={...}) — the "
+    "injection-safe job-parameterization surface (no f-string splicing "
+    "of untrusted values into SQL text).  The binder substitutes typed "
+    "literals BEFORE analysis, so both predicates fold into the scan "
+    "as PushedFilters exactly like hand-written constants — "
+    "parameterization costs nothing at plan time.  At 100 TB this plus "
+    "partition pruning is how one query text serves every daily run.",
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    import datetime
+
+    return spark.sql(
+        """SELECT l_returnflag,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+           FROM lineitem
+           WHERE l_shipdate >= :ship_floor AND l_quantity < :qty_cap
+           GROUP BY l_returnflag""",
+        args={
+            "ship_floor": datetime.date(1995, 1, 1),
+            "qty_cap": 30,
+        },
+    )

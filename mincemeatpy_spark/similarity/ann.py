@@ -2266,3 +2266,105 @@ def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["similarity_ivfpq_recall"].oracle = QUERIES[
     "similarity_ivfpq_recall"
 ].oracle.format(ivfpq_oracle=QUERIES["similarity_ann_ivfpq"].oracle)
+
+
+@register(
+    "vector_quantize_recall",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                       AS m,
+                   CASE WHEN list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) = 0
+                        THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                        ELSE list_transform(embedding,
+                                 x -> CAST(round(CAST(x AS DOUBLE) * 127
+                                      / list_max(list_transform(embedding,
+                                            y -> abs(CAST(y AS DOUBLE)))))
+                                      AS BIGINT))
+                   END AS q
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+                   list_sum(list_transform(generate_series(1, len(a.m)),
+                        i -> a.m[i] * b.m[i])) AS dm,
+                   list_sum(list_transform(generate_series(1, len(a.q)),
+                        i -> a.q[i] * b.q[i])) AS dq
+            FROM v a JOIN v b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+        ),
+        rk AS (
+            SELECT q_id, neighbor_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY dm DESC, neighbor_id) AS er,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY dq DESC, neighbor_id) AS qr
+            FROM pairs
+        )
+        SELECT q_id,
+               CAST(sum(CASE WHEN er <= 3 AND qr <= 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits,
+               round(CAST(sum(CASE WHEN er <= 3 AND qr <= 3 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / 3, 6) AS recall_at_3
+        FROM rk GROUP BY q_id
+        """,
+    category="similarity",
+    doc="Recall@3 of int8 absmax-quantized maximum-inner-product search "
+    "against the full-precision ranking — the eval that decides whether "
+    "a vector store can ship 8-bit vectors (4x memory, 4x scan "
+    "throughput) for a given corpus: vector_quantize_int8 provides the "
+    "storage kernel, this measures what its rounding costs at query "
+    "time.  BOTH rankings are exact int64 dot products (full precision "
+    "= 1e-6 micro-units, quantized = round(127*x/absmax) — the "
+    "half-away rounding Spark ROUND and DuckDB round() share), so "
+    "ranks, hits and recall are deterministic and hash-exact.  Plan: "
+    "ONE pair table (broadcast 10-query side, one corpus scan) carries "
+    "both dot products; two row_number windows over the same q_id "
+    "partitioning rank them without a second scan (the second window "
+    "reuses the first's Exchange); a per-query aggregate finishes.  At "
+    "100 TB the corpus is scanned once, the query side is O(queries).",
+)
+def vector_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    micro = F.transform("e", lambda x: F.round(x * 1000000, 0).cast("bigint"))
+    am = F.array_max(F.transform("e", lambda x: F.abs(x)))
+    q8 = F.when(
+        am == 0, F.transform("e", lambda x: F.lit(0).cast("bigint"))
+    ).otherwise(
+        F.transform("e", lambda x: F.round(x * 127 / am, 0).cast("bigint"))
+    )
+    v = e.select("vec_id", micro.alias("m"), q8.alias("q"))
+    idot = lambda a, b: F.aggregate(  # noqa: E731 — int64 dot product
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    qside = F.broadcast(v.filter(F.col("vec_id") < 10).alias("qq"))
+    c = v.alias("cc")
+    pairs = qside.join(c, F.col("cc.vec_id") != F.col("qq.vec_id")).select(
+        F.col("qq.vec_id").alias("q_id"),
+        F.col("cc.vec_id").alias("neighbor_id"),
+        idot(F.col("qq.m"), F.col("cc.m")).alias("dm"),
+        idot(F.col("qq.q"), F.col("cc.q")).alias("dq"),
+    )
+    er = F.row_number().over(
+        Wnd.partitionBy("q_id").orderBy(F.col("dm").desc(), "neighbor_id")
+    )
+    qr = F.row_number().over(
+        Wnd.partitionBy("q_id").orderBy(F.col("dq").desc(), "neighbor_id")
+    )
+    hit = ((F.col("er") <= 3) & (F.col("qr") <= 3)).cast("int")
+    return (
+        pairs.withColumn("er", er)
+        .withColumn("qr", qr)
+        .groupBy("q_id")
+        .agg(
+            F.sum(hit).cast("bigint").alias("n_hits"),
+            F.round(F.sum(hit).cast("double") / 3, 6).alias("recall_at_3"),
+        )
+    )

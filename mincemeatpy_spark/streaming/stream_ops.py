@@ -237,6 +237,7 @@ def click_purchase_join_stream(
     watermark: str = "1 hour",
     horizon: str = "10 minutes",
     how: str = "inner",
+    purchase_watermark: str | None = None,
 ) -> DataFrame:
     """Stream-stream join: pair each click with same-user purchases
     within ``horizon`` after it.
@@ -264,6 +265,13 @@ def click_purchase_join_stream(
     click, whose event time is already >= W).  ``how="fullOuter"``
     applies both rules.  The output ``user_id`` coalesces the two
     sides' keys so outer rows keep their key (identity for inner/left).
+
+    ``purchase_watermark`` gives the purchase side its OWN delay
+    (defaults to ``watermark``): the global watermark generalizes to
+    ``W = min(max click_ts - click_delay, max purchase_ts -
+    purchase_delay)`` — each withWatermark column subtracts its own
+    delay BEFORE the engine takes the min across inputs (probed at the
+    boundary with 2h/30m delays, NOTES_r06.md).
     """
     clicks = (
         events.filter(F.col("event_type") == "click")
@@ -281,7 +289,7 @@ def click_purchase_join_stream(
             F.col("ts").alias("purchase_ts"),
             F.col("value").alias("purchase_value"),
         )
-        .withWatermark("purchase_ts", watermark)
+        .withWatermark("purchase_ts", purchase_watermark or watermark)
     )
     return clicks.join(
         purchases,
@@ -722,3 +730,370 @@ def run_with_restart(
         return spark.sql(f"SELECT * FROM {query_name}")
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
+
+
+def events_stream_timesplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table staged as TWO parquet files split at the midpoint
+    timestamp (file 0 = the early half, file 1 = the late half, strictly
+    increasing mtimes, ``maxFilesPerTrigger=1``) — the staging for
+    EVENT-TIME TIMER queries.
+
+    Unlike the ``event_id % n`` split (events_stream_multibatch), this
+    split is monotone in event time: every batch-1 row is at or after
+    every batch-0 row, so nothing is ever late and the watermark rules
+    reduce to a closed form — during batch 1 the timer-firing watermark
+    is max(batch0 ts) - delay, and the end-of-stream extra commit lifts
+    it to max(all ts) - delay.  That is exactly the regime where a timer
+    registered in batch 0 must survive the batch boundary in the state
+    store and fire (or be superseded) in batch 1 — the property the
+    session-timeout processor exists to prove.  In production this is a
+    Kafka topic with near-ordered event time; the monotone staging is
+    the deterministic stand-in.
+
+    ts travels as int64 micros and is rebuilt streaming-side (the
+    multibatch convention), sidestepping parquet timestamp-annotation
+    drift between fixture writers.
+    """
+    import os
+    import shutil
+
+    from mincemeatpy_spark.tables import t
+
+    stage = _multibatch_stage_dir(sf_dir, n_files=-2)  # distinct keyspace
+    marker = stage / "_STAGED"
+    if not marker.exists():
+        shutil.rmtree(stage, ignore_errors=True)
+        stage.mkdir(parents=True, exist_ok=True)
+        ev = t(spark, sf_dir, "events").select(
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        # fixture-write scalar: one (min, max) row bounds the split point
+        lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+        mid = (int(lo) + int(hi)) // 2
+        tmp = stage / "_tmp"
+        for i, pred in enumerate(
+            [F.col("ts_us") < mid, F.col("ts_us") >= mid]
+        ):
+            ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+                str(tmp)
+            )
+            part = next(p for p in tmp.iterdir() if p.name.endswith(".parquet"))
+            dst = stage / f"batch-{i:03d}.parquet"
+            shutil.move(str(part), str(dst))
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        shutil.rmtree(tmp, ignore_errors=True)
+        marker.touch()
+
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(
+            "event_id long, ts_us long, user_id long, event_type string, "
+            "value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .load(str(stage))
+    )
+    return raw.withColumn("ts", F.timestamp_micros("ts_us")).drop("ts_us")
+
+
+_SESSION_TIMER_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def session_timeout_tws(
+    events: DataFrame, gap_us: int = 1_800_000_000, delay: str = "10 minutes"
+) -> DataFrame:
+    """Timer-finalized session windows via ``transformWithStateInPandas``
+    — the event-time-timer surface of the Spark 4 stateful v2 API: a
+    per-user session stays OPEN in the state store until the watermark
+    proves no in-gap event can still arrive, then an event-time timer
+    fires and emits the finalized session.  (``session_window`` closes
+    sessions inside the windowing operator; this is the arbitrary-state
+    form a processor needs when session CONTENT, not just bounds, lives
+    in state — and the only way to get exactly-one finalization rows in
+    append mode.)
+
+    Measured engine semantics this encodes (probed, NOTES_r06.md):
+
+    - ``handleInputRows`` MUST be a generator — a plain return drops the
+      batch-0 timer registrations on the floor;
+    - a timer fires in the first batch whose one-back watermark reaches
+      it, NON-STRICTLY: expiry == wm fires (probed at the exact ms);
+    - after the last file the engine runs an extra commit with
+      wm = max(all ts) - delay, so end-of-stream timers up to that bound
+      do fire;
+    - input rows and expired timers in the same micro-batch cannot
+      double-emit here: the expiry guard ``last_us + gap == expiry``
+      only passes when the session the timer was armed for is still the
+      live one.
+
+    Sessions broken IN-LINE by a later out-of-gap event emit immediately
+    (the timer is superseded); only each user's final session waits for
+    its timer.  Gap arithmetic is exact int64 MICROS (the fixture has
+    full micro precision); timers are registered at floor-ms of
+    start-of-silence + gap, matching the engine's floor-ms watermark, so
+    the emission set has the closed form the oracle replays.
+
+    Parity anchor: reference mincemeat.py has no stateful surface at all
+    (SURVEY.md §2a) — this is capability the Spark engine adds.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    _GAP = int(gap_us)
+
+    class SessionTimeout(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.handle = handle
+            self._st = handle.getValueState(
+                "sess", "start_us BIGINT, last_us BIGINT, n BIGINT"
+            )
+
+        @staticmethod
+        def _row(key, start, last, n):
+            return {
+                "user_id": [key],
+                "start_us": [start],
+                "end_us": [last],
+                "n_events": [n],
+            }
+
+        @staticmethod
+        def _empty():
+            import pandas as pd
+
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "start_us": pd.Series(dtype="int64"),
+                    "end_us": pd.Series(dtype="int64"),
+                    "n_events": pd.Series(dtype="int64"),
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+            import pandas as pd
+
+            us = np.sort(
+                np.concatenate(
+                    [
+                        pdf["ts"].astype("int64").to_numpy() // 1000
+                        for pdf in rows
+                    ]
+                )
+            )
+            if self._st.exists():
+                start, last, n = (int(x) for x in self._st.get())
+            else:
+                start = last = None
+                n = 0
+            if us.size == 0 and last is None:
+                yield self._empty()
+                return
+            closed = []
+            for t_ in us:
+                t_ = int(t_)
+                if last is None:
+                    start, last, n = t_, t_, 1
+                elif t_ - last <= _GAP:
+                    last, n = max(last, t_), n + 1
+                else:
+                    closed.append(self._row(key[0], start, last, n))
+                    start, last, n = t_, t_, 1
+            for tm in self.handle.listTimers():
+                self.handle.deleteTimer(tm)
+            self._st.update((start, last, n))
+            self.handle.registerTimer((last + _GAP) // 1000)
+            if closed:
+                yield pd.concat(
+                    [pd.DataFrame(r) for r in closed], ignore_index=True
+                )
+            else:
+                yield self._empty()
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            exp_ms = expiredTimerInfo.getExpiryTimeInMs()
+            if self._st.exists():
+                start, last, n = (int(x) for x in self._st.get())
+                if (last + _GAP) // 1000 == exp_ms:
+                    self._st.clear()
+                    import pandas as pd
+
+                    yield pd.DataFrame(self._row(key[0], start, last, n))
+                    return
+            yield self._empty()
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionTimeout(),
+            outputStructType=_SESSION_TIMER_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
+_MAPSTATE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("micro_sum", T.LongType()),
+    ]
+)
+
+
+def user_type_counts_mapstate(events: DataFrame) -> DataFrame:
+    """Per-user, per-event-type running stats held in a typed MapState —
+    the stateful-v2 state type for RAGGED per-key sub-keys (a value
+    state would need the full type vocabulary in its schema; a map
+    grows per key only as types actually appear).  Each input batch
+    read-modify-writes only the touched sub-keys and emits the touched
+    entries; (n, micro_sum) grow monotonically, so the final state per
+    (user, type) is the lexicographic max over update-mode emissions.
+
+    At 100 TB: state is O(user x observed-type), per-batch writes are
+    O(touched entries) — the RocksDB column family holds the map
+    entries as separate rows, so one hot sub-key never rewrites the
+    whole map (the reason to prefer MapState over a dict in ValueState).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._m = handle.getMapState(
+                "by_type", "event_type STRING", "n BIGINT, micros BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+            import pandas as pd
+
+            touched = {}
+            for pdf in rows:
+                micros = np.floor(
+                    pdf["value"].to_numpy() * 1e6 + 0.5
+                ).astype("int64")
+                g = pd.DataFrame(
+                    {"et": pdf["event_type"].to_numpy(), "mi": micros}
+                ).groupby("et")["mi"]
+                for et, (cnt, s) in g.agg(["count", "sum"]).iterrows():
+                    prev = self._m.getValue((et,))
+                    n0, s0 = (int(prev[0]), int(prev[1])) if prev else (0, 0)
+                    n1, s1 = n0 + int(cnt), s0 + int(s)
+                    self._m.updateValue((et,), (n1, s1))
+                    touched[et] = (n1, s1)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(touched),
+                    "event_type": list(touched),
+                    "n": [v[0] for v in touched.values()],
+                    "micro_sum": [v[1] for v in touched.values()],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeCounts(),
+        outputStructType=_MAPSTATE_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+_LISTSTATE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("t1_us", T.LongType()),
+        T.StructField("t2_us", T.LongType()),
+        T.StructField("t3_us", T.LongType()),
+    ]
+)
+
+
+def recent3_liststate(events: DataFrame) -> DataFrame:
+    """The 3 most-recent event times per user held in a typed ListState
+    — the stateful-v2 state type for small per-key SEQUENCES (top-k,
+    recent-k, ring buffers).  Each batch merges the incoming
+    timestamps with the stored list and puts back only the 3 largest;
+    the emitted (t1 >= t2 >= t3, -1-padded) triple improves
+    lexicographically batch-over-batch, so the final state is the
+    max-struct over update-mode emissions and equals the batch top-3.
+
+    State is O(k) per user by construction — the put() rewrite of a
+    3-element list is the intended ListState usage; an unbounded
+    append-only list would be the anti-pattern.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    class Recent3(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._l = handle.getListState("recent", "ts_us BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            cur = [int(r[0]) for r in self._l.get()] if self._l.exists() else []
+            for pdf in rows:
+                cur.extend(
+                    int(v) for v in pdf["ts"].astype("int64") // 1000
+                )
+            top = sorted(cur, reverse=True)[:3]
+            self._l.put([(v,) for v in top])
+            padded = top + [-1] * (3 - len(top))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "t1_us": [padded[0]],
+                    "t2_us": [padded[1]],
+                    "t3_us": [padded[2]],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Recent3(),
+        outputStructType=_LISTSTATE_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -475,7 +475,12 @@ def stream_user_stats_tws_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ssjoin_oracle(null_clicks: bool, null_purchases: bool) -> str:
+def _ssjoin_oracle(
+    null_clicks: bool,
+    null_purchases: bool,
+    click_delay: str = "1 HOUR",
+    purchase_delay: str | None = None,
+) -> str:
     """ONE source of truth for all four stream-stream join oracles, so
     the measured watermark rule cannot drift between join types.
 
@@ -494,13 +499,19 @@ def _ssjoin_oracle(null_clicks: bool, null_purchases: bool) -> str:
 
     ``null_clicks`` adds the unmatched-click branch (left/full outer);
     ``null_purchases`` the unmatched-purchase branch (right/full outer).
+    ``click_delay`` / ``purchase_delay`` parametrize per-side watermark
+    delays: each input subtracts its OWN delay before the engine takes
+    the min (probed with asymmetric 2h/30m delays at the boundary).
     """
-    sql = """
+    pd_ = purchase_delay or click_delay
+    sql = f"""
         WITH wm AS (
             SELECT least(
-                (SELECT max(ts) FROM events WHERE event_type = 'click'),
+                (SELECT max(ts) FROM events WHERE event_type = 'click')
+                    - INTERVAL {click_delay},
                 (SELECT max(ts) FROM events WHERE event_type = 'purchase')
-            ) - INTERVAL 1 HOUR AS w
+                    - INTERVAL {pd_}
+            ) AS w
         ),
         matched AS (
             SELECT c.user_id,
@@ -821,6 +832,49 @@ def stream_stream_full_outer_join_e2e(
 
 
 @register(
+    "stream_stream_join_asym_wm_e2e",
+    oracle=_ssjoin_oracle(
+        null_clicks=True,
+        null_purchases=True,
+        click_delay="2 HOUR",
+        purchase_delay="30 MINUTE",
+    ),
+    category="streaming",
+    doc="Full-outer stream-stream join with ASYMMETRIC watermark delays "
+    "(clicks 2 h, purchases 30 min) — the production shape: a slow, "
+    "late-arriving stream gets a long delay while a prompt one keeps "
+    "state small.  Pins the global-watermark composition rule the "
+    "symmetric queries cannot distinguish: each input subtracts its "
+    "OWN delay before the engine takes the min across inputs, "
+    "W = min(max click_ts - 2h, max purchase_ts - 30m) — probed at "
+    "the boundary (NOTES_r06.md), not assumed — and both measured "
+    "emission strictness rules carry over unchanged through the "
+    "shared _ssjoin_oracle builder.  At 100 TB per-side delays are "
+    "the state-size lever: purchase state evicts 4x sooner than a "
+    "symmetric 2 h delay would allow.",
+)
+def stream_stream_join_asym_wm_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        click_purchase_join_stream,
+        events_stream,
+        run_to_completion,
+    )
+
+    return run_to_completion(
+        click_purchase_join_stream(
+            events_stream(spark, sf_dir),
+            watermark="2 hours",
+            how="fullOuter",
+            purchase_watermark="30 minutes",
+        ),
+        "stream_stream_asym_e2e_sink",
+        mode="append",
+    )
+
+
+@register(
     "stream_restart_recovery_e2e",
     oracle="""
         SELECT event_type,
@@ -849,3 +903,312 @@ def stream_restart_recovery_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mincemeatpy_spark.streaming.stream_ops import run_with_restart
 
     return run_with_restart(spark, sf_dir, "stream_restart_recovery_sink")
+
+
+@register(
+    "stream_static_enrich_e2e",
+    oracle="""
+        SELECT n.n_name,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(e.value * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS micro_sum
+        FROM events e
+        JOIN nation n ON n.n_nationkey = e.user_id % 25
+        GROUP BY n.n_name
+        """,
+    category="streaming",
+    doc="END-TO-END stream-static join under the correctness gate — the "
+    "one join mode the matrix was missing: a STREAMING fact enriched "
+    "by a BATCH dimension (the canonical lookup-join every production "
+    "pipeline runs; the reference has no notion of it).  The static "
+    "side needs no watermark and holds no join state — each "
+    "micro-batch probes the broadcast dimension as a plain "
+    "BroadcastHashJoin, so state is O(aggregate keys), not O(events) "
+    "— and the complete-mode per-nation rollup must hash-match the "
+    "batch join oracle exactly.  Value sums ride as floor-micro int64 "
+    "(the restart-recovery convention) so the hash compare is exact.",
+)
+def stream_static_enrich_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        events_stream,
+        run_to_completion,
+    )
+
+    ev = events_stream(spark, sf_dir).withColumn(
+        "nk", (F.col("user_id") % 25).cast("int")
+    )
+    dim = t(spark, sf_dir, "nation")
+    agg = (
+        ev.join(F.broadcast(dim), F.col("nk") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000000 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("micro_sum"),
+        )
+    )
+    return run_to_completion(agg, "stream_static_enrich_sink", mode="complete")
+
+
+@register(
+    "stream_session_timer_e2e",
+    oracle="""
+        WITH wm AS (
+            SELECT CAST(epoch_us(max(ts)) // 1000 - 600000 AS BIGINT) AS w_ms
+            FROM events
+        ),
+        lagd AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) AS prev
+            FROM events
+        ),
+        marks AS (
+            SELECT user_id, us,
+                   CASE WHEN prev IS NULL OR us - prev > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM lagd
+        ),
+        sid AS (
+            SELECT user_id, us,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marks
+        ),
+        sess AS (
+            SELECT user_id, sid,
+                   CAST(min(us) AS BIGINT) AS start_us,
+                   CAST(max(us) AS BIGINT) AS end_us,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM sid GROUP BY user_id, sid
+        ),
+        fin AS (
+            SELECT s.*, max(sid) OVER (PARTITION BY user_id) AS last_sid
+            FROM sess s
+        )
+        SELECT user_id, start_us, end_us, n_events
+        FROM fin, wm
+        WHERE sid < last_sid OR (end_us + 1800000000) // 1000 <= wm.w_ms
+        """,
+    category="streaming",
+    doc="EVENT-TIME TIMERS under the correctness gate: per-user 30-min "
+    "sessions finalized by transformWithState timers — a session emits "
+    "either when a later out-of-gap event supersedes it in-line, or "
+    "when its registered timer (floor-ms of last event + gap) fires "
+    "because the watermark proves the silence is permanent.  Driven "
+    "through TWO time-monotone micro-batches (events_stream_timesplit) "
+    "so batch-0 timers must survive the batch boundary in RocksDB and "
+    "fire under batch 1's one-back watermark or the end-of-stream "
+    "extra commit (wm = max ts - 10 min).  The emission set is closed-"
+    "form: every non-final session, plus final sessions whose "
+    "floor-ms(end + gap) <= floor-ms(max ts) - 600000 — non-strict at "
+    "the boundary, as probed at the exact millisecond (NOTES_r06.md).  "
+    "Append mode: each session exactly once, no update-mode dedup.  At "
+    "100 TB state is O(open sessions) and timers evict it; the same "
+    "processor runs unchanged on a Kafka source.",
+)
+def stream_session_timer_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        ensure_protobuf,
+        events_stream_timesplit,
+        run_to_completion,
+        session_timeout_tws,
+    )
+
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf; neither a "
+            "pip-installed runtime nor the pbshim SDK backing is available"
+        )
+    return run_to_completion(
+        session_timeout_tws(events_stream_timesplit(spark, sf_dir)),
+        "stream_session_timer_sink",
+        mode="append",
+    )
+
+
+@register(
+    "stream_mapstate_counts_e2e",
+    oracle="""
+        SELECT user_id, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS micro_sum
+        FROM events
+        GROUP BY user_id, event_type
+        """,
+    category="streaming",
+    doc="Stateful-v2 MAPSTATE under the correctness gate: per-user "
+    "counts/sums sub-keyed by event type in a typed MapState, driven "
+    "through THREE micro-batches (event_id % 3 staging) so map entries "
+    "must merge read-modify-write across real batch boundaries in "
+    "RocksDB.  Each batch touches only the sub-keys it saw and emits "
+    "those entries (update mode); (n, micro_sum) grow monotonically "
+    "per entry, so max-struct per (user, type) over the emissions is "
+    "the final state and must hash-match the batch group-by exactly "
+    "(value sums as half-up micros, the fixed-point convention).  "
+    "MapState is the right shape for ragged sub-keys: state is O(user "
+    "x observed types), and one hot sub-key rewrites one RocksDB row, "
+    "not the whole map.",
+)
+def stream_mapstate_counts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        ensure_protobuf,
+        events_stream_multibatch,
+        run_to_completion,
+        user_type_counts_mapstate,
+    )
+
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf; neither a "
+            "pip-installed runtime nor the pbshim SDK backing is available"
+        )
+    out = run_to_completion(
+        user_type_counts_mapstate(events_stream_multibatch(spark, sf_dir)),
+        "stream_mapstate_sink",
+        mode="update",
+    )
+    fin = F.max(F.struct("n", "micro_sum")).alias("s")
+    return (
+        out.groupBy("user_id", "event_type")
+        .agg(fin)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("s.n").alias("n"),
+            F.col("s.micro_sum").alias("micro_sum"),
+        )
+    )
+
+
+@register(
+    "stream_recent3_liststate_e2e",
+    oracle="""
+        WITH r AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts) DESC) AS rk
+            FROM events
+        )
+        SELECT user_id,
+               CAST(coalesce(max(CASE WHEN rk = 1 THEN us END), -1)
+                    AS BIGINT) AS t1_us,
+               CAST(coalesce(max(CASE WHEN rk = 2 THEN us END), -1)
+                    AS BIGINT) AS t2_us,
+               CAST(coalesce(max(CASE WHEN rk = 3 THEN us END), -1)
+                    AS BIGINT) AS t3_us
+        FROM r GROUP BY user_id
+        """,
+    category="streaming",
+    doc="Stateful-v2 LISTSTATE under the correctness gate: the 3 most-"
+    "recent event times per user in a typed ListState, across THREE "
+    "out-of-time-order micro-batches (event_id % 3 staging) — each "
+    "batch merges arrivals with the stored list and put()s back the 3 "
+    "largest, so the list must round-trip the state store intact "
+    "between batches.  The emitted (t1 >= t2 >= t3, -1-padded) triple "
+    "improves lexicographically batch-over-batch (top-3 of a growing "
+    "set), so max-struct per user over update-mode emissions is the "
+    "final state and equals the batch top-3 by construction.  Exact "
+    "int64 micros end-to-end; ties cost nothing because equal ranks "
+    "carry equal values.  State is O(k) per user — put() of a bounded "
+    "list is the intended ListState shape.",
+)
+def stream_recent3_liststate_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        ensure_protobuf,
+        events_stream_multibatch,
+        recent3_liststate,
+        run_to_completion,
+    )
+
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf; neither a "
+            "pip-installed runtime nor the pbshim SDK backing is available"
+        )
+    out = run_to_completion(
+        recent3_liststate(events_stream_multibatch(spark, sf_dir)),
+        "stream_recent3_sink",
+        mode="update",
+    )
+    fin = F.max(F.struct("t1_us", "t2_us", "t3_us")).alias("s")
+    return (
+        out.groupBy("user_id")
+        .agg(fin)
+        .select(
+            "user_id",
+            F.col("s.t1_us").alias("t1_us"),
+            F.col("s.t2_us").alias("t2_us"),
+            F.col("s.t3_us").alias("t3_us"),
+        )
+    )
+
+
+@register(
+    "source_statestore_reader",
+    oracle="""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY user_id
+        """,
+    category="source",
+    doc="The STATE STORE as a batch SOURCE (Spark 4 statestore reader): "
+    "run a per-user streaming count against a checkpoint, then "
+    "spark.read.format('statestore').load(checkpoint) reads the "
+    "operator's committed state as (key struct, value struct, "
+    "partition_id) rows — the ops surface for state inspection, "
+    "debugging a wedged stateful query, and state migration audits, "
+    "with no special export path.  The projected (user_id, n) must "
+    "hash-match the batch aggregate: what the store holds IS the "
+    "aggregate.  The checkpoint stages once per fixture fingerprint "
+    "(idempotent, like the stream stagings); the reader scans state "
+    "files directly, one task per store partition — at scale that is "
+    "a parallel read of RocksDB snapshots, no replay of the stream.",
+)
+def source_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from mincemeatpy_spark.streaming.stream_ops import events_stream
+
+    src = Path(sf_dir) / "events.parquet"
+    st = src.stat()
+    stamp = f"{src}|{st.st_size}|{st.st_mtime}|statestore_ck"
+    ck = (
+        Path(tempfile.gettempdir())
+        / "mincemeatpy_statestore_ck"
+        / hashlib.md5(stamp.encode()).hexdigest()[:12]
+    )
+    marker = ck / "_DONE"
+    if not marker.exists():
+        shutil.rmtree(ck, ignore_errors=True)
+        agg = (
+            events_stream(spark, sf_dir)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", str(ck))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        marker.touch()
+    return (
+        spark.read.format("statestore")
+        .load(str(ck))
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.count").cast("bigint").alias("n"),
+        )
+    )

@@ -1384,3 +1384,103 @@ def rag_chunk_index_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
         "rank", "doc_id", "chunk_idx", F.col("dist").cast("bigint").alias("dist")
     )
+
+
+@register(
+    "corpus_split_leakage_matrix",
+    oracle=f"""
+        WITH {_ORACLE_SHINGLES},
+        shh AS (
+            SELECT DISTINCT
+                   CASE WHEN hdoc < 90 THEN 'train'
+                        WHEN hdoc < 97 THEN 'val'
+                        ELSE 'test' END AS split,
+                   doc_id, hs AS sh
+            FROM (SELECT doc_id,
+                         {_ORACLE_H60.format(x="s")} AS hs,
+                         {_ORACLE_H60.format(x="CAST(doc_id AS VARCHAR)")} % 100
+                             AS hdoc
+                  FROM sh)
+        ),
+        ss AS (SELECT DISTINCT split, sh FROM shh),
+        shared AS (
+            SELECT a.split AS split_a, b.split AS split_b,
+                   count(*) AS shared_shingles
+            FROM ss a JOIN ss b ON a.sh = b.sh AND a.split <> b.split
+            GROUP BY 1, 2
+        ),
+        leaked AS (
+            SELECT a.split AS split_a, d.split AS split_b,
+                   count(DISTINCT d.doc_id) AS leaked_docs
+            FROM shh d JOIN ss a ON a.sh = d.sh AND a.split <> d.split
+            GROUP BY 1, 2
+        )
+        SELECT s.split_a, s.split_b,
+               CAST(s.shared_shingles AS BIGINT) AS shared_shingles,
+               CAST(coalesce(l.leaked_docs, 0) AS BIGINT) AS leaked_docs
+        FROM shared s LEFT JOIN leaked l USING (split_a, split_b)
+        """,
+    category="text",
+    doc="Cross-split contamination matrix over the deterministic "
+    "train/val/test assignment (corpus_train_test_split's md5 split): "
+    "for every ordered split pair (a, b), the number of 3-gram shingle "
+    "hashes present in BOTH splits and the number of split-b documents "
+    "carrying at least one shingle that also occurs in split a — the "
+    "leakage report an eval-integrity audit runs BEFORE training, "
+    "complementing dedup_decontaminate (which removes leaked docs "
+    "against a fixed eval set; this MEASURES leakage between the "
+    "pipeline's own splits).  Scale shape: shingle strings die at the "
+    "hash step (rule 5); the (split, hash) presence table is "
+    "shingle-TYPE-scale and self-joins on the 8-byte hash key — at "
+    "most 3 split rows per hash, so the join output is linear in "
+    "types; leaked-doc counting joins doc-level hashes to the same "
+    "presence table, one keyed shuffle, count-distinct per pair.  No "
+    "broadcast hints: every table here scales with the corpus.",
+)
+def corpus_split_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.text.dedup import _shingle_df
+
+    h = _hash60(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(h < 90, F.lit("train"))
+        .when(h < 97, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    sh = (
+        _shingle_df(spark, sf_dir)
+        .select("doc_id", _hash60(F.col("s")).alias("sh"))
+        .withColumn("split", split)
+        .distinct()
+    )
+    ss = sh.select("split", "sh").distinct()
+    a, b = ss.alias("a"), ss.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.split") != F.col("b.split")),
+        )
+        .groupBy(
+            F.col("a.split").alias("split_a"), F.col("b.split").alias("split_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    leaked = (
+        sh.alias("d")
+        .join(
+            ss.alias("a2"),
+            (F.col("a2.sh") == F.col("d.sh"))
+            & (F.col("a2.split") != F.col("d.split")),
+        )
+        .groupBy(
+            F.col("a2.split").alias("split_a"),
+            F.col("d.split").alias("split_b"),
+        )
+        .agg(F.countDistinct(F.col("d.doc_id")).alias("leaked_docs"))
+    )
+    return shared.join(leaked, ["split_a", "split_b"], "left").select(
+        "split_a",
+        "split_b",
+        "shared_shingles",
+        F.coalesce("leaked_docs", F.lit(0)).cast("bigint").alias("leaked_docs"),
+    )

@@ -420,3 +420,201 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bits").alias("sum_bits"),
         (F.sum("bits").cast("double") / F.count(F.lit(1))).alias("mean_bits"),
     )
+
+
+@register(
+    "lm_kneser_ney_bigram",
+    oracle="""
+        WITH words AS (
+            SELECT string_split_regex(text, '\\s+') AS w FROM documents
+        ),
+        bg0 AS (
+            SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                          i -> w[i])) AS w1,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                          i -> w[i + 1])) AS w2
+            FROM words WHERE len(w) >= 2
+        ),
+        bg AS (SELECT w1, w2, count(*) AS c FROM bg0 GROUP BY w1, w2),
+        w1s AS (
+            SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS n1
+            FROM bg GROUP BY w1
+        ),
+        w2s AS (SELECT w2, CAST(count(*) AS BIGINT) AS nc FROM bg GROUP BY w2),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bg)
+        SELECT bg.w1, bg.w2, CAST(bg.c AS BIGINT) AS c,
+               w1s.c1, w1s.n1, w2s.nc, tot.t,
+               CAST(greatest(4 * bg.c - 3, 0) * tot.t
+                    + 3 * w1s.n1 * w2s.nc AS BIGINT) AS p_num,
+               CAST(4 * w1s.c1 * tot.t AS BIGINT) AS p_den,
+               CAST((greatest(4 * bg.c - 3, 0) * tot.t + 3 * w1s.n1 * w2s.nc)
+                    * 1000000 // (4 * w1s.c1 * tot.t) AS BIGINT) AS p_ppm
+        FROM bg
+        JOIN w1s USING (w1)
+        JOIN w2s USING (w2)
+        CROSS JOIN tot
+        ORDER BY c DESC, w1, w2
+        LIMIT 50
+        """,
+    category="text",
+    doc="Interpolated Kneser-Ney bigram probabilities — the smoothing "
+    "every n-gram LM and LM-based quality filter actually uses, with "
+    "the absolute discount D = 3/4 kept EXACT as an integer rational: "
+    "P_KN(w2|w1) = max(c - D, 0)/c1 + D*(N1+(w1,.)/c1)*(N1+(.,w2)/T) "
+    "reduces over the common denominator 4*c1*T to the int64 pair "
+    "(p_num, p_den) = (max(4c-3, 0)*T + 3*n1*nc, 4*c1*T), so even the "
+    "smoothed LM is hash-exact cross-engine (p_ppm = the floor-ppm "
+    "convenience; exact while c1*T < ~9.2e12 — past that, compare the "
+    "rational).  The continuation counts N1+ fall out of the bigram-"
+    "TYPE table for free: rows-per-w1 and rows-per-w2.  Plan: bigrams "
+    "are built scan-side from the token array (no position self-join); "
+    "the type table takes ONE hash aggregate, then the w1 totals and "
+    "w2 continuation counts are two keyed window shuffles over "
+    "bigram-TYPE rows (vocabulary-squared-bounded, corpus-independent "
+    "past saturation), never a broadcast (rule 13: word-keyed tables "
+    "carry no hint); T rides in-plan as a broadcast 1-row aggregate; "
+    "top-50 by count is a TakeOrderedAndProject, no global sort.",
+)
+def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _kn_bigram_model(spark, sf_dir)
+        .orderBy(F.col("c").desc(), "w1", "w2")
+        .limit(50)
+    )
+
+
+def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram OCCURRENCES with their doc_id, built scan-side from the
+    whitespace token array (no position self-join)."""
+    w = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", r"\s+").alias("w")
+    )
+    n = F.size("w")
+    return (
+        w.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at("w", i).alias("w1"),
+                        F.element_at("w", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+
+
+def _kn_bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL interpolated Kneser-Ney bigram model as a DataFrame —
+    one row per bigram type with exact integer-rational probability
+    (see lm_kneser_ney_bigram for the algebra).  Shared by the top-50
+    inspection query and the doc-scoring join so the model cannot
+    drift between them."""
+    pairs = _doc_bigrams(spark, sf_dir).select("w1", "w2")
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    win1 = Window.partitionBy("w1")
+    win2 = Window.partitionBy("w2")
+    bg2 = (
+        bg.withColumn("c1", F.sum("c").over(win1))
+        .withColumn("n1", F.count(F.lit(1)).over(win1))
+        .withColumn("nc", F.count(F.lit(1)).over(win2))
+    )
+    tot = bg.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        bg2.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "p_num",
+            (
+                F.greatest(4 * F.col("c") - 3, F.lit(0)) * F.col("t")
+                + 3 * F.col("n1") * F.col("nc")
+            ).cast("bigint"),
+        )
+        .withColumn("p_den", (4 * F.col("c1") * F.col("t")).cast("bigint"))
+        .withColumn("p_ppm", F.expr("p_num * 1000000 div p_den").cast("bigint"))
+        .select(
+            "w1", "w2", "c", "c1", "n1", "nc", "t", "p_num", "p_den", "p_ppm"
+        )
+    )
+
+
+_KN_MODEL_SQL = """
+        words AS (
+            SELECT doc_id, string_split_regex(text, '\\s+') AS w
+            FROM documents
+        ),
+        db AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                          i -> w[i])) AS w1,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                          i -> w[i + 1])) AS w2
+            FROM words WHERE len(w) >= 2
+        ),
+        bg AS (SELECT w1, w2, count(*) AS c FROM db GROUP BY w1, w2),
+        w1s AS (
+            SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS n1
+            FROM bg GROUP BY w1
+        ),
+        w2s AS (SELECT w2, CAST(count(*) AS BIGINT) AS nc FROM bg GROUP BY w2),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bg),
+        model AS (
+            SELECT bg.w1, bg.w2,
+                   CAST((greatest(4 * bg.c - 3, 0) * tot.t
+                         + 3 * w1s.n1 * w2s.nc)
+                        * 1000000 // (4 * w1s.c1 * tot.t) AS BIGINT) AS p_ppm
+            FROM bg
+            JOIN w1s USING (w1)
+            JOIN w2s USING (w2)
+            CROSS JOIN tot
+        )
+"""
+
+
+@register(
+    "lm_doc_score_kn",
+    oracle=f"""
+        WITH {_KN_MODEL_SQL}
+        SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(m.p_ppm) AS BIGINT) AS sum_ppm,
+               CAST(sum(m.p_ppm) // count(*) AS BIGINT) AS mean_ppm
+        FROM db d JOIN model m USING (w1, w2)
+        GROUP BY d.doc_id
+        """,
+    category="text",
+    doc="CCNet-style LM quality scoring: every document scored by its "
+    "mean Kneser-Ney bigram probability under a model trained on the "
+    "corpus itself — the filter that separates fluent prose from "
+    "boilerplate/gibberish in production pretraining pipelines "
+    "(low-perplexity-under-a-reference-LM selection).  Probabilities "
+    "are the exact integer floor-ppm of the KN rational "
+    "(lm_kneser_ney_bigram's algebra), so per-doc sums and floor-div "
+    "means are hash-exact cross-engine with no float log-prob "
+    "accumulation-order hazard.  Plan: the bigram-occurrence table "
+    "(doc_id, w1, w2) joins the bigram-TYPE model on the pair key — "
+    "one keyed shuffle each side, NO broadcast (rule 13: the model is "
+    "vocabulary-squared-scale); per-doc aggregation is the only other "
+    "shuffle.  Self-training on the scored corpus is the bootstrap "
+    "case; swapping a fixed reference model for the model CTE changes "
+    "nothing in the plan shape.",
+)
+def lm_doc_score_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _doc_bigrams(spark, sf_dir)
+    model = _kn_bigram_model(spark, sf_dir).select("w1", "w2", "p_ppm")
+    return (
+        db.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("p_ppm").cast("bigint").alias("sum_ppm"),
+        )
+        .withColumn(
+            "mean_ppm", F.expr("sum_ppm div n_bigrams").cast("bigint")
+        )
+    )

@@ -82,6 +82,11 @@ _ALLOWLIST = {
         1,
         "pure-predicate cap — _EVAL_MOD/_EVAL_CAP (<= 50k rows)",
     ),
+    "streaming/stream_ops.py::events_stream_timesplit": (
+        1,
+        "fixture write — one (min, max) scalar row bounds the time-split "
+        "point; runs once per staged fixture",
+    ),
     "sources/python_datasource.py::_stage_warc": (
         1,
         "fixture write — doc_id < 500 by construction",
