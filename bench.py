@@ -54,6 +54,9 @@ EXTENDED = [
     "dedup_minhash_lsh_capped",
     "stream_stream_full_outer_join_e2e",
     "multimodal_decode_audio_real",
+    "stream_session_timer_e2e",
+    "stream_chained_window_aggs_e2e",
+    "lm_doc_score_kn",
 ]
 
 

@@ -418,3 +418,69 @@ def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "udf_apply_in_arrow",
+    oracle="""
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS centi_bal,
+               CAST(max(len(c_name)) AS BIGINT) AS max_name_len
+        FROM customer
+        GROUP BY c_nationkey
+        """,
+    category="udf",
+    doc="Grouped-map applyInArrow (Spark 4): the whole-partition custom "
+    "aggregation surface at the RAW ARROW level — each group arrives "
+    "as one pyarrow.Table and returns one, no pandas conversion at "
+    "all, which matters when the group payload is large binary/list "
+    "data that pandas would copy and box (the multimodal columns "
+    "case).  Per-nation count, exact centi-unit balance sum "
+    "(half-up, int64 via pyarrow.compute) and max name length; "
+    "hash-matched against the plain SQL aggregate.  mapInArrow "
+    "(maparrow_token_stats) covers the ungrouped form; this is the "
+    "groupBy().applyInArrow twin — together they bracket the Arrow "
+    "fast path the way applyInPandas/mapInPandas bracket the pandas "
+    "one.  At 100 TB: one shuffle on the group key, Arrow IPC both "
+    "ways, columnar kernels inside — still slower than the pure-JVM "
+    "aggregate (the registered scale path for THIS reduction), so "
+    "the op exists for computations SQL cannot express.",
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def stats(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        bal = table.column("c_acctbal")
+        centi = pc.cast(
+            pc.floor(pc.add(pc.multiply(bal, pa.scalar(100.0)), 0.5)),
+            pa.int64(),
+        )
+        names = pc.utf8_length(table.column("c_name"))
+        return pa.table(
+            {
+                "c_nationkey": pa.array(
+                    [table.column("c_nationkey")[0].as_py()], pa.int64()
+                ),
+                "n": pa.array([table.num_rows], pa.int64()),
+                "centi_bal": pa.array(
+                    [pc.sum(centi).as_py()], pa.int64()
+                ),
+                "max_name_len": pa.array(
+                    [pc.max(names).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_acctbal", "c_name")
+        .groupBy("c_nationkey")
+        .applyInArrow(
+            stats,
+            schema="c_nationkey bigint, n bigint, centi_bal bigint, "
+            "max_name_len bigint",
+        )
+    )

@@ -1723,3 +1723,185 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hhi_bp2"),
         )
     )
+
+
+@register(
+    "approx_hll_partitioned_union",
+    oracle="""
+        SELECT n.n_regionkey,
+               CAST(count(DISTINCT c.c_custkey % 1000) AS BIGINT)
+                   AS exact_buckets,
+               TRUE AS within_bound
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_regionkey
+        """,
+    category="approximate",
+    doc="MERGEABLE HLL sketches (Spark 4 Apache DataSketches family): "
+    "one hll_sketch_agg per nation, then hll_union_agg rolls the 25 "
+    "nation sketches up into 5 region estimates — the two-level "
+    "topology that makes sketches the 100 TB distinct-count answer: "
+    "build once per partition/day, union later at ANY grouping "
+    "without touching raw data (exact COUNT DISTINCT cannot "
+    "re-aggregate).  The counted value (c_custkey % 1000) overlaps "
+    "across nations, so the union genuinely deduplicates between "
+    "sketches.  Registered as the r4 bound-assert convention: "
+    "within_bound = |estimate - exact| <= 5% + 10, oracle emits the "
+    "exact value and literal TRUE — a broken sketch pipeline goes "
+    "red instead of hiding behind no_oracle.",
+)
+def approx_hll_partitioned_union(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = t(spark, sf_dir, "customer").join(
+        F.broadcast(t(spark, sf_dir, "nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    bucket = F.pmod(F.col("c_custkey"), F.lit(1000))
+    per_nation = c.groupBy("n_regionkey", "c_nationkey").agg(
+        F.hll_sketch_agg(bucket).alias("sk")
+    )
+    est = per_nation.groupBy("n_regionkey").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = c.groupBy("n_regionkey").agg(
+        F.count_distinct(bucket).cast("bigint").alias("exact_buckets")
+    )
+    return est.join(exact, "n_regionkey").select(
+        "n_regionkey",
+        "exact_buckets",
+        (
+            F.abs(F.col("est") - F.col("exact_buckets")).cast("double")
+            <= 0.05 * F.col("exact_buckets") + 10
+        ).alias("within_bound"),
+    )
+
+
+@register(
+    "approx_kll_quantiles",
+    oracle="""
+        SELECT q_ppm,
+               CAST(count(*) AS BIGINT) AS n_total,
+               TRUE AS rank_within_bound
+        FROM orders
+        CROSS JOIN (SELECT unnest([250000, 500000, 750000]) AS q_ppm)
+        GROUP BY q_ppm
+        """,
+    category="approximate",
+    doc="KLL quantile sketches (Spark 4 DataSketches): one streaming "
+    "pass builds a kll_sketch_agg_double over o_totalprice, then the "
+    "P25/P50/P75 estimates are read out of the sketch — the 100 TB "
+    "quantile answer (exact percentiles need a global sort; the "
+    "sketch is one pass, mergeable across partitions, ~1.65% "
+    "normalized rank error at k=200).  The check is IN-PLAN and "
+    "rank-based, the only sound way to verify a quantile sketch: the "
+    "exact rank of each estimated quantile (count of rows at or "
+    "below it, computed by a second aggregate against the broadcast "
+    "1-row estimates) must sit within 3% of the target rank.  Oracle "
+    "emits the row count and literal TRUE per target.",
+)
+def approx_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_totalprice")
+    sk = o.agg(F.kll_sketch_agg_double("o_totalprice").alias("sk"))
+    est = sk.select(
+        *[
+            F.kll_sketch_get_quantile_double("sk", F.lit(q)).alias(f"q{i}")
+            for i, q in enumerate([0.25, 0.5, 0.75])
+        ]
+    )
+    with_est = o.crossJoin(F.broadcast(est))
+    checks = []
+    for i, q in enumerate([0.25, 0.5, 0.75]):
+        r = (
+            with_est.agg(
+                F.count(F.lit(1)).alias("n_total"),
+                F.sum(
+                    (F.col("o_totalprice") <= F.col(f"q{i}")).cast("bigint")
+                ).alias("rk"),
+            )
+            .select(
+                F.lit(int(q * 1_000_000)).cast("bigint").alias("q_ppm"),
+                F.col("n_total").cast("bigint"),
+                (
+                    F.abs(
+                        F.col("rk").cast("double")
+                        - q * F.col("n_total").cast("double")
+                    )
+                    <= 0.03 * F.col("n_total").cast("double") + 1
+                ).alias("rank_within_bound"),
+            )
+        )
+        checks.append(r)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@register(
+    "approx_theta_set_ops",
+    oracle="""
+        WITH a AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'click'),
+             b AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'purchase')
+        SELECT CAST((SELECT count(*) FROM (SELECT user_id FROM a
+                                           UNION SELECT user_id FROM b))
+                    AS BIGINT) AS exact_union,
+               CAST((SELECT count(*) FROM a WHERE user_id IN
+                        (SELECT user_id FROM b)) AS BIGINT)
+                   AS exact_intersect,
+               TRUE AS union_within_bound,
+               TRUE AS intersect_within_bound
+        """,
+    category="approximate",
+    doc="THETA sketches (Spark 4 DataSketches): approximate DISTINCT "
+    "SET ALGEBRA — |clickers UNION purchasers| and |clickers "
+    "INTERSECT purchasers| from two one-pass sketches, no join of "
+    "raw data.  This is the audience-overlap / reach-dedup query "
+    "that at 100 TB runs as sketch-build per segment + driver-light "
+    "set ops, where the exact form needs a shuffle join per pair of "
+    "segments; unlike HLL, theta supports intersection and "
+    "difference.  Bound-assert convention: both estimates must land "
+    "within 5% + 5 of the exact twins (at this fixture's cardinality "
+    "the sketches are below nominal capacity and thus exact — the "
+    "query pins the plumbing; the bound is the production contract).",
+)
+def approx_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "purchase").select("user_id")
+    ska = a.agg(F.theta_sketch_agg("user_id").alias("ska"))
+    skb = b.agg(F.theta_sketch_agg("user_id").alias("skb"))
+    both = ska.crossJoin(skb).select(
+        F.theta_sketch_estimate(F.theta_union("ska", "skb")).alias("u_est"),
+        F.theta_sketch_estimate(
+            F.theta_intersection("ska", "skb")
+        ).alias("i_est"),
+    )
+    exact = (
+        a.distinct()
+        .withColumn("ina", F.lit(1))
+        .join(b.distinct().withColumn("inb", F.lit(1)), "user_id", "full")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+            F.sum(
+                (F.col("ina").isNotNull() & F.col("inb").isNotNull()).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("exact_intersect"),
+        )
+    )
+    return both.crossJoin(F.broadcast(exact)).select(
+        "exact_union",
+        "exact_intersect",
+        (
+            F.abs(F.col("u_est") - F.col("exact_union")).cast("double")
+            <= 0.05 * F.col("exact_union") + 5
+        ).alias("union_within_bound"),
+        (
+            F.abs(F.col("i_est") - F.col("exact_intersect")).cast("double")
+            <= 0.05 * F.col("exact_intersect") + 5
+        ).alias("intersect_within_bound"),
+    )

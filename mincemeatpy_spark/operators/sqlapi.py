@@ -477,3 +477,65 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_cap": 30,
         },
     )
+
+
+@register(
+    "sql_observe_metrics",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+                   AS n_big,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS centi_total,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key
+        FROM orders
+        """,
+    category="sqlapi",
+    doc="The OBSERVE surface (df.observe + Observation): named metrics "
+    "computed as a side-product of a pass the job was already making "
+    "— the production data-quality hook (row counts, domain checks, "
+    "freshness gauges) that costs ZERO extra scans, unlike a separate "
+    "audit query (dq_audit) which re-reads the table.  The observed "
+    "aggregates ride the CollectMetrics operator inside the main "
+    "plan; the driver reads one metrics row per action.  Here the "
+    "observed pass is a full-table count and the five metrics "
+    "(half-up centi-unit money so the sum is hash-exact) must match "
+    "the oracle's direct aggregation.  At 100 TB: attach observe to "
+    "the WRITE of every pipeline stage and alert on the metrics "
+    "stream — no second job, no sampled approximations.",
+)
+def sql_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    from mincemeatpy_spark.tables import t
+
+    obs = Observation("orders_dq")
+    o = t(spark, sf_dir, "orders")
+    from pyspark.sql import functions as F
+
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("centi_total"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    )
+    observed.count()  # the action the metrics piggyback on
+    m = obs.get  # one metrics row, driver-side by design
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_big"],
+                m["centi_total"],
+                m["min_key"],
+                m["max_key"],
+            )
+        ],
+        "n_rows bigint, n_big bigint, centi_total bigint, "
+        "min_key bigint, max_key bigint",
+    )

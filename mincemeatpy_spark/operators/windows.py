@@ -196,3 +196,74 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(w).alias("first_price"),
         F.last("o_totalprice").over(w).alias("last_price"),
     ).distinct()
+
+
+@register(
+    "window_session_dynamic_gap",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   epoch_us(ts) + CAST(1000000 AS BIGINT) * CASE event_type
+                       WHEN 'purchase' THEN 3600
+                       WHEN 'signup' THEN 1800
+                       ELSE 600 END AS en
+            FROM events
+        ),
+        m AS (
+            SELECT user_id, us, en,
+                   max(en) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS prev_max
+            FROM e
+        ),
+        sid AS (
+            SELECT user_id, us, en,
+                   sum(CASE WHEN prev_max IS NULL OR us > prev_max
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m
+        )
+        SELECT user_id,
+               CAST(min(us) AS BIGINT) AS start_us,
+               CAST(max(en) AS BIGINT) AS end_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sid GROUP BY user_id, sid
+        """,
+    category="window",
+    doc="DYNAMIC-GAP session windows (session_window with a gap "
+    "EXPRESSION): each event extends its session by an event-type-"
+    "dependent horizon (purchase 60 min, signup 30 min, else 10 min) "
+    "— the real-world sessionization rule engagement analytics uses "
+    "(a purchase keeps a visit alive far longer than a stray click).  "
+    "Merge semantics measured on this engine, not assumed: an event "
+    "joins a session NON-STRICTLY (ts == current end merges) against "
+    "the RUNNING MAX of member ends — a long-gap early event keeps "
+    "absorbing later short-gap events even after their own horizons "
+    "lapse (probed: [100,+30s][120,+5s][126,+5s] is ONE session "
+    "ending 131).  The oracle replays exactly that interval-merge in "
+    "closed form (running-max window + gaps-and-islands); bounds in "
+    "exact int64 micros.  Ties are safe: positive gaps make the "
+    "break flag order-independent between equal timestamps.  Plan: "
+    "one shuffle on user_id, sessions assigned by Spark's "
+    "MergingSessionsExec inside the aggregate — no self-join; at "
+    "100 TB this is the same one-shuffle shape as static-gap "
+    "sessionization.",
+)
+def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("3600 seconds"))
+        .when(F.col("event_type") == "signup", F.lit("1800 seconds"))
+        .otherwise(F.lit("600 seconds"))
+    )
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("start_us"),
+            F.unix_micros("w.end").alias("end_us"),
+            "n_events",
+        )
+    )

@@ -1212,3 +1212,271 @@ def source_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value.count").cast("bigint").alias("n"),
         )
     )
+
+
+@register(
+    "sink_foreachbatch_upsert",
+    oracle="""
+        SELECT user_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               event_id, event_type,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS micro_value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts DESC, event_id DESC)
+                            AS rn
+              FROM events)
+        WHERE rn = 1
+        """,
+    category="source",
+    doc="The foreachBatch SINK pattern under the correctness gate: a "
+    "streaming change log merged batch-by-batch into a keyed parquet "
+    "snapshot (SCD-1 latest-wins upsert) — THE production exit ramp "
+    "from Structured Streaming into any batch-writable store.  Three "
+    "micro-batches (event_id % 3 staging, so 'latest' keeps having to "
+    "displace earlier winners); each merge is snapshot(N) = "
+    "latest-per-user of (snapshot(N-1) UNION delta) — one distributed "
+    "max_by shuffle per batch, versioned by batchId so a replayed "
+    "batch deterministically rewrites the same version (the "
+    "exactly-once recipe: idempotent-by-batchId writes).  The merge "
+    "is associative, so the final snapshot equals the batch "
+    "row_number()=1 compaction regardless of how events split across "
+    "batches — hash-matched here.  At 100 TB the union side is the "
+    "snapshot: partition it by key range and the merge prunes to "
+    "touched partitions (MERGE INTO on a real lakehouse table), same "
+    "plan shape.",
+)
+def sink_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from mincemeatpy_spark.streaming.stream_ops import (
+        events_stream_multibatch,
+    )
+
+    src = Path(sf_dir) / "events.parquet"
+    st = src.stat()
+    stamp = f"{src}|{st.st_size}|{st.st_mtime}|foreachbatch_upsert"
+    base = (
+        Path(tempfile.gettempdir())
+        / "mincemeatpy_febu"
+        / hashlib.md5(stamp.encode()).hexdigest()[:12]
+    )
+    done = base / "_DONE"
+    if not done.exists():
+        shutil.rmtree(base, ignore_errors=True)
+        base.mkdir(parents=True, exist_ok=True)
+
+        def merge(bdf: DataFrame, bid: int) -> None:
+            sp = bdf.sparkSession
+            delta = bdf.select(
+                "user_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "event_id",
+                "event_type",
+                F.floor(F.col("value") * 1000000 + 0.5)
+                .cast("bigint")
+                .alias("micro_value"),
+            )
+            prev = base / f"snap_v{bid - 1}"
+            if prev.exists():
+                delta = delta.unionByName(sp.read.parquet(str(prev)))
+            snap = (
+                delta.groupBy("user_id")
+                .agg(
+                    F.max_by(
+                        F.struct(
+                            "ts_us", "event_id", "event_type", "micro_value"
+                        ),
+                        F.struct("ts_us", "event_id"),
+                    ).alias("s")
+                )
+                .select(
+                    "user_id",
+                    "s.ts_us",
+                    "s.event_id",
+                    "s.event_type",
+                    "s.micro_value",
+                )
+            )
+            snap.write.mode("overwrite").parquet(str(base / f"snap_v{bid}"))
+
+        q = (
+            events_stream_multibatch(spark, sf_dir)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", str(base / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        done.touch()
+    vs = sorted(int(p.name[6:]) for p in base.glob("snap_v*"))
+    return spark.read.parquet(str(base / f"snap_v{vs[-1]}"))
+
+
+@register(
+    "stream_chained_window_aggs_e2e",
+    oracle="""
+        WITH wm AS (
+            SELECT epoch_ms(max(ts)) - 600000 AS w_ms FROM events
+        ),
+        h1 AS (
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS w, event_type,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        h6 AS (
+            SELECT time_bucket(INTERVAL '6 hours', w) AS w6, event_type,
+                   CAST(sum(n) AS BIGINT) AS n6,
+                   CAST(count(*) AS BIGINT) AS n_subwindows
+            FROM h1 GROUP BY 1, 2
+        )
+        SELECT w6 AS w6_start, event_type, n6, n_subwindows
+        FROM h6, wm
+        WHERE epoch_ms(w6 + INTERVAL 6 HOUR) <= wm.w_ms
+        """,
+    category="streaming",
+    doc="MULTIPLE STATEFUL OPERATORS in one streaming query (Spark "
+    "3.4+/4): a 1-hour tumbling count CHAINED into a 6-hour rollup "
+    "via window(window_time(w)), both stateful, append mode — the "
+    "hierarchical-rollup topology that previously required two "
+    "queries and an intermediate topic.  Driven over the time-"
+    "monotone two-batch staging, where the layered watermark rules "
+    "collapse to one closed form (probed, MATCH at sf0.001: 473/473 "
+    "rows hash-equal): an hourly window evicts from the first "
+    "aggregate when the one-back wm passes its end, flows DIRECTLY "
+    "into the second aggregate inside the same micro-batch (no "
+    "re-buffering), survives the downstream late filter because the "
+    "two-back wm lags eviction by exactly one batch on monotone "
+    "data, and the 6-hour window emits once wm >= its end — so the "
+    "final emission set is exactly {6h windows ending at or before "
+    "floor_ms(max ts) - 10 min} with FULL batch counts.  On the "
+    "out-of-order event_id%3 staging the same chain silently loses "
+    "evicted-too-early sub-windows (probed: 79 missing + 182 "
+    "diverged of 477) — the monotone staging is the point: chained "
+    "stateful ops need near-ordered sources or generous delays.  At "
+    "100 TB this replaces a two-job rollup pipeline with one plan, "
+    "state bounded by wm at both levels.",
+)
+def stream_chained_window_aggs_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        events_stream_timesplit,
+        run_to_completion,
+    )
+
+    h1 = (
+        events_stream_timesplit(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    h6 = (
+        h1.groupBy(
+            F.window(F.window_time("w"), "6 hours").alias("w6"), "event_type"
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n6"),
+            F.count(F.lit(1)).cast("bigint").alias("n_subwindows"),
+        )
+        .select(
+            F.col("w6.start").alias("w6_start"),
+            "event_type",
+            "n6",
+            "n_subwindows",
+        )
+    )
+    return run_to_completion(h6, "stream_chained_aggs_sink", mode="append")
+
+
+@register(
+    "stream_dedup_within_wm_e2e",
+    oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+        """,
+    category="streaming",
+    doc="dropDuplicatesWithinWatermark under the correctness gate — the "
+    "BOUNDED-STATE form of streaming dedup (stream_dedup_e2e's "
+    "dropDuplicates keeps every key forever; this one evicts a key "
+    "once the watermark passes its event time plus the delay, so "
+    "state is O(keys per watermark window) at any stream length — "
+    "the only dedup a year-long 100 TB stream can run).  The planted "
+    "duplication is the same two-source union, and both copies of "
+    "every row carry the same event time and arrive in the same "
+    "micro-batch — well inside any delay — so the kept set is exactly "
+    "one copy per event_id and the per-type counts hash-match the "
+    "batch oracle; the semantic difference from dropDuplicates is "
+    "pure state lifetime, which is the point.",
+)
+def stream_dedup_within_wm_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        events_stream,
+        run_to_completion,
+    )
+
+    def side():
+        return (
+            events_stream(spark, sf_dir)
+            .withWatermark("ts", "1 hour")
+            .select("ts", "event_id", "event_type")
+        )
+
+    dd = side().unionAll(side()).dropDuplicatesWithinWatermark(["event_id"])
+    agg = dd.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    out = run_to_completion(agg, "stream_dedup_wm_e2e_sink")
+    return out.select("event_type", "n")
+
+
+@register(
+    "stream_trigger_available_now_e2e",
+    oracle="""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1, 2
+        """,
+    category="streaming",
+    doc="Trigger.AvailableNow under the correctness gate: the query "
+    "processes everything available AS MULTIPLE RATE-LIMITED "
+    "MICRO-BATCHES (maxFilesPerTrigger=1 is honored, unlike the "
+    "deprecated Trigger.Once) and then TERMINATES ON ITS OWN — the "
+    "production backfill/catch-up trigger that lets one streaming "
+    "query definition serve both the nightly batch refill and the "
+    "continuous tail, with checkpoints compatible between runs.  "
+    "Driven here over the three-file staging with awaitTermination() "
+    "(no processAllAvailable — self-termination IS the feature); the "
+    "complete-mode hourly counts must hash-match the batch aggregate "
+    "exactly.",
+)
+def stream_trigger_available_now_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        events_stream_multibatch,
+    )
+
+    # no watermark: complete mode retains all window state, so the
+    # out-of-order staging needs no late-data closed form here
+    agg = (
+        events_stream_multibatch(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_avnow_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql("SELECT * FROM stream_avnow_sink")

@@ -392,3 +392,110 @@ def test_restart_recovery_actually_restarts(spark, sf_dir):
         "phase 1 did not commit exactly file 0 — the restart demo is "
         "not exercising cross-restart state recovery"
     )
+
+
+# ---------------------------------------------------------------- r6: timers,
+# state types, chained stateful, foreachBatch
+
+
+def test_timesplit_staging_is_monotone_and_complete(spark, sf_dir):
+    """events_stream_timesplit's two files must partition the fixture
+    with batch 0 strictly before batch 1 in event time — the property
+    every closed-form watermark oracle over this staging leans on."""
+    from mincemeatpy_spark.streaming.stream_ops import (
+        _multibatch_stage_dir,
+        events_stream_timesplit,
+    )
+
+    events_stream_timesplit(spark, sf_dir)  # ensure staged
+    stage = _multibatch_stage_dir(sf_dir, n_files=-2)
+    b0 = spark.read.parquet(str(stage / "batch-000.parquet"))
+    b1 = spark.read.parquet(str(stage / "batch-001.parquet"))
+    mx0 = b0.agg(F.max("ts_us")).collect()[0][0]
+    mn1 = b1.agg(F.min("ts_us")).collect()[0][0]
+    assert mx0 < mn1, "time-split staging must be monotone"
+    n_total = t(spark, sf_dir, "events").count()
+    assert b0.count() + b1.count() == n_total
+    assert b0.count() > 0 and b1.count() > 0
+
+
+def test_session_timer_emits_each_session_once(spark, sf_dir):
+    """Append-mode timer finalization must emit every session exactly
+    once — the expiry guard makes in-line supersede + stale timer
+    fire un-double-emittable, pinned here directly."""
+    from mincemeatpy_spark.registry import load_all_queries
+
+    df = load_all_queries()["stream_session_timer_e2e"].fn(spark, sf_dir)
+    total = df.count()
+    distinct = df.select("user_id", "start_us").distinct().count()
+    assert total == distinct and total > 0
+
+
+def test_foreachbatch_upsert_replay_is_idempotent(spark, sf_dir):
+    """The exactly-once claim: re-running the whole merge cascade over
+    pre-existing snapshot versions (a replay of every batch) must
+    reproduce the identical snapshot."""
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from mincemeatpy_spark.registry import load_all_queries
+
+    fn = load_all_queries()["sink_foreachbatch_upsert"].fn
+    first = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+
+    src = Path(sf_dir) / "events.parquet"
+    st = src.stat()
+    stamp = f"{src}|{st.st_size}|{st.st_mtime}|foreachbatch_upsert"
+    base = (
+        Path(tempfile.gettempdir())
+        / "mincemeatpy_febu"
+        / hashlib.md5(stamp.encode()).hexdigest()[:12]
+    )
+    # simulate a full replay: drop the done marker AND the streaming
+    # checkpoint (so every batch re-fires) but KEEP the snapshot dirs
+    (base / "_DONE").unlink()
+    shutil.rmtree(base / "ck", ignore_errors=True)
+    second = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    assert first == second
+
+
+def test_chained_aggs_withhold_unclosed_windows(spark, sf_dir):
+    """Non-vacuousness of the chained-agg emission rule: the append-mode
+    output must be a strict subset of the batch 6-hour rollup (the
+    final, unclosed windows are withheld)."""
+    from mincemeatpy_spark.registry import load_all_queries
+
+    emitted = load_all_queries()["stream_chained_window_aggs_e2e"].fn(
+        spark, sf_dir
+    )
+    e = t(spark, sf_dir, "events")
+    all_h6 = (
+        e.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(F.window(F.col("w.start"), "6 hours").alias("w6"), "event_type")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .count()
+    )
+    n_emitted = emitted.count()
+    assert 0 < n_emitted < all_h6
+
+
+def test_mapstate_entries_merge_across_batches(spark, sf_dir):
+    """MapState sub-key merge: the e2e result must equal the batch
+    group-by (count only — the full fixed-point check is the oracle's
+    job; this pins the state round-trip without duckdb)."""
+    from mincemeatpy_spark.registry import load_all_queries
+
+    got = load_all_queries()["stream_mapstate_counts_e2e"].fn(spark, sf_dir)
+    batch = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    g = sorted(tuple(r) for r in got.select("user_id", "event_type", "n").collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert g == b
