@@ -1808,33 +1808,42 @@ def approx_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, q in enumerate([0.25, 0.5, 0.75])
         ]
     )
-    with_est = o.crossJoin(F.broadcast(est))
-    checks = []
-    for i, q in enumerate([0.25, 0.5, 0.75]):
-        r = (
-            with_est.agg(
-                F.count(F.lit(1)).alias("n_total"),
-                F.sum(
-                    (F.col("o_totalprice") <= F.col(f"q{i}")).cast("bigint")
-                ).alias("rk"),
-            )
-            .select(
+    # one fused pass: all three rank counts in a single aggregate over
+    # the broadcast 1-row estimates (orders is scanned exactly twice —
+    # sketch build + rank check — at any scale)
+    ranks = o.crossJoin(F.broadcast(est)).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        *[
+            F.sum(
+                (F.col("o_totalprice") <= F.col(f"q{i}")).cast("bigint")
+            ).alias(f"rk{i}")
+            for i in range(3)
+        ],
+    )
+    qs = F.array(
+        *[
+            F.struct(
                 F.lit(int(q * 1_000_000)).cast("bigint").alias("q_ppm"),
-                F.col("n_total").cast("bigint"),
-                (
-                    F.abs(
-                        F.col("rk").cast("double")
-                        - q * F.col("n_total").cast("double")
-                    )
-                    <= 0.03 * F.col("n_total").cast("double") + 1
-                ).alias("rank_within_bound"),
+                F.lit(q).alias("frac"),
+                F.col(f"rk{i}").alias("rk"),
             )
+            for i, q in enumerate([0.25, 0.5, 0.75])
+        ]
+    )
+    return (
+        ranks.select("n_total", F.explode(qs).alias("e"))
+        .select(
+            F.col("e.q_ppm").alias("q_ppm"),
+            F.col("n_total").cast("bigint"),
+            (
+                F.abs(
+                    F.col("e.rk").cast("double")
+                    - F.col("e.frac") * F.col("n_total").cast("double")
+                )
+                <= 0.03 * F.col("n_total").cast("double") + 1
+            ).alias("rank_within_bound"),
         )
-        checks.append(r)
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionByName(c)
-    return out
+    )
 
 
 @register(

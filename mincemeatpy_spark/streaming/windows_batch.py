@@ -1480,3 +1480,89 @@ def stream_trigger_available_now_e2e(
     )
     q.awaitTermination()
     return spark.sql("SELECT * FROM stream_avnow_sink")
+
+
+@register(
+    "source_statestore_tws_reader",
+    oracle="""
+        SELECT user_id, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS micro_sum
+        FROM events
+        GROUP BY user_id, event_type
+        """,
+    category="source",
+    doc="The statestore reader over TYPED transformWithState state: "
+    "after the MapState counters run against a checkpoint, "
+    "spark.read.format('statestore').option('stateVarName', "
+    "'by_type') reads the map entries back as (key struct, "
+    "user_map_key struct, user_map_value struct) rows — one row per "
+    "(grouping key, map sub-key), which is exactly the RocksDB "
+    "column-family layout MapState promises (a hot sub-key is one "
+    "row, not a serialized dict).  The projected "
+    "(user_id, event_type, n, micro_sum) must hash-match the batch "
+    "group-by: the committed state IS the aggregate.  Together with "
+    "source_statestore_reader (built-in agg state) this certifies "
+    "state inspection across both the SQL-aggregate and "
+    "arbitrary-state operator families — the audit path a stateful "
+    "pipeline at scale needs when a key goes wrong.",
+)
+def source_statestore_tws_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from mincemeatpy_spark.streaming.stream_ops import (
+        ensure_protobuf,
+        events_stream,
+        user_type_counts_mapstate,
+    )
+
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf; neither a "
+            "pip-installed runtime nor the pbshim SDK backing is available"
+        )
+    # the batch reader replays the RocksDB changelog and would report
+    # snapshot-upload lag to a StateStoreCoordinator that only streaming
+    # queries stand up — disable the reporting for the read path
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag",
+        "false",
+    )
+    src = Path(sf_dir) / "events.parquet"
+    st = src.stat()
+    stamp = f"{src}|{st.st_size}|{st.st_mtime}|statestore_tws_ck"
+    ck = (
+        Path(tempfile.gettempdir())
+        / "mincemeatpy_statestore_ck"
+        / hashlib.md5(stamp.encode()).hexdigest()[:12]
+    )
+    marker = ck / "_DONE"
+    if not marker.exists():
+        shutil.rmtree(ck, ignore_errors=True)
+        q = (
+            user_type_counts_mapstate(events_stream(spark, sf_dir))
+            .writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", str(ck))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        marker.touch()
+    return (
+        spark.read.format("statestore")
+        .option("stateVarName", "by_type")
+        .load(str(ck))
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("user_map_key.event_type").alias("event_type"),
+            F.col("user_map_value.n").cast("bigint").alias("n"),
+            F.col("user_map_value.micros").cast("bigint").alias("micro_sum"),
+        )
+    )
