@@ -1097,3 +1097,75 @@ def recent3_liststate(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+_WARMSTART_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("micro_sum", T.LongType()),
+    ]
+)
+
+
+def warmstart_counts_tws(live: DataFrame, hist: DataFrame) -> DataFrame:
+    """Per-user running (count, micro-sum) warm-started from a BATCH
+    aggregate via transformWithStateInPandas ``initialState`` — the
+    state-bootstrap path every migrating pipeline needs: day-one state
+    comes from the historical batch table, not from replaying the
+    whole log through the stream.  ``handleInitialState`` seeds the
+    ValueState once per key before any input batch; keys present only
+    in history still hold state (and would emit on their first live
+    event); keys never seen in history initialize from zero.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    live.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    class Warm(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._st = handle.getValueState("tot", "n BIGINT, micros BIGINT")
+
+        def handleInitialState(self, key, initialState, timerValues):
+            self._st.update(
+                (
+                    int(initialState["n0"].iloc[0]),
+                    int(initialState["micros0"].iloc[0]),
+                )
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+            import pandas as pd
+
+            if self._st.exists():
+                n, micros = (int(x) for x in self._st.get())
+            else:
+                n, micros = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                micros += int(
+                    np.floor(pdf["value"].to_numpy() * 1e6 + 0.5)
+                    .astype("int64")
+                    .sum()
+                )
+            self._st.update((n, micros))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "micro_sum": [micros]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return live.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Warm(),
+        outputStructType=_WARMSTART_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+        initialState=hist.groupBy("user_id"),
+    )

@@ -1566,3 +1566,70 @@ def source_statestore_tws_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_map_value.micros").cast("bigint").alias("micro_sum"),
         )
     )
+
+
+@register(
+    "stream_initial_state_tws_e2e",
+    oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS micro_sum
+        FROM events
+        GROUP BY user_id
+        """,
+    category="streaming",
+    doc="INITIAL STATE for transformWithState under the correctness "
+    "gate: the historical half of the log (event_id % 2 = 0) is "
+    "batch-aggregated and handed to the processor as initialState — "
+    "handleInitialState seeds each key's ValueState ONCE before any "
+    "input — and only the other half actually streams.  The final "
+    "per-user (count, half-up micro sum) must hash-match the batch "
+    "aggregate over the WHOLE log, which only happens if the seed "
+    "landed exactly once per key and merged with live arrivals.  "
+    "This is the state-bootstrap path a migrating pipeline needs at "
+    "100 TB: day-one state comes from the warehouse table, not from "
+    "replaying a year of log through the stream.  Update mode; "
+    "(n, micro_sum) grows monotonically so max-struct per user "
+    "selects the final emission.",
+)
+def stream_initial_state_tws_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        ensure_protobuf,
+        events_stream,
+        run_to_completion,
+        warmstart_counts_tws,
+    )
+
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf; neither a "
+            "pip-installed runtime nor the pbshim SDK backing is available"
+        )
+    hist = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n0"),
+            F.sum(F.floor(F.col("value") * 1000000 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("micros0"),
+        )
+    )
+    live = events_stream(spark, sf_dir).filter(F.col("event_id") % 2 == 1)
+    out = run_to_completion(
+        warmstart_counts_tws(live, hist),
+        "stream_initstate_sink",
+        mode="update",
+    )
+    fin = F.max(F.struct("n", "micro_sum")).alias("s")
+    return (
+        out.groupBy("user_id")
+        .agg(fin)
+        .select(
+            "user_id",
+            F.col("s.n").alias("n"),
+            F.col("s.micro_sum").alias("micro_sum"),
+        )
+    )

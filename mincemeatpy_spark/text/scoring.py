@@ -515,7 +515,14 @@ def _kn_bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see lm_kneser_ney_bigram for the algebra).  Shared by the top-50
     inspection query and the doc-scoring join so the model cannot
     drift between them."""
-    pairs = _doc_bigrams(spark, sf_dir).select("w1", "w2")
+    return _kn_model_from_pairs(_doc_bigrams(spark, sf_dir))
+
+
+def _kn_model_from_pairs(pairs: DataFrame) -> DataFrame:
+    """KN algebra over an arbitrary bigram-occurrence DataFrame (w1, w2
+    [, ...]) — lets the held-out eval train on a SPLIT of the corpus
+    with the identical arithmetic."""
+    pairs = pairs.select("w1", "w2")
     bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     win1 = Window.partitionBy("w1")
     win2 = Window.partitionBy("w2")
@@ -616,5 +623,97 @@ def lm_doc_score_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "mean_ppm", F.expr("sum_ppm div n_bigrams").cast("bigint")
+        )
+    )
+
+
+@register(
+    "lm_kn_heldout_eval",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       ::BIGINT % 100 AS hd,
+                   string_split_regex(text, '\\s+') AS w
+            FROM documents
+        ),
+        db AS (
+            SELECT doc_id, hd,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                          i -> w[i])) AS w1,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                          i -> w[i + 1])) AS w2
+            FROM words WHERE len(w) >= 2
+        ),
+        bg AS (SELECT w1, w2, count(*) AS c FROM db WHERE hd < 90
+               GROUP BY w1, w2),
+        w1s AS (
+            SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS n1
+            FROM bg GROUP BY w1
+        ),
+        w2s AS (SELECT w2, CAST(count(*) AS BIGINT) AS nc FROM bg GROUP BY w2),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bg),
+        model AS (
+            SELECT bg.w1, bg.w2,
+                   CAST((greatest(4 * bg.c - 3, 0) * tot.t
+                         + 3 * w1s.n1 * w2s.nc)
+                        * 1000000 // (4 * w1s.c1 * tot.t) AS BIGINT) AS p_ppm
+            FROM bg
+            JOIN w1s USING (w1)
+            JOIN w2s USING (w2)
+            CROSS JOIN tot
+        )
+        SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(count(m.p_ppm) AS BIGINT) AS n_covered,
+               CAST(coalesce(sum(m.p_ppm), 0) AS BIGINT) AS sum_ppm,
+               CAST((count(*) - count(m.p_ppm)) * 1000000 // count(*)
+                    AS BIGINT) AS oov_ppm
+        FROM (SELECT doc_id, w1, w2 FROM db WHERE hd >= 97) d
+        LEFT JOIN model m USING (w1, w2)
+        GROUP BY d.doc_id
+        """,
+    category="text",
+    doc="HELD-OUT LM evaluation with correct ML hygiene: the Kneser-Ney "
+    "bigram model trains ONLY on the train split (md5(doc_id) hash < "
+    "90, the same deterministic assignment corpus_train_test_split "
+    "and the leakage matrix use) and scores ONLY the test split "
+    "(hash >= 97) — the eval that tells a pipeline whether its LM "
+    "quality filter generalizes, as opposed to lm_doc_score_kn's "
+    "self-trained scoring.  Per test doc: bigram count, how many "
+    "bigrams the train model covers, the exact integer ppm sum over "
+    "covered bigrams, and the OOV rate in floor-ppm (unseen bigrams "
+    "are reported, not papered over with a fake backoff — coverage "
+    "IS the signal at this model order).  Plan: train bigram types "
+    "aggregate once; test occurrences LEFT-join the model on the "
+    "pair key (word-keyed shuffles, NO broadcast per rule 13); "
+    "per-doc aggregate finishes.  Train/test never mix: the split "
+    "predicate partitions the same scan.",
+)
+def lm_kn_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.text.dedup import _hash60
+
+    hd = _hash60(F.col("doc_id").cast("string")) % 100
+    db = _doc_bigrams(spark, sf_dir).withColumn("hd", hd)
+    model = _kn_model_from_pairs(db.filter(F.col("hd") < 90)).select(
+        "w1", "w2", "p_ppm"
+    )
+    test = db.filter(F.col("hd") >= 97).select("doc_id", "w1", "w2")
+    n_big = F.count(F.lit(1))
+    n_cov = F.count("p_ppm")
+    return (
+        test.join(model, ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            n_big.cast("bigint").alias("n_bigrams"),
+            n_cov.cast("bigint").alias("n_covered"),
+            F.coalesce(F.sum("p_ppm"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_ppm"),
+            F.expr(
+                "CAST((count(1) - count(p_ppm)) * 1000000 div count(1) "
+                "AS BIGINT)"
+            ).alias("oov_ppm"),
         )
     )
