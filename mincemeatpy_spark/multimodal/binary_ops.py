@@ -1246,3 +1246,261 @@ def multimodal_decode_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_r long, sum_g long, sum_b long"
         ),
     )
+
+
+def encode_avi_dib(w: int, h: int, n_frames: int, pixel) -> bytes:
+    """Minimal but STRUCTURALLY CORRECT AVI writer for uncompressed DIB
+    ('00db') frames: RIFF/'AVI ' with a LIST-hdrl (avih main header +
+    LIST-strl with a 'vids'/DIB strh and a BITMAPINFOHEADER strf) and a
+    LIST-movi holding one word-aligned '00db' chunk per frame, rows
+    bottom-up BGR with 4-byte stride padding (the DIB convention).
+    ``pixel(f, x, y)`` returns (r, g, b) for frame f."""
+    import struct
+
+    stride = (3 * w + 3) // 4 * 4
+    frames = []
+    for f in range(n_frames):
+        rows = []
+        for y in range(h - 1, -1, -1):  # bottom-up
+            line = bytearray()
+            for x in range(w):
+                r, g, b = pixel(f, x, y)
+                line.extend((b, g, r))
+            line.extend(b"\x00" * (stride - 3 * w))
+            rows.append(bytes(line))
+        frames.append(b"".join(rows))
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(four: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", four + data)
+
+    frame_bytes = stride * h
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        40000,              # microseconds per frame (25 fps)
+        frame_bytes * 25,   # max bytes per second
+        0,                  # padding granularity
+        0x10,               # flags: AVIF_HASINDEX off, interleaved off
+        n_frames, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 25, 0, n_frames,
+                      frame_bytes, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", fr) for fr in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_real(payload: bytes) -> dict:
+    """Real, dependency-free AVI container decode for uncompressed DIB
+    video: walks the RIFF LIST tree, reads the avih main header for
+    dimensions and frame count, cross-checks the strf
+    BITMAPINFOHEADER (24-bit, uncompressed), then iterates the movi
+    LIST's word-aligned '00db' chunks decoding every frame's
+    bottom-up padded BGR rows into exact per-channel sums.  The
+    declared frame count must match the frames actually present —
+    a truncated movi is malformed, not silently short.  Compressed
+    fourccs (MJPG/H264/...) raise ``NotImplementedError``."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+
+    def chunks(buf: bytes, pos: int, end: int):
+        # clamp to the real buffer: a truncated container must surface
+        # as missing chunks (-> clean frame-count mismatch), not as an
+        # out-of-bounds struct crash
+        end = min(end, len(buf))
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            if pos + 8 + size > end:
+                # truncated tail: walk the bytes that exist, then stop —
+                # inner consumers see fewer/short chunks and raise their
+                # own specific malformed-ness errors
+                size = end - pos - 8
+                if size > 0:
+                    yield fourcc, pos + 8, size
+                break
+            yield fourcc, pos + 8, size
+            pos += 8 + size + (size % 2)
+
+    w = h = total = bpp = comp = None
+    sums = [0, 0, 0]
+    n_seen = 0
+    for fourcc, at, size in chunks(payload, 12, 8 + struct.unpack_from("<I", payload, 4)[0]):
+        if fourcc != b"LIST":
+            continue
+        kind = payload[at : at + 4]
+        if kind == b"hdrl":
+            for fc2, at2, sz2 in chunks(payload, at + 4, at + size):
+                if fc2 == b"avih":
+                    vals = struct.unpack_from("<IIIIIIIIII", payload, at2)
+                    total, w, h = vals[4], vals[8], vals[9]
+                elif fc2 == b"LIST" and payload[at2 : at2 + 4] == b"strl":
+                    for fc3, at3, sz3 in chunks(payload, at2 + 4, at2 + sz2):
+                        if fc3 == b"strh":
+                            if payload[at3 : at3 + 4] != b"vids":
+                                continue
+                            handler = payload[at3 + 4 : at3 + 8]
+                            if handler not in (b"DIB ", b"\x00\x00\x00\x00"):
+                                raise NotImplementedError(
+                                    f"compressed video fourcc {handler!r} "
+                                    "needs a codec library"
+                                )
+                        elif fc3 == b"strf":
+                            hdr = struct.unpack_from("<IiiHHI", payload, at3)
+                            bpp, comp = hdr[4], hdr[5]
+                            if bpp != 24 or comp != 0:
+                                raise NotImplementedError(
+                                    "only uncompressed 24-bit DIB frames"
+                                )
+        elif kind == b"movi":
+            if w is None:
+                raise ValueError("movi before hdrl")
+            stride = (3 * w + 3) // 4 * 4
+            for fc2, at2, sz2 in chunks(payload, at + 4, at + size):
+                if fc2[2:] != b"db":
+                    continue
+                if sz2 != stride * h:
+                    raise ValueError("frame chunk size mismatch")
+                for row in range(h):
+                    base = at2 + row * stride
+                    line = payload[base : base + 3 * w]
+                    sums[2] += sum(line[0::3])  # B
+                    sums[1] += sum(line[1::3])  # G
+                    sums[0] += sum(line[2::3])  # R
+                n_seen += 1
+    if total is None:
+        raise ValueError("missing avih header")
+    if n_seen != total:
+        raise ValueError(f"declared {total} frames, found {n_seen}")
+    return {
+        "fmt": "avi",
+        "width": w,
+        "height": h,
+        "n_frames": n_seen,
+        "sum_r": sums[0],
+        "sum_g": sums[1],
+        "sum_b": sums[2],
+    }
+
+
+@register(
+    "multimodal_decode_video_real",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   n_chars % 8 + 2 AS w,
+                   doc_id % 5 + 2  AS h,
+                   doc_id % 6 + 2  AS nf
+            FROM documents
+        ),
+        px AS (
+            SELECT b.doc_id, b.w, b.h, b.nf,
+                   (b.doc_id * 17 + f.f * 29 + x.x * 7 + y.y * 13) % 256
+                       AS r,
+                   (b.doc_id * 17 + f.f * 29 + x.x * 7 + y.y * 13 + 101)
+                       % 256 AS g,
+                   (b.doc_id * 17 + f.f * 29 + x.x * 7 + y.y * 13 + 202)
+                       % 256 AS b
+            FROM base b,
+                 LATERAL unnest(generate_series(0, b.nf - 1)) AS f(f),
+                 LATERAL unnest(generate_series(0, b.w - 1)) AS x(x),
+                 LATERAL unnest(generate_series(0, b.h - 1)) AS y(y)
+        )
+        SELECT doc_id,
+               'avi' AS fmt,
+               CAST(any_value(w) AS BIGINT) AS width,
+               CAST(any_value(h) AS BIGINT) AS height,
+               CAST(any_value(nf) AS BIGINT) AS n_frames,
+               CAST(sum(r) AS BIGINT) AS sum_r,
+               CAST(sum(g) AS BIGINT) AS sum_g,
+               CAST(sum(b) AS BIGINT) AS sum_b
+        FROM px
+        GROUP BY doc_id
+        """,
+    category="multimodal",
+    doc="REAL video container end-to-end: stage 1 writes a structurally "
+    "correct AVI per document (RIFF LIST tree: avih main header, "
+    "vids/DIB strh + BITMAPINFOHEADER strf, word-aligned '00db' "
+    "frame chunks, bottom-up padded BGR rows) with 2-7 frames whose "
+    "pixels vary per (frame, x, y); stage 2 runs decode_avi_real — "
+    "the LIST-tree walk, header cross-checks, per-frame DIB decode, "
+    "and a declared-vs-found frame-count consistency check.  The "
+    "oracle enumerates the identical pixel function over (frame, x, "
+    "y) in SQL and demands exact channel sums.  This is the video "
+    "leg of the multimodal story: container parse + frame extraction "
+    "are engine-side scan work (what multimodal_frame_sample stubs, "
+    "done here for real); only entropy-coded codecs (MJPG/H264) stay "
+    "behind the NotImplementedError gate.  Both stages are narrow "
+    "mapInPandas passes — frames stream batch-wise through Arrow.",
+)
+def multimodal_decode_video_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    enc = _ship_by_value(encode_avi_dib)
+    dec = _ship_by_value(decode_avi_real)
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                w, h, nf = n_chars % 8 + 2, doc_id % 5 + 2, doc_id % 6 + 2
+
+                def pixel(f, x, y, _d=doc_id):
+                    v = _d * 17 + f * 29 + x * 7 + y * 13
+                    return (v % 256, (v + 101) % 256, (v + 202) % 256)
+
+                payloads.append(enc(w, h, nf, pixel))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, schema="doc_id long, payload binary")
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            metas = [dec(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "fmt": [m["fmt"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "n_frames": [m["n_frames"] for m in metas],
+                    "sum_r": [m["sum_r"] for m in metas],
+                    "sum_g": [m["sum_g"] for m in metas],
+                    "sum_b": [m["sum_b"] for m in metas],
+                }
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, fmt string, width long, height long, "
+            "n_frames long, sum_r long, sum_g long, sum_b long"
+        ),
+    )

@@ -209,3 +209,48 @@ def test_png_unsupported_variants_gated():
 def test_png_dispatches_through_decode_image_real():
     m = decode_image_real(encode_png_rgb8(3, 2, _px))
     assert m["fmt"] == "png" and m["width"] == 3
+
+
+# ------------------------------------------------------------------ r6: AVI
+
+from mincemeatpy_spark.multimodal.binary_ops import (  # noqa: E402
+    decode_avi_real,
+    encode_avi_dib,
+)
+
+
+def _vpx(f, x, y):
+    return ((f * 29 + x * 7 + y * 13) % 256, (x + y) % 256, (f + 9) % 256)
+
+
+def test_avi_roundtrip_exact_sums():
+    w, h, nf = 5, 3, 4
+    m = decode_avi_real(encode_avi_dib(w, h, nf, _vpx))
+    assert (m["fmt"], m["width"], m["height"], m["n_frames"]) == (
+        "avi", w, h, nf,
+    )
+    pts = [(f, x, y) for f in range(nf) for x in range(w) for y in range(h)]
+    assert m["sum_r"] == sum(_vpx(*p)[0] for p in pts)
+    assert m["sum_g"] == sum(_vpx(*p)[1] for p in pts)
+    assert m["sum_b"] == sum(_vpx(*p)[2] for p in pts)
+
+
+def test_avi_truncated_movi_is_malformed():
+    raw = bytearray(encode_avi_dib(4, 2, 3, _vpx))
+    # drop the last frame chunk: find last 00db and truncate before it
+    last = raw.rfind(b"00db")
+    raw = raw[:last]
+    # fix the RIFF size so the walk stays in bounds
+    import struct
+    struct.pack_into("<I", raw, 4, len(raw) - 8)
+    with pytest.raises(ValueError, match="declared 3 frames, found 2"):
+        decode_avi_real(bytes(raw))
+
+
+def test_avi_compressed_fourcc_gated():
+    raw = bytearray(encode_avi_dib(4, 2, 1, _vpx))
+    at = raw.find(b"vidsDIB ")
+    assert at > 0
+    raw[at + 4 : at + 8] = b"MJPG"
+    with pytest.raises(NotImplementedError, match="MJPG"):
+        decode_avi_real(bytes(raw))
