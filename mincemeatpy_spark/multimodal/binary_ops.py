@@ -1504,3 +1504,123 @@ def multimodal_decode_video_real(
             "n_frames long, sum_r long, sum_g long, sum_b long"
         ),
     )
+
+
+@register(
+    "pipeline_multimodal_corpus",
+    oracle="""
+        WITH d AS (SELECT doc_id, doc_id % 50 AS cid FROM documents),
+        g AS (
+            SELECT cid, CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   CAST(count(*) - 1 AS BIGINT) AS n_dupes
+            FROM d GROUP BY cid
+        ),
+        dims AS (
+            SELECT DISTINCT cid, cid % 16 + 1 AS w, cid % 12 + 1 AS h
+            FROM d
+        ),
+        px AS (
+            SELECT m.cid,
+                   CAST(sum((m.cid * 31 + x.x * 7 + y.y * 13) % 256)
+                        AS BIGINT) AS sum_r,
+                   CAST(sum((m.cid * 31 + x.x * 7 + y.y * 13 + 101) % 256)
+                        AS BIGINT) AS sum_g,
+                   CAST(sum((m.cid * 31 + x.x * 7 + y.y * 13 + 202) % 256)
+                        AS BIGINT) AS sum_b
+            FROM dims m,
+                 LATERAL unnest(generate_series(0, m.w - 1)) AS x(x),
+                 LATERAL unnest(generate_series(0, m.h - 1)) AS y(y)
+            GROUP BY m.cid
+        )
+        SELECT g.doc_id,
+               CAST(dims.w AS BIGINT) AS width,
+               CAST(dims.h AS BIGINT) AS height,
+               g.n_dupes, px.sum_r, px.sum_g, px.sum_b
+        FROM g JOIN dims USING (cid) JOIN px USING (cid)
+        WHERE dims.w * dims.h >= 24
+        """,
+    category="multimodal",
+    doc="END-TO-END multimodal corpus prep over REAL image bytes — the "
+    "composite that ties the codec family into the training-data "
+    "pipeline story: (1) ingest 500 PNGs (every 10th document shares "
+    "content, the planted duplication), (2) content-addressed EXACT "
+    "DEDUP on the payload md5 — BEFORE decode, the scale-right order: "
+    "decode cost is paid once per unique asset, never per copy, and "
+    "the digest shuffle moves 16-byte keys, not image bytes; "
+    "(3) decode ONLY the representatives with the real PNG parser "
+    "(CRC walk, inflate, un-filter), (4) a quality gate on decoded "
+    "geometry (w*h >= 24 px) drops tiny assets, (5) the manifest "
+    "carries keeper id, dims, duplicate count and exact channel sums. "
+    "The oracle reasons in closed form over the content-id without "
+    "touching a byte, so the bytes themselves must round-trip "
+    "deterministically (zlib level pinned) for the digest groups to "
+    "match.  All stages are narrow Arrow passes plus two keyed "
+    "shuffles (digest, then nothing) — at 100 TB this is the standard "
+    "image-corpus prep DAG.",
+)
+def pipeline_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    enc = _ship_by_value(encode_png_rgb8)
+    dec = _ship_by_value(decode_png_real)
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                cid = int(doc_id) % 50
+                w, h = cid % 16 + 1, cid % 12 + 1
+
+                def pixel(x, y, _c=cid):
+                    v = _c * 31 + x * 7 + y * 13
+                    return (v % 256, (v + 101) % 256, (v + 202) % 256)
+
+                payloads.append(enc(w, h, pixel))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, schema="doc_id long, payload binary")
+
+    # content-addressed dedup FIRST: 16-byte digests shuffle, bytes stay
+    # put; min_by picks the deterministic keeper and carries its payload
+    reps = (
+        encoded.withColumn("digest", F.md5("payload"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dupes"),
+            F.min_by("payload", "doc_id").alias("payload"),
+        )
+    )
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            metas = [dec(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_dupes": pdf["n_dupes"].values,
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "sum_r": [m["sum_r"] for m in metas],
+                    "sum_g": [m["sum_g"] for m in metas],
+                    "sum_b": [m["sum_b"] for m in metas],
+                }
+            )
+
+    decoded = reps.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, n_dupes long, width long, height long, "
+            "sum_r long, sum_g long, sum_b long"
+        ),
+    )
+    return decoded.filter(F.col("width") * F.col("height") >= 24).select(
+        "doc_id", "width", "height", "n_dupes", "sum_r", "sum_g", "sum_b"
+    )
