@@ -513,3 +513,48 @@ def geo_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.st_asbinary(geom)).cast("bigint").alias("n_bytes"),
         (F.st_asbinary(geom) == F.col("wkb")).alias("roundtrip_ok"),
     )
+
+
+@register(
+    "time_of_day_functions",
+    oracle="""
+        SELECT event_type,
+               min(make_time(hour(ts), minute(ts),
+                   CAST(date_part('second', ts) AS DOUBLE))) AS first_tod,
+               max(make_time(hour(ts), minute(ts),
+                   CAST(date_part('second', ts) AS DOUBLE))) AS last_tod,
+               CAST(count(*) FILTER (WHERE hour(ts) BETWEEN 9 AND 16)
+                    AS BIGINT) AS n_business_hours
+        FROM events
+        GROUP BY event_type
+        """,
+    category="function",
+    doc="The Spark 4.1 TIME type (spark.sql.timeType.enabled, runtime-"
+    "settable): wall-clock time-of-day as a first-class column — the "
+    "type every shift/business-hours analysis wants instead of "
+    "re-deriving HH:MM:SS strings or second-offsets from timestamps.  "
+    "make_time(hour, minute, second-with-micros) builds TIME(6) "
+    "values that order, aggregate (min/max) and hash-compare exactly "
+    "against DuckDB's TIME, plus a business-hours (09-16h) filtered "
+    "count per event type.  Fractional seconds survive: the second "
+    "component travels as DECIMAL(8,6) so micros are preserved, and "
+    "cross-engine equality is exact because both engines store TIME "
+    "as integer micros since midnight.",
+)
+def time_of_day_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    e = t(spark, sf_dir, "events")
+    tod = F.make_time(
+        F.hour("ts"), F.minute("ts"), F.second("ts").cast("decimal(8,6)")
+    )
+    return (
+        e.select("event_type", tod.alias("tod"), F.hour("ts").alias("hh"))
+        .groupBy("event_type")
+        .agg(
+            F.min("tod").alias("first_tod"),
+            F.max("tod").alias("last_tod"),
+            F.sum(F.col("hh").between(9, 16).cast("bigint"))
+            .cast("bigint")
+            .alias("n_business_hours"),
+        )
+    )
