@@ -145,8 +145,15 @@ def decode_audio_real(payload: bytes) -> dict:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + size > len(payload):
+            # declared size runs past the buffer: truncated container —
+            # a clean malformed error, never a struct crash (the same
+            # clamp rule as the AVI walker)
+            raise ValueError("malformed WAVE: truncated chunk")
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("malformed WAVE: short fmt chunk")
             audio_fmt, ch, rate, _br, _align, bits = struct.unpack_from(
                 "<HHIIHH", body
             )
@@ -160,6 +167,8 @@ def decode_audio_real(payload: bytes) -> dict:
         pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("malformed WAVE: missing fmt/data chunk")
+    if len(data) % 2:
+        raise ValueError("malformed WAVE: odd PCM16 data length")
     ch, rate = fmt
     samples = struct.unpack(f"<{len(data) // 2}h", data)
     return {
@@ -1283,7 +1292,8 @@ def encode_avi_dib(w: int, h: int, n_frames: int, pixel) -> bytes:
         40000,              # microseconds per frame (25 fps)
         frame_bytes * 25,   # max bytes per second
         0,                  # padding granularity
-        0x10,               # flags: AVIF_HASINDEX off, interleaved off
+        0,                  # flags: no idx1 chunk is written, so no
+                            # AVIF_HASINDEX claim
         n_frames, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
     )
     strh = (

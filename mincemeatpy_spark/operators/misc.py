@@ -520,9 +520,9 @@ def geo_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                min(make_time(hour(ts), minute(ts),
-                   CAST(date_part('second', ts) AS DOUBLE))) AS first_tod,
+                   (epoch_us(ts) % 60000000) / 1000000.0)) AS first_tod,
                max(make_time(hour(ts), minute(ts),
-                   CAST(date_part('second', ts) AS DOUBLE))) AS last_tod,
+                   (epoch_us(ts) % 60000000) / 1000000.0)) AS last_tod,
                CAST(count(*) FILTER (WHERE hour(ts) BETWEEN 9 AND 16)
                     AS BIGINT) AS n_business_hours
         FROM events
@@ -536,17 +536,23 @@ def geo_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "make_time(hour, minute, second-with-micros) builds TIME(6) "
     "values that order, aggregate (min/max) and hash-compare exactly "
     "against DuckDB's TIME, plus a business-hours (09-16h) filtered "
-    "count per event type.  Fractional seconds survive: the second "
-    "component travels as DECIMAL(8,6) so micros are preserved, and "
+    "count per event type.  Fractional seconds genuinely survive: the "
+    "second component is the exact DECIMAL division of the micros "
+    "within the minute (F.second() is integer-valued and would "
+    "truncate), and "
     "cross-engine equality is exact because both engines store TIME "
     "as integer micros since midnight.",
 )
 def time_of_day_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.timeType.enabled", "true")
     e = t(spark, sf_dir, "events")
-    tod = F.make_time(
-        F.hour("ts"), F.minute("ts"), F.second("ts").cast("decimal(8,6)")
+    # seconds-with-fraction via exact DECIMAL division of the micros
+    # within the minute — F.second() is integer-valued and would
+    # silently truncate to whole seconds
+    sec = F.expr(
+        "CAST(unix_micros(ts) % 60000000 AS DECIMAL(14,6)) / 1000000"
     )
+    tod = F.make_time(F.hour("ts"), F.minute("ts"), sec)
     return (
         e.select("event_type", tod.alias("tod"), F.hour("ts").alias("hh"))
         .groupBy("event_type")

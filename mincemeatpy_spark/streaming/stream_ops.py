@@ -1169,3 +1169,24 @@ def warmstart_counts_tws(live: DataFrame, hist: DataFrame) -> DataFrame:
         timeMode="None",
         initialState=hist.groupBy("user_id"),
     )
+
+
+def fixture_stage_dir(sf_dir: str, tag: str, root: str):
+    """Deterministic per-fixture staging/checkpoint directory, keyed on
+    the fixture's (path, size, mtime) fingerprint plus a consumer tag —
+    ONE implementation for every query that stages a checkpoint or
+    snapshot under /tmp (statestore readers, foreachBatch upsert), so
+    the stamp recipe and staleness rule cannot drift between them.
+    A regenerated fixture changes the fingerprint and re-stages."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    src = Path(sf_dir) / "events.parquet"
+    st = src.stat()
+    stamp = f"{src}|{st.st_size}|{st.st_mtime}|{tag}"
+    return (
+        Path(tempfile.gettempdir())
+        / root
+        / hashlib.md5(stamp.encode()).hexdigest()[:12]
+    )

@@ -1170,21 +1170,23 @@ def stream_recent3_liststate_e2e(
     "a parallel read of RocksDB snapshots, no replay of the stream.",
 )
 def source_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import shutil
-    import tempfile
-    from pathlib import Path
 
-    from mincemeatpy_spark.streaming.stream_ops import events_stream
-
-    src = Path(sf_dir) / "events.parquet"
-    st = src.stat()
-    stamp = f"{src}|{st.st_size}|{st.st_mtime}|statestore_ck"
-    ck = (
-        Path(tempfile.gettempdir())
-        / "mincemeatpy_statestore_ck"
-        / hashlib.md5(stamp.encode()).hexdigest()[:12]
+    from mincemeatpy_spark.streaming.stream_ops import (
+        events_stream,
+        fixture_stage_dir,
     )
+
+    # pin the provider for BOTH staging and reading: an earlier TWS
+    # query in the same session flips the session-global providerClass
+    # to RocksDB, and a checkpoint must be read with the provider that
+    # wrote it regardless of session history
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+    )
+    ck = fixture_stage_dir(sf_dir, "statestore_ck", "mincemeatpy_statestore_ck")
     marker = ck / "_DONE"
     if not marker.exists():
         shutil.rmtree(ck, ignore_errors=True)
@@ -1246,23 +1248,14 @@ def source_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plan shape.",
 )
 def sink_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import shutil
-    import tempfile
-    from pathlib import Path
 
     from mincemeatpy_spark.streaming.stream_ops import (
         events_stream_multibatch,
+        fixture_stage_dir,
     )
 
-    src = Path(sf_dir) / "events.parquet"
-    st = src.stat()
-    stamp = f"{src}|{st.st_size}|{st.st_mtime}|foreachbatch_upsert"
-    base = (
-        Path(tempfile.gettempdir())
-        / "mincemeatpy_febu"
-        / hashlib.md5(stamp.encode()).hexdigest()[:12]
-    )
+    base = fixture_stage_dir(sf_dir, "foreachbatch_upsert", "mincemeatpy_febu")
     done = base / "_DONE"
     if not done.exists():
         shutil.rmtree(base, ignore_errors=True)
@@ -1509,14 +1502,12 @@ def stream_trigger_available_now_e2e(
     "pipeline at scale needs when a key goes wrong.",
 )
 def source_statestore_tws_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import shutil
-    import tempfile
-    from pathlib import Path
 
     from mincemeatpy_spark.streaming.stream_ops import (
         ensure_protobuf,
         events_stream,
+        fixture_stage_dir,
         user_type_counts_mapstate,
     )
 
@@ -1532,13 +1523,17 @@ def source_statestore_tws_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag",
         "false",
     )
-    src = Path(sf_dir) / "events.parquet"
-    st = src.stat()
-    stamp = f"{src}|{st.st_size}|{st.st_mtime}|statestore_tws_ck"
-    ck = (
-        Path(tempfile.gettempdir())
-        / "mincemeatpy_statestore_ck"
-        / hashlib.md5(stamp.encode()).hexdigest()[:12]
+    # pin RocksDB for the READ path too: when the staged marker exists
+    # in a fresh session, user_type_counts_mapstate (which normally
+    # sets this) never runs, and the reader must still match the
+    # provider that wrote the checkpoint
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    ck = fixture_stage_dir(
+        sf_dir, "statestore_tws_ck", "mincemeatpy_statestore_ck"
     )
     marker = ck / "_DONE"
     if not marker.exists():
@@ -1577,6 +1572,7 @@ def source_statestore_tws_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS micro_sum
         FROM events
         GROUP BY user_id
+        HAVING count(*) FILTER (WHERE event_id % 2 = 1) > 0
         """,
     category="streaming",
     doc="INITIAL STATE for transformWithState under the correctness "
@@ -1591,7 +1587,7 @@ def source_statestore_tws_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB: day-one state comes from the warehouse table, not from "
     "replaying a year of log through the stream.  Update mode; "
     "(n, micro_sum) grows monotonically so max-struct per user "
-    "selects the final emission.",
+    "selects the final emission.  Emission requires a LIVE input row (handleInitialState seeds state but update mode emits only from handleInputRows), so the oracle restricts to users with at least one odd-id event — on this fixture that is every user, but the contract holds at any fixture.",
 )
 def stream_initial_state_tws_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mincemeatpy_spark.streaming.stream_ops import (

@@ -60,13 +60,18 @@ def _path_fingerprint(path: str) -> tuple:
 
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, path, _path_fingerprint(path))
-    schema = _SCHEMAS.get(key)
-    if schema is None:
-        df = spark.read.parquet(path)
-        _SCHEMAS[key] = df.schema
-        return df
-    return spark.read.schema(schema).parquet(path)
+    # one entry per (app, path): the stored (fingerprint, schema) pair
+    # is REPLACED when the fixture regenerates, so repeated in-place
+    # regeneration during one long-lived application cannot grow the
+    # cache without bound
+    key = (spark.sparkContext.applicationId, path)
+    fp = _path_fingerprint(path)
+    hit = _SCHEMAS.get(key)
+    if hit is not None and hit[0] == fp:
+        return spark.read.schema(hit[1]).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMAS[key] = (fp, df.schema)
+    return df
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -465,8 +465,9 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reduces over the common denominator 4*c1*T to the int64 pair "
     "(p_num, p_den) = (max(4c-3, 0)*T + 3*n1*nc, 4*c1*T), so even the "
     "smoothed LM is hash-exact cross-engine (p_ppm = the floor-ppm "
-    "convenience; exact while c1*T < ~9.2e12 — past that, compare the "
-    "rational).  The continuation counts N1+ fall out of the bigram-"
+    "convenience; p_num can reach ~7*c1*T and is scaled by 1e6, so "
+    "the ppm form is exact while c1*T < ~1.3e12 — past that, compare "
+    "the (p_num, p_den) rational, whose own bound is c1*T < ~1.3e18).  The continuation counts N1+ fall out of the bigram-"
     "TYPE table for free: rows-per-w1 and rows-per-w2.  Plan: bigrams "
     "are built scan-side from the token array (no position self-join); "
     "the type table takes ONE hash aggregate, then the w1 totals and "

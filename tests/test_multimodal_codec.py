@@ -254,3 +254,17 @@ def test_avi_compressed_fourcc_gated():
     raw[at + 4 : at + 8] = b"MJPG"
     with pytest.raises(NotImplementedError, match="MJPG"):
         decode_avi_real(bytes(raw))
+
+
+def test_wav_truncated_chunk_is_malformed_not_crash():
+    good = _wav(1, 8000, [1, 2, 3])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_audio_real(good[:-2])
+    # odd-length data chunk
+    raw = bytearray(good)
+    at = raw.find(b"data")
+    import struct
+    (sz,) = struct.unpack_from("<I", raw, at + 4)
+    struct.pack_into("<I", raw, at + 4, sz - 1)
+    with pytest.raises(ValueError):
+        decode_audio_real(bytes(raw[:-1]))

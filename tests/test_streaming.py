@@ -435,24 +435,15 @@ def test_foreachbatch_upsert_replay_is_idempotent(spark, sf_dir):
     """The exactly-once claim: re-running the whole merge cascade over
     pre-existing snapshot versions (a replay of every batch) must
     reproduce the identical snapshot."""
-    import hashlib
     import shutil
-    import tempfile
-    from pathlib import Path
 
     from mincemeatpy_spark.registry import load_all_queries
+    from mincemeatpy_spark.streaming.stream_ops import fixture_stage_dir
 
     fn = load_all_queries()["sink_foreachbatch_upsert"].fn
     first = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
 
-    src = Path(sf_dir) / "events.parquet"
-    st = src.stat()
-    stamp = f"{src}|{st.st_size}|{st.st_mtime}|foreachbatch_upsert"
-    base = (
-        Path(tempfile.gettempdir())
-        / "mincemeatpy_febu"
-        / hashlib.md5(stamp.encode()).hexdigest()[:12]
-    )
+    base = fixture_stage_dir(sf_dir, "foreachbatch_upsert", "mincemeatpy_febu")
     # simulate a full replay: drop the done marker AND the streaming
     # checkpoint (so every batch re-fires) but KEEP the snapshot dirs
     (base / "_DONE").unlink()
