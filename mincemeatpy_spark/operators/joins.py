@@ -605,3 +605,67 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             nearest.alias("nearest_err_id"),
         )
     )
+
+
+@register(
+    "join_runtime_bloom_filter",
+    oracle="""
+        SELECT o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY o.o_orderpriority
+        """,
+    category="join",
+    doc="RUNTIME BLOOM-FILTER join pruning (Spark 3.5+/4): when a "
+    "selective filter sits on the build side of a shuffle join, the "
+    "optimizer injects a bloom_filter_agg over the build keys and a "
+    "might_contain probe into the STREAM side's scan — rows that "
+    "cannot join die before the shuffle, the row-level analogue of "
+    "dynamic partition pruning (join_dynamic_partition_pruning) for "
+    "unpartitioned data.  At 100 TB this is the difference between "
+    "shuffling the whole fact table and shuffling the ~30% that can "
+    "match.  Demo shape: the size thresholds are lowered inside a "
+    "save/restore block (defaults gate the rewrite to 10 GB+ scans — "
+    "exactly right in production, never triggered at test SF) and "
+    "broadcast is disabled so the shuffle join exists; the aggregate "
+    "is materialized INSIDE the block so the executed plan — pinned "
+    "by tests to carry might_contain — is the bloom plan, then confs "
+    "restore so no other query inherits them.  Bounded collect: at "
+    "most 5 priority rows (allowlisted).",
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = t(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        li = t(spark, sf_dir, "lineitem")
+        agg = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("l_quantity").cast("bigint"))
+                .cast("bigint")
+                .alias("sum_qty"),
+            )
+        )
+        # materialize NOW: plans are resolved at action time, so the
+        # bloom rewrite only exists while the thresholds are lowered —
+        # at most 5 priority rows come back (bounded collect)
+        rows = agg.collect()
+        return spark.createDataFrame(
+            rows, "o_orderpriority string, n_items bigint, sum_qty bigint"
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

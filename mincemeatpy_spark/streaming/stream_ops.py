@@ -1190,3 +1190,88 @@ def fixture_stage_dir(sf_dir: str, tag: str, root: str):
         / root
         / hashlib.md5(stamp.encode()).hexdigest()[:12]
     )
+
+
+def session_timeout_gss(
+    events: DataFrame, gap_us: int = 1_800_000_000, delay: str = "10 minutes"
+) -> DataFrame:
+    """Timer-finalized sessions via the OLD arbitrary-state API
+    (applyInPandasWithState + EventTimeTimeout) — the
+    setTimeoutTimestamp/hasTimedOut surface that predates
+    transformWithState's explicit timers.  Same session semantics as
+    session_timeout_tws, same closed-form emission oracle
+    (_SESSION_FINALIZE_ORACLE): sessions broken in-line by a later
+    out-of-gap event emit immediately; each user's final session emits
+    when the watermark proves the silence permanent.  The two APIs
+    sharing one oracle is the point — migration between them must not
+    change a single row.
+
+    API-semantics notes (vs the new-API timers): a timed-out group is
+    invoked only when it received NO input in the batch, so the
+    in-line-supersede race cannot double-emit by construction (the
+    new API needs the expiry guard for the same property); the state
+    handle is (get/update/remove + setTimeoutTimestamp), no listTimers.
+    """
+    import pandas as pd
+
+    _GAP = int(gap_us)
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        def row(start, last, n):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "start_us": [start],
+                    "end_us": [last],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield row(int(start), int(last), int(n))
+            return
+        us = np.sort(
+            np.concatenate(
+                [
+                    pdf["ts"].astype("int64").to_numpy() // 1000
+                    for pdf in pdfs
+                ]
+            )
+        )
+        if state.exists:
+            start, last, n = (int(x) for x in state.get)
+        else:
+            start = last = None
+            n = 0
+        out = []
+        for t_ in us:
+            t_ = int(t_)
+            if last is None:
+                start, last, n = t_, t_, 1
+            elif t_ - last <= _GAP:
+                last, n = max(last, t_), n + 1
+            else:
+                out.append(row(start, last, n))
+                start, last, n = t_, t_, 1
+        if last is not None:
+            state.update((start, last, n))
+            state.setTimeoutTimestamp((last + _GAP) // 1000)
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SESSION_TIMER_SCHEMA,
+            stateStructType="start_us BIGINT, last_us BIGINT, n BIGINT",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -951,9 +951,7 @@ def stream_static_enrich_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "stream_static_enrich_sink", mode="complete")
 
 
-@register(
-    "stream_session_timer_e2e",
-    oracle="""
+_SESSION_FINALIZE_ORACLE = """
         WITH wm AS (
             SELECT CAST(epoch_us(max(ts)) // 1000 - 600000 AS BIGINT) AS w_ms
             FROM events
@@ -990,7 +988,12 @@ def stream_static_enrich_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, start_us, end_us, n_events
         FROM fin, wm
         WHERE sid < last_sid OR (end_us + 1800000000) // 1000 <= wm.w_ms
-        """,
+        """
+
+
+@register(
+    "stream_session_timer_e2e",
+    oracle=_SESSION_FINALIZE_ORACLE,
     category="streaming",
     doc="EVENT-TIME TIMERS under the correctness gate: per-user 30-min "
     "sessions finalized by transformWithState timers — a session emits "
@@ -1628,4 +1631,39 @@ def stream_initial_state_tws_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.n").alias("n"),
             F.col("s.micro_sum").alias("micro_sum"),
         )
+    )
+
+
+@register(
+    "stream_session_timeout_gss_e2e",
+    oracle=_SESSION_FINALIZE_ORACLE,
+    category="streaming",
+    doc="The OLD arbitrary-state API's event-time timeouts "
+    "(applyInPandasWithState + GroupStateTimeout.EventTimeTimeout, "
+    "setTimeoutTimestamp/hasTimedOut) driving the SAME session-"
+    "finalization machine as stream_session_timer_e2e — and sharing "
+    "its oracle text verbatim (_SESSION_FINALIZE_ORACLE), so the two "
+    "stateful APIs are pinned row-for-row equivalent: a pipeline "
+    "migrating from flatMapGroupsWithState-era code to stateful v2 "
+    "must see zero result drift.  Same time-monotone two-batch "
+    "staging; a timed-out group is only invoked when it received no "
+    "input that batch, so the supersede race the new API guards "
+    "against cannot occur here by construction.  Emission rule "
+    "boundary strictness is immaterial on this fixture (0 exact "
+    "collisions at sf0.001/0.01, checked) — both APIs agree with the "
+    "closed form.",
+)
+def stream_session_timeout_gss_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        events_stream_timesplit,
+        run_to_completion,
+        session_timeout_gss,
+    )
+
+    return run_to_completion(
+        session_timeout_gss(events_stream_timesplit(spark, sf_dir)),
+        "stream_session_gss_sink",
+        mode="append",
     )

@@ -48,6 +48,12 @@ _ALLOWLIST = {
         "datasource dict in RAM (mincemeat.py:337-341); this query "
         "exists to prove wire-level parity, scale path is `wordcount`",
     ),
+    "operators/joins.py::join_runtime_bloom_filter": (
+        1,
+        "bounded result collect — at most 5 order-priority groups; "
+        "materialized in-function so the bloom-rewritten plan is the "
+        "one that executes (plans resolve at action time)",
+    ),
     "operators/misc.py::rdd_mappartitions_agg": (
         1,
         "per-partition scalar — one (n, sum) tuple per partition",

@@ -1090,3 +1090,39 @@ def test_r4_scale_fixes_no_midplan_collect(spark, sf_dir):
         QUERIES[name].fn(spark, sf_dir)
         after = set(tracker.getJobIdsForGroup(None) or [])
         assert after == before, f"{name}: building the query ran driver jobs"
+
+
+def test_runtime_bloom_filter_actually_injects(spark, sf_dir):
+    """join_runtime_bloom_filter's reason to exist: under its conf
+    block the executed plan must carry the bloom probe
+    (might_contain) on the stream side — otherwise the query is just
+    a plain join demo."""
+    import mincemeatpy_spark.operators.joins as J
+    from pyspark.sql import functions as F
+
+    from mincemeatpy_spark.tables import t as tbl
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = tbl(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        li = tbl(spark, sf_dir, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), "bloom probe missing"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
