@@ -57,6 +57,7 @@ EXTENDED = [
     "stream_session_timer_e2e",
     "stream_chained_window_aggs_e2e",
     "lm_doc_score_kn",
+    "stream_session_timeout_gss_e2e",
 ]
 
 

@@ -564,3 +564,57 @@ def time_of_day_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_business_hours"),
         )
     )
+
+
+@register(
+    "pandas_api_groupby",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(event_id) AS BIGINT) AS first_event,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS micro_sum
+        FROM events
+        GROUP BY event_type
+        """,
+    category="function",
+    doc="The pandas API on Spark (pyspark.pandas) — the FOURTH query "
+    "surface next to SQL, DataFrame and RDD: a pandas-shaped "
+    "groupby/agg whose ps.DataFrame operations compile to the SAME "
+    "Catalyst plan as the native API (two-phase hash aggregate, one "
+    "shuffle), so a pandas-fluent user pays no penalty for the "
+    "familiar syntax.  The micro-sum is computed with the repo's "
+    "half-up fixed-point convention inside the pandas-API expression, "
+    "and the result converts back losslessly with "
+    "to_spark(index_col=...) — no default-index generation (which "
+    "would add a zipWithIndex-style pass, the one pandas-API pitfall "
+    "worth designing around at scale).",
+)
+def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.pandas as ps  # noqa: F401
+
+    psdf = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 1000000 + 0.5)
+            .cast("bigint")
+            .alias("micro"),
+        )
+        .pandas_api()
+    )
+    out = psdf.groupby("event_type").agg(
+        n=("event_id", "count"),
+        first_event=("event_id", "min"),
+        micro_sum=("micro", "sum"),
+    )
+    return (
+        out.to_spark(index_col="event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint"),
+            F.col("first_event").cast("bigint"),
+            F.col("micro_sum").cast("bigint"),
+        )
+    )
