@@ -1,0 +1,78 @@
+"""Task-retry fault tolerance, DEMONSTRATED rather than claimed.
+
+SURVEY §2a rows O9-O11 map the reference's straggler re-issue and
+worker-churn handling (mincemeat.py:317-333) to Spark's task retry +
+speculation.  This test injects a real task failure — the first
+attempt of one partition raises — and proves the scheduler retries the
+task and the query completes with CORRECT results, not just without
+error.  Local mode only allows retries with the ``local[N, maxFailures]``
+master form, which the shared test session does not use, so the probe
+runs in a subprocess with its own ``local[4, 2]`` session.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import textwrap
+
+_PROBE = textwrap.dedent(
+    """
+    import sys
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (SparkSession.builder.master("local[4, 2]")
+             .config("spark.sql.shuffle.partitions", "4")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def flaky(it):
+        from pyspark import TaskContext
+        tc = TaskContext.get()
+        # first attempt of partition 0 dies mid-stream, after yielding
+        # some rows — the retry must NOT double-count them
+        rows = list(it)
+        if tc.partitionId() == 0 and tc.attemptNumber() == 0:
+            for r in rows[: len(rows) // 2]:
+                pass  # consumed but never emitted: simulate partial work
+            raise RuntimeError("injected failure on first attempt")
+        for r in rows:
+            yield r
+
+    df = spark.range(0, 10000, 1, 4)
+    out = df.rdd.mapPartitions(flaky).map(lambda r: r.id).sum()
+    expected = 10000 * 9999 // 2
+    assert out == expected, f"retry corrupted the result: {out} != {expected}"
+    print("RETRY_OK", out)
+    """
+)
+
+
+def test_task_retry_recovers_with_correct_results():
+    r = subprocess.run(
+        [sys.executable, "-c", _PROBE],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "RETRY_OK" in r.stdout, (
+        f"stdout={r.stdout[-2000:]}\nstderr={r.stderr[-2000:]}"
+    )
+
+
+def test_task_failure_without_retries_fails_the_job():
+    """The control: with maxFailures=1 the same injection kills the
+    job — proving the first test exercises the retry path, not a
+    no-op."""
+    probe = _PROBE.replace('local[4, 2]', 'local[4, 1]').replace(
+        'assert out == expected, f"retry corrupted the result: {out} != {expected}"\n    print("RETRY_OK", out)',
+        'print("UNEXPECTED_SUCCESS")',
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", probe],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "UNEXPECTED_SUCCESS" not in r.stdout
+    assert "injected failure" in (r.stdout + r.stderr)
