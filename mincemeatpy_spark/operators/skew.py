@@ -161,3 +161,136 @@ def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hottest_key"),
     )
+
+
+# Adversarial single-hot-key join fixture, derived IN-PLAN (no staged
+# file): every even l_orderkey maps to join key 2, so ONE key owns ~50%
+# of lineitem.  This is the worst shape a shuffle join faces — the
+# reference serializes the whole hot key onto one reduce call
+# (mincemeat.py:327-329); an unsalted Spark SMJ serializes it onto one
+# reduce task.
+_HOT_DEN = 20  # a key is hot if it owns > 1/20 of rows (≤ 20 hot keys possible)
+_SKEW_JK = "CASE WHEN l_orderkey % 2 = 0 THEN 2 ELSE l_orderkey END"
+
+_HOTKEY_ORACLE = f"""
+    SELECT o.o_orderpriority,
+           count(*) AS n,
+           {oracle_decsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN orders o
+      ON ({_SKEW_JK.replace('l_orderkey', 'l.l_orderkey')}) = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """
+
+
+def _skewed_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.withColumn(
+        "jk",
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(2).cast("bigint")).otherwise(
+            F.col("l_orderkey")
+        ),
+    )
+
+
+@register(
+    "join_skew_hotkey_salted",
+    oracle=_HOTKEY_ORACLE,
+    category="skew",
+    doc="Differential (hot-key-only) salting for an adversarial skewed "
+    "join: one key owns ~50% of the fact rows.  The hot set is detected "
+    "IN-PLAN — per-key counts (two-phase agg, map-side combine) crossed "
+    "with the 1-row total; a key is hot iff n * 20 > total, so the hot "
+    "set is bounded by construction (at most 20 keys can each own more "
+    "than 1/20 of the rows) and safe to broadcast at ANY corpus size.  "
+    "Hot fact rows get a uniform salt in [0,S); the dim side replicates "
+    "ONLY its hot keys S times (explode(sequence)), cold keys once — so "
+    "the dim blowup is |hot|*S rows, not |dim|*S like blanket salting.  "
+    "The (jk, salt) join then spreads the hot key over S reducers.  "
+    "Result provably equals the plain join (the oracle).  This is the "
+    "100 TB shape: blanket salting multiplies the whole dim; AQE skew "
+    "split (see join_skew_hotkey_aqe) needs no code but only fires on "
+    "multi-mapper, byte-visible skew — differential salting is the "
+    "explicit fix that always works, including for aggregations.",
+)
+def join_skew_hotkey_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = _skewed_fact(spark, sf_dir)
+    counts = fact.groupBy("jk").agg(F.count(F.lit(1)).alias("n"))
+    total = fact.agg(F.count(F.lit(1)).alias("total"))
+    hot = (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("n") * _HOT_DEN > F.col("total"))
+        .select("jk", F.lit(True).alias("is_hot"))
+    )
+    salted = fact.join(F.broadcast(hot), "jk", "left").withColumn(
+        "fsalt",
+        F.when(
+            F.col("is_hot"),
+            F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(_S)),
+        ).otherwise(F.lit(0)),
+    )
+    o = t(spark, sf_dir, "orders")
+    dim = (
+        o.join(
+            F.broadcast(hot.withColumnRenamed("jk", "hk")),
+            o.o_orderkey == F.col("hk"),
+            "left",
+        )
+        .withColumn(
+            "dsalt",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.when(F.col("is_hot"), F.lit(_S - 1)).otherwise(F.lit(0)),
+                )
+            ),
+        )
+        .select("o_orderkey", "o_orderpriority", "dsalt")
+    )
+    return (
+        salted.join(
+            dim,
+            (salted.jk == dim.o_orderkey) & (salted.fsalt == dim.dsalt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            decsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "join_skew_hotkey_aqe",
+    oracle=_HOTKEY_ORACLE,
+    category="skew",
+    doc="The unsalted twin of join_skew_hotkey_salted: the same "
+    "adversarial 50%%-hot-key join written as a PLAIN declarative join, "
+    "leaning on the engine — AQE's OptimizeSkewedJoin splits the hot "
+    "reduce partition by map-output chunks at runtime "
+    "(tests/test_plans.py pins SortMergeJoin(skew=true) / AQEShuffleRead "
+    "skewed actually firing on this shape).  Two engine facts this repo "
+    "measured (probes/r7/): the split granularity is MAP OUTPUTS, so a "
+    "single-row-group parquet scan (one effective mapper) cannot be "
+    "split — at 100 TB the scan has thousands of mappers and this is "
+    "moot, but it is why the plan pin repartitions first; and detection "
+    "is BYTES-based post-compression, so constant-key narrow rows that "
+    "LZ4 collapses ~10x can hide row-count skew — wide heterogeneous "
+    "rows (the 100 TB norm) detect fine.  Where those preconditions "
+    "fail, differential salting (the salted twin) is the explicit fix.",
+)
+def join_skew_hotkey_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = _skewed_fact(spark, sf_dir)
+    o = t(spark, sf_dir, "orders")
+    return (
+        fact.join(o, fact.jk == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            decsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )

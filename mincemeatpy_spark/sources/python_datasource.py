@@ -188,6 +188,11 @@ def _make_writer_class():
         def __init__(self, options: dict, overwrite: bool) -> None:
             self.path = options["path"]
             self.overwrite = overwrite
+            # fault-injection hook for the exactly-once-under-retry test
+            # (tests/test_2pc_abort.py): first attempt of this partition
+            # dies mid-write, AFTER flushing some rows — the same shape
+            # Spark's own test sources use.  -1 (default) = never.
+            self.inject_fail = int(options.get("injectfailpartition", "-1"))
 
         def write(self, iterator):
             import json
@@ -195,14 +200,31 @@ def _make_writer_class():
 
             from pyspark import TaskContext
 
-            pid = TaskContext.get().partitionId()
+            tc = TaskContext.get()
+            pid = tc.partitionId()
             os.makedirs(self.path, exist_ok=True)
-            out = os.path.join(self.path, f"part-{pid:05d}.json")
+            # attempt-unique filename: a retried task must not share a
+            # path with a zombie first attempt (pid-only names race —
+            # the slow loser could clobber the winner's file after it
+            # reported).  The _SUCCESS manifest lists only the winning
+            # attempts' files, so orphans never surface to readers.
+            out = os.path.join(
+                self.path, f"part-{pid:05d}-{tc.taskAttemptId()}.json"
+            )
             n = 0
             with open(out, "w") as f:
                 for row in iterator:
                     f.write(json.dumps(row.asDict()) + "\n")
                     n += 1
+                    if (
+                        pid == self.inject_fail
+                        and tc.attemptNumber() == 0
+                        and n >= 10
+                    ):
+                        f.flush()
+                        raise RuntimeError(
+                            "injected write failure on first attempt"
+                        )
             return _Done(out, n)
 
         def commit(self, messages):
@@ -306,6 +328,10 @@ def _make_stream_writer_class():
 
         def __init__(self, options: dict) -> None:
             self.path = options["path"]
+            # same fault-injection hook as the batch writer (see there);
+            # every micro-batch's first attempt of this partition fails
+            # once and must be retried exactly-once.
+            self.inject_fail = int(options.get("injectfailpartition", "-1"))
 
         def write(self, iterator):
             import json
@@ -323,6 +349,15 @@ def _make_stream_writer_class():
                 for row in iterator:
                     f.write(json.dumps(row.asDict()) + "\n")
                     n += 1
+                    if (
+                        tc.partitionId() == self.inject_fail
+                        and tc.attemptNumber() == 0
+                        and n >= 10
+                    ):
+                        f.flush()
+                        raise RuntimeError(
+                            "injected write failure on first attempt"
+                        )
             return _Done(out, n)
 
         def commit(self, messages, batchId) -> None:

@@ -1258,6 +1258,18 @@ def sink_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixture_stage_dir,
     )
 
+    # provider-pin invariant (enforced by tests/test_conf_invariants.py):
+    # every function that persists a streaming checkpoint across sessions
+    # via fixture_stage_dir pins its own stateStore provider, because the
+    # session-global providerClass may have been flipped by an earlier TWS
+    # query and a checkpoint must be resumed with the provider that wrote
+    # it.  This stream is stateless (foreachBatch; the checkpoint holds
+    # source offsets only) but carries the pin so the invariant is uniform.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+    )
     base = fixture_stage_dir(sf_dir, "foreachbatch_upsert", "mincemeatpy_febu")
     done = base / "_DONE"
     if not done.exists():

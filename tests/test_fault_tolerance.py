@@ -64,10 +64,13 @@ def test_task_failure_without_retries_fails_the_job():
     """The control: with maxFailures=1 the same injection kills the
     job — proving the first test exercises the retry path, not a
     no-op."""
-    probe = _PROBE.replace('local[4, 2]', 'local[4, 1]').replace(
-        'assert out == expected, f"retry corrupted the result: {out} != {expected}"\n    print("RETRY_OK", out)',
+    probe = _PROBE.replace("local[4, 2]", "local[4, 1]").replace(
+        'print("RETRY_OK", out)',
         'print("UNEXPECTED_SUCCESS")',
     )
+    # the dedented _PROBE has no indentation — assert both surgeries bit
+    assert "local[4, 1]" in probe and "UNEXPECTED_SUCCESS" in probe
+    assert "RETRY_OK" not in probe
     r = subprocess.run(
         [sys.executable, "-c", probe],
         capture_output=True,

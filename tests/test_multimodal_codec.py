@@ -69,11 +69,15 @@ def test_bmp_width_multiple_of_four_no_padding():
 
 def test_compressed_formats_still_gated():
     with pytest.raises(NotImplementedError):
-        decode_image_real(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG magic
-    # PNG is no longer gated — it decodes for real (r6), so a garbage
+        decode_image_real(b"GIF89a" + b"\x00" * 32)  # GIF stays gated
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 24)
+    # PNG (r6) and baseline JPEG (r7) decode for real, so a garbage
     # body after a valid signature is MALFORMED, not unsupported
     with pytest.raises(ValueError):
         decode_image_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+    with pytest.raises(ValueError):
+        decode_image_real(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
 
 
 def test_ppm_maxval_gate():
@@ -268,3 +272,85 @@ def test_wav_truncated_chunk_is_malformed_not_crash():
     struct.pack_into("<I", raw, at + 4, sz - 1)
     with pytest.raises(ValueError):
         decode_audio_real(bytes(raw[:-1]))
+
+
+# --- baseline JPEG (r7) ------------------------------------------------
+
+import numpy as np  # noqa: E402
+
+from mincemeatpy_spark.multimodal.binary_ops import (  # noqa: E402
+    _jpeg_zigzag,
+    decode_jpeg_real,
+    encode_jpeg_baseline,
+)
+
+
+def _gradient_rgb(w, h, seed=3):
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    v = (seed * 31 + x * 7 + y * 13) % 200 + 28
+    r = np.clip(v + 10, 0, 255)
+    g = np.clip(v, 0, 255)
+    b = np.clip(v + 20, 0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def test_jpeg_zigzag_matches_published_constant():
+    # encoder and decoder share the generated order; pin it against the
+    # spec's published sequence so a generation bug cannot cancel out
+    assert _jpeg_zigzag()[:16] == [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    ]
+    assert len(_jpeg_zigzag()) == 64
+    assert sorted(_jpeg_zigzag()) == list(range(64))
+
+
+def test_jpeg_roundtrip_within_bound():
+    for w, h in ((8, 8), (17, 9), (24, 16), (33, 19), (1, 1), (5, 3)):
+        rgb = _gradient_rgb(w, h)
+        meta = decode_jpeg_real(encode_jpeg_baseline(rgb))
+        assert (meta["fmt"], meta["width"], meta["height"]) == ("jpeg", w, h)
+        n = w * h
+        for ch, i in (("sum_r", 0), ("sum_g", 1), ("sum_b", 2)):
+            true = int(rgb[..., i].astype(np.int64).sum())
+            assert abs(meta[ch] - true) <= 2 * n, (w, h, ch)
+
+
+def test_jpeg_dc_prediction_across_mcus():
+    # wide image, many MCUs: a broken DC predictor shifts later MCUs
+    # wholesale and blows the per-pixel bound by design
+    rgb = _gradient_rgb(64, 32, seed=11)
+    meta = decode_jpeg_real(encode_jpeg_baseline(rgb))
+    n = 64 * 32
+    true = int(rgb[..., 1].astype(np.int64).sum())
+    assert abs(meta["sum_g"] - true) <= 2 * n
+
+
+def test_jpeg_malformed_is_valueerror():
+    good = encode_jpeg_baseline(_gradient_rgb(16, 16))
+    with pytest.raises(ValueError):
+        decode_jpeg_real(b"\x00" + good[1:])           # no SOI
+    with pytest.raises(ValueError):
+        decode_jpeg_real(good[:40])                    # truncated segment
+    with pytest.raises(ValueError):
+        decode_jpeg_real(good[:-2])                    # scan missing EOI
+
+
+def test_jpeg_unsupported_variants_gated():
+    good = encode_jpeg_baseline(_gradient_rgb(16, 16))
+    # flip SOF0 -> SOF2 (progressive): honest NotImplementedError gate
+    i = good.find(b"\xff\xc0")
+    assert i > 0
+    prog = good[:i] + b"\xff\xc2" + good[i + 2:]
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_real(prog)
+    # DRI segment: restart intervals gated
+    dri = good[:2] + b"\xff\xdd\x00\x04\x00\x08" + good[2:]
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_real(dri)
+
+
+def test_jpeg_dispatches_through_decode_image_real():
+    rgb = _gradient_rgb(16, 8)
+    meta = decode_image_real(encode_jpeg_baseline(rgb))
+    assert meta["fmt"] == "jpeg" and meta["width"] == 16

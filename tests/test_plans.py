@@ -1126,3 +1126,157 @@ def test_runtime_bloom_filter_actually_injects(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_skew_split_fires_on_unsalted_hotkey_join(spark, sf_dir):
+    """join_skew_hotkey_aqe's engine-side claim, demonstrated: on the
+    adversarial 50%-hot-key shape, AQE's OptimizeSkewedJoin splits the
+    hot reduce partition at runtime — the executed (final adaptive)
+    plan must carry SortMergeJoin(skew=true) / AQEShuffleRead skewed,
+    and the split must not change the result.
+
+    Two measured preconditions (probes/r7/) are set up explicitly,
+    because at test scale they do not hold by default though they do at
+    100 TB: (a) the split granularity is MAP OUTPUTS, and a
+    single-row-group parquet scan is ONE effective mapper — so the fact
+    side is repartitioned first (a 1000-executor scan has thousands of
+    mappers); (b) detection is bytes-based POST-compression, and
+    constant-key narrow rows LZ4-collapse ~10x — so rows carry an
+    incompressible payload (wide heterogeneous rows are the 100 TB
+    norm)."""
+    from pyspark.sql import functions as F
+
+    from mincemeatpy_spark.tables import t as tbl
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = tbl(spark, sf_dir, "lineitem")
+        fact = (
+            li.withColumn(
+                "jk",
+                F.when(F.col("l_orderkey") % 2 == 0, F.lit(2).cast("bigint"))
+                .otherwise(F.col("l_orderkey")),
+            )
+            .repartition(8)  # multi-mapper shuffle input (precondition a)
+            .withColumn(     # incompressible payload (precondition b)
+                "pad",
+                F.sha2(F.concat_ws("-", "l_orderkey", "l_linenumber"), 512),
+            )
+        )
+        o = tbl(spark, sf_dir, "orders")
+        j = fact.join(o, fact.jk == o.o_orderkey).select(
+            "o_orderpriority", "l_quantity", "pad"
+        )
+        n = len(j.collect())
+        assert n == li.count(), "skew split changed the join result size"
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, f"no skew-split join in plan:\n{plan[:1500]}"
+        assert any(
+            "AQEShuffleRead" in line and "skewed" in line
+            for line in plan.splitlines()
+        ), "no skewed AQEShuffleRead in final plan"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_join_skew_hotkey_salted_structure(spark, sf_dir):
+    """The salted query's load-bearing structure: the (jk, salt) join
+    condition actually carries the salt (else the explode did nothing
+    and the hot key still serializes), and the hot-key detection rides
+    in-plan (no collect; the broadcast wraps a filtered aggregate that
+    is bounded by the n * 20 > total predicate)."""
+    from mincemeatpy_spark.operators.skew import join_skew_hotkey_salted
+
+    df = join_skew_hotkey_salted(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "fsalt" in analyzed and "dsalt" in analyzed
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # the salted equi-join keys include the salt pair
+    assert "fsalt" in optimized and "dsalt" in optimized
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    # hot-set detection is a broadcast join, not a driver collect
+    assert "BroadcastExchange" in physical or "broadcast" in physical.lower()
+
+
+def test_pandas_api_rolling_same_plan_as_native(spark, sf_dir):
+    """pandas_api_rolling's claim: the ps rolling(3) compiles to the
+    same physical shape as the native Window query — one hash exchange
+    on the grouping key, one Window node — and the results are
+    row-for-row identical (the strong form; plan-string equality is
+    alias-noise-fragile)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from mincemeatpy_spark.operators.misc import pandas_api_rolling
+    from mincemeatpy_spark.tables import t as tbl
+
+    ps_df = pandas_api_rolling(spark, sf_dir)
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("micro"),
+    )
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, 0)
+    native = ev.select(
+        "user_id",
+        "event_id",
+        F.sum("micro").over(w).cast("bigint").alias("roll_micro"),
+    )
+    assert ps_df.exceptAll(native).count() == 0
+    assert native.exceptAll(ps_df).count() == 0
+    pplan = ps_df._jdf.queryExecution().executedPlan().toString()
+    nplan = native._jdf.queryExecution().executedPlan().toString()
+    for plan, label in ((pplan, "pandas-api"), (nplan, "native")):
+        assert plan.count("Exchange") == 1, f"{label}: extra shuffle\n{plan[:800]}"
+        assert plan.count("Window [") == 1, f"{label}: window count"
+
+
+def test_pandas_api_merge_same_plan_as_native(spark, sf_dir):
+    """pandas_api_merge's claim: index-on-index ps.merge plans the
+    identical join strategy and exchange count as the native
+    equi-join, and agrees row-for-row."""
+    from pyspark.sql import functions as F
+
+    from mincemeatpy_spark.operators.misc import pandas_api_merge
+    from mincemeatpy_spark.tables import t as tbl
+
+    ps_df = pandas_api_merge(spark, sf_dir)
+    od = tbl(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("micro"),
+    )
+    cu = tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    native = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("micro").cast("bigint").alias("micro_total"),
+        )
+    )
+    assert ps_df.exceptAll(native).count() == 0
+    assert native.exceptAll(ps_df).count() == 0
+
+    def join_sig(plan: str):
+        kinds = [
+            k
+            for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+            if k in plan
+        ]
+        return kinds, plan.count("Exchange")
+
+    psig = join_sig(ps_df._jdf.queryExecution().executedPlan().toString())
+    nsig = join_sig(native._jdf.queryExecution().executedPlan().toString())
+    assert psig == nsig, f"pandas-api {psig} != native {nsig}"
