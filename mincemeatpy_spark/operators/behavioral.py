@@ -2724,3 +2724,118 @@ def funnel_windowed_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("conv_ppm"),
         )
     )
+
+
+@register(
+    "timeseries_gapfill_interp",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS day_centi
+            FROM events GROUP BY user_id, day
+        ),
+        spine AS (
+            SELECT user_id,
+                   unnest(generate_series(min(day), max(day),
+                                          INTERVAL 1 DAY))::DATE AS day
+            FROM daily GROUP BY user_id
+        ),
+        ctx AS (
+            SELECT s.user_id, s.day, d.day_centi,
+                   last_value(d.day_centi IGNORE NULLS)
+                       OVER (PARTITION BY s.user_id ORDER BY s.day) AS pv,
+                   last_value(CASE WHEN d.day_centi IS NOT NULL
+                                   THEN s.day END IGNORE NULLS)
+                       OVER (PARTITION BY s.user_id ORDER BY s.day) AS pd,
+                   first_value(d.day_centi IGNORE NULLS)
+                       OVER (PARTITION BY s.user_id ORDER BY s.day
+                             ROWS BETWEEN CURRENT ROW
+                                      AND UNBOUNDED FOLLOWING) AS nv,
+                   first_value(CASE WHEN d.day_centi IS NOT NULL
+                                    THEN s.day END IGNORE NULLS)
+                       OVER (PARTITION BY s.user_id ORDER BY s.day
+                             ROWS BETWEEN CURRENT ROW
+                                      AND UNBOUNDED FOLLOWING) AS nd
+            FROM spine s LEFT JOIN daily d
+              ON d.user_id = s.user_id AND d.day = s.day
+        ),
+        interp AS (
+            SELECT user_id, day, day_centi,
+                   CASE WHEN day_centi IS NULL THEN
+                       (pv * (nd - day) + nv * (day - pd)) // (nd - pd)
+                   END AS gap_centi
+            FROM ctx
+        )
+        SELECT user_id,
+               count(*) AS n_days,
+               CAST(count(day_centi) AS BIGINT) AS n_observed,
+               CAST(coalesce(sum(gap_centi), 0) AS BIGINT)
+                   AS interp_centi_sum
+        FROM interp
+        GROUP BY user_id
+        """,
+    category="behavioral",
+    doc="Time-series densification by LINEAR interpolation — the "
+    "companion to timeseries_gapfill_locf's step-fill: per user, the "
+    "complete daily spine, with each interior gap day filled by the "
+    "time-weighted average of the surrounding observations.  The "
+    "interpolant is computed as (prev*(next_day - day) + next*(day - "
+    "prev_day)) div gap_days — every operand non-negative, so Spark's "
+    "truncating div and DuckDB's flooring // agree and the fill is "
+    "integer-exact (the naive prev + slope*offset form goes through a "
+    "NEGATIVE numerator when the series falls, where the two engines' "
+    "division semantics diverge).  Same scale shape as locf: one "
+    "shuffle for the daily rollup, one user-keyed window; the "
+    "prev/next context comes from two frames of the SAME window "
+    "partition, not extra joins.",
+)
+def timeseries_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("day_centi"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    back = W.partitionBy("user_id").orderBy("day")
+    fwd = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_centi").isNotNull(), F.col("day"))
+    ctx = (
+        spine.join(daily, ["user_id", "day"], "left_outer")
+        .withColumn("pv", F.last("day_centi", ignorenulls=True).over(back))
+        .withColumn("pd", F.last(obs_day, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("day_centi", ignorenulls=True).over(fwd))
+        .withColumn("nd", F.first(obs_day, ignorenulls=True).over(fwd))
+    )
+    gap = F.when(
+        F.col("day_centi").isNull(),
+        F.expr(
+            "(pv * datediff(nd, day) + nv * datediff(day, pd))"
+            " div datediff(nd, pd)"
+        ),
+    )
+    return (
+        ctx.withColumn("gap_centi", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.count("day_centi").cast("bigint").alias("n_observed"),
+            F.coalesce(F.sum("gap_centi"), F.lit(0))
+            .cast("bigint")
+            .alias("interp_centi_sum"),
+        )
+    )

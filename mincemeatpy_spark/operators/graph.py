@@ -807,3 +807,222 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("n_union"),
         )
     )
+
+
+# Alternating-algorithm CC: cap on rounds (the algorithm converges in
+# O(log^2 n) rounds with high probability — Kiveris et al., "Connected
+# Components in MapReduce and Beyond", SoCC'14; >10 pair-rounds on any
+# real graph means a bug, not a slow graph).
+_CC_MAX_ROUNDS = 10
+
+
+@register(
+    "graph_connected_components_star",
+    oracle="""
+        WITH RECURSIVE edges AS (
+            SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS u,
+                            CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS v
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_quantity >= 48
+        ),
+        sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+        reach(node, lab) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+            UNION
+            SELECT s.u, r.lab FROM sym s JOIN reach r ON r.node = s.v
+        ),
+        comp AS (SELECT node, min(lab) AS root FROM reach GROUP BY node),
+        sizes AS (SELECT root, count(*) AS sz FROM comp GROUP BY root)
+        SELECT CAST(sz AS BIGINT) AS component_size,
+               CAST(count(*) AS BIGINT) AS n_components,
+               CAST(min(root) AS BIGINT) AS example_root
+        FROM sizes GROUP BY sz
+        """,
+    category="graph",
+    doc="Connected components by the ALTERNATING star algorithm "
+    "(large-star / small-star, Kiveris et al. SoCC'14) on the sparsified "
+    "purchase graph (l_quantity >= 48 keeps ~6% of lineitem, so the "
+    "graph fractures into many components instead of one giant one).  "
+    "This is the other canonical distributed-CC primitive next to the "
+    "min-label loop dedup_clusters uses: min-label needs O(diameter) "
+    "rounds, while star-contraction needs O(log^2 n) w.h.p. regardless "
+    "of diameter — the 100 TB-correct choice for long-chain graphs.  "
+    "Each half-round is one groupBy(node) min + one re-join of the edge "
+    "list (per-round cost linear in edges, partition-parallel, no "
+    "broadcast of anything node-scale); localCheckpoint truncates "
+    "lineage between rounds; convergence is an exceptAll-count fixed "
+    "point, and the round cap asserts the paper's bound.  The oracle is "
+    "ALGORITHM-INDEPENDENT truth: a recursive min-label closure in "
+    "DuckDB — the star roots must equal the true component minima.  "
+    "Output is the bounded component-size histogram.",
+)
+def graph_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    edges = (
+        o.join(li.filter(F.col("l_quantity") >= 48), o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("bigint").alias("u"),
+            (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # connect every strictly-larger neighbor of u to min(N(u) ∪ {u})
+        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient each edge large→small; connect u and all its smaller
+        # neighbors except the minimum to that minimum
+        ori = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = ori.groupBy("u").agg(F.min("v").alias("m"))
+        joined = ori.join(mins, "u")
+        return (
+            joined.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(mins.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+        )
+
+    cur = edges
+    for _ in range(_CC_MAX_ROUNDS):
+        nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
+        # fixed point: both sides are distinct sets, so same count +
+        # empty difference ⇔ equal.  Two bounded driver scalars per
+        # round (the BFS-loop precedent), never row data.
+        if (
+            nxt.count() == cur.count()
+            and nxt.exceptAll(cur).count() == 0
+        ):
+            cur = nxt
+            break
+        cur = nxt
+    else:
+        raise RuntimeError(
+            f"star CC did not converge in {_CC_MAX_ROUNDS} rounds"
+        )
+
+    # converged star edges: (node, root) for every non-root node
+    assign = cur.select(F.col("u").alias("node"), F.col("v").alias("root"))
+    roots = assign.select("root").distinct().select(
+        F.col("root").alias("node"), F.col("root")
+    )
+    comp = assign.unionAll(roots)
+    sizes = comp.groupBy("root").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy(F.col("sz").cast("bigint").alias("component_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_components"),
+        F.min("root").cast("bigint").alias("example_root"),
+    )
+
+
+@register(
+    "graph_label_propagation",
+    oracle="""
+        WITH edges AS (
+            SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS u,
+                            CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS v
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_quantity >= 48
+        ),
+        sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+        l0 AS (SELECT DISTINCT u AS node, u AS lab FROM sym),
+        v1 AS (
+            SELECT s.u, l.lab, count(*) AS c
+            FROM sym s JOIN l0 l ON l.node = s.v
+            GROUP BY s.u, l.lab
+        ),
+        l1 AS (
+            SELECT u AS node, lab FROM (
+                SELECT u, lab,
+                       row_number() OVER (PARTITION BY u
+                                          ORDER BY c DESC, lab ASC) AS rn
+                FROM v1) WHERE rn = 1
+        ),
+        v2 AS (
+            SELECT s.u, l.lab, count(*) AS c
+            FROM sym s JOIN l1 l ON l.node = s.v
+            GROUP BY s.u, l.lab
+        ),
+        l2 AS (
+            SELECT u AS node, lab FROM (
+                SELECT u, lab,
+                       row_number() OVER (PARTITION BY u
+                                          ORDER BY c DESC, lab ASC) AS rn
+                FROM v2) WHERE rn = 1
+        ),
+        comm AS (SELECT lab, count(*) AS sz FROM l2 GROUP BY lab)
+        SELECT CAST(sz AS BIGINT) AS community_size,
+               CAST(count(*) AS BIGINT) AS n_communities,
+               CAST(min(lab) AS BIGINT) AS example_label
+        FROM comm GROUP BY sz
+        """,
+    category="graph",
+    doc="Label propagation community detection (Raghavan et al. 2007), "
+    "two SYNCHRONOUS rounds with a deterministic tie-break (highest "
+    "neighbor-label frequency, ties to the smallest label — the async "
+    "random-order variant is not reproducible across engines) on the "
+    "sparsified purchase graph.  Each round is the Pregel superstep as "
+    "a relational plan: edges ⋈ labels (shuffle on the node key), "
+    "groupBy (node, label) count, then a per-node window row_number "
+    "picks the argmax — per-round cost linear in edges with no "
+    "node-scale broadcast, so the round count is the only scale knob.  "
+    "The oracle unrolls both rounds as CTEs with the identical "
+    "tie-break, making the fixed 2-round result bit-exact.  Output is "
+    "the bounded community-size histogram after round 2.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    edges = (
+        o.join(li.filter(F.col("l_quantity") >= 48), o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("bigint").alias("u"),
+            (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("v"),
+        )
+        .distinct()
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+
+    lab = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    w = W.partitionBy("u").orderBy(F.col("c").desc(), F.col("lab").asc())
+    for _ in range(2):
+        votes = (
+            sym.join(lab, sym.v == lab.node)
+            .groupBy("u", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        lab = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), "lab")
+            .localCheckpoint(eager=True)
+        )
+    comm = lab.groupBy("lab").agg(F.count(F.lit(1)).alias("sz"))
+    return comm.groupBy(F.col("sz").cast("bigint").alias("community_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.min("lab").cast("bigint").alias("example_label"),
+    )

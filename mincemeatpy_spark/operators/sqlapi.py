@@ -539,3 +539,110 @@ def sql_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, n_big bigint, centi_total bigint, "
         "min_key bigint, max_key bigint",
     )
+
+
+_SCRIPT_ORACLE = """
+    WITH rev AS (
+        SELECT CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS r
+        FROM orders
+    )
+    SELECT 6 AS n_iterations,
+           r AS revenue_centi,
+           CAST(r // 2 + r // 4 + r // 8 + r // 16 + r // 32 + r // 64
+                AS BIGINT) AS tail_discounted_centi
+    FROM rev
+"""
+
+
+@register(
+    "sql_scripting_loop",
+    oracle=_SCRIPT_ORACLE,
+    category="sqlapi",
+    doc="SQL scripting (Spark 4.0, SQL/PSM subset): BEGIN…END block with "
+    "DECLAREd variables and a WHILE loop folding a six-term geometric "
+    "amortization of total order revenue (centi-unit bigint, DIV per "
+    "term so every step is integer-exact).  The script's control flow "
+    "runs on the driver but each statement compiles through Catalyst — "
+    "the revenue aggregate is one ordinary distributed scan+agg whose "
+    "1-row result binds to a variable; the loop then does pure literal "
+    "arithmetic (no per-iteration jobs).  The procedural twin of the "
+    "iterative-driver-loop pattern graph_pagerank_2iter documents — "
+    "control flow in SQL instead of Python.  The conf is enabled "
+    "per-call (pin-on-every-consumer, the test_conf_invariants rule).  "
+    "Oracle is the closed form of the unrolled loop.",
+)
+def sql_scripting_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE rev BIGINT DEFAULT 0;
+          DECLARE i INT DEFAULT 1;
+          DECLARE acc BIGINT DEFAULT 0;
+          SET rev = (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                          AS BIGINT)) AS BIGINT)
+                     FROM orders);
+          WHILE i <= 6 DO
+            SET acc = acc + rev DIV SHIFTLEFT(CAST(1 AS BIGINT), i);
+            SET i = i + 1;
+          END WHILE;
+          SELECT 6 AS n_iterations,
+                 rev AS revenue_centi,
+                 acc AS tail_discounted_centi;
+        END
+        """
+    )
+
+
+_TRANSPOSE_BASE = """
+    SELECT r.r_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_centi
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY r.r_name
+"""
+
+
+@register(
+    "sqlapi_transpose",
+    oracle=f"""
+        WITH agg AS ({_TRANSPOSE_BASE})
+        SELECT 'n_orders' AS key,
+               MAX(CASE WHEN r_name = 'AFRICA' THEN n_orders END) AS "AFRICA",
+               MAX(CASE WHEN r_name = 'AMERICA' THEN n_orders END) AS "AMERICA",
+               MAX(CASE WHEN r_name = 'ASIA' THEN n_orders END) AS "ASIA",
+               MAX(CASE WHEN r_name = 'EUROPE' THEN n_orders END) AS "EUROPE",
+               MAX(CASE WHEN r_name = 'MIDDLE EAST' THEN n_orders END)
+                   AS "MIDDLE EAST"
+        FROM agg
+        UNION ALL
+        SELECT 'revenue_centi',
+               MAX(CASE WHEN r_name = 'AFRICA' THEN revenue_centi END),
+               MAX(CASE WHEN r_name = 'AMERICA' THEN revenue_centi END),
+               MAX(CASE WHEN r_name = 'ASIA' THEN revenue_centi END),
+               MAX(CASE WHEN r_name = 'EUROPE' THEN revenue_centi END),
+               MAX(CASE WHEN r_name = 'MIDDLE EAST' THEN revenue_centi END)
+        FROM agg
+        """,
+    category="sqlapi",
+    doc="DataFrame.transpose (Spark 4.0): rows and columns swap, the "
+    "index column's VALUES becoming the output schema — here the "
+    "5-region revenue rollup flips to one row per metric with a column "
+    "per region.  Transpose must materialize the index values to name "
+    "the columns (an inherently bounded collect inside Spark itself), "
+    "so it is only sane on an already-aggregated frame — this one is 5 "
+    "rows AFTER the distributed join+agg, which is where all the scale "
+    "cost lives and which stays a normal shuffled plan.  The oracle "
+    "builds the transposed table explicitly with per-region MAX(CASE) "
+    "branches and quoted column aliases ('MIDDLE EAST' has a space).",
+)
+def sqlapi_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    agg = spark.sql(_TRANSPOSE_BASE)
+    return agg.transpose("r_name")
