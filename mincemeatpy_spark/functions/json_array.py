@@ -270,7 +270,7 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderkey % 3 = 0
         GROUP BY o_orderpriority
         """,
-    category="functions",
+    category="function",
     doc="Nested struct surface: rows are packed into a struct column "
     "(named_struct of key, status, exact cents), carried through a "
     "filter, navigated with dot paths, and unpacked back to scalars "

@@ -2839,3 +2839,72 @@ def timeseries_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("interp_centi_sum"),
         )
     )
+
+
+@register(
+    "events_pattern_match",
+    oracle="""
+        WITH journeys AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS journey
+            FROM events GROUP BY user_id, day
+        ),
+        matched AS (
+            SELECT user_id, day,
+                   len(regexp_extract_all(journey, 'v[ce]*p'))
+                       AS n_conversions
+            FROM journeys
+        )
+        SELECT CAST(n_conversions AS BIGINT) AS n_conversions,
+               CAST(count(*) AS BIGINT) AS n_user_days,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM matched GROUP BY n_conversions
+        """,
+    category="behavioral",
+    doc="MATCH_RECOGNIZE-style row-pattern matching — the SQL:2016 "
+    "operator Spark lacks, composed from primitives it has: per "
+    "(user, day) the event stream collapses to a symbol string in "
+    "strict (ts, event_id) order (every event type starts with a "
+    "distinct letter, so substr(type,1,1) is the alphabet), and the "
+    "pattern VIEW (CLICK|ERROR)* PURCHASE runs as the regex 'v[ce]*p' "
+    "with non-overlapping leftmost-greedy semantics — exactly "
+    "MATCH_RECOGNIZE ... AFTER MATCH SKIP PAST LAST ROW.  Java regex "
+    "(Spark regexp_count) and RE2 (DuckDB regexp_extract_all) agree on "
+    "this lookaround-free subset.  Scale shape: one shuffle groups each "
+    "user-day's events onto one partition (the per-group string is "
+    "bounded by a user's single-day event count, the same invariant "
+    "every sessionization query here rests on), the regex runs "
+    "JVM-side per group, and the output is the bounded "
+    "conversions-per-user-day histogram.",
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    journeys = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("sym"),
+                        )
+                    )
+                ),
+                lambda s: s["sym"],
+            ),
+            "",
+        ).alias("journey")
+    )
+    matched = journeys.select(
+        "user_id", F.regexp_count("journey", F.lit("v[ce]*p")).alias("n_conversions")
+    )
+    return matched.groupBy(
+        F.col("n_conversions").cast("bigint").alias("n_conversions")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_user_days"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )

@@ -726,3 +726,83 @@ def pandas_api_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint"),
             F.col("micro_total").cast("bigint"),
         )
+
+
+# quality_filter_funnel's ordered rule set (Gopher-style, Rae et al.
+# 2021 §A1.1 adapted to the synthetic corpus' ranges): a doc is dropped
+# by the FIRST rule it fails, so the per-rule counts form a funnel.
+_QF_COMMON = ("table", "row", "value", "scan", "hash", "merge", "key")
+
+
+@register(
+    "quality_filter_funnel",
+    oracle=f"""
+        WITH feat AS (
+            SELECT lang,
+                   len(string_split_regex(text, '\\s+')) AS n_tok,
+                   len(regexp_replace(text, '\\s+', '', 'g')) AS n_ch,
+                   len(list_distinct(string_split_regex(text, '\\s+')))
+                       AS n_uniq,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                       w -> w IN {_QF_COMMON!r})) AS hits
+            FROM documents
+        ),
+        staged AS (
+            SELECT lang,
+                   CASE
+                     WHEN n_tok < 25 OR n_tok > 100000
+                          THEN 'r1_length'
+                     WHEN n_ch * 100 // n_tok < 400
+                          OR n_ch * 100 // n_tok > 530
+                          THEN 'r2_mean_word_len'
+                     WHEN n_uniq * 1000000 // n_tok < 350000
+                          THEN 'r3_lexical_diversity'
+                     WHEN hits < 2 THEN 'r4_common_words'
+                     ELSE 'kept'
+                   END AS stage
+            FROM feat
+        )
+        SELECT stage, lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM staged GROUP BY stage, lang
+        """,
+    category="quality",
+    doc="Gopher-style quality-filter FUNNEL with per-rule drop "
+    "accounting (Rae et al. 2021): four ordered rules — token-count "
+    "bounds, mean word length, lexical diversity, minimum common-word "
+    "hits — where each document is attributed to the FIRST rule that "
+    "rejects it, so the output is the audit table a pipeline owner "
+    "reads to see WHICH filter is eating the corpus (text_quality_score "
+    "is the composite-score variant; this is the per-rule-attribution "
+    "variant every production filter stack reports).  All features are "
+    "integer-exact: mean word length and diversity are centi/ppm "
+    "integer divisions with non-negative operands, where Spark's "
+    "truncating div and DuckDB's flooring // agree.  One scan computes "
+    "all four features (no per-rule re-scan), one shuffle for the "
+    "bounded (stage x lang) rollup — at 100 TB the funnel costs exactly "
+    "one pass over the corpus.",
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.split(F.col("text"), r"\s+").alias("words"),
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")).alias("n_ch"),
+    )
+    n_tok = F.size("words")
+    mwl_centi = F.expr("n_ch * 100 div size(words)")
+    uniq_ppm = F.expr(
+        "size(array_distinct(words)) * cast(1000000 as bigint)"
+        " div size(words)"
+    )
+    hits = F.size(F.filter(F.col("words"), lambda w: w.isin(*_QF_COMMON)))
+    stage = (
+        F.when((n_tok < 25) | (n_tok > 100000), "r1_length")
+        .when((mwl_centi < 400) | (mwl_centi > 530), "r2_mean_word_len")
+        .when(uniq_ppm < 350000, "r3_lexical_diversity")
+        .when(hits < 2, "r4_common_words")
+        .otherwise("kept")
+    )
+    return (
+        docs.select("lang", stage.alias("stage"))
+        .groupBy("stage", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

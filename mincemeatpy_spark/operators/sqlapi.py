@@ -154,7 +154,7 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM chain
         GROUP BY root
         """,
-    category="sql",
+    category="sqlapi",
     doc="Recursive CTE (Spark 4's WITH RECURSIVE, UNION ALL form) — the "
     "hierarchy-walk / BOM-explosion shape: seed rows fan out through a "
     "key-derived parent→child edge (k -> 2k, a DAG so UNION ALL "

@@ -66,7 +66,7 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_discount BETWEEN 0.03 AND 0.07
           AND l_quantity < 24
         """,
-    category="aggregate",
+    category="aggregation",
     doc="TPC-H Q6: the pure selective-scan aggregate — every predicate "
     "pushes into the parquet scan; no shuffle beyond the single partial/"
     "final agg exchange.",
