@@ -618,3 +618,89 @@ def ivm_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("cents").cast("bigint").alias("revenue_cents"),
     )
+
+
+def _hilbert_steps():
+    """The 8 unrolled steps of the 256x256 Hilbert xy->d transform,
+    branch-free (the quadrant term 3*rx + ry - 2*rx*ry equals
+    (3*rx) XOR ry for bits, and the rotate/flip collapses to integer
+    blends), as (d_expr, x_expr, y_expr) SQL strings over columns
+    d/x/y/rx/ry.  ONE generator feeds both the Spark selectExpr chain
+    and the DuckDB oracle's nested subqueries, and
+    tests/test_hilbert.py pins it exhaustively against the classic
+    loop implementation on the full 65,536-point grid — only
+    +/-/* on integers, so every engine agrees bit-for-bit.
+    """
+    steps = []
+    for i in range(8):
+        b = 7 - i
+        s = 1 << b
+        steps.append(
+            (
+                f"((x >> {b}) & 1)",
+                f"((y >> {b}) & 1)",
+                f"d + {s * s} * (3 * rx + ry - 2 * rx * ry)",
+                f"ry * x + (1 - ry) * ((1 - rx) * y + rx * ({s - 1} - y))",
+                f"ry * y + (1 - ry) * ((1 - rx) * x + rx * ({s - 1} - x))",
+            )
+        )
+    return steps
+
+
+def _hilbert_sql(base: str, carry: tuple[str, ...] = ()) -> str:
+    """Nested-subquery SQL computing the Hilbert d for each row of
+    ``base`` (which must yield columns x, y) — dialect-shared between
+    Spark SQL and DuckDB (no XOR: DuckDB's ^ is power).  ``carry``
+    columns from ``base`` are passed through untouched (the unroll
+    overwrites x/y with rotated scratch state)."""
+    keep = "".join(f", {c}" for c in carry)
+    q = f"SELECT x, y, 0 AS d{keep} FROM ({base})"
+    for rx, ry, d, x2, y2 in _hilbert_steps():
+        q = (
+            f"SELECT {d} AS d, {x2} AS x, {y2} AS y{keep} "
+            f"FROM (SELECT x, y, d, {rx} AS rx, {ry} AS ry{keep} FROM ({q}))"
+        )
+    return q
+
+
+@register(
+    "layout_hilbert_clustering",
+    oracle=f"""
+        SELECT d >> 10 AS bucket,
+               count(*) AS n,
+               min(d) AS d_lo,
+               max(d) AS d_hi
+        FROM ({_hilbert_sql(
+            "SELECT l_partkey & 255 AS x, l_suppkey & 255 AS y FROM lineitem"
+        )})
+        GROUP BY bucket
+        """,
+    category="layout",
+    doc="Hilbert-curve clustering key — the other production layout "
+    "curve next to zorder_clustering (Delta OPTIMIZE and Iceberg both "
+    "offer it): unlike Morton order, consecutive Hilbert indices are "
+    "ALWAYS spatially adjacent (no quadrant jumps), so range scans on "
+    "either key touch strictly fewer distinct d-ranges — better zone-"
+    "map pruning at the same sort cost.  The xy->d transform is the "
+    "classic per-bit rotate/flip loop unrolled into 8 branch-free "
+    "integer-blend stages computed scan-side in whole-stage codegen; "
+    "the SAME generated stage expressions feed the DuckDB oracle, and "
+    "tests/test_hilbert.py pins the generator exhaustively against the "
+    "reference loop on all 65,536 grid points plus the unit-step "
+    "adjacency property.  At scale the write path is "
+    "repartitionByRange(d).sortWithinPartitions(d) before the sink; "
+    "this bucket-occupancy histogram is its verification query.",
+)
+def layout_hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey & 255 AS x", "l_suppkey & 255 AS y", "0 AS d"
+    )
+    for rx, ry, d, x2, y2 in _hilbert_steps():
+        li = li.selectExpr(
+            "x", "y", "d", f"{rx} AS rx", f"{ry} AS ry"
+        ).selectExpr(f"{d} AS d", f"{x2} AS x", f"{y2} AS y")
+    return li.groupBy(F.expr("d >> 10").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("d").alias("d_lo"),
+        F.max("d").alias("d_hi"),
+    )
