@@ -1026,3 +1026,85 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_communities"),
         F.min("lab").cast("bigint").alias("example_label"),
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle="""
+        WITH a AS (SELECT DISTINCT l_orderkey, l_partkey
+                   FROM lineitem WHERE l_partkey < 800),
+        e AS (SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+              FROM a x JOIN a y ON x.l_orderkey = y.l_orderkey
+                                AND x.l_partkey < y.l_partkey),
+        sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        deg AS (SELECT u AS node, count(*) AS d FROM sym GROUP BY u),
+        tri AS (
+            SELECT count(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        wed AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+                FROM deg)
+        SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
+               n_wedges,
+               CAST((CAST(3 AS BIGINT) * n_triangles * 1000000)
+                    // n_wedges AS BIGINT) AS global_coeff_ppm
+        FROM tri, wed
+        """,
+    category="graph",
+    doc="Global clustering coefficient (transitivity) of the part "
+    "co-purchase graph: 3 x triangles / wedges, where wedges = "
+    "sum over nodes of C(deg, 2) — the one-number cohesion summary "
+    "read next to graph_degree_distribution before any community "
+    "algorithm is chosen.  Triangles reuse graph_triangle_count's "
+    "canonicalized two-self-join; the wedge count is a degree "
+    "aggregate, so the marginal cost over counting triangles is one "
+    "extra groupBy.  The coefficient is an exact ppm integer division "
+    "(non-negative operands — both engines floor identically).  Both "
+    "1-row aggregates cross-join at the end, adding no shuffle of "
+    "data-scale rows.",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 800)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = a.alias("x"), a.alias("y")
+    e = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    wedges = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(
+            F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges")
+        )
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return tri.crossJoin(wedges).select(
+        "n_triangles",
+        "n_wedges",
+        F.expr(
+            "cast((cast(3 as bigint) * n_triangles * 1000000)"
+            " div n_wedges as bigint)"
+        ).alias("global_coeff_ppm"),
+    )
