@@ -646,3 +646,45 @@ def sqlapi_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     agg = spark.sql(_TRANSPOSE_BASE)
     return agg.transpose("r_name")
+
+
+@register(
+    "sql_identifier_clause",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_centi
+        FROM orders
+        GROUP BY o_orderpriority
+        """,
+    category="sqlapi",
+    doc="The IDENTIFIER() clause (Spark 4): table and column names "
+    "supplied as PARAMETERS instead of string-concatenated SQL — the "
+    "injection-safe way to write the per-tenant / per-partition "
+    "templated queries a pipeline scheduler emits (the identifier is "
+    "parsed as exactly one name; 'orders; DROP TABLE x' fails to "
+    "resolve rather than executes).  The constants fold at analysis "
+    "time, so the optimized plan is byte-identical to the literal "
+    "query — grouping and pushdown still work on the parameterized "
+    "column.  Complements sql_parameterized (VALUE parameters) and "
+    "sql_exec_immediate (statement templating): this one "
+    "parameterizes NAMES.",
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:col) AS o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(IDENTIFIER(:val) * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_centi
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:col)
+        """,
+        args={
+            "tbl": "orders",
+            "col": "o_orderpriority",
+            "val": "o_totalprice",
+        },
+    )
