@@ -32,10 +32,13 @@ def decode_image_real(payload: bytes) -> dict:
     ``{fmt, width, height, mean_r, mean_g, mean_b}`` with channel means
     computed over the REAL pixel array (integer floor division).
 
-    Compressed formats (JPEG/PNG/...) genuinely need a codec library
-    that is not in this container — only those still raise
-    ``NotImplementedError``.  ``multimodal_decode_real`` drives this
-    decoder end-to-end through the same Arrow stage as the stub.
+    Compressed formats this repo now decodes for real live in their own
+    decoders: PNG (``decode_png_real``), baseline JPEG
+    (``decode_jpeg_real``), AVI (``decode_video_real``) — this function
+    dispatches JFIF payloads to the JPEG decoder and raises
+    ``NotImplementedError`` only for formats that genuinely need an
+    external codec (GIF/WebP/...).  ``multimodal_decode_real`` drives
+    this decoder end-to-end through the same Arrow stage as the stub.
     """
     if payload[:2] == b"P6":
         # header: b"P6" <ws> width <ws> height <ws> maxval <single ws> pixels.
@@ -278,29 +281,16 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ship_by_value(fn):
+def _ship_with(fn, **helpers):
     """Rebind a module-level function onto plain builtins globals so
     cloudpickle ships it BY VALUE into executor closures — the driver
     contract does not put ``mincemeatpy_spark`` on worker sys.path, so a
     by-reference pickle would die with ModuleNotFoundError worker-side.
     The function body must be self-contained (imports inside the body,
-    otherwise builtins only)."""
-    import types
-
-    return types.FunctionType(
-        fn.__code__,
-        {"__builtins__": __builtins__},
-        fn.__name__,
-        fn.__defaults__,
-        fn.__closure__,
-    )
-
-
-def _ship_with(fn, **helpers):
-    """``_ship_by_value`` for a function that calls OTHER module-level
-    helpers: the helpers (already shipped by value themselves) are
-    injected into the rebound function's globals under their module
-    names, so the whole call graph travels by value."""
+    otherwise builtins only), except for ``helpers``: other module-level
+    functions it calls (already shipped by value themselves), injected
+    into the rebound function's globals under their module names so the
+    whole call graph travels by value."""
     import types
 
     g = {"__builtins__": __builtins__}
@@ -308,6 +298,11 @@ def _ship_with(fn, **helpers):
     return types.FunctionType(
         fn.__code__, g, fn.__name__, fn.__defaults__, fn.__closure__
     )
+
+
+def _ship_by_value(fn):
+    """The zero-helper case of ``_ship_with`` (one contract, one body)."""
+    return _ship_with(fn)
 
 
 @register(
@@ -332,10 +327,12 @@ def _ship_with(fn, **helpers):
     "actual headers and pixel arrays and emits per-channel means.  "
     "The oracle recomputes the expected metadata in closed form from "
     "the SAME base columns, so a decoder that mis-parses a header, "
-    "stride or channel order goes red.  The NotImplementedError gate "
-    "now covers only formats that genuinely need a codec library "
-    "(JPEG/PNG).  Both stages are narrow mapInPandas passes — bytes "
-    "stream batch-wise through Arrow, never to the driver.",
+    "stride or channel order goes red.  PNG, baseline JPEG and AVI "
+    "decode for real in their own registered queries; the "
+    "NotImplementedError gate here covers only formats that genuinely "
+    "need an external codec (GIF/WebP).  Both stages are narrow "
+    "mapInPandas passes — bytes stream batch-wise through Arrow, "
+    "never to the driver.",
 )
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd

@@ -624,7 +624,8 @@ def _hilbert_steps():
     """The 8 unrolled steps of the 256x256 Hilbert xy->d transform,
     branch-free (the quadrant term 3*rx + ry - 2*rx*ry equals
     (3*rx) XOR ry for bits, and the rotate/flip collapses to integer
-    blends), as (d_expr, x_expr, y_expr) SQL strings over columns
+    blends), each step a 5-tuple of SQL strings
+    (rx_expr, ry_expr, d_expr, x_expr, y_expr) over columns
     d/x/y/rx/ry.  ONE generator feeds both the Spark selectExpr chain
     and the DuckDB oracle's nested subqueries, and
     tests/test_hilbert.py pins it exhaustively against the classic

@@ -809,6 +809,37 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# Sparsified purchase graph shared by the star-CC and label-propagation
+# queries (l_quantity >= 48 keeps ~6% of lineitem, so the graph
+# fractures into many components instead of one giant one).  ONE
+# builder + ONE SQL fragment so the two queries cannot silently
+# diverge (the skew family's _skewed_fact/_HOTKEY_ORACLE pattern).
+_SPARSE_EDGES_SQL = """
+        SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS u,
+                        CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS v
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_quantity >= 48
+"""
+
+
+def _sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    return (
+        o.join(
+            li.filter(F.col("l_quantity") >= 48),
+            o.o_orderkey == li.l_orderkey,
+        )
+        .select(
+            (F.col("o_custkey") * 2).cast("bigint").alias("u"),
+            (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("v"),
+        )
+        .distinct()
+    )
+
+
 # Alternating-algorithm CC: cap on rounds (the algorithm converges in
 # O(log^2 n) rounds with high probability — Kiveris et al., "Connected
 # Components in MapReduce and Beyond", SoCC'14; >10 pair-rounds on any
@@ -818,13 +849,8 @@ _CC_MAX_ROUNDS = 10
 
 @register(
     "graph_connected_components_star",
-    oracle="""
-        WITH RECURSIVE edges AS (
-            SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS u,
-                            CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS v
-            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-            WHERE l.l_quantity >= 48
-        ),
+    oracle=f"""
+        WITH RECURSIVE edges AS ({_SPARSE_EDGES_SQL}),
         sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
         reach(node, lab) AS (
             SELECT u, u FROM (SELECT DISTINCT u FROM sym)
@@ -857,19 +883,7 @@ _CC_MAX_ROUNDS = 10
     "Output is the bounded component-size histogram.",
 )
 def graph_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_quantity"
-    )
-    edges = (
-        o.join(li.filter(F.col("l_quantity") >= 48), o.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).cast("bigint").alias("u"),
-            (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("v"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _sparse_edges(spark, sf_dir).localCheckpoint(eager=True)
 
     def large_star(e: DataFrame) -> DataFrame:
         # connect every strictly-larger neighbor of u to min(N(u) ∪ {u})
@@ -933,13 +947,8 @@ def graph_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "graph_label_propagation",
-    oracle="""
-        WITH edges AS (
-            SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS u,
-                            CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS v
-            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-            WHERE l.l_quantity >= 48
-        ),
+    oracle=f"""
+        WITH edges AS ({_SPARSE_EDGES_SQL}),
         sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
         l0 AS (SELECT DISTINCT u AS node, u AS lab FROM sym),
         v1 AS (
@@ -989,18 +998,7 @@ def graph_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFra
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_quantity"
-    )
-    edges = (
-        o.join(li.filter(F.col("l_quantity") >= 48), o.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).cast("bigint").alias("u"),
-            (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("v"),
-        )
-        .distinct()
-    )
+    edges = _sparse_edges(spark, sf_dir)
     sym = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
@@ -1048,8 +1046,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM deg)
         SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
                n_wedges,
-               CAST((CAST(3 AS BIGINT) * n_triangles * 1000000)
-                    // n_wedges AS BIGINT) AS global_coeff_ppm
+               CAST(CASE WHEN n_wedges = 0 THEN NULL
+                         ELSE (CAST(3 AS BIGINT) * n_triangles * 1000000)
+                              // n_wedges END AS BIGINT) AS global_coeff_ppm
         FROM tri, wed
         """,
     category="graph",
@@ -1061,9 +1060,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "canonicalized two-self-join; the wedge count is a degree "
     "aggregate, so the marginal cost over counting triangles is one "
     "extra groupBy.  The coefficient is an exact ppm integer division "
-    "(non-negative operands — both engines floor identically).  Both "
-    "1-row aggregates cross-join at the end, adding no shuffle of "
-    "data-scale rows.",
+    "(non-negative operands — both engines floor identically; the "
+    "wedge-free-graph edge case is NULL-guarded in the oracle because "
+    "Spark's div yields NULL on a zero divisor while DuckDB's // "
+    "raises).  Both 1-row aggregates cross-join at the end, adding no "
+    "shuffle of data-scale rows.",
 )
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = (

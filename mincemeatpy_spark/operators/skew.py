@@ -216,7 +216,9 @@ def _skewed_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_skew_hotkey_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = _skewed_fact(spark, sf_dir)
     counts = fact.groupBy("jk").agg(F.count(F.lit(1)).alias("n"))
-    total = fact.agg(F.count(F.lit(1)).alias("total"))
+    # total derives from the per-key counts (exchange reuse shares the
+    # counts shuffle) — a separate fact.agg would re-scan the fact table
+    total = counts.agg(F.sum("n").alias("total"))
     hot = (
         counts.crossJoin(F.broadcast(total))
         .where(F.col("n") * _HOT_DEN > F.col("total"))

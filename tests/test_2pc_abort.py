@@ -21,6 +21,7 @@ runs in a subprocess with its own session.
 from __future__ import annotations
 
 import os
+import re
 import subprocess
 import sys
 import textwrap
@@ -45,6 +46,9 @@ _BATCH_PROBE = textwrap.dedent(
 
     clean = tempfile.mkdtemp(prefix="twopc_clean_")
     injected = tempfile.mkdtemp(prefix="twopc_inject_")
+    # printed BEFORE the injected write so the maxFailures=1 control —
+    # whose probe dies at that write — can inspect the dir on disk
+    print("INJECT_DIR", injected, flush=True)
     (df.write.format("mincemeat_jsonsink")
        .option("path", clean).mode("append").save())
     (df.write.format("mincemeat_jsonsink")
@@ -158,10 +162,28 @@ def test_batch_sink_abort_without_retries_leaves_no_manifest():
     r = _run(probe)
     assert "TWOPC_RETRY_OK" not in r.stdout
     assert "injected write failure" in (r.stdout + r.stderr)
-    # the injected dir's manifest must not exist: the probe died at the
-    # injected write, so its own asserts never ran — verify via stderr
-    # that the failure was the injected one and the job aborted
-    assert "_SUCCESS" not in r.stdout
+    # the probe died at the injected write, so its own asserts never
+    # ran — inspect the injected dir ON DISK via the path it printed
+    # before writing: abort() must not have committed a manifest, and
+    # must have removed every completed task's full output file (only
+    # sub-partition partials of dead attempts may linger).
+    m = re.search(r"INJECT_DIR (\S+)", r.stdout)
+    assert m, f"probe never printed INJECT_DIR:\n{r.stdout[-2000:]}"
+    inject_dir = m.group(1)
+    assert not os.path.exists(os.path.join(inject_dir, "_SUCCESS")), (
+        "aborted job left a _SUCCESS manifest — half-written output is "
+        "visible to manifest-gated readers"
+    )
+    for f in os.listdir(inject_dir):
+        assert f.startswith("part-"), f
+        n_lines = sum(
+            1 for _ in open(os.path.join(inject_dir, f))
+        )
+        # 4000 rows over 4 partitions: a surviving full partition file
+        # (1000 lines) means abort() failed to clean a committed task
+        assert n_lines < 1000, (
+            f"abort left a full partition file {f} ({n_lines} lines)"
+        )
 
 
 def test_stream_sink_exactly_once_under_retry():
