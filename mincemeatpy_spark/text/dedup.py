@@ -2946,57 +2946,89 @@ _PPJ_NUM, _PPJ_DEN = 1, 2
     "scales with candidates, not corpus².",
 )
 def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = (
-        _shingle_df(spark, sf_dir)
-        .select("doc_id", _hash60(F.col("s")).alias("s"))
-        .cache()
+    sh = _shingle_df(spark, sf_dir).select(
+        "doc_id", _hash60(F.col("s")).alias("s")
     )
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc shingle set in global (df, s) order: arr drives the
+    # prefix; sarr (values only) is the verify payload carried ONCE per
+    # doc, so verification is a per-pair array_intersect in codegen,
+    # never a per-shingle fan-out join (measured 59x-on-10x-data blowup
+    # in the first cut — BENCH_sf1.json r7_additions, NOTES_r07.md).
     ranked = (
         sh.join(dfreq, "s")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("arr"))
+        .select(
+            "doc_id",
+            F.size("arr").alias("n"),
+            F.expr("transform(arr, x -> x.s)").alias("sarr"),
+            "arr",
+        )
+        .localCheckpoint(eager=True)
     )
     pref_len = (
         f"size(arr) - (({_PPJ_NUM} * size(arr) + {_PPJ_DEN} - 1)"
         f" div {_PPJ_DEN}) + 1"
     )
-    pref = (
-        ranked.select(
-            "doc_id",
-            F.size("arr").alias("n"),
-            F.explode(F.expr(f"slice(arr, 1, {pref_len})")).alias("p"),
-        )
-        .select("doc_id", "n", F.col("p.s").alias("s"))
-    )
+    pref = ranked.select(
+        "doc_id",
+        "n",
+        F.posexplode(F.expr(f"slice(arr, 1, {pref_len})")).alias("idx", "p"),
+    ).select("doc_id", "n", "idx", F.col("p.s").alias("s"))
     a, b = pref.alias("a"), pref.alias("b")
+    # candidate generation with BOTH classic in-join prunes evaluated at
+    # hash-probe time (before any shuffle of pair rows):
+    #  - size filter: J >= t needs min*den >= max*num;
+    #  - PPJoin positional filter: a collision at 0-based prefix
+    #    positions (ia, ib) bounds the overlap by
+    #    min(na - ia, nb - ib), which must reach the minimal overlap
+    #    alpha = ceil(num*(na+nb) / (num+den)); the FIRST common token
+    #    of any truly-similar pair satisfies it, so completeness holds.
+    alpha_ok = (
+        F.least(
+            F.col("a.n") - F.col("a.idx"), F.col("b.n") - F.col("b.idx")
+        )
+        * (_PPJ_NUM + _PPJ_DEN)
+        >= (F.col("a.n") + F.col("b.n")) * _PPJ_NUM
+    )
     cand = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least("a.n", "b.n") * _PPJ_DEN
+                >= F.greatest("a.n", "b.n") * _PPJ_NUM
+            )
+            & alpha_ok,
         )
         .select(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
         )
         .distinct()
-        .filter(
-            F.least("na", "nb") * _PPJ_DEN >= F.greatest("na", "nb") * _PPJ_NUM
-        )
     )
-    ta, tb = sh.alias("ta"), sh.alias("tb")
+    va = ranked.select(
+        F.col("doc_id").alias("d1"),
+        F.col("n").alias("na"),
+        F.col("sarr").alias("sa"),
+    )
+    vb = ranked.select(
+        F.col("doc_id").alias("d2"),
+        F.col("n").alias("nb"),
+        F.col("sarr").alias("sb"),
+    )
     inter = (
-        cand.join(ta, F.col("ta.doc_id") == F.col("d1"))
-        .join(
-            tb,
-            (F.col("tb.doc_id") == F.col("d2"))
-            & (F.col("tb.s") == F.col("ta.s")),
+        cand.join(va, "d1")
+        .join(vb, "d2")
+        .select(
+            "d1",
+            "d2",
+            "na",
+            "nb",
+            F.size(F.array_intersect("sa", "sb")).alias("i"),
         )
-        .groupBy("d1", "d2", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("i"))
     )
     union = F.col("na") + F.col("nb") - F.col("i")
     return (
