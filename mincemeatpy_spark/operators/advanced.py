@@ -705,3 +705,60 @@ def layout_hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").alias("d_lo"),
         F.max("d").alias("d_hi"),
     )
+
+
+@register(
+    "sample_weighted_priority",
+    oracle="""
+        SELECT lang, doc_id, n_chars
+        FROM (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ln((('0x' || substring(
+                                         md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                                    )::BIGINT % 1000003 + 1) / 1000004.0)
+                                / n_chars DESC,
+                                doc_id ASC) AS rk
+            FROM documents
+            WHERE n_chars > 0
+        )
+        WHERE rk <= 10
+        """,
+    category="sampling",
+    doc="Weighted sampling without replacement, the Efraimidis-"
+    "Spirakis (2006) A-ES priority method: each row draws u in (0,1) "
+    "and survives if its key u^(1/w) is among the k largest — here "
+    "per-lang k=10 with w = n_chars, computed as ln(u)/w (same order, "
+    "no pow).  This is THE distributed weighted sampler: one pass, no "
+    "coordination, exactly the algebra a 100 TB corpus needs to draw "
+    "a size-biased sample (e.g. resampling by dsir_logweight-derived "
+    "weights, corpus_dsir_weights).  Derandomized the repo's standard "
+    "way: u comes from md5(doc_id) via an LCG-style modulus "
+    "(sample_reservoir_group's trick), so the drawn set is a pure "
+    "function of the data — engine-, partitioning- and rerun-"
+    "invariant, and oracle-checkable.  Scale shape: the row_number "
+    "filter compiles to WindowGroupLimit (asserted in test_plans), so "
+    "every input partition forwards at most k rows per lang to the "
+    "shuffle — the same partial top-k algebra as the reference's "
+    "collectfn local-top-k idiom.",
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000003
+    )
+    key = F.log((h + 1) / F.lit(1000004.0)) / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy(key.desc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "doc_id", "n_chars")
+    )

@@ -3039,3 +3039,87 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("i").cast("double") / union, 6).alias("jaccard"),
         )
     )
+
+
+@register(
+    "dedup_segments_bulk",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(text, '\\s+') AS w
+            FROM documents
+        ),
+        segs AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS seg_id,
+                   array_to_string(w[(i*10 + 1):(i*10 + 10)], ' ') AS seg
+            FROM toks,
+                 UNNEST(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS u(i)
+            WHERE len(w) > 0
+        ),
+        firsts AS (
+            SELECT seg, min(doc_id * 100000 + seg_id) AS first_key
+            FROM segs GROUP BY seg
+        )
+        SELECT s.doc_id,
+               count(*) AS n_segs,
+               CAST(sum(CASE WHEN s.doc_id * 100000 + s.seg_id = f.first_key
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN s.doc_id * 100000 + s.seg_id = f.first_key
+                             THEN length(s.seg) ELSE 0 END) AS BIGINT)
+                   AS kept_chars
+        FROM segs s JOIN firsts f ON s.seg = f.seg
+        GROUP BY s.doc_id
+        """,
+    category="dedup",
+    doc="CCNet-style bulk segment dedup (Wenzek et al. 2020): every "
+    "document is cut into fixed 10-token segments and a segment "
+    "instance survives only if it is the corpus-GLOBAL first "
+    "occurrence (min (doc_id, seg_id)) of its content — the "
+    "paragraph-level crawl dedup that removes boilerplate repeated "
+    "across pages, a different class from doc-level exact/near dedup "
+    "(it edits inside documents).  Scale shape: segments are built "
+    "with sequence/slice/concat_ws entirely in codegen (one corpus "
+    "scan, no Python), and the global first-instance aggregate "
+    "shuffles xxhash64(segment) + one packed BIGINT key — never "
+    "segment text (the dedup_exact digest rule, dedup.py:87) — so "
+    "shuffle bytes are ~16/row regardless of segment length; the "
+    "instance-vs-first join is co-partitioned on the same digest so "
+    "AQE plans it shuffle-free.  The oracle joins on raw segment text, "
+    "so the digest shortcut is itself verified collision-free end-to-"
+    "end.  Output: per-doc segment counts + surviving chars.",
+)
+def dedup_segments_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", r"\s+").alias("w")
+    )
+    nseg = F.ceil(F.size("w") / F.lit(10.0)).cast("int")
+    segarr = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.concat_ws(" ", F.slice("w", i * 10 + 1, 10)),
+    )
+    segs = (
+        docs.filter(F.size("w") > 0)
+        .select("doc_id", F.posexplode(segarr).alias("seg_id", "seg"))
+        .select(
+            "doc_id",
+            "seg_id",
+            F.length("seg").alias("seg_len"),
+            F.xxhash64("seg").alias("dig"),
+            (F.col("doc_id") * 100000 + F.col("seg_id")).alias("inst_key"),
+        )
+    )
+    firsts = segs.groupBy("dig").agg(F.min("inst_key").alias("first_key"))
+    return (
+        segs.join(firsts, "dig")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(
+                F.when(F.col("inst_key") == F.col("first_key"), 1).otherwise(0)
+            ).alias("n_kept"),
+            F.sum(
+                F.when(
+                    F.col("inst_key") == F.col("first_key"), F.col("seg_len")
+                ).otherwise(0)
+            ).alias("kept_chars"),
+        )
+    )

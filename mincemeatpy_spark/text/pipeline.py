@@ -1484,3 +1484,167 @@ def corpus_split_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shared_shingles",
         F.coalesce("leaked_docs", F.lit(0)).cast("bigint").alias("leaked_docs"),
     )
+
+
+@register(
+    "corpus_dsir_weights",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, lang,
+                   unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, lang,
+                   ('0x' || substring(md5(word), 1, 15))::BIGINT % 64 AS bkt
+            FROM words WHERE word <> ''
+        ),
+        bs AS (
+            SELECT bkt,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt,
+                   sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS r_cnt
+            FROM toks GROUP BY bkt
+        ),
+        tot AS (SELECT sum(t_cnt) AS t_tot, sum(r_cnt) AS r_tot FROM bs),
+        lr AS (
+            SELECT bkt,
+                   ln((t_cnt + 1.0) / (t_tot + 64.0))
+                       - ln((r_cnt + 1.0) / (r_tot + 64.0)) AS lw
+            FROM bs, tot
+        ),
+        db AS (
+            SELECT doc_id, lang, bkt, count(*) AS n
+            FROM toks WHERE lang <> 'en'
+            GROUP BY doc_id, lang, bkt
+        )
+        SELECT d.doc_id, d.lang,
+               CAST(sum(d.n) AS BIGINT) AS n_tokens,
+               sum(d.n * lr.lw) AS dsir_logweight
+        FROM db d JOIN lr ON d.bkt = lr.bkt
+        GROUP BY d.doc_id, d.lang
+        """,
+    category="text",
+    doc="DSIR data-selection importance weights (Xie et al. 2023, "
+    "'Data Selection for Language Models via Importance Resampling'): "
+    "score every candidate (non-en) document by the log-likelihood "
+    "ratio of its hashed-unigram features under the target (en) vs "
+    "raw bag-of-buckets models, add-1 smoothed over B=64 buckets — "
+    "the published recipe for choosing pre-training data that looks "
+    "like a target domain.  Derandomized the repo's standard way: the "
+    "feature hash is md5(word) % 64 (sample_stratified_hash's trick), "
+    "identical in both engines.  Scale shape: ONE token explode feeds "
+    "both models via conditional aggregation; the per-bucket model is "
+    "a fixed-64-row aggregate (grouped by `bkt`, the rule-13 bounded "
+    "bucket rollup) cross-joined with its 1-row totals and broadcast, "
+    "so the per-doc scoring join is map-side — the corpus shuffles "
+    "only (doc_id, bkt) partial counts, never the vocabulary, and "
+    "Heaps' law never touches the driver.  Resampling from these "
+    "weights is sample_weighted_priority's job.",
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens(F.col("text"))).alias("word"),
+    ).filter(F.col("word") != "")
+    toks = words.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("word").cast("binary")), 1, 15), 16, 10
+            ).cast("bigint")
+            % 64
+        ).alias("bkt"),
+    )
+    bs = toks.groupBy("bkt").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_cnt"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("r_cnt"),
+    )
+    tot = bs.agg(
+        F.sum("t_cnt").alias("t_tot"), F.sum("r_cnt").alias("r_tot")
+    )
+    lr = bs.crossJoin(tot).select(
+        "bkt",
+        (
+            F.log((F.col("t_cnt") + 1.0) / (F.col("t_tot") + 64.0))
+            - F.log((F.col("r_cnt") + 1.0) / (F.col("r_tot") + 64.0))
+        ).alias("lw"),
+    )
+    db = (
+        toks.filter(F.col("lang") != "en")
+        .groupBy("doc_id", "lang", "bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        db.join(F.broadcast(lr), "bkt")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("lw")).alias("dsir_logweight"),
+        )
+    )
+
+
+@register(
+    "corpus_url_parse_stats",
+    oracle="""
+        SELECT source || '.example.com' AS host,
+               count(*) AS n_docs,
+               count(DISTINCT lang) AS n_langs,
+               CAST(sum(CASE WHEN length(w[1]) >= 4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_qlong,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM (SELECT source, lang, n_chars,
+                     string_split_regex(text, '\\s+') AS w
+              FROM documents)
+        GROUP BY source
+        """,
+    category="text",
+    doc="Web-corpus URL surface: build a canonical URL per document "
+    "(https://{source}.example.com/{lang}/doc{id}?q={first_token}&p=N) "
+    "and make Spark's parse_url() recover HOST, PATH and the q QUERY "
+    "parameter, then aggregate crawl stats per host (doc count, "
+    "distinct path languages, long-query share, bytes).  The oracle "
+    "reconstructs every component directly from the base columns, so "
+    "the query certifies parse_url's component extraction end-to-end "
+    "— the curation primitive behind domain-level filtering, "
+    "per-host dedup, and robots/blocklist joins in a crawl pipeline.  "
+    "Scale shape: URL construction and parsing are pure projections "
+    "in codegen (one scan, no Python, no UDF); the per-host rollup is "
+    "a two-phase aggregate on a low-cardinality key; the distinct-"
+    "langs count is the standard expand-then-partial distinct "
+    "aggregate, never a driver-side set.",
+)
+def corpus_url_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("?q="),
+        F.element_at(F.split("text", r"\s+"), 1),
+        F.lit("&p="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    parsed = d.select(
+        "n_chars",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q"),
+    ).select(
+        "n_chars",
+        "host",
+        "q",
+        F.element_at(F.split("path", "/"), 2).alias("path_lang"),
+    )
+    return parsed.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("path_lang").alias("n_langs"),
+        F.sum(F.when(F.length("q") >= 4, 1).otherwise(0)).alias("n_qlong"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

@@ -1280,3 +1280,43 @@ def test_pandas_api_merge_same_plan_as_native(spark, sf_dir):
     psig = join_sig(ps_df._jdf.queryExecution().executedPlan().toString())
     nsig = join_sig(native._jdf.queryExecution().executedPlan().toString())
     assert psig == nsig, f"pandas-api {psig} != native {nsig}"
+
+
+def test_weighted_priority_sample_is_two_phase(spark, sf_dir):
+    # A-ES weighted sampling survives skew the same way the reservoir
+    # does: WindowGroupLimit caps each input partition at k rows per
+    # lang before the shuffle, so a 100 TB lang partition never funnels
+    # raw rows to one task.
+    plan = _plan("sample_weighted_priority", spark, sf_dir)
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
+
+
+def test_dsir_bucket_model_broadcast(spark, sf_dir):
+    # The 64-bucket log-ratio model must reach the per-doc scoring join
+    # as a broadcast (it is a fixed-cardinality rollup), and the token
+    # explode + hashing stay in codegen — no Python stage anywhere.
+    plan = _plan("corpus_dsir_weights", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_segment_dedup_shuffles_digest_not_text(spark, sf_dir):
+    # The global first-instance aggregate must key on xxhash64(segment),
+    # never the segment string: every Exchange in the plan hashes the
+    # digest (or doc_id for the final rollup) — 'seg' itself appears in
+    # no hashpartitioning clause.
+    import re
+
+    plan = _plan("dedup_segments_bulk", spark, sf_dir)
+    assert "xxhash64" in plan
+    for part in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert not part.strip().startswith("seg#"), part
+    assert "EvalPython" not in plan
+
+
+def test_url_parse_single_scan_no_python(spark, sf_dir):
+    # parse_url is a JVM expression: one documents scan, no Python.
+    plan = _plan("corpus_url_parse_stats", spark, sf_dir)
+    assert "EvalPython" not in plan
+    assert plan.count("FileScan") == 1
