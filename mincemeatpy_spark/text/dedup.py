@@ -3078,12 +3078,13 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "across pages, a different class from doc-level exact/near dedup "
     "(it edits inside documents).  Scale shape: segments are built "
     "with sequence/slice/concat_ws entirely in codegen (one corpus "
-    "scan, no Python), and the global first-instance aggregate "
-    "shuffles xxhash64(segment) + one packed BIGINT key — never "
-    "segment text (the dedup_exact digest rule, dedup.py:87) — so "
-    "shuffle bytes are ~16/row regardless of segment length; the "
-    "instance-vs-first join is co-partitioned on the same digest so "
-    "AQE plans it shuffle-free.  The oracle joins on raw segment text, "
+    "scan, no Python), and the global first-instance rule is a window "
+    "min over the digest partition — ONE shuffle keyed on "
+    "xxhash64(segment) + one packed BIGINT key, never segment text "
+    "(the dedup_exact digest rule, dedup.py:87), so shuffle bytes are "
+    "~16/row regardless of segment length and there is no O(corpus) "
+    "firsts table to join (or worse, broadcast) back.  The oracle "
+    "joins on raw segment text, "
     "so the digest shortcut is itself verified collision-free end-to-"
     "end.  Output: per-doc segment counts + surviving chars.",
 )
@@ -3107,9 +3108,14 @@ def dedup_segments_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") * 100000 + F.col("seg_id")).alias("inst_key"),
         )
     )
-    firsts = segs.groupBy("dig").agg(F.min("inst_key").alias("first_key"))
+    # first-instance key via a window min over the digest partition —
+    # ONE shuffle keyed on the 8-byte digest, no self-join: the
+    # aggregate-then-join twin re-materializes an O(corpus) `firsts`
+    # table that the optimizer is tempted to broadcast (fine at sf0.1,
+    # a driver OOM at 100 TB).
+    wd = W.partitionBy("dig")
     return (
-        segs.join(firsts, "dig")
+        segs.withColumn("first_key", F.min("inst_key").over(wd))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_segs"),

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from mincemeatpy_spark.registry import register
+from mincemeatpy_spark.registry import QUERIES, register
 from mincemeatpy_spark.tables import t
 from mincemeatpy_spark.text.analysis import tokens
 from mincemeatpy_spark.text.dedup import (
@@ -1648,3 +1648,58 @@ def corpus_url_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.length("q") >= 4, 1).otherwise(0)).alias("n_qlong"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+@register(
+    "corpus_dsir_resample",
+    oracle=None,  # assembled below from corpus_dsir_weights' oracle
+    category="text",
+    doc="The complete DSIR recipe (Xie et al. 2023) in one plan: hashed "
+    "n-gram importance weights (corpus_dsir_weights) fed into Gumbel "
+    "top-k resampling — adding an independent Gumbel draw g = "
+    "-ln(-ln(u)) to each log-weight and keeping the k largest keys is "
+    "EXACTLY sampling k docs without replacement with probability "
+    "proportional to exp(log-weight), the paper's resampling step.  "
+    "The Gumbel draw is derandomized from md5(doc_id) (the repo's "
+    "standard trick), so the selected set is engine- and rerun-"
+    "invariant and the oracle replays the identical draw.  Scale "
+    "shape: the weight computation keeps its broadcast 64-bucket "
+    "model; the global top-k compiles to TakeOrderedAndProject "
+    "(map-side partial top-k, k rows per partition to the driver-side "
+    "merge) — no global sort, no single-partition exchange.",
+)
+def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = corpus_dsir_weights(spark, sf_dir)
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000003
+    )
+    u = (h + 1) / F.lit(1000004.0)
+    key = F.col("dsir_logweight") - F.log(-F.log(u))
+    return (
+        w.select("doc_id", "lang", key.alias("k"))
+        .orderBy(F.col("k").desc(), F.col("doc_id").asc())
+        .limit(40)
+        .select("doc_id", "lang")
+    )
+
+
+QUERIES["corpus_dsir_resample"].oracle = """
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   dsir_logweight
+                       - ln(-ln((('0x' || substring(
+                                      md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                                 )::BIGINT % 1000003 + 1) / 1000004.0))
+                       AS k
+            FROM ({weights}) w
+            ORDER BY k DESC, doc_id ASC
+            LIMIT 40
+        ) q
+""".format(weights=QUERIES["corpus_dsir_weights"].oracle)

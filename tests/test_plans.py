@@ -1313,6 +1313,11 @@ def test_segment_dedup_shuffles_digest_not_text(spark, sf_dir):
     for part in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
         assert not part.strip().startswith("seg#"), part
     assert "EvalPython" not in plan
+    # window-min formulation: one digest shuffle + the doc rollup, and
+    # no join at all — the aggregate-then-join twin tempts the
+    # optimizer into broadcasting an O(corpus) firsts table.
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2
 
 
 def test_url_parse_single_scan_no_python(spark, sf_dir):
@@ -1320,3 +1325,11 @@ def test_url_parse_single_scan_no_python(spark, sf_dir):
     plan = _plan("corpus_url_parse_stats", spark, sf_dir)
     assert "EvalPython" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_dsir_resample_topk_is_take_ordered(spark, sf_dir):
+    # Gumbel top-k selection must compile to TakeOrderedAndProject
+    # (map-side partial top-k), never a global Sort + single partition.
+    plan = _plan("corpus_dsir_resample", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # the 64-bucket model stays broadcast
