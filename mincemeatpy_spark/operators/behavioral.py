@@ -2908,3 +2908,277 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_user_days"),
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@register(
+    "events_psi_drift",
+    oracle="""
+        WITH e AS (
+            SELECT event_type,
+                   (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        // 7) % 2 AS wk,
+                   least(greatest(CAST(floor(value / 33) AS INTEGER), 0), 9)
+                       AS bin
+            FROM events
+        ),
+        agg AS (
+            SELECT event_type, bin,
+                   sum(CASE WHEN wk = 0 THEN 1 ELSE 0 END) AS n0,
+                   sum(CASE WHEN wk = 1 THEN 1 ELSE 0 END) AS n1
+            FROM e GROUP BY event_type, bin
+        ),
+        tt AS (
+            SELECT event_type, sum(n0) AS t0, sum(n1) AS t1
+            FROM agg GROUP BY event_type
+        )
+        SELECT a.event_type,
+               sum(((a.n0 + 1.0) / (tt.t0 + 10.0)
+                        - (a.n1 + 1.0) / (tt.t1 + 10.0))
+                   * ln(((a.n0 + 1.0) / (tt.t0 + 10.0))
+                        / ((a.n1 + 1.0) / (tt.t1 + 10.0)))) AS psi
+        FROM agg a JOIN tt ON a.event_type = tt.event_type
+        GROUP BY a.event_type
+        """,
+    category="behavioral",
+    doc="Population Stability Index drift detection per event type: "
+    "bucket the metric into 10 fixed-width bins, compare the "
+    "even-week vs odd-week distributions with add-1 smoothing, "
+    "PSI = sum((p-q)*ln(p/q)) — the standard production-ML input-"
+    "drift monitor (PSI > 0.2 = retrain alarm), expressible as two "
+    "fixed-cardinality aggregates.  Scale shape: one events scan into "
+    "a (type, bin)-grouped conditional aggregate (<= types x 10 rows), "
+    "totals re-aggregated from THAT table (never a second scan), and "
+    "the bins are data-independent constants so no quantile pre-pass "
+    "or global sort exists anywhere — at 100 TB the corpus shuffles "
+    "only per-bin partial counts.",
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.floor(
+                F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7
+            ).cast("int")
+            % 2
+        ).alias("wk"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 33).cast("int"), F.lit(0)),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    agg = e.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("wk") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("wk") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    tt = agg.groupBy("event_type").agg(
+        F.sum("n0").alias("t0"), F.sum("n1").alias("t1")
+    )
+    p = (F.col("n0") + 1.0) / (F.col("t0") + 10.0)
+    q = (F.col("n1") + 1.0) / (F.col("t1") + 10.0)
+    return (
+        agg.join(tt, "event_type")
+        .groupBy("event_type")
+        .agg(F.sum((p - q) * F.log(p / q)).alias("psi"))
+    )
+
+
+@register(
+    "events_longest_streak",
+    oracle="""
+        WITH d AS (
+            SELECT DISTINCT user_id,
+                   date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                       AS day
+            FROM events
+        ),
+        r AS (
+            SELECT user_id, day,
+                   row_number() OVER (PARTITION BY user_id ORDER BY day)
+                       AS rn
+            FROM d
+        ),
+        s AS (
+            SELECT user_id, day - rn AS anchor, count(*) AS streak
+            FROM r GROUP BY user_id, day - rn
+        )
+        SELECT user_id, CAST(max(streak) AS BIGINT) AS longest_streak
+        FROM s GROUP BY user_id
+        """,
+    category="behavioral",
+    doc="Longest consecutive-day activity streak per user — the "
+    "canonical gaps-and-islands idiom: distinct active days, then "
+    "day_number - row_number is constant exactly within a "
+    "consecutive run (the island anchor), so a plain GROUP BY counts "
+    "each streak and a max picks the longest.  Days are integerized "
+    "against a fixed epoch so the anchor arithmetic is pure BIGINT — "
+    "no date-interval dialect divergence between engines.  Scale "
+    "shape: everything partitions by user_id — the window, both "
+    "aggregates, one shuffle key end to end; no global sort, and "
+    "per-user state is bounded by the calendar, not the event "
+    "volume.",
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"),
+        )
+        .distinct()
+    )
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    return (
+        d.withColumn("anchor", F.col("day") - rn)
+        .groupBy("user_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("streak"))
+        .groupBy("user_id")
+        .agg(F.max("streak").alias("longest_streak"))
+    )
+
+
+@register(
+    "features_target_encoding_loo",
+    oracle="""
+        WITH s AS (
+            SELECT o_orderpriority,
+                   sum(o_totalprice) AS tot,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o.o_orderkey,
+               (s.tot - o.o_totalprice) / (s.n - 1) AS loo_price
+        FROM orders o JOIN s ON o.o_orderpriority = s.o_orderpriority
+        WHERE s.n > 1
+        """,
+    category="behavioral",
+    doc="Leave-one-out target encoding — the ML feature-prep staple "
+    "for categorical columns: each row gets the mean target of its "
+    "category EXCLUDING itself, (sum - y) / (n - 1), which prevents "
+    "the self-leakage that plain mean encoding injects into training "
+    "data.  Scale shape: per-category (sum, count) is a bounded "
+    "aggregate over the handful of priority levels, broadcast back "
+    "onto the fact scan, and the encode is a map-side projection — "
+    "NOT a per-category window (a window buffers the whole category "
+    "partition; one hot category at 100 TB would pin a single task). "
+    "The n > 1 guard matches the division's domain in both engines.",
+)
+def features_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    s = o.groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        o.join(F.broadcast(s), "o_orderpriority")
+        .filter(F.col("n") > 1)
+        .select(
+            "o_orderkey",
+            (
+                (F.col("tot") - F.col("o_totalprice")) / (F.col("n") - 1)
+            ).alias("loo_price"),
+        )
+    )
+
+
+@register(
+    "stats_ks_two_sample",
+    oracle="""
+        WITH pts AS (
+            SELECT value AS v, event_type FROM events
+            WHERE event_type IN ('click', 'view')
+        ),
+        cnt AS (
+            SELECT v,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS ca,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS cb
+            FROM pts GROUP BY v
+        ),
+        cum AS (
+            SELECT v,
+                   sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS cuma,
+                   sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS cumb
+            FROM cnt
+        ),
+        tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cnt)
+        SELECT max(abs(cuma / CAST(na AS DOUBLE)
+                       - cumb / CAST(nb AS DOUBLE))) AS ks_d,
+               CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b
+        FROM cum, tot
+        GROUP BY na, nb
+        """,
+    category="behavioral",
+    doc="Exact two-sample Kolmogorov-Smirnov statistic between the "
+    "click and view metric distributions: D = max over observed "
+    "values of |ECDF_a - ECDF_b| — the distribution-drift test "
+    "behind data-quality gates (vs events_psi_drift's binned "
+    "approximation, this is the EXACT statistic).  The ECDFs need a "
+    "global ordered prefix sum — the classic single-partition trap — "
+    "so this reuses corpus_shard_bybytes' two-phase decomposition: "
+    "per-value-bucket subtotals (bounded: <=1000 clamped integer "
+    "buckets), exclusive offsets windowed over that tiny bucket "
+    "table only, intra-bucket running sums partitioned by bucket, "
+    "offsets broadcast back.  The raw samples never pass through one "
+    "partition.  D is a ratio of exact integer counts, so both "
+    "engines compute bit-identical doubles.",
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    pts = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(F.col("value").alias("v"), "event_type")
+    )
+    cnt = pts.groupBy("v").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "ca"
+        ),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "cb"
+        ),
+    )
+    bkt = F.least(
+        F.greatest(F.floor("v").cast("bigint"), F.lit(0)), F.lit(999)
+    )
+    d = cnt.withColumn("bkt", bkt)
+    excl = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("bkt")
+        .agg(F.sum("ca").alias("ba"), F.sum("cb").alias("bb"))
+        .withColumn("offa", F.coalesce(F.sum("ba").over(excl), F.lit(0)))
+        .withColumn("offb", F.coalesce(F.sum("bb").over(excl), F.lit(0)))
+    )
+    tot = offsets.agg(
+        F.sum("ba").alias("na"), F.sum("bb").alias("nb")
+    )
+    intra = W.partitionBy("bkt").orderBy("v").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = (
+        d.join(F.broadcast(offsets.select("bkt", "offa", "offb")), "bkt")
+        .withColumn("cuma", F.col("offa") + F.sum("ca").over(intra))
+        .withColumn("cumb", F.col("offb") + F.sum("cb").over(intra))
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cuma") / F.col("na").cast("double")
+                    - F.col("cumb") / F.col("nb").cast("double")
+                )
+            ).alias("ks_d")
+        )
+        .select(
+            "ks_d",
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+        )
+    )

@@ -1703,3 +1703,88 @@ QUERIES["corpus_dsir_resample"].oracle = """
             LIMIT 40
         ) q
 """.format(weights=QUERIES["corpus_dsir_weights"].oracle)
+
+
+@register(
+    "dedup_url_canonicalize",
+    oracle="""
+        SELECT source || '.example.com' AS host,
+               count(*) AS n_urls,
+               count(DISTINCT
+                   'https://' || source || '.example.com/' || lang
+                   || '/doc' || CAST(doc_id - doc_id % 2 AS VARCHAR)
+                   || CASE WHEN doc_id % 6 = 0 THEN '?ref=keep' ELSE '' END
+               ) AS n_canon
+        FROM documents
+        GROUP BY source
+        """,
+    category="dedup",
+    doc="URL canonicalization dedup, the crawl-frontier staple: raw "
+    "URLs carry case-noise in the host, an explicit :443 port, "
+    "trailing slashes, utm_* tracking parameters and fragments — all "
+    "spelling variants of the same resource — while every second "
+    "document shares a landing path with its neighbor.  The query "
+    "BUILDS the noisy URL deterministically from base columns, then "
+    "canonicalizes using only the URL string (lowercase host via "
+    "parse_url HOST which drops the port, strip the trailing path "
+    "slash, strip utm_* but KEEP ref=, drop the fragment — parse_url "
+    "QUERY already excludes it) and counts raw-vs-canonical distinct "
+    "URLs per host.  The oracle reconstructs each URL's canonical "
+    "form directly from the base columns, so the string surgery is "
+    "certified against ground truth, not against itself.  Scale "
+    "shape: all projection-stage codegen; the per-host distinct "
+    "count is the standard two-phase expand-distinct aggregate — the "
+    "canonical-URL dedup of a 100 TB frontier shuffles canonical-URL "
+    "hashes, and this query is the certified canonicalizer in front "
+    "of it.",
+)
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    host_noisy = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.upper(F.concat(F.col("source"), F.lit(".example.com"))),
+    ).otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+    port = F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit(""))
+    slash = F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit(""))
+    params = F.concat_ws(
+        "&",
+        F.when(F.col("doc_id") % 4 == 0, F.lit("utm_source=feed")),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("ref=keep")),
+    )
+    frag = F.when(F.col("doc_id") % 7 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://"),
+        host_noisy,
+        port,
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/doc"),
+        (F.col("doc_id") - F.col("doc_id") % 2).cast("string"),
+        slash,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+        frag,
+    )
+    raw = d.select(url.alias("url"))
+    qs = F.coalesce(F.parse_url(F.col("url"), F.lit("QUERY")), F.lit(""))
+    qs_clean = F.regexp_replace(
+        F.regexp_replace(qs, r"(^|&)utm_[^&]*", ""), r"^&", ""
+    )
+    canon = F.concat(
+        F.lit("https://"),
+        F.lower(F.parse_url(F.col("url"), F.lit("HOST"))),
+        F.regexp_replace(F.parse_url(F.col("url"), F.lit("PATH")), r"/$", ""),
+        F.when(qs_clean != "", F.concat(F.lit("?"), qs_clean)).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        raw.select(
+            F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("host"),
+            canon.alias("canon"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("canon").alias("n_canon"),
+        )
+    )
