@@ -3182,3 +3182,106 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nb").alias("n_b"),
         )
     )
+
+
+@register(
+    "stats_mannwhitney_u",
+    oracle="""
+        WITH pts AS (
+            SELECT value AS v, event_type FROM events
+            WHERE event_type IN ('click', 'view')
+        ),
+        cnt AS (
+            SELECT v,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS ca,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS cb
+            FROM pts GROUP BY v
+        ),
+        rk AS (
+            SELECT v, ca, cb,
+                   coalesce(sum(ca + cb) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS c_lt
+            FROM cnt
+        ),
+        tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cnt)
+        SELECT sum(ca * (c_lt + (ca + cb + 1) / 2.0))
+                   - na * (na + 1) / 2.0 AS u_a,
+               CAST(na AS BIGINT) * CAST(nb AS BIGINT)
+                   - (sum(ca * (c_lt + (ca + cb + 1) / 2.0))
+                      - na * (na + 1) / 2.0) AS u_b,
+               CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b
+        FROM rk, tot
+        GROUP BY na, nb
+        """,
+    category="behavioral",
+    doc="Exact Mann-Whitney U (rank-sum) statistic between the click "
+    "and view metric samples, ties handled by midrank averaging — "
+    "completing the drift-test trio next to events_psi_drift (binned) "
+    "and stats_ks_two_sample (ECDF): the rank test is what production "
+    "monitors use when the metric is heavy-tailed and means lie.  The "
+    "average rank of a value is (count strictly below) + (tie count + "
+    "1)/2, so the whole statistic needs only the per-distinct-value "
+    "count table and a global EXCLUSIVE prefix sum — computed with "
+    "the same two-phase bucket decomposition as stats_ks_two_sample "
+    "(bounded bucket table windowed, intra-bucket running sums, "
+    "offsets broadcast); raw samples never cross one partition.  All "
+    "terms are exact integers and halves, bit-identical in both "
+    "engines.",
+)
+def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    pts = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(F.col("value").alias("v"), "event_type")
+    )
+    cnt = pts.groupBy("v").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "ca"
+        ),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "cb"
+        ),
+    )
+    d = cnt.withColumn(
+        "bkt",
+        F.least(
+            F.greatest(F.floor("v").cast("bigint"), F.lit(0)), F.lit(999)
+        ),
+    ).withColumn("c", F.col("ca") + F.col("cb"))
+    excl_bkt = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("bkt")
+        .agg(F.sum("c").alias("bc"))
+        .withColumn("off", F.coalesce(F.sum("bc").over(excl_bkt), F.lit(0)))
+        .select("bkt", "off")
+    )
+    tot = cnt.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    excl_v = W.partitionBy("bkt").orderBy("v").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    rk = (
+        d.join(F.broadcast(offsets), "bkt")
+        .withColumn(
+            "c_lt",
+            F.col("off") + F.coalesce(F.sum("c").over(excl_v), F.lit(0)),
+        )
+    )
+    r_a = F.sum(F.col("ca") * (F.col("c_lt") + (F.col("c") + 1) / 2.0))
+    return (
+        rk.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg((r_a - F.col("na") * (F.col("na") + 1) / 2.0).alias("u_a"))
+        .select(
+            "u_a",
+            (F.col("na").cast("bigint") * F.col("nb").cast("bigint")
+             - F.col("u_a")).alias("u_b"),
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+        )
+    )
