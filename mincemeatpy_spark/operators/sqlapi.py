@@ -688,3 +688,76 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val": "o_totalprice",
         },
     )
+
+
+@register(
+    "sql_create_function",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN o_totalprice * (1 - 0.04) > 100000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_big_net,
+               round(avg(o_totalprice * (1 - 0.04)), 2) AS avg_net
+        FROM orders
+        GROUP BY o_orderpriority
+        """,
+    category="sqlapi",
+    doc="SQL UDFs (Spark 4 CREATE FUNCTION ... RETURNS ... RETURN "
+    "expr): a scalar business rule (net price after a 4% fee) defined "
+    "ONCE in the catalog and reused across queries — the governed "
+    "alternative to copy-pasting expressions, and unlike a Python UDF "
+    "it is INLINED by the analyzer into the calling plan, so it "
+    "costs nothing: the aggregate below runs whole-stage-codegen "
+    "with the expression folded in, no serialization boundary.  The "
+    "oracle states the inlined form, certifying the inlining "
+    "semantics.  TEMPORARY scope keeps the catalog session-clean "
+    "(the repo's conf-hygiene rule).",
+)
+def sql_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE)
+           RETURNS DOUBLE RETURN p * (1 - 0.04)"""
+    )
+    return spark.sql(
+        """SELECT o_orderpriority,
+                  CAST(sum(CASE WHEN net_price(o_totalprice) > 100000
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_big_net,
+                  round(avg(net_price(o_totalprice)), 2) AS avg_net
+           FROM orders
+           GROUP BY o_orderpriority"""
+    )
+
+
+@register(
+    "sql_lateral_column_alias",
+    oracle="""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS net,
+               round(round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     * 0.07, 2) AS tax,
+               round(round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     * 1.07, 2) AS gross
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) > 300000
+        """,
+    category="sqlapi",
+    doc="Lateral column aliases (Spark 3.4+): later select-list items "
+    "reference earlier ALIASES in the same SELECT (net -> tax -> "
+    "gross) instead of re-stating the expression or nesting a "
+    "subquery — the analyzer rewrites the chain into one projection, "
+    "so the aggregate is computed once and reused, which the oracle "
+    "(forced to restate the expression three times, as engines "
+    "without the feature must) demonstrates by contrast.",
+)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """SELECT l_orderkey,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS net,
+                  round(net * 0.07, 2) AS tax,
+                  round(net * 1.07, 2) AS gross
+           FROM lineitem
+           GROUP BY l_orderkey
+           HAVING net > 300000"""
+    )

@@ -186,6 +186,8 @@ def _make_writer_class():
         invisible to readers until the driver-side commit)."""
 
         def __init__(self, options: dict, overwrite: bool) -> None:
+            import uuid
+
             self.path = options["path"]
             self.overwrite = overwrite
             # fault-injection hook for the exactly-once-under-retry test
@@ -193,6 +195,13 @@ def _make_writer_class():
             # dies mid-write, AFTER flushing some rows — the same shape
             # Spark's own test sources use.  -1 (default) = never.
             self.inject_fail = int(options.get("injectfailpartition", "-1"))
+            # write-scoped id, minted driver-side and shipped to every
+            # task inside the pickled writer: filenames carry it so
+            # abort() can sweep THIS job's files even when a task
+            # completed its write but its commit message never reached
+            # the driver (job already failing) — message-only cleanup
+            # leaves such full files behind.
+            self.write_id = uuid.uuid4().hex[:12]
 
         def write(self, iterator):
             import json
@@ -209,7 +218,8 @@ def _make_writer_class():
             # reported).  The _SUCCESS manifest lists only the winning
             # attempts' files, so orphans never surface to readers.
             out = os.path.join(
-                self.path, f"part-{pid:05d}-{tc.taskAttemptId()}.json"
+                self.path,
+                f"part-{pid:05d}-{tc.taskAttemptId()}-{self.write_id}.json",
             )
             n = 0
             with open(out, "w") as f:
@@ -239,11 +249,35 @@ def _make_writer_class():
                 json.dump(manifest, f)
 
         def abort(self, messages):
+            import json
             import os
 
+            removed = []
             for m in messages:
                 if m is not None and os.path.exists(m.path):
                     os.remove(m.path)
+                    removed.append(m.path)
+            # messages cover only tasks whose commit message reached the
+            # driver; a task can finish writing while the job is already
+            # failing and never appear there.  The write-scoped filename
+            # suffix identifies every file this job produced — committed,
+            # uncommitted-complete, or dead-attempt partial — so sweep
+            # them all.  (A zombie task may still be flushing while we
+            # sweep; the _SUCCESS-manifest gate, not this cleanup, is
+            # the correctness boundary — the sweep is hygiene.)
+            suffix = f"-{self.write_id}.json"
+            try:
+                for f in os.listdir(self.path):
+                    if f.endswith(suffix):
+                        p = os.path.join(self.path, f)
+                        os.remove(p)
+                        removed.append(p)
+            except OSError:
+                pass
+            with open(
+                os.path.join(self.path, f"_ABORTED-{self.write_id}"), "w"
+            ) as f:
+                json.dump({"removed": sorted(set(removed))}, f)
 
     class JsonSinkDataSource(DataSource):
         @classmethod

@@ -174,16 +174,29 @@ def test_batch_sink_abort_without_retries_leaves_no_manifest():
         "aborted job left a _SUCCESS manifest — half-written output is "
         "visible to manifest-gated readers"
     )
+    # abort() must have run, swept the write-scoped files it could see
+    # (deterministically at least the injected attempt's flushed
+    # partial), and recorded what it removed.  A healthy task may
+    # complete AFTER the sweep (zombie race — local-mode task kill is
+    # asynchronous), so "no file remains" is NOT a sound assertion;
+    # the _SUCCESS gate above is the correctness boundary and the
+    # marker proves the cleanup path executed against real files.
+    markers = [
+        f for f in os.listdir(inject_dir) if f.startswith("_ABORTED-")
+    ]
+    assert len(markers) == 1, f"expected one abort marker: {markers}"
+    import json as _json
+
+    with open(os.path.join(inject_dir, markers[0])) as f:
+        removed = _json.load(f)["removed"]
+    assert removed, (
+        "abort() swept no files — the injected partial at minimum was "
+        "on disk when the job died"
+    )
+    for p in removed:
+        assert not os.path.exists(p), f"abort listed {p} but it remains"
     for f in os.listdir(inject_dir):
-        assert f.startswith("part-"), f
-        n_lines = sum(
-            1 for _ in open(os.path.join(inject_dir, f))
-        )
-        # 4000 rows over 4 partitions: a surviving full partition file
-        # (1000 lines) means abort() failed to clean a committed task
-        assert n_lines < 1000, (
-            f"abort left a full partition file {f} ({n_lines} lines)"
-        )
+        assert f.startswith(("part-", "_ABORTED-")), f
 
 
 def test_stream_sink_exactly_once_under_retry():
