@@ -732,32 +732,43 @@ def sql_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_lateral_column_alias",
     oracle="""
         SELECT l_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS net,
-               round(round(sum(l_extendedprice * (1 - l_discount)), 2)
-                     * 0.07, 2) AS tax,
-               round(round(sum(l_extendedprice * (1 - l_discount)), 2)
-                     * 1.07, 2) AS gross
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS net_e4,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    * 7 AS BIGINT) AS tax_e6,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    * 107 AS BIGINT) AS gross_e6
         FROM lineitem
         GROUP BY l_orderkey
-        HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) > 300000
+        HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   > 3000000000
         """,
     category="sqlapi",
     doc="Lateral column aliases (Spark 3.4+): later select-list items "
-    "reference earlier ALIASES in the same SELECT (net -> tax -> "
-    "gross) instead of re-stating the expression or nesting a "
-    "subquery — the analyzer rewrites the chain into one projection, "
-    "so the aggregate is computed once and reused, which the oracle "
-    "(forced to restate the expression three times, as engines "
-    "without the feature must) demonstrates by contrast.",
+    "reference earlier ALIASES in the same SELECT (net_e4 -> tax_e6 "
+    "-> gross_e6) and the HAVING references the alias too, instead "
+    "of re-stating the aggregate or nesting a subquery — the "
+    "analyzer rewrites the chain into one projection, so the "
+    "aggregate is computed once and reused, which the oracle (forced "
+    "to restate the expression four times, as engines without the "
+    "feature must) demonstrates by contrast.  Money is exact-cents "
+    "int64 (the repo's rule: a round(2) over a float SUM flips at "
+    "half-cent boundaries between engines — caught live at sf0.01).",
 )
 def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(
         """SELECT l_orderkey,
-                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS net,
-                  round(net * 0.07, 2) AS tax,
-                  round(net * 1.07, 2) AS gross
+                  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                      AS net_e4,
+                  net_e4 * 7 AS tax_e6,
+                  net_e4 * 107 AS gross_e6
            FROM lineitem
            GROUP BY l_orderkey
-           HAVING net > 300000"""
+           HAVING net_e4 > 3000000000"""
     )

@@ -631,3 +631,160 @@ def source_warc_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxrec", str(maxrec))
         .load()
     )
+
+
+def _make_pushdown_datasource_class():
+    """Python DataSource with FILTER PUSHDOWN (Spark 4.1
+    DataSourceReader.pushFilters): the reference's dict contract again,
+    but the keyspace is bucketed by a ``grp`` column and the reader
+    prunes whole partitions for pushed ``grp`` predicates — the
+    KV-store/API analogue of parquet partition pruning."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        InputPartition,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    def _val(gid: int, j: int) -> tuple:
+        i = gid * 1000 + j
+        return (gid, i, (i * i) % 97)
+
+    class _GPart(InputPartition):
+        def __init__(self, gid: int) -> None:
+            self.gid = gid
+
+    class IndexedReader(DataSourceReader):
+        def __init__(self, options: dict) -> None:
+            self.groups = int(options.get("groups", 8))
+            self.rows_per = int(options.get("rowsper", 1000))
+            # behavioral pushdown proof for tests: reading any group
+            # OUTSIDE this allowlist raises — with pruning working the
+            # pruned-out read() calls never happen, so the query
+            # succeeds iff pushdown actually pruned.
+            exp = options.get("expectonly")
+            self.expect_only = (
+                {int(x) for x in exp.split(",")} if exp else None
+            )
+            self.pushed: list = []
+
+        def pushFilters(self, filters):
+            # grp is constant within a partition, so any single-column
+            # comparison on grp is FULLY enforced by partition pruning
+            # alone; everything else stays with Spark.
+            for f in filters:
+                if isinstance(
+                    f,
+                    (EqualTo, GreaterThan, GreaterThanOrEqual,
+                     LessThan, LessThanOrEqual),
+                ) and f.attribute == ("grp",):
+                    self.pushed.append(f)
+                else:
+                    yield f
+
+        def _keep(self, gid: int) -> bool:
+            for f in self.pushed:
+                if isinstance(f, EqualTo) and gid != f.value:
+                    return False
+                if isinstance(f, GreaterThan) and not gid > f.value:
+                    return False
+                if isinstance(f, GreaterThanOrEqual) and not gid >= f.value:
+                    return False
+                if isinstance(f, LessThan) and not gid < f.value:
+                    return False
+                if isinstance(f, LessThanOrEqual) and not gid <= f.value:
+                    return False
+            return True
+
+        def partitions(self):
+            return [
+                _GPart(g) for g in range(self.groups) if self._keep(g)
+            ]
+
+        def read(self, part: _GPart):
+            if self.expect_only is not None and (
+                part.gid not in self.expect_only
+            ):
+                raise RuntimeError(
+                    f"pushdown failed: read() called for pruned group "
+                    f"{part.gid}"
+                )
+            for j in range(self.rows_per):
+                yield _val(part.gid, j)
+
+    class IndexedDictDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "mincemeat_dict_indexed"
+
+        def schema(self) -> str:
+            return "grp int, id bigint, val bigint"
+
+        def reader(self, schema) -> IndexedReader:
+            return IndexedReader(self.options)
+
+    return IndexedDictDataSource
+
+
+@register(
+    "source_python_datasource_pushdown",
+    oracle="""
+        WITH rows_g AS (
+            SELECT g, g * 1000 + j AS id,
+                   ((g * 1000 + j) * (g * 1000 + j)) % 97 AS val
+            FROM (SELECT unnest([5, 6, 7]) AS g),
+                 (SELECT unnest(generate_series(0, 999)) AS j)
+        )
+        SELECT CAST(g AS INTEGER) AS grp,
+               count(*) AS n,
+               CAST(sum(val) AS BIGINT) AS sum_val,
+               min(id) AS first_id
+        FROM rows_g
+        GROUP BY g
+        """,
+    category="source",
+    doc="Filter pushdown through a custom Python Data Source (Spark "
+    "4.1 DataSourceReader.pushFilters): the planner hands the reader "
+    "the conjuncts, the reader claims single-column grp comparisons "
+    "(returning the rest for Spark to evaluate post-scan) and prunes "
+    "whole keyspace partitions in partitions() — the KV/API-source "
+    "analogue of parquet partition pruning, and the difference "
+    "between scanning 3/8ths of a remote corpus and all of it.  "
+    "Correct by construction: grp is constant per partition, so "
+    "pruning enforces the claimed predicate exactly.  The companion "
+    "test drives the same scan with an expectonly option that makes "
+    "any pruned-out read() RAISE, proving the pruned partitions are "
+    "never read (not merely filtered later), and pins that "
+    "unsupported filters are handed back.  The oracle regenerates "
+    "the surviving groups arithmetically.",
+)
+def source_python_datasource_pushdown(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # Pin-on-consumer (the repo's lazy-DataFrame conf rule,
+    # tests/test_conf_invariants.py): the flag must still hold when the
+    # driver collects, so no save/restore — it is left true, which only
+    # affects Python datasources that IMPLEMENT pushFilters (none of
+    # the repo's other sources do), verified by the adversarial-order
+    # driver sim.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(_make_pushdown_datasource_class())
+    df = (
+        spark.read.format("mincemeat_dict_indexed")
+        .option("groups", "8")
+        .option("rowsper", "1000")
+        .load()
+    )
+    return (
+        df.filter(F.col("grp") > 4)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").alias("sum_val"),
+            F.min("id").alias("first_id"),
+        )
+    )
