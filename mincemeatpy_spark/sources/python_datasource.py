@@ -788,3 +788,144 @@ def source_python_datasource_pushdown(
             F.min("id").alias("first_id"),
         )
     )
+
+
+def _make_arrow_writer_class():
+    """Arrow-batch sink (Spark 4 ``DataSourceArrowWriter``): the
+    vectorized twin of the row-iterator JSON sink — write() receives
+    PyArrow RecordBatches zero-copy from the JVM, the executor writes
+    one parquet file per task via pyarrow, and the driver publishes the
+    same two-phase _SUCCESS manifest.  This is the shape for sinks that
+    talk to Arrow-native systems (parquet/feather/ADBC/vector stores):
+    no per-row Python objects exist at any point."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceArrowWriter,
+        WriterCommitMessage,
+    )
+
+    class _Done(WriterCommitMessage):
+        def __init__(self, path: str, rows: int) -> None:
+            self.path, self.rows = path, rows
+
+    class ArrowParquetWriter(DataSourceArrowWriter):
+        def __init__(self, options: dict, overwrite: bool) -> None:
+            import uuid
+
+            self.path = options["path"]
+            self.overwrite = overwrite
+            self.write_id = uuid.uuid4().hex[:12]
+
+        def write(self, iterator):
+            import os
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            os.makedirs(self.path, exist_ok=True)
+            out = os.path.join(
+                self.path,
+                f"part-{tc.partitionId():05d}-{tc.taskAttemptId()}"
+                f"-{self.write_id}.parquet",
+            )
+            batches = list(iterator)
+            table = pa.Table.from_batches(batches)
+            pq.write_table(table, out)
+            return _Done(out, table.num_rows)
+
+        def commit(self, messages):
+            import json
+            import os
+
+            manifest = {
+                "files": sorted(m.path for m in messages),
+                "rows": sum(m.rows for m in messages),
+            }
+            with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+                json.dump(manifest, f)
+
+        def abort(self, messages):
+            import json
+            import os
+
+            removed = []
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+                    removed.append(m.path)
+            suffix = f"-{self.write_id}.parquet"
+            try:
+                for f in os.listdir(self.path):
+                    if f.endswith(suffix):
+                        p = os.path.join(self.path, f)
+                        os.remove(p)
+                        removed.append(p)
+            except OSError:
+                pass
+            with open(
+                os.path.join(self.path, f"_ABORTED-{self.write_id}"), "w"
+            ) as f:
+                json.dump({"removed": sorted(set(removed))}, f)
+
+    class ArrowSinkDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "mincemeat_arrowsink"
+
+        def writer(self, schema, overwrite: bool) -> ArrowParquetWriter:
+            return ArrowParquetWriter(self.options, overwrite)
+
+    return ArrowSinkDataSource
+
+
+@register(
+    "sink_python_datasource_arrow",
+    oracle="""
+        SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+               min(doc_id) AS first_doc
+        FROM documents
+        GROUP BY lang
+        """,
+    category="source",
+    doc="Arrow-batch custom sink (Spark 4 DataSourceArrowWriter): the "
+    "vectorized twin of sink_python_datasource — write() receives "
+    "PyArrow RecordBatches from the JVM (no per-row Python objects "
+    "anywhere) and each task writes one parquet file via pyarrow, "
+    "with the same two-phase _SUCCESS-manifest commit and write-"
+    "scoped abort sweep as the row sink.  This is the fast path for "
+    "Arrow-native targets (parquet stores, ADBC databases, vector "
+    "indexes): at 100 TB the per-row iterator sink pays Python "
+    "object-per-row costs, the Arrow sink pays none.  Read back "
+    "through the manifest only and hash-matched against the source "
+    "table, proving batch-boundary handling (multiple RecordBatches "
+    "per task) is lossless.",
+)
+def sink_python_datasource_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import shutil
+
+    from mincemeatpy_spark.sources.readers import _scratch
+
+    path = _scratch(sf_dir, "pyds_arrow_sink")
+    shutil.rmtree(path, ignore_errors=True)
+    spark.dataSource.register(_make_arrow_writer_class())
+    (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "lang", "n_chars")
+        .write.format("mincemeat_arrowsink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    with open(os.path.join(path, "_SUCCESS")) as f:
+        manifest = json.load(f)
+    back = spark.read.parquet(*manifest["files"])
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
