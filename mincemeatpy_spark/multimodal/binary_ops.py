@@ -28,9 +28,12 @@ from mincemeatpy_spark.tables import t
 def decode_image_real(payload: bytes) -> dict:
     """Real, dependency-free image decode for the two trivial formats a
     from-scratch parser can own: binary PPM (``P6``) and uncompressed
-    24-bit BMP (``BM``, bottom-up rows padded to 4 bytes).  Returns
-    ``{fmt, width, height, mean_r, mean_g, mean_b}`` with channel means
-    computed over the REAL pixel array (integer floor division).
+    24-bit BMP (``BM``, bottom-up rows padded to 4 bytes).  For those
+    two it returns ``{fmt, width, height, mean_r, mean_g, mean_b}``
+    with channel means computed over the REAL pixel array (integer
+    floor division); the PNG and JPEG branches below return the
+    dispatched decoder's shape, ``{fmt, width, height, sum_r, sum_g,
+    sum_b}`` (raw channel SUMS — their oracles divide themselves).
 
     Compressed formats this repo now decodes for real live in their own
     decoders: PNG (``decode_png_real``), baseline JPEG

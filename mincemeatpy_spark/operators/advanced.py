@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from mincemeatpy_spark.operators._util import decsum, oracle_decsum
 from mincemeatpy_spark.registry import register
 from mincemeatpy_spark.tables import t
+from mincemeatpy_spark.text.dedup import _hash60
 
 
 @register(
@@ -745,16 +746,7 @@ def layout_hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    h = (
-        F.conv(
-            F.substring(
-                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 1000003
-    )
+    h = _hash60(F.col("doc_id").cast("string")) % 1000003
     key = F.log((h + 1) / F.lit(1000004.0)) / F.col("n_chars")
     w = Window.partitionBy("lang").orderBy(key.desc(), F.col("doc_id").asc())
     return (

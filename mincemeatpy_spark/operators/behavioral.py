@@ -3081,6 +3081,51 @@ def features_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- shared two-sample scaffolding (KS + Mann-Whitney) -----------------
+# Per-distinct-value counts of the click-vs-view samples, bucketed for
+# the two-phase global prefix sum both tests need.  One definition so
+# the bucket clamp / value filter cannot drift between the two queries.
+
+
+def _clickview_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v, ca, cb, bkt): per-distinct-value counts of the click (a) and
+    view (b) samples, with the 0-999 clamped integer value bucket."""
+    pts = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(F.col("value").alias("v"), "event_type")
+    )
+    cnt = pts.groupBy("v").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "ca"
+        ),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "cb"
+        ),
+    )
+    bkt = F.least(
+        F.greatest(F.floor("v").cast("bigint"), F.lit(0)), F.lit(999)
+    )
+    return cnt.withColumn("bkt", bkt)
+
+
+def _bucket_offsets(d: DataFrame, cols: dict[str, str]) -> DataFrame:
+    """Exclusive per-bucket prefix offsets for each {src: out} column —
+    the phase-1 half of the two-phase global prefix sum: the window
+    runs over the BOUNDED bucket table only, never the raw samples."""
+    from pyspark.sql import Window as W
+
+    excl = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    off = d.groupBy("bkt").agg(
+        *[F.sum(src).alias(f"b_{src}") for src in cols]
+    )
+    for src, out in cols.items():
+        off = off.withColumn(
+            out, F.coalesce(F.sum(f"b_{src}").over(excl), F.lit(0))
+        )
+    return off
+
+
 @register(
     "stats_ks_two_sample",
     oracle="""
@@ -3130,32 +3175,10 @@ def features_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    pts = (
-        t(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("click", "view"))
-        .select(F.col("value").alias("v"), "event_type")
-    )
-    cnt = pts.groupBy("v").agg(
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
-            "ca"
-        ),
-        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
-            "cb"
-        ),
-    )
-    bkt = F.least(
-        F.greatest(F.floor("v").cast("bigint"), F.lit(0)), F.lit(999)
-    )
-    d = cnt.withColumn("bkt", bkt)
-    excl = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
-    offsets = (
-        d.groupBy("bkt")
-        .agg(F.sum("ca").alias("ba"), F.sum("cb").alias("bb"))
-        .withColumn("offa", F.coalesce(F.sum("ba").over(excl), F.lit(0)))
-        .withColumn("offb", F.coalesce(F.sum("bb").over(excl), F.lit(0)))
-    )
+    d = _clickview_value_counts(spark, sf_dir)
+    offsets = _bucket_offsets(d, {"ca": "offa", "cb": "offb"})
     tot = offsets.agg(
-        F.sum("ba").alias("na"), F.sum("bb").alias("nb")
+        F.sum("b_ca").alias("na"), F.sum("b_cb").alias("nb")
     )
     intra = W.partitionBy("bkt").orderBy("v").rowsBetween(
         W.unboundedPreceding, 0
@@ -3235,33 +3258,11 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    pts = (
-        t(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("click", "view"))
-        .select(F.col("value").alias("v"), "event_type")
+    d = _clickview_value_counts(spark, sf_dir).withColumn(
+        "c", F.col("ca") + F.col("cb")
     )
-    cnt = pts.groupBy("v").agg(
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
-            "ca"
-        ),
-        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
-            "cb"
-        ),
-    )
-    d = cnt.withColumn(
-        "bkt",
-        F.least(
-            F.greatest(F.floor("v").cast("bigint"), F.lit(0)), F.lit(999)
-        ),
-    ).withColumn("c", F.col("ca") + F.col("cb"))
-    excl_bkt = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
-    offsets = (
-        d.groupBy("bkt")
-        .agg(F.sum("c").alias("bc"))
-        .withColumn("off", F.coalesce(F.sum("bc").over(excl_bkt), F.lit(0)))
-        .select("bkt", "off")
-    )
-    tot = cnt.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    offsets = _bucket_offsets(d, {"c": "off"}).select("bkt", "off")
+    tot = d.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     excl_v = W.partitionBy("bkt").orderBy("v").rowsBetween(
         W.unboundedPreceding, -1
     )

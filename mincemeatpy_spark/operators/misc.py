@@ -788,7 +788,10 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace(F.col("text"), r"\s+", "")).alias("n_ch"),
     )
     n_tok = F.size("words")
-    mwl_centi = F.expr("n_ch * 100 div size(words)")
+    # bigint like uniq_ppm below: length() is IntegerType and a >21 MB
+    # document would wrap n_ch * 100 in int32 while the oracle's len()
+    # is BIGINT (code-review catch)
+    mwl_centi = F.expr("n_ch * cast(100 as bigint) div size(words)")
     uniq_ppm = F.expr(
         "size(array_distinct(words)) * cast(1000000 as bigint)"
         " div size(words)"

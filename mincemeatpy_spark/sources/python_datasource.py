@@ -832,6 +832,11 @@ def _make_arrow_writer_class():
                 f"-{self.write_id}.parquet",
             )
             batches = list(iterator)
+            # empty partition: from_batches([]) needs a schema it does
+            # not have — report zero rows, no file (the streaming twin's
+            # guard; commit() filters the empty path out of the manifest)
+            if not batches:
+                return _Done("", 0)
             table = pa.Table.from_batches(batches)
             pq.write_table(table, out)
             return _Done(out, table.num_rows)
@@ -841,7 +846,7 @@ def _make_arrow_writer_class():
             import os
 
             manifest = {
-                "files": sorted(m.path for m in messages),
+                "files": sorted(m.path for m in messages if m.path),
                 "rows": sum(m.rows for m in messages),
             }
             with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
@@ -853,7 +858,7 @@ def _make_arrow_writer_class():
 
             removed = []
             for m in messages:
-                if m is not None and os.path.exists(m.path):
+                if m is not None and m.path and os.path.exists(m.path):
                     os.remove(m.path)
                     removed.append(m.path)
             suffix = f"-{self.write_id}.parquet"

@@ -1551,12 +1551,7 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = words.select(
         "doc_id",
         "lang",
-        (
-            F.conv(
-                F.substring(F.md5(F.col("word").cast("binary")), 1, 15), 16, 10
-            ).cast("bigint")
-            % 64
-        ).alias("bkt"),
+        (_hash60(F.col("word")) % 64).alias("bkt"),
     )
     bs = toks.groupBy("bkt").agg(
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_cnt"),
@@ -1593,7 +1588,9 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source || '.example.com' AS host,
                count(*) AS n_docs,
                count(DISTINCT lang) AS n_langs,
-               CAST(sum(CASE WHEN length(w[1]) >= 4 THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN length(regexp_replace(
+                                 w[1], '[^a-zA-Z0-9]', '', 'g')) >= 4
+                        THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_qlong,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM (SELECT source, lang, n_chars,
@@ -1627,7 +1624,14 @@ def corpus_url_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("/doc"),
         F.col("doc_id").cast("string"),
         F.lit("?q="),
-        F.element_at(F.split("text", r"\s+"), 1),
+        # sanitize the free-text token before embedding: a token with
+        # URL metacharacters ('&', '#', '=') or non-URI bytes would make
+        # parse_url's components diverge from the oracle's raw-column
+        # arithmetic (code-review catch) — a real crawler percent-encodes
+        # here; the alnum projection keeps the oracle exact
+        F.regexp_replace(
+            F.element_at(F.split("text", r"\s+"), 1), "[^a-zA-Z0-9]", ""
+        ),
         F.lit("&p="),
         (F.col("doc_id") % 7).cast("string"),
     )
@@ -1670,16 +1674,7 @@ def corpus_url_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = corpus_dsir_weights(spark, sf_dir)
-    h = (
-        F.conv(
-            F.substring(
-                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 1000003
-    )
+    h = _hash60(F.col("doc_id").cast("string")) % 1000003
     u = (h + 1) / F.lit(1000004.0)
     key = F.col("dsir_logweight") - F.log(-F.log(u))
     return (

@@ -84,9 +84,20 @@ def main() -> None:
         "max_ratio": max(v["ratio"] for v in out.values()),
     }
     print(json.dumps(result))
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BENCH_sf1.json"), "w") as f:
-        json.dump(result, f, indent=1)
+    # merge, don't clobber: soak_sections.py adds named sections to the
+    # same file (r7_additions etc.) — a wholesale dump here would erase
+    # them (code-review catch)
+    bench_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_sf1.json",
+    )
+    doc = {}
+    if os.path.exists(bench_path):
+        with open(bench_path) as f:
+            doc = json.load(f)
+    doc.update(result)
+    with open(bench_path, "w") as f:
+        json.dump(doc, f, indent=1)
 
 
 if __name__ == "__main__":
