@@ -2915,8 +2915,9 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH e AS (
             SELECT event_type,
-                   (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-                        // 7) % 2 AS wk,
+                   CAST(floor(
+                       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                       / 7.0) AS INTEGER) % 2 AS wk,
                    least(greatest(CAST(floor(value / 33) AS INTEGER), 0), 9)
                        AS bin
             FROM events
@@ -3043,12 +3044,15 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH s AS (
             SELECT o_orderpriority,
-                   sum(o_totalprice) AS tot,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS tot_cents,
                    count(*) AS n
             FROM orders GROUP BY o_orderpriority
         )
         SELECT o.o_orderkey,
-               (s.tot - o.o_totalprice) / (s.n - 1) AS loo_price
+               (s.tot_cents
+                - CAST(round(o.o_totalprice * 100) AS BIGINT))
+               / (s.n - 1) / 100.0 AS loo_price
         FROM orders o JOIN s ON o.o_orderpriority = s.o_orderpriority
         WHERE s.n > 1
         """,
@@ -3062,12 +3066,21 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     "onto the fact scan, and the encode is a map-side projection — "
     "NOT a per-category window (a window buffers the whole category "
     "partition; one hot category at 100 TB would pin a single task). "
-    "The n > 1 guard matches the division's domain in both engines.",
+    "The n > 1 guard matches the division's domain in both engines. "
+    "The per-category SUM is computed over exact integer cents "
+    "(round(price*100) as bigint) so partial-aggregation order — "
+    "which differs between Spark and the oracle — cannot perturb "
+    "the float sum near a rounding boundary; the single float "
+    "division happens once, at the very end, from exact integers.",
 )
 def features_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").withColumn(
+        "price_cents",
+        F.round(F.col("o_totalprice") * 100).cast("bigint"),
+    )
     s = o.groupBy("o_orderpriority").agg(
-        F.sum("o_totalprice").alias("tot"), F.count(F.lit(1)).alias("n")
+        F.sum("price_cents").alias("tot_cents"),
+        F.count(F.lit(1)).alias("n"),
     )
     return (
         o.join(F.broadcast(s), "o_orderpriority")
@@ -3075,7 +3088,9 @@ def features_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             (
-                (F.col("tot") - F.col("o_totalprice")) / (F.col("n") - 1)
+                (F.col("tot_cents") - F.col("price_cents"))
+                / (F.col("n") - 1)
+                / 100.0
             ).alias("loo_price"),
         )
     )

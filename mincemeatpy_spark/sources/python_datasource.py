@@ -252,6 +252,11 @@ def _make_writer_class():
             import json
             import os
 
+            # The job can abort before any task ran write() (planning /
+            # upstream failure), in which case the sink directory was
+            # never created — abort() must not raise and mask the
+            # original job error.
+            os.makedirs(self.path, exist_ok=True)
             removed = []
             for m in messages:
                 if m is not None and os.path.exists(m.path):
@@ -819,7 +824,6 @@ def _make_arrow_writer_class():
         def write(self, iterator):
             import os
 
-            import pyarrow as pa
             import pyarrow.parquet as pq
 
             from pyspark import TaskContext
@@ -831,20 +835,33 @@ def _make_arrow_writer_class():
                 f"part-{tc.partitionId():05d}-{tc.taskAttemptId()}"
                 f"-{self.write_id}.parquet",
             )
-            batches = list(iterator)
-            # empty partition: from_batches([]) needs a schema it does
-            # not have — report zero rows, no file (the streaming twin's
-            # guard; commit() filters the empty path out of the manifest)
-            if not batches:
+            # Stream batch-by-batch: the 100 TB fast path must never
+            # buffer a whole task partition in executor memory at once.
+            # The ParquetWriter opens lazily on the first batch (which
+            # supplies the schema, so the empty partition needs no
+            # special schema handling — it simply never opens a file).
+            writer = None
+            rows = 0
+            try:
+                for batch in iterator:
+                    if writer is None:
+                        writer = pq.ParquetWriter(out, batch.schema)
+                    writer.write_batch(batch)
+                    rows += batch.num_rows
+            finally:
+                if writer is not None:
+                    writer.close()
+            if writer is None:
+                # empty partition: report zero rows, no file (commit()
+                # filters the empty path out of the manifest)
                 return _Done("", 0)
-            table = pa.Table.from_batches(batches)
-            pq.write_table(table, out)
-            return _Done(out, table.num_rows)
+            return _Done(out, rows)
 
         def commit(self, messages):
             import json
             import os
 
+            os.makedirs(self.path, exist_ok=True)
             manifest = {
                 "files": sorted(m.path for m in messages if m.path),
                 "rows": sum(m.rows for m in messages),
@@ -856,6 +873,7 @@ def _make_arrow_writer_class():
             import json
             import os
 
+            os.makedirs(self.path, exist_ok=True)
             removed = []
             for m in messages:
                 if m is not None and m.path and os.path.exists(m.path):
@@ -1068,7 +1086,6 @@ def _make_stream_arrow_writer_class():
         def write(self, iterator):
             import os
 
-            import pyarrow as pa
             import pyarrow.parquet as pq
 
             from pyspark import TaskContext
@@ -1079,17 +1096,28 @@ def _make_stream_arrow_writer_class():
                 self.path,
                 f"part-{tc.partitionId():05d}-{tc.taskAttemptId()}.parquet",
             )
-            batches = list(iterator)
-            if not batches:
+            # Stream batch-by-batch (no whole-partition buffering); the
+            # lazy first-batch open also handles the empty partition.
+            writer = None
+            rows = 0
+            try:
+                for batch in iterator:
+                    if writer is None:
+                        writer = pq.ParquetWriter(out, batch.schema)
+                    writer.write_batch(batch)
+                    rows += batch.num_rows
+            finally:
+                if writer is not None:
+                    writer.close()
+            if writer is None:
                 return _Done("", 0)
-            table = pa.Table.from_batches(batches)
-            pq.write_table(table, out)
-            return _Done(out, table.num_rows)
+            return _Done(out, rows)
 
         def commit(self, messages, batchId) -> None:
             import json
             import os
 
+            os.makedirs(self.path, exist_ok=True)
             manifest = {
                 "batch": batchId,
                 "files": sorted(

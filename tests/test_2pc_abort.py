@@ -205,3 +205,35 @@ def test_stream_sink_exactly_once_under_retry():
     assert "TWOPC_STREAM_OK" in r.stdout, (
         f"stdout={r.stdout[-2000:]}\nstderr={r.stderr[-2000:]}"
     )
+
+
+def test_abort_before_any_write_does_not_mask_job_error():
+    """r7 ADVICE: abort() used to open() the _ABORTED marker without
+    ensuring the sink directory exists — a job that dies before any
+    task ran write() (planning / upstream failure) would then raise
+    FileNotFoundError from abort() and mask the original error.  Drive
+    abort() directly against a nonexistent path for all three batch
+    writer classes and assert it completes and leaves the marker."""
+    import tempfile
+
+    from mincemeatpy_spark.sources.python_datasource import (
+        _make_arrow_writer_class,
+        _make_writer_class,
+    )
+
+    for factory, writer_attr in (
+        (_make_writer_class, "writer"),
+        (_make_arrow_writer_class, "writer"),
+    ):
+        ds_cls = factory()
+        with tempfile.TemporaryDirectory() as root:
+            sink = os.path.join(root, "never-created")
+            assert not os.path.exists(sink)
+            ds = ds_cls.__new__(ds_cls)
+            ds.options = {"path": sink}
+            w = getattr(ds, writer_attr)(None, True)
+            w.abort([])  # must not raise
+            markers = [
+                f for f in os.listdir(sink) if f.startswith("_ABORTED-")
+            ]
+            assert len(markers) == 1, (factory.__name__, markers)
