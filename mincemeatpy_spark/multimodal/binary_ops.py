@@ -1744,17 +1744,6 @@ def encode_jpeg_baseline(rgb) -> bytes:
     Cb2 = Cbp.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
     Cr2 = Crp.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
 
-    def fdct_quant(block):
-        return np.round(A @ (block - 128.0) @ A.T).astype(np.int32)
-
-    def category(v):
-        v = abs(int(v))
-        s = 0
-        while v:
-            s += 1
-            v >>= 1
-        return s
-
     DC_SYMS = list(range(12))
     AC_SYMS = sorted(
         {(rr << 4) | ss for rr in range(16) for ss in range(1, 11)}
@@ -1769,74 +1758,108 @@ def encode_jpeg_baseline(rgb) -> bytes:
     dc_bits, dc_vals, dc_code = table_spec(DC_SYMS)
     ac_bits, ac_vals, ac_code = table_spec(AC_SYMS)
 
-    out_bits = []
+    # Symbol-level emission (r8): gather (code, length) pairs and pack
+    # once at the end — the pre-r8 encoder appended individual bits to a
+    # Python list (one call per BIT), which profiled as the fixture
+    # stage's bottleneck alongside per-block 8x8 matmuls.
+    sym_codes: list = []
+    sym_lens: list = []
+    emit = sym_codes.append
+    emitl = sym_lens.append
 
-    def emit(code, length):
-        for i in range(length - 1, -1, -1):
-            out_bits.append((code >> i) & 1)
-
-    def emit_coef(v):
-        s = category(v)
-        if v < 0:
-            v = v + (1 << s) - 1
-        return s, v
-
-    def encode_block(coefs, pred):
-        zzc = [int(coefs[zz[k]]) for k in range(64)]
-        s, bitsv = emit_coef(zzc[0] - pred)
+    def encode_block(zzc: list, pred: int) -> int:
+        """zzc: the block's 64 zigzag-ordered int coefficients."""
+        diff = zzc[0] - pred
+        s = (diff if diff >= 0 else -diff).bit_length()
         c, L = dc_code[s]
-        emit(c, L)
+        emit(c)
+        emitl(L)
         if s:
-            emit(bitsv, s)
+            emit(diff + (1 << s) - 1 if diff < 0 else diff)
+            emitl(s)
         last_nz = 0
-        for k in range(1, 64):
-            if zzc[k] != 0:
+        for k in range(63, 0, -1):
+            if zzc[k]:
                 last_nz = k
+                break
         run = 0
         for k in range(1, last_nz + 1):
-            if zzc[k] == 0:
+            v = zzc[k]
+            if v == 0:
                 run += 1
                 continue
             while run > 15:
                 c, L = ac_code[0xF0]
-                emit(c, L)
+                emit(c)
+                emitl(L)
                 run -= 16
-            s, bitsv = emit_coef(zzc[k])
+            s = (v if v >= 0 else -v).bit_length()
             c, L = ac_code[(run << 4) | s]
-            emit(c, L)
-            emit(bitsv, s)
+            emit(c)
+            emitl(L)
+            emit(v + (1 << s) - 1 if v < 0 else v)
+            emitl(s)
             run = 0
         if last_nz != 63:
             c, L = ac_code[0x00]
-            emit(c, L)
+            emit(c)
+            emitl(L)
         return zzc[0]
 
-    preds = [0, 0, 0]
-    for my in range(H // 16):
-        for mx in range(W // 16):
-            for by in range(2):
-                for bx in range(2):
-                    y0, x0 = my * 16 + by * 8, mx * 16 + bx * 8
-                    blk = fdct_quant(Yp[y0 : y0 + 8, x0 : x0 + 8])
-                    preds[0] = encode_block(blk.flatten(), preds[0])
-            cy, cx = my * 8, mx * 8
-            preds[1] = encode_block(
-                fdct_quant(Cb2[cy : cy + 8, cx : cx + 8]).flatten(), preds[1]
-            )
-            preds[2] = encode_block(
-                fdct_quant(Cr2[cy : cy + 8, cx : cx + 8]).flatten(), preds[2]
-            )
+    # Batched FDCT + quantize + zigzag per component: blockify each
+    # plane into (nb, 8, 8) raster order, one (nb,8,8) matmul chain,
+    # one fancy-index zigzag — then reorder Y blocks into MCU order.
+    zz_arr = np.array(zz, dtype=np.int64)
 
-    while len(out_bits) % 8:
-        out_bits.append(1)
+    def dct_zigzag(plane):
+        gh, gw = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = (
+            plane.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        q = np.round(A @ (blocks - 128.0) @ A.T).astype(np.int64)
+        return q.reshape(-1, 64)[:, zz_arr], gw
+
+    Yzz, gyc = dct_zigzag(Yp)
+    Cbzz, _ = dct_zigzag(Cb2)
+    Crzz, _ = dct_zigzag(Cr2)
+    # Y raster (r, c) -> MCU order (my, mx, by, bx): r = 2*my+by etc.
+    y_order = [
+        (my * 2 + by) * gyc + (mx * 2 + bx)
+        for my in range(H // 16)
+        for mx in range(W // 16)
+        for by in range(2)
+        for bx in range(2)
+    ]
+    Yl = Yzz[np.array(y_order)].tolist()
+    Cbl, Crl = Cbzz.tolist(), Crzz.tolist()
+
+    preds = [0, 0, 0]
+    for i in range(len(Cbl)):  # one iteration per MCU
+        for j in range(4):
+            preds[0] = encode_block(Yl[4 * i + j], preds[0])
+        preds[1] = encode_block(Cbl[i], preds[1])
+        preds[2] = encode_block(Crl[i], preds[2])
+
+    # Final pack: one loop per SYMBOL, flushing whole bytes from an int
+    # accumulator; 1-padding to the byte boundary per the spec.
     scan = bytearray()
-    for i in range(0, len(out_bits), 8):
-        byte = 0
-        for bit in out_bits[i : i + 8]:
-            byte = (byte << 1) | bit
+    buf = 0
+    nbuf = 0
+    for c, L in zip(sym_codes, sym_lens):
+        buf = (buf << L) | c
+        nbuf += L
+        while nbuf >= 8:
+            nbuf -= 8
+            byte = (buf >> nbuf) & 0xFF
+            scan.append(byte)
+            if byte == 0xFF:
+                scan.append(0x00)  # byte stuffing
+        buf &= (1 << nbuf) - 1
+    if nbuf:
+        byte = ((buf << (8 - nbuf)) | ((1 << (8 - nbuf)) - 1)) & 0xFF
         scan.append(byte)
         if byte == 0xFF:
-            scan.append(0x00)  # byte stuffing
+            scan.append(0x00)
 
     def seg(marker, data):
         return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
@@ -1864,6 +1887,12 @@ def encode_jpeg_baseline(rgb) -> bytes:
         + bytes(scan)
         + b"\xff\xd9"
     )
+
+
+# Canonical-Huffman decode LUTs keyed on the DHT contents; per-process
+# (so per executor Python worker).  A corpus encoded with one table set
+# (e.g. the Annex-K defaults) builds each 64 KiB LUT exactly once.
+_JPEG_LUT_CACHE: dict = {}
 
 
 def decode_jpeg_real(payload: bytes) -> dict:
@@ -2005,41 +2034,74 @@ def decode_jpeg_real(payload: bytes) -> dict:
     else:
         raise ValueError("malformed JPEG: scan data missing EOI")
 
+    # --- entropy decode, LUT form (r8: VERDICT r7 task 4) -------------
+    # The pre-r8 decoder walked the scan bit-by-bit through Python
+    # closures (one function call + dict probe PER BIT) and ran a tiny
+    # 8x8 numpy IDCT PER BLOCK — profiled as the repo's most expensive
+    # query by 10x.  This form does the same math with:
+    #   * a per-byte 32-bit big-endian window table (plain Python list;
+    #     list indexing beats numpy scalar indexing here), so any
+    #     16-bit peek is two shifts + a mask,
+    #   * a canonical-Huffman 2^16 lookup table per DHT (packed
+    #     (length << 8) | symbol, cached process-wide keyed on the
+    #     table contents — the standard Annex-K tables repeat across
+    #     every image of a corpus, so the build cost amortizes to
+    #     zero), decoding one symbol per probe instead of per bit,
+    #   * batched dequant + dezigzag + IDCT over ALL blocks of a
+    #     component at once (one (nb,8,8) matmul chain), the same
+    #     whole-array discipline as the PNG unfilter loop (:1188).
+    nbits = len(scan_bytes) * 8
+    _sb = bytes(scan_bytes) + b"\x00\x00\x00\x00\x00\x00"
+    _a = np.frombuffer(_sb, dtype=np.uint8).astype(np.uint32)
+    b32 = (
+        (_a[:-3] << 24) | (_a[1:-2] << 16) | (_a[2:-1] << 8) | _a[3:]
+    ).tolist()
+
+    def _lut_for(table: dict) -> list:
+        key = tuple(sorted(table.items()))
+        lut = _JPEG_LUT_CACHE.get(key)
+        if lut is None:
+            arr = np.zeros(1 << 16, dtype=np.uint16)
+            for (length, code), sym in table.items():
+                lo = code << (16 - length)
+                arr[lo : lo + (1 << (16 - length))] = (length << 8) | sym
+            lut = arr.tolist()
+            _JPEG_LUT_CACHE[key] = lut
+        return lut
+
     bitpos = 0
 
-    def bit():
+    def huff(lut) -> int:
         nonlocal bitpos
-        byte_i, bit_i = bitpos >> 3, bitpos & 7
-        if byte_i >= len(scan_bytes):
+        w = (b32[bitpos >> 3] >> (16 - (bitpos & 7))) & 0xFFFF
+        packed = lut[w]
+        length = packed >> 8
+        if length == 0:
+            raise ValueError("malformed JPEG: invalid Huffman code")
+        bitpos += length
+        if bitpos > nbits:
             raise ValueError("malformed JPEG: scan data exhausted")
-        bitpos += 1
-        return (scan_bytes[byte_i] >> (7 - bit_i)) & 1
+        return packed & 0xFF
 
-    def read(n):
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | bit()
-        return v
+    def recv_extend(s: int) -> int:
+        nonlocal bitpos
+        v = (b32[bitpos >> 3] >> (32 - (bitpos & 7) - s)) & ((1 << s) - 1)
+        bitpos += s
+        if bitpos > nbits:
+            raise ValueError("malformed JPEG: scan data exhausted")
+        return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
-    def huff_decode(table):
-        code, length = 0, 0
-        while length < 17:
-            code = (code << 1) | bit()
-            length += 1
-            if (length, code) in table:
-                return table[(length, code)]
-        raise ValueError("malformed JPEG: invalid Huffman code")
-
-    def extend(v, s):
-        return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
-
-    def decode_block(dc_t, ac_t, q, pred):
-        coefs = np.zeros(64, dtype=np.int64)
-        s = huff_decode(dc_t)
-        coefs[0] = pred + (extend(read(s), s) if s else 0)
+    def decode_block(dc_lut, ac_lut, pred: int):
+        """One block's 64 zigzag coefficients (plain int list) + new
+        DC predictor; dequant/IDCT happen batched afterwards."""
+        coefs = [0] * 64
+        s = huff(dc_lut)
+        if s:
+            pred += recv_extend(s)
+        coefs[0] = pred
         k = 1
         while k < 64:
-            sym = huff_decode(ac_t)
+            sym = huff(ac_lut)
             if sym == 0x00:
                 break
             run, size = sym >> 4, sym & 0xF
@@ -2051,13 +2113,9 @@ def decode_jpeg_real(payload: bytes) -> dict:
             k += run
             if k > 63:
                 raise ValueError("malformed JPEG: AC index overflow")
-            coefs[k] = extend(read(size), size)
+            coefs[k] = recv_extend(size)
             k += 1
-        deq = (coefs * q).astype(np.float64)
-        blk = np.zeros((8, 8))
-        for i in range(64):
-            blk.flat[zz[i]] = deq[i]
-        return A.T @ blk @ A + 128.0, int(coefs[0])
+        return coefs, pred
 
     if sub:
         H, W = (hh + 15) // 16 * 16, (ww + 15) // 16 * 16
@@ -2080,8 +2138,10 @@ def decode_jpeg_real(payload: bytes) -> dict:
     ]
     if missing:
         raise ValueError(f"malformed JPEG: undeclared Huffman tables {missing}")
-    tabs = {sc[0]: (htables[(0, sc[1])], htables[(1, sc[2])])
-            for sc in scan_comps}
+    tabs = {
+        sc[0]: (_lut_for(htables[(0, sc[1])]), _lut_for(htables[(1, sc[2])]))
+        for sc in scan_comps
+    }
     for c in comps:
         if c[3] not in qtables:
             raise ValueError("malformed JPEG: undeclared quant table")
@@ -2089,30 +2149,47 @@ def decode_jpeg_real(payload: bytes) -> dict:
     ids = [c[0] for c in comps]
     preds = dict.fromkeys(ids, 0)
 
-    planes = {ids[0]: Yp, ids[1]: Cbp, ids[2]: Crp}
+    # Pass 1: entropy-decode every block into (coefficient list, plane
+    # position) per component — pure int work, no numpy in the loop.
+    coef_rows: dict = {cid: [] for cid in ids}
+    pos_rows: dict = {cid: [] for cid in ids}
     for my in range(mcys):
         for mx in range(mcxs):
             if sub:
                 for by in range(2):
                     for bx in range(2):
-                        blk, preds[ids[0]] = decode_block(
-                            *tabs[ids[0]], qts[ids[0]], preds[ids[0]]
+                        coefs, preds[ids[0]] = decode_block(
+                            *tabs[ids[0]], preds[ids[0]]
                         )
-                        Yp[
-                            my * 16 + by * 8 : my * 16 + by * 8 + 8,
-                            mx * 16 + bx * 8 : mx * 16 + bx * 8 + 8,
-                        ] = blk
-                for cid, plane in ((ids[1], Cbp), (ids[2], Crp)):
-                    blk, preds[cid] = decode_block(
-                        *tabs[cid], qts[cid], preds[cid]
-                    )
-                    plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = blk
+                        coef_rows[ids[0]].append(coefs)
+                        pos_rows[ids[0]].append(
+                            (my * 16 + by * 8, mx * 16 + bx * 8)
+                        )
+                for cid in (ids[1], ids[2]):
+                    coefs, preds[cid] = decode_block(*tabs[cid], preds[cid])
+                    coef_rows[cid].append(coefs)
+                    pos_rows[cid].append((my * 8, mx * 8))
             else:
                 for cid in ids:
-                    blk, preds[cid] = decode_block(
-                        *tabs[cid], qts[cid], preds[cid]
-                    )
-                    planes[cid][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = blk
+                    coefs, preds[cid] = decode_block(*tabs[cid], preds[cid])
+                    coef_rows[cid].append(coefs)
+                    pos_rows[cid].append((my * 8, mx * 8))
+
+    # Pass 2: batched dequant -> dezigzag -> orthonormal IDCT per
+    # component (one (nb,8,8) matmul chain), then slice-place blocks.
+    zz_arr = np.array(zz, dtype=np.int64)
+    planes = {ids[0]: Yp, ids[1]: Cbp, ids[2]: Crp}
+    for cid in ids:
+        if not coef_rows[cid]:
+            continue
+        C = np.array(coef_rows[cid], dtype=np.int64) * qts[cid][None, :]
+        nb = C.shape[0]
+        flat = np.zeros((nb, 64))
+        flat[:, zz_arr] = C.astype(np.float64)
+        blocks = A.T @ flat.reshape(nb, 8, 8) @ A + 128.0
+        plane = planes[cid]
+        for i, (y, x) in enumerate(pos_rows[cid]):
+            plane[y : y + 8, x : x + 8] = blocks[i]
 
     if sub:
         Cbu = np.repeat(np.repeat(Cbp, 2, axis=0), 2, axis=1)
@@ -2175,14 +2252,31 @@ def decode_jpeg_real(payload: bytes) -> dict:
 def multimodal_decode_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # The sf0.1 fixture is ONE parquet file -> one scan partition; the
+    # codec stage is pure CPU per row, so a single task would serialize
+    # the whole corpus through one core (measured: the repo's slowest
+    # query pre-r8).  Repartitioning the 16-byte/row projection costs a
+    # negligible shuffle and buys full-cluster parallelism — on a real
+    # many-file corpus the scan already arrives partitioned and this is
+    # a near-no-op rebalance.
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     zzfn = _ship_by_value(_jpeg_zigzag)
     dctfn = _ship_by_value(_jpeg_dct_mat)
     enc = _ship_with(
         encode_jpeg_baseline, _jpeg_zigzag=zzfn, _jpeg_dct_mat=dctfn
     )
     dec = _ship_with(
-        decode_jpeg_real, _jpeg_zigzag=zzfn, _jpeg_dct_mat=dctfn
+        decode_jpeg_real,
+        _jpeg_zigzag=zzfn,
+        _jpeg_dct_mat=dctfn,
+        # fresh per-ship Huffman-LUT cache: the decoder mutates it, so a
+        # by-value copy per executor process is exactly the cache scope
+        # we want (the module-level dict is unreachable once rebound)
+        _JPEG_LUT_CACHE={},
     )
 
     def _src_rgb(doc_id: int, n_chars: int):
