@@ -103,6 +103,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_label_eval",
         "word_pmi_collocations",
         "dp_noisy_counts",
+        # round-7 flagships, promoted so the driver's 50-query prefix
+        # certifies them (VERDICT r7 task 5): the PPJoin prefix-filter
+        # similarity join and CCNet segment dedup (both sf1-soak-fixed),
+        # the DSIR selection pair, the KS/Mann-Whitney drift tests, and
+        # the two queries whose oracles round 8 hardened (LOO target
+        # encoding integerized; PSI week floor-div made engine-agnostic).
+        "dedup_prefix_filter_join",
+        "dedup_segments_bulk",
+        "corpus_dsir_weights",
+        "corpus_dsir_resample",
+        "stats_ks_two_sample",
+        "stats_mannwhitney_u",
+        "events_psi_drift",
+        "features_target_encoding_loo",
     ):
         out[name] = qs[name].fn
     for row in zip_longest(*(by_cat[c] for c in order)):

@@ -2,16 +2,44 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "sf": <sf>, ...}
 
 Each query executes fully (noop sink — JVM-side materialization, no
 driver collect) on local[$SPARK_GRAFT_CPUS].
+
+Round-8 change (VERDICT r7 task 1): the bench is now a *falsifiable
+instrument*.  Two consecutive rounds attributed regressions on
+byte-identical code to host noise with only narrative evidence; now
+every query records k trials (headline k=5, extended k=3; override
+with $SPARK_GRAFT_BENCH_TRIALS), and the JSON carries per-query
+median, IQR, the full trial list, and host telemetry (/proc/loadavg
+one-minute load + process count sampled before each trial).  The
+headline "value" is the SUM OF MEDIANS — the median is the robust
+location estimate; best-of-k (the pre-r8 metric, still emitted as
+"best_total_sec"/"queries_best" for the r1-r7 trend line) hides
+contention on all-but-one trial but also hides real regressions that
+show up as a distribution shift.
+
+Mechanical regression rule (applied by `python bench.py --compare
+BENCH_rPREV.json`, and by NOTES to classify round-over-round deltas):
+a per-query delta is
+
+  REGRESSION   if median moved > +15% vs prev  AND  IQR/median < 10%
+  IMPROVEMENT  if median moved < -15% vs prev  AND  IQR/median < 10%
+  NOISE        if median moved > 15% either way but IQR/median >= 10%
+               (the measurement is too dispersed to trust the move) or
+               the mean 1-min loadavg during trials exceeded 1.5x CPUs
+  STABLE       otherwise
+
+The rule is deliberately dumb and stated here so the classification is
+reproducible from the two JSON files alone — no narrative required.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -60,13 +88,79 @@ EXTENDED = [
     "stream_session_timeout_gss_e2e",
 ]
 
+REGRESSION_PCT = 0.15  # median must move more than this ...
+TIGHT_IQR = 0.10  # ... with relative IQR below this, to be believed
+LOAD_FACTOR = 1.5  # mean loadavg > LOAD_FACTOR * cpus => contaminated
+
+
+def _host_sample() -> dict:
+    """One telemetry sample: 1-min loadavg + running process count."""
+    try:
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+    except OSError:
+        load1 = -1.0
+    try:
+        nproc = sum(1 for d in os.listdir("/proc") if d.isdigit())
+    except OSError:
+        nproc = -1
+    return {"load1": load1, "nproc": nproc}
+
+
+def _iqr(xs: list[float]) -> float:
+    if len(xs) < 2:
+        return 0.0
+    q = statistics.quantiles(sorted(xs), n=4, method="inclusive")
+    return q[2] - q[0]
+
+
+def classify(
+    name: str, cur: dict, prev_median: float | None, cpus: int
+) -> str:
+    """Apply the mechanical rule from the module docstring."""
+    if prev_median is None or prev_median <= 0:
+        return "NEW"
+    med = cur["median"]
+    rel_move = (med - prev_median) / prev_median
+    rel_iqr = cur["iqr"] / med if med > 0 else float("inf")
+    loads = [s["load1"] for s in cur["host"] if s["load1"] >= 0]
+    contaminated = bool(loads) and (
+        sum(loads) / len(loads) > LOAD_FACTOR * cpus
+    )
+    if abs(rel_move) <= REGRESSION_PCT:
+        return "STABLE"
+    if rel_iqr >= TIGHT_IQR or contaminated:
+        return "NOISE"
+    return "REGRESSION" if rel_move > 0 else "IMPROVEMENT"
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("mincemeatpy-bench")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     queries = load_all_queries()
+
+    if "--compare" in sys.argv:
+        # Classify this run's medians against a previous BENCH_r*.json
+        # (either this script's own output or the driver's wrapper with
+        # a "parsed" key) using the mechanical rule — no narrative.
+        with open(sys.argv[sys.argv.index("--compare") + 1]) as f:
+            prev = json.load(f)
+        prev = prev.get("parsed", prev)
+        with open(sys.argv[sys.argv.index("--compare") + 2]) as f:
+            cur = json.load(f)
+        cur = cur.get("parsed", cur)
+        prev_q = {**prev.get("queries", {}), **prev.get("extended", {})}
+        stats = cur.get("stats", {})
+        for name, st in stats.items():
+            print(
+                f"{classify(name, st, prev_q.get(name), cpus):>12}"
+                f"  {name}: {prev_q.get(name)} -> {st['median']}"
+                f" (iqr {st['iqr']})"
+            )
+        return
 
     if "--all" in sys.argv:
         # Diagnostic mode: single-run timing of EVERY registered query,
@@ -89,46 +183,72 @@ def main() -> None:
         return
 
     # Warm up the JVM (classloading, codegen compiler) and the page cache
-    # so per-query timings measure the queries, not startup.
+    # so per-query timings measure the queries, not startup.  The first
+    # trial of each query still pays that query's own one-off codegen
+    # compile; with k trials the median sits on steady-state samples.
     queries["tpch_q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
 
-    # Best of 3 runs per query: the first run of a shape pays one-off JIT/
-    # codegen compilation (seconds of C2 time on cold shapes), which is
-    # startup cost, not query cost — a long-running cluster never repays
-    # it.  Later runs measure the steady state we actually optimize; three
-    # samples also ride out noisy-neighbor CPU contention on shared hosts
-    # (observed 2x wall-clock swings between otherwise identical runs).
-    def best_of(names: list[str], runs: int) -> dict[str, float]:
-        out: dict[str, float] = {}
+    def measure(names: list[str], trials: int) -> dict[str, dict]:
+        out: dict[str, dict] = {}
         for name in names:
             q = queries[name]
-            best = float("inf")
-            for _ in range(runs):
+            samples: list[float] = []
+            host: list[dict] = []
+            for _ in range(trials):
+                host.append(_host_sample())
                 t0 = time.perf_counter()
                 q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            out[name] = round(best, 3)
+                samples.append(time.perf_counter() - t0)
+            host.append(_host_sample())
+            out[name] = {
+                "median": round(statistics.median(samples), 3),
+                "iqr": round(_iqr(samples), 3),
+                "best": round(min(samples), 3),
+                "trials": [round(s, 3) for s in samples],
+                "host": host,
+            }
         return out
 
-    timings = best_of(HEADLINE, 3)
-    # Extended list rides along in the same JSON line (extra keys; the
-    # headline metric/value stay the stable cross-round contract).
-    # best-of-2: these are guards against structural regressions, not
-    # the tuned headline — one repeat absorbs codegen compile.
-    extended = {} if "--no-extended" in sys.argv else best_of(EXTENDED, 2)
+    k_head = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
+    # Extended entries are each seconds-heavy; 3 trials still yields a
+    # median robust to one contaminated sample at ~half the wall cost.
+    k_ext = max(3, k_head - 2)
+
+    head_stats = measure(HEADLINE, k_head)
+    ext_stats = (
+        {} if "--no-extended" in sys.argv else measure(EXTENDED, k_ext)
+    )
+
+    stats = {**head_stats, **ext_stats}
+    timings = {n: s["median"] for n, s in head_stats.items()}
+    extended = {n: s["median"] for n, s in ext_stats.items()}
 
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
+                # headline value = SUM OF MEDIANS from r8 on (see module
+                # docstring); best-of-k retained alongside for the
+                # r1-r7 trend line.
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
                 "extended": extended,
                 "extended_total_sec": round(sum(extended.values()), 3),
+                "best_total_sec": round(
+                    sum(s["best"] for s in head_stats.values()), 3
+                ),
+                "queries_best": {n: s["best"] for n, s in head_stats.items()},
+                "trials": {"headline": k_head, "extended": k_ext},
+                "regression_rule": {
+                    "flag_pct": REGRESSION_PCT,
+                    "tight_iqr": TIGHT_IQR,
+                    "load_factor": LOAD_FACTOR,
+                },
+                "stats": stats,
             }
         )
     )
