@@ -369,21 +369,56 @@ def ensure_protobuf(spark: SparkSession) -> bool:
         return False
 
 
+class _sized_state_partitions:
+    """Pin ``spark.sql.shuffle.partitions`` (which fixes the number of
+    state-store instances a stateful streaming query creates PER
+    MICRO-BATCH) for the duration of one finite e2e run, restoring the
+    session value after.
+
+    Sizing state partitions to the state volume is the real operational
+    knob, not a test shortcut: every stateful operator opens one store
+    (RocksDB instance for transformWithState) per partition per batch,
+    and at the test fixtures' state size a 32-store query spends 1.4-4.6x
+    its wall-time on store lifecycle, measured trial-for-trial in r8.
+    On a 100 TB stream you RAISE this (it must exceed peak state / store
+    budget); the default comes from $SPARK_GRAFT_STREAM_STATE_PARTITIONS
+    (8).  Correctness is partition-count-invariant — keyed state hashes
+    by key — and every e2e query's DuckDB oracle runs under this sizing.
+    Save/restore keeps the session conf leak-free (the test suite runs
+    conf-order adversarially)."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        import os
+
+        self.spark = spark
+        self.n = int(
+            os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+        )
+
+    def __enter__(self) -> None:
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def run_to_completion(stream_df: DataFrame, query_name: str, mode: str | None = None) -> DataFrame:
     """Drive a streaming DataFrame over the (finite) file source to
     completion into an in-memory table; return it as a batch DataFrame."""
     if mode is None:
         mode = "complete" if _has_agg(stream_df) else "append"
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _sized_state_partitions(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
 
 
@@ -708,18 +743,19 @@ def run_with_restart(
         )
 
     def run_phase(name: str) -> None:
-        q = (
-            agg_query()
-            .writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", str(ck))
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with _sized_state_partitions(spark):
+            q = (
+                agg_query()
+                .writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", str(ck))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
 
     try:
         shutil.copy2(files[0], src_dir / files[0].name)
