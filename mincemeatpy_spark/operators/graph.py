@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from mincemeatpy_spark.lineage import truncate_eager, truncate_lazy
 from mincemeatpy_spark.registry import register
 from mincemeatpy_spark.tables import t
 
@@ -159,7 +160,7 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(truncate_lazy)
     )
     nodes = (
         t(spark, sf_dir, "customer")
@@ -169,7 +170,7 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
             )
         )
-        .localCheckpoint(eager=False)
+        .transform(truncate_lazy)
     )
     # Node count rides IN-PLAN as a broadcast 1-row aggregate; each
     # superstep's checkpoint job evaluates it as a subtree of the same
@@ -200,7 +201,7 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr("85 * coalesce(s, 0) div 100")
                 ).cast("bigint").alias("r"),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_eager)
         )
     return ranks.filter(F.col("node").startswith("s")).select(
         F.substring("node", 2, 100).cast("bigint").alias("s_suppkey"),
@@ -315,7 +316,7 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (even→odd) can never equal a reversed one (odd→even), so the
     # dedup would be a pure extra shuffle of the full edge list.
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.transform(truncate_eager)
 
     dist = spark.createDataFrame([(2, 0)], "node bigint, d int")
     frontier, frontier_rows = dist, 1
@@ -335,12 +336,12 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("v").alias("node"), F.lit(hop).alias("d"))
             .distinct()
             .join(dist.select(F.col("node").alias("seen")), F.col("node") == F.col("seen"), "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(truncate_eager)
         )
         frontier_rows = nxt.count()
         if frontier_rows == 0:
             break
-        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        dist = dist.unionAll(nxt).transform(truncate_eager)
         frontier = nxt
     labeled = dist.select(
         "d",
@@ -465,7 +466,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.transform(truncate_lazy)
     n_start = edges.agg(
         F.countDistinct("u").cast("bigint").alias("n_nodes_start")
     )
@@ -475,7 +476,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = (
             edges.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
-            .localCheckpoint(eager=False)
+            .transform(truncate_lazy)
         )
     deg4 = edges.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
     core = edges.join(deg4, "u").agg(
@@ -551,7 +552,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sym = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_eager)
 
     dist = spark.createDataFrame([(2, 0)], "node bigint, d bigint")
     for _ in range(3):
@@ -562,7 +563,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=True)
+            .transform(truncate_eager)
         )
     # Integer div (not float /): node keys overflow double exactness at
     # billion-node scale.
@@ -656,7 +657,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(truncate_eager)
     )
     m = F.broadcast(e.agg(F.count(F.lit(1)).alias("m")))
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -770,7 +771,7 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(truncate_eager)
     )
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
@@ -883,7 +884,7 @@ _CC_MAX_ROUNDS = 10
     "Output is the bounded component-size histogram.",
 )
 def graph_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _sparse_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _sparse_edges(spark, sf_dir).transform(truncate_eager)
 
     def large_star(e: DataFrame) -> DataFrame:
         # connect every strictly-larger neighbor of u to min(N(u) ∪ {u})
@@ -916,7 +917,7 @@ def graph_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFra
 
     cur = edges
     for _ in range(_CC_MAX_ROUNDS):
-        nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
+        nxt = small_star(large_star(cur)).transform(truncate_eager)
         # fixed point: both sides are distinct sets, so same count +
         # empty difference ⇔ equal.  Two bounded driver scalars per
         # round (the BFS-loop precedent), never row data.
@@ -1001,7 +1002,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _sparse_edges(spark, sf_dir)
     sym = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_eager)
 
     lab = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
@@ -1017,7 +1018,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             votes.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(F.col("u").alias("node"), "lab")
-            .localCheckpoint(eager=True)
+            .transform(truncate_eager)
         )
     comm = lab.groupBy("lab").agg(F.count(F.lit(1)).alias("sz"))
     return comm.groupBy(F.col("sz").cast("bigint").alias("community_size")).agg(
@@ -1082,7 +1083,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(truncate_eager)
     )
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     wedges = (

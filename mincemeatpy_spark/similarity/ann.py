@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as Wnd, functions as F
 
+from mincemeatpy_spark.lineage import truncate_eager, truncate_lazy
 from mincemeatpy_spark.registry import QUERIES, register
 from mincemeatpy_spark.tables import t
 
@@ -220,7 +221,7 @@ _ORACLE_PLANES = f"""
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint, not cache(): intra-query reuse without pinning the
     # whole corpus projection in executor storage for the session lifetime
-    v = _vecs(spark, sf_dir).localCheckpoint(eager=False)
+    v = _vecs(spark, sf_dir).transform(truncate_lazy)
     planes = F.broadcast(_planes(spark))
     proj = v.crossJoin(planes).select(
         "vec_id",
@@ -1361,7 +1362,7 @@ def similarity_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.crossJoin(cent)
         .select("vec_id", "c_id", aff_score.alias("aff"))
         .withColumn("rn", F.row_number().over(wa))
-        .localCheckpoint(eager=False)
+        .transform(truncate_lazy)
     )
     assign = ranked.filter(F.col("rn") == 1).select(
         "vec_id", F.col("c_id").alias("list_id")
@@ -1375,7 +1376,7 @@ def similarity_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         QUERIES["similarity_topk"].fn(spark, sf_dir)
         .select("q_id", "neighbor_id")
-        .localCheckpoint(eager=False)
+        .transform(truncate_lazy)
     )
     cos = _dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))
     out = None
@@ -1772,7 +1773,7 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 8)
         .drop("rk")
-        .localCheckpoint(eager=False)
+        .transform(truncate_lazy)
     )
     x, y = v.alias("x"), v.alias("y")
     s = _dot(F.col("x.e"), F.col("y.e")) / (F.col("x.nrm") * F.col("y.nrm"))
@@ -1791,7 +1792,7 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.c_id").alias("c2"),
             s.alias("s"),
         )
-        .localCheckpoint(eager=False)
+        .transform(truncate_lazy)
     )
 
     def argmax(df, score_col, out_name):

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from mincemeatpy_spark.lineage import truncate_eager, truncate_lazy
 from mincemeatpy_spark.registry import register
 from mincemeatpy_spark.tables import t
 
@@ -1676,7 +1677,7 @@ def bpe_train_3merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
         ).alias("pos0", "sym"),
     ).select("word", "cnt", (F.col("pos0") + 1).alias("pos"), "sym")
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.transform(truncate_eager)
 
     from pyspark.sql import Window as Wn
 
@@ -1709,7 +1710,7 @@ def bpe_train_3merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "b",
                 "c",
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_eager)
         )
         stats = F.broadcast(
             sym.groupBy("a", "b", "c").agg(

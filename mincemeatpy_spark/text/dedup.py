@@ -25,6 +25,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
+from mincemeatpy_spark.lineage import truncate_eager, truncate_lazy
 from mincemeatpy_spark.registry import QUERIES, register
 from mincemeatpy_spark.tables import fan_out, t
 
@@ -695,7 +696,7 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
         sym.select("u")
         .distinct()
         .select("u", F.col("u").alias("label"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_eager)
     )
     converged = False
     for _ in range(32):
@@ -715,7 +716,7 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_eager)
         )
         changed = (
             new_labels.select(F.col("u").alias("cu"), F.col("label").alias("clabel"))
@@ -1099,7 +1100,7 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     minh = based.groupBy("doc_id").agg(
         *[F.min(F.expr(_affine(i))).alias(f"m{i}") for i in range(_N_HASHES)],
         F.count(F.lit(1)).alias("n"),
-    ).localCheckpoint(eager=False)
+    ).transform(truncate_lazy)
     a = based.alias("a")
     b = based.alias("b")
     inter = (
@@ -1766,7 +1767,7 @@ def contrastive_pairs_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_minhash_lsh(spark, sf_dir)
         .filter(F.col("jaccard") >= 0.25)
         .select(F.col("d1").alias("anchor"), F.col("d2").alias("positive"))
-        .localCheckpoint(eager=False)
+        .transform(truncate_lazy)
     )
     n_docs = t(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n"))
     probes = (
@@ -1880,7 +1881,7 @@ def dedup_lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     minh = based.groupBy("doc_id").agg(
         *[F.min(F.expr(_affine(i))).alias(f"m{i}") for i in range(_N_HASHES)],
         F.count(F.lit(1)).alias("n"),
-    ).localCheckpoint(eager=False)
+    ).transform(truncate_lazy)
     sizes = minh.select("doc_id", "n")
     a, b = based.alias("a"), based.alias("b")
     inter = (
@@ -1894,7 +1895,7 @@ def dedup_lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("d2"))
         .filter(jac >= 0.25)
         .select("d1", "d2")
-    ).localCheckpoint(eager=False)
+    ).transform(truncate_lazy)
 
     def candidates(n_bands: int, rows: int):
         stack_args = ", ".join(
@@ -2280,14 +2281,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plan; the matrix is three broadcast-joined counts.",
 )
 def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2").localCheckpoint(eager=False)
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2").transform(truncate_lazy)
     lsh = (
         dedup_minhash_lsh(spark, sf_dir)
         .filter(F.col("jaccard") >= 0.25)
         .select("d1", "d2")
-        .localCheckpoint(eager=False)
+        .transform(truncate_lazy)
     )
-    simhash = dedup_simhash_pairs(spark, sf_dir).select("d1", "d2").localCheckpoint(eager=False)
+    simhash = dedup_simhash_pairs(spark, sf_dir).select("d1", "d2").transform(truncate_lazy)
 
     def row(name_a, name_b, a, b):
         na = a.agg(F.count(F.lit(1)).alias("n_a"))
@@ -2643,7 +2644,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     minh = based.groupBy("doc_id").agg(
         *[F.min(F.expr(_affine(i))).alias(f"m{i}") for i in range(_N_HASHES)]
-    ).localCheckpoint(eager=False)
+    ).transform(truncate_lazy)
     n_bands = _N_HASHES // _BAND_SIZE
     stack_args = ", ".join(
         f"{b}, concat_ws(',', {', '.join(f'm{i}' for i in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE))})"
@@ -2832,7 +2833,7 @@ def text_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
     ).select(
         "d", "p", F.expr("ascii(substr(text, p, 1))").cast("bigint").alias("rank")
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_eager)
 
     k = 1
     while k < maxlen:
@@ -2858,7 +2859,7 @@ def text_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         srt = (
             keyed.repartitionByRange(8, "r1", "r2")
             .withColumn("pid", F.spark_partition_id())
-            .localCheckpoint(eager=True)
+            .transform(truncate_eager)
         )
         offsets = (
             srt.groupBy("pid")
@@ -2884,7 +2885,7 @@ def text_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = (
             idx.join(ranks, ["r1", "r2"])
             .select("d", "p", F.col("new_rank").alias("rank"))
-            .localCheckpoint(eager=True)
+            .transform(truncate_eager)
         )
         k *= 2
 
@@ -2965,7 +2966,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(arr, x -> x.s)").alias("sarr"),
             "arr",
         )
-        .localCheckpoint(eager=True)
+        .transform(truncate_eager)
     )
     pref_len = (
         f"size(arr) - (({_PPJ_NUM} * size(arr) + {_PPJ_DEN} - 1)"

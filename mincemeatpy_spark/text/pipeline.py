@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from mincemeatpy_spark.lineage import truncate_eager, truncate_lazy
 from mincemeatpy_spark.registry import QUERIES, register
 from mincemeatpy_spark.tables import t
 from mincemeatpy_spark.text.analysis import tokens
@@ -1331,7 +1332,7 @@ def rag_chunk_index_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for d in range(1, 17)
             ]
         ).alias("e"),
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_eager)
 
     def l2(a, b):
         return F.aggregate(
