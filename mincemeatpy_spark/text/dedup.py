@@ -3130,3 +3130,109 @@ def dedup_segments_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_chars"),
         )
     )
+
+
+@register(
+    "dedup_segments_bulk_skewed",
+    oracle="""
+        WITH boosted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'the quick brown fox jumps over the lazy '
+                             || 'dog again ' || text
+                        ELSE text END AS text
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, string_split_regex(text, '\\s+') AS w
+            FROM boosted
+        ),
+        segs AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS seg_id,
+                   array_to_string(w[(i*10 + 1):(i*10 + 10)], ' ') AS seg
+            FROM toks,
+                 UNNEST(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS u(i)
+            WHERE len(w) > 0
+        ),
+        firsts AS (
+            SELECT seg, min(doc_id * 100000 + seg_id) AS first_key
+            FROM segs GROUP BY seg
+        )
+        SELECT s.doc_id,
+               count(*) AS n_segs,
+               CAST(sum(CASE WHEN s.doc_id * 100000 + s.seg_id = f.first_key
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN s.doc_id * 100000 + s.seg_id = f.first_key
+                             THEN length(s.seg) ELSE 0 END) AS BIGINT)
+                   AS kept_chars
+        FROM segs s JOIN firsts f ON s.seg = f.seg
+        GROUP BY s.doc_id
+        """,
+    category="dedup",
+    doc="ADVERSARIAL-SKEW twin of dedup_segments_bulk (r7 judge task 8): "
+    "a 10-token boilerplate segment is planted at the head of HALF the "
+    "corpus — the exact workload CCNet segment dedup exists for "
+    "(cookie banners / nav bars repeated across a crawl) and the worst "
+    "case for the base query's window-min, whose partitionBy(digest) "
+    "puts every instance of the hot segment into ONE window partition "
+    "on one task (windows have no partial aggregation; the buffer "
+    "spills but the task serializes).  This twin computes the same "
+    "first-instance rule skew-robustly: groupBy(dig).min(inst_key) — "
+    "hash aggregation DOES partial-combine map-side, so the hot "
+    "digest contributes ONE row per map task to the shuffle, the "
+    "agg_skew_two_phase absorption pattern (skew.py:31) for the "
+    "algebraic min — then a shuffle-hash join back on the 8-byte "
+    "digest (hint('shuffle_hash'), plan-pinned in test_plans.py: the "
+    "build side is the bounded per-partition firsts slice, never an "
+    "O(corpus) broadcast, and the hot key streams N probe rows past "
+    "ONE build row).  Shuffle bytes stay ~16/row; the oracle joins on "
+    "raw segment text so the digest remains collision-checked under "
+    "the planted duplication.",
+)
+def dedup_segments_bulk_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    boiler = "the quick brown fox jumps over the lazy dog again "
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit(boiler), F.col("text")),
+            ).otherwise(F.col("text")),
+            r"\s+",
+        ).alias("w"),
+    )
+    nseg = F.ceil(F.size("w") / F.lit(10.0)).cast("int")
+    segarr = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.concat_ws(" ", F.slice("w", i * 10 + 1, 10)),
+    )
+    segs = (
+        docs.filter(F.size("w") > 0)
+        .select("doc_id", F.posexplode(segarr).alias("seg_id", "seg"))
+        .select(
+            "doc_id",
+            F.length("seg").alias("seg_len"),
+            F.xxhash64("seg").alias("dig"),
+            (F.col("doc_id") * 100000 + F.col("seg_id")).alias("inst_key"),
+        )
+    )
+    firsts = (
+        segs.groupBy("dig")
+        .agg(F.min("inst_key").alias("first_key"))
+        .hint("shuffle_hash")
+    )
+    return (
+        segs.join(firsts, "dig")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(
+                F.when(F.col("inst_key") == F.col("first_key"), 1).otherwise(0)
+            ).alias("n_kept"),
+            F.sum(
+                F.when(
+                    F.col("inst_key") == F.col("first_key"), F.col("seg_len")
+                ).otherwise(0)
+            ).alias("kept_chars"),
+        )
+    )

@@ -1333,3 +1333,16 @@ def test_dsir_resample_topk_is_take_ordered(spark, sf_dir):
     plan = _plan("corpus_dsir_resample", spark, sf_dir)
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan  # the 64-bucket model stays broadcast
+
+
+def test_segments_bulk_skewed_absorbs_hot_key(spark, sf_dir):
+    """dedup_segments_bulk_skewed (r8): the skew-robust first-instance
+    rule must be (a) a two-phase hash aggregation of min(inst_key) —
+    partial combine absorbs the planted boilerplate digest map-side —
+    and (b) a SHUFFLED hash join back on the digest, never a broadcast
+    of the O(corpus) firsts table."""
+    plan = _plan("dedup_segments_bulk_skewed", spark, sf_dir)
+    assert "ShuffledHashJoin" in plan, plan[:1500]
+    assert "BroadcastHashJoin" not in plan
+    # two-phase min: a partial_min below the exchange, a final min above
+    assert "partial_min" in plan or plan.count("HashAggregate") >= 2
