@@ -3301,3 +3301,548 @@ def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nb").alias("n_b"),
         )
     )
+
+
+@register(
+    "features_woe_iv",
+    oracle="""
+        WITH lab AS (
+            SELECT o_orderpriority AS cat,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS good
+            FROM orders
+        ),
+        per AS (
+            SELECT cat,
+                   CAST(sum(good) AS BIGINT) AS n_good,
+                   CAST(sum(1 - good) AS BIGINT) AS n_bad
+            FROM lab GROUP BY cat
+        ),
+        tot AS (
+            SELECT sum(n_good) AS tg, sum(n_bad) AS tb FROM per
+        )
+        SELECT p.cat, p.n_good, p.n_bad,
+               ln((CAST(p.n_good AS DOUBLE) / t.tg)
+                  / (CAST(p.n_bad AS DOUBLE) / t.tb)) AS woe,
+               ((CAST(p.n_good AS DOUBLE) / t.tg)
+                - (CAST(p.n_bad AS DOUBLE) / t.tb))
+               * ln((CAST(p.n_good AS DOUBLE) / t.tg)
+                    / (CAST(p.n_bad AS DOUBLE) / t.tb)) AS iv_term
+        FROM per p CROSS JOIN tot t
+        """,
+    category="behavioral",
+    doc="Weight-of-Evidence / Information-Value encoding — the credit-"
+    "scoring and feature-selection staple for categorical predictors: "
+    "per category, WOE = ln((good_i/total_good)/(bad_i/total_bad)); "
+    "the per-category IV terms sum to the feature's IV (>0.3 = strong "
+    "predictor).  Exactness discipline: all counts are exact integer "
+    "aggregates (order-independent); the WOE ln() is a SINGLE scalar "
+    "expression over those integers, evaluated once per category in "
+    "both engines — no float accumulation anywhere (the "
+    "events_psi_drift precedent).  Scale shape: one orders scan into a "
+    "bounded per-category conditional aggregate, totals re-aggregated "
+    "from THAT table, broadcast 1-row cross join back — shuffle bytes "
+    "are O(categories), never O(rows).",
+)
+def features_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("good"),
+    )
+    per = lab.groupBy("cat").agg(
+        F.sum("good").cast("bigint").alias("n_good"),
+        F.sum(1 - F.col("good")).cast("bigint").alias("n_bad"),
+    )
+    tot = per.agg(
+        F.sum("n_good").alias("tg"), F.sum("n_bad").alias("tb")
+    )
+    woe = F.log(
+        (F.col("n_good").cast("double") / F.col("tg"))
+        / (F.col("n_bad").cast("double") / F.col("tb"))
+    )
+    share_gap = (F.col("n_good").cast("double") / F.col("tg")) - (
+        F.col("n_bad").cast("double") / F.col("tb")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "cat",
+        "n_good",
+        "n_bad",
+        woe.alias("woe"),
+        (share_gap * woe).alias("iv_term"),
+    )
+
+
+@register(
+    "market_basket_rules",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS basket, l_partkey % 50 AS item
+            FROM lineitem
+        ),
+        n_baskets AS (SELECT count(DISTINCT basket) AS nb FROM items),
+        item_n AS (
+            SELECT item, CAST(count(*) AS BIGINT) AS n FROM items
+            GROUP BY item
+        ),
+        pairs AS (
+            SELECT a.item AS ante, b.item AS cons,
+                   CAST(count(*) AS BIGINT) AS co
+            FROM items a JOIN items b
+              ON a.basket = b.basket AND a.item < b.item
+            GROUP BY a.item, b.item
+        )
+        SELECT p.ante, p.cons, p.co,
+               CAST(p.co AS DOUBLE) / ia.n AS confidence,
+               CAST(p.co AS DOUBLE) * t.nb / (ia.n * ib.n) AS lift
+        FROM pairs p
+        JOIN item_n ia ON p.ante = ia.item
+        JOIN item_n ib ON p.cons = ib.item
+        CROSS JOIN n_baskets t
+        WHERE p.co >= 20
+        """,
+    category="behavioral",
+    doc="Association rules (support / confidence / lift) over order "
+    "baskets — the classic co-occurrence miner behind 'frequently "
+    "bought together'.  Items are bucketed part keys (bounded item "
+    "vocabulary, the realistic catalog-category granularity).  Scale "
+    "shape: the basket self-join runs AFTER per-basket item dedup "
+    "(DISTINCT prunes the explode), pairs are generated only within a "
+    "basket and only in canonical a<b order (halves the pair space), "
+    "and the min-support filter (co >= 20) keeps the rule table "
+    "bounded; confidence and lift are single scalar expressions over "
+    "exact integer counts — no float accumulation.  The item-count "
+    "joins are against a vocabulary-sized table, broadcast-eligible "
+    "at any corpus size.",
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("basket"),
+            (F.col("l_partkey") % 50).alias("item"),
+        )
+        .distinct()
+    )
+    nb = items.agg(F.count_distinct("basket").alias("nb"))
+    item_n = items.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("ante"), F.col("b.item").alias("cons")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+        .filter(F.col("co") >= 20)
+    )
+    ia = F.broadcast(item_n.select(F.col("item").alias("ante"), F.col("n").alias("na")))
+    ib = F.broadcast(item_n.select(F.col("item").alias("cons"), F.col("n").alias("nb_item")))
+    return (
+        pairs.join(ia, "ante")
+        .join(ib, "cons")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ante",
+            "cons",
+            "co",
+            (F.col("co").cast("double") / F.col("na")).alias("confidence"),
+            (
+                F.col("co").cast("double")
+                * F.col("nb")
+                / (F.col("na") * F.col("nb_item"))
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "funnel_convert_latency_quartiles",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS t_buy
+            FROM events GROUP BY user_id
+        ),
+        d AS (
+            SELECT (epoch_us(t_buy) - epoch_us(t_view)) // 1000000 AS sec
+            FROM u WHERE t_buy > t_view
+        ),
+        r AS (
+            SELECT sec,
+                   row_number() OVER (ORDER BY sec) AS rk,
+                   count(*) OVER () AS n
+            FROM d
+        )
+        SELECT
+            CAST(max(n) AS BIGINT) AS n_converted,
+            max(CASE WHEN rk = CAST(ceil(n * 0.25) AS BIGINT)
+                     THEN sec END) AS p25_sec,
+            max(CASE WHEN rk = CAST(ceil(n * 0.50) AS BIGINT)
+                     THEN sec END) AS p50_sec,
+            max(CASE WHEN rk = CAST(ceil(n * 0.75) AS BIGINT)
+                     THEN sec END) AS p75_sec
+        FROM r
+        """,
+    category="behavioral",
+    doc="Time-to-convert quartiles (first view -> first purchase per "
+    "user): the product-analytics latency distribution behind 'how "
+    "long does the funnel take'.  Discrete percentiles are computed "
+    "MANUALLY as rank ceil(q*n) over the sorted integer-second deltas "
+    "— the same arithmetic in both engines, immune to the "
+    "interpolation-convention differences between percentile "
+    "implementations (exact ints end-to-end).  Scale shape: one "
+    "shuffle on user_id for the min-timestamp conditional aggregate; "
+    "the rank window runs over the CONVERTED-USERS table only (funnel "
+    "output, orders of magnitude smaller than events), and the final "
+    "row is a 4-value aggregate.",
+)
+def funnel_convert_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+                "t_view"
+            ),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("t_buy"),
+        )
+        .filter(F.col("t_buy") > F.col("t_view"))
+        .select(
+            (
+                (F.unix_micros("t_buy") - F.unix_micros("t_view"))
+                / F.lit(1_000_000)
+            )
+            .cast("bigint")
+            .alias("sec")
+        )
+    )
+    r = u.select(
+        "sec",
+        F.row_number().over(W.orderBy("sec")).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    def at(q: float):
+        return F.max(
+            F.when(
+                F.col("rk") == F.ceil(F.col("n") * q).cast("bigint"),
+                F.col("sec"),
+            )
+        )
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        at(0.25).alias("p25_sec"),
+        at(0.50).alias("p50_sec"),
+        at(0.75).alias("p75_sec"),
+    )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   CAST(round(value * 1000000) AS BIGINT) AS v_micro,
+                   epoch_us(ts) // 1000000 AS t_s,
+                   lead(epoch_us(ts) // 1000000)
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts),
+                             event_id) AS t_next
+            FROM events
+        ),
+        seg AS (
+            SELECT user_id, v_micro * (t_next - t_s) AS contrib,
+                   t_next - t_s AS dt
+            FROM seq WHERE t_next IS NOT NULL
+        )
+        SELECT user_id % 100 AS user_bucket,
+               CAST(sum(contrib) AS BIGINT) AS num_micro_s,
+               CAST(sum(dt) AS BIGINT) AS denom_s,
+               CAST(sum(contrib) AS DOUBLE) / sum(dt) / 1000000.0
+                   AS twa_value
+        FROM seg
+        GROUP BY user_id % 100
+        """,
+    category="behavioral",
+    doc="Time-weighted average (TWAP-style) of the event metric per "
+    "user bucket: each observation holds until the next one, so its "
+    "weight is the gap to the successor — the correct average for "
+    "irregularly sampled telemetry (a plain AVG over-weights bursts).  "
+    "Exactness: values are integerized to micros, gaps to whole "
+    "seconds, the numerator sum(v_micro * dt) is an exact BIGINT "
+    "aggregate (order-independent; max |term| ~1e9 * 2.6e6 fits "
+    "comfortably), and the single float division happens once per "
+    "bucket.  Scale shape: one shuffle on user_id for the lead() "
+    "window (ordered by (ts, event_id) for total determinism), then a "
+    "bounded 100-bucket aggregate.",
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    seq = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("v_micro"),
+        (F.unix_micros("ts") / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("t_s"),
+        F.lead(
+            (F.unix_micros("ts") / F.lit(1_000_000)).cast("bigint")
+        )
+        .over(w)
+        .alias("t_next"),
+    )
+    seg = seq.filter(F.col("t_next").isNotNull()).select(
+        (F.col("user_id") % 100).alias("user_bucket"),
+        (F.col("v_micro") * (F.col("t_next") - F.col("t_s"))).alias(
+            "contrib"
+        ),
+        (F.col("t_next") - F.col("t_s")).alias("dt"),
+    )
+    return seg.groupBy("user_bucket").agg(
+        F.sum("contrib").cast("bigint").alias("num_micro_s"),
+        F.sum("dt").cast("bigint").alias("denom_s"),
+        (
+            F.sum("contrib").cast("double") / F.sum("dt") / F.lit(1_000_000.0)
+        ).alias("twa_value"),
+    )
+
+
+@register(
+    "events_interarrival_burstiness",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type,
+                   epoch_us(ts) // 1000000
+                   - lag(epoch_us(ts) // 1000000)
+                       OVER (PARTITION BY user_id, event_type
+                             ORDER BY epoch_us(ts), event_id) AS gap_s
+            FROM events
+        ),
+        g AS (SELECT event_type, gap_s FROM seq WHERE gap_s IS NOT NULL)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(gap_s) AS BIGINT) AS sum_s,
+               CAST(sum(gap_s * gap_s) AS BIGINT) AS sumsq_s,
+               (sqrt((CAST(sum(gap_s * gap_s) AS DOUBLE)
+                      - CAST(sum(gap_s) AS DOUBLE) * sum(gap_s) / count(*))
+                     / count(*))
+                - CAST(sum(gap_s) AS DOUBLE) / count(*))
+               / (sqrt((CAST(sum(gap_s * gap_s) AS DOUBLE)
+                        - CAST(sum(gap_s) AS DOUBLE) * sum(gap_s)
+                          / count(*))
+                       / count(*))
+                  + CAST(sum(gap_s) AS DOUBLE) / count(*)) AS burstiness
+        FROM g GROUP BY event_type
+        """,
+    category="behavioral",
+    doc="Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) of per-"
+    "user inter-arrival gaps, per event type: B -> -1 is a periodic "
+    "process, 0 Poisson, +1 maximally bursty — the standard temporal-"
+    "pattern diagnostic for traffic and crawl scheduling.  Exactness: "
+    "gaps are whole seconds (ints), n / sum / sum-of-squares are exact "
+    "BIGINT aggregates, and sigma/mu/B is ONE scalar expression over "
+    "them — both engines compute identical IEEE arithmetic, no float "
+    "accumulation.  Scale shape: one shuffle on (user_id, event_type) "
+    "for the lag window, then a bounded per-type aggregate; the exact "
+    "integer moments also make B re-aggregatable across shards.",
+)
+def events_interarrival_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    t_s = (F.unix_micros("ts") / F.lit(1_000_000)).cast("bigint")
+    seq = t(spark, sf_dir, "events").select(
+        "event_type", (t_s - F.lag(t_s).over(w)).alias("gap_s")
+    )
+    g = seq.filter(F.col("gap_s").isNotNull())
+    n = F.count(F.lit(1))
+    s = F.sum("gap_s")
+    ss = F.sum(F.col("gap_s") * F.col("gap_s"))
+    sigma = F.sqrt(
+        (ss.cast("double") - s.cast("double") * s / n) / n
+    )
+    mu = s.cast("double") / n
+    return g.groupBy("event_type").agg(
+        n.cast("bigint").alias("n"),
+        s.cast("bigint").alias("sum_s"),
+        ss.cast("bigint").alias("sumsq_s"),
+        ((sigma - mu) / (sigma + mu)).alias("burstiness"),
+    )
+
+
+@register(
+    "survival_at_risk_table",
+    oracle="""
+        WITH life AS (
+            SELECT user_id,
+                   CAST(floor(date_diff('day',
+                                        min(CAST(ts AS DATE)),
+                                        max(CAST(ts AS DATE))) / 7.0)
+                        AS BIGINT) AS weeks
+            FROM events GROUP BY user_id
+        ),
+        per AS (
+            SELECT weeks, CAST(count(*) AS BIGINT) AS churned
+            FROM life GROUP BY weeks
+        )
+        SELECT weeks, churned,
+               CAST(sum(churned) OVER (ORDER BY weeks DESC) AS BIGINT)
+                   AS at_risk
+        FROM per
+        """,
+    category="behavioral",
+    doc="Kaplan-Meier-style at-risk table over user lifetimes (first to "
+    "last observed event, bucketed to weeks): per tenure week, how "
+    "many users' observation ended there (churned) and how many "
+    "survived at least that long (at_risk) — the exact integer inputs "
+    "every survival estimator consumes (the KM product itself is a "
+    "chained float product, so the engine emits the counts and leaves "
+    "the 10-row product to the caller — the same counts-not-floats "
+    "discipline as the sketch queries).  Scale shape: one shuffle on "
+    "user_id for the lifespan aggregate, a bounded per-week count, "
+    "and the reverse cumulative sum runs over the TENURE-WEEK table "
+    "(handful of rows), never the raw events.",
+)
+def survival_at_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    life = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+                / 7
+            )
+            .cast("bigint")
+            .alias("weeks")
+        )
+    )
+    per = life.groupBy("weeks").agg(
+        F.count(F.lit(1)).cast("bigint").alias("churned")
+    )
+    wrev = W.orderBy(F.col("weeks").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return per.select(
+        "weeks",
+        "churned",
+        F.sum("churned").over(wrev).cast("bigint").alias("at_risk"),
+    )
+
+
+@register(
+    "recsys_item_item_cosine",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS basket, l_partkey % 200 AS item
+            FROM lineitem
+        ),
+        item_n AS (
+            SELECT item, CAST(count(*) AS BIGINT) AS n FROM items
+            GROUP BY item
+        ),
+        pairs AS (
+            SELECT a.item AS i, b.item AS j,
+                   CAST(count(*) AS BIGINT) AS co
+            FROM items a JOIN items b
+              ON a.basket = b.basket AND a.item < b.item
+            GROUP BY a.item, b.item
+            HAVING count(*) >= 5
+        ),
+        scored AS (
+            SELECT p.i, p.j, p.co,
+                   CAST(p.co AS DOUBLE) / sqrt(ia.n * ib.n) AS cosine
+            FROM pairs p
+            JOIN item_n ia ON p.i = ia.item
+            JOIN item_n ib ON p.j = ib.item
+        ),
+        ranked AS (
+            SELECT i, j, co, cosine,
+                   row_number() OVER (PARTITION BY i
+                                      ORDER BY cosine DESC, co DESC, j)
+                       AS rk
+            FROM scored
+        )
+        SELECT i, j, co, cosine FROM ranked WHERE rk <= 3
+        """,
+    category="similarity",
+    doc="Item-item collaborative filtering (binary-occurrence cosine): "
+    "cos(i,j) = co(i,j)/sqrt(n_i*n_j) over order baskets, top-3 "
+    "neighbors per item — the co-occurrence recommender that needs no "
+    "embeddings.  Scale shape: per-basket DISTINCT before the self-"
+    "join, canonical i<j pair generation, min-support pruning (co>=5) "
+    "BEFORE the scoring joins, item counts broadcast (vocabulary-"
+    "sized), and the per-item top-3 is rank-over-partition which "
+    "Spark executes as WindowGroupLimit — partial top-k per partition "
+    "before the shuffle, the same two-phase shape as topk_global.  "
+    "Cosine is one scalar expression over exact integer counts; ties "
+    "broken (cosine, co, j) for full determinism in both engines.",
+)
+def recsys_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("basket"),
+            (F.col("l_partkey") % 200).alias("item"),
+        )
+        .distinct()
+    )
+    item_n = items.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+        .filter(F.col("co") >= 5)
+    )
+    ia = F.broadcast(
+        item_n.select(F.col("item").alias("i"), F.col("n").alias("ni"))
+    )
+    ib = F.broadcast(
+        item_n.select(F.col("item").alias("j"), F.col("n").alias("nj"))
+    )
+    scored = (
+        pairs.join(ia, "i")
+        .join(ib, "j")
+        .select(
+            "i",
+            "j",
+            "co",
+            (
+                F.col("co").cast("double")
+                / F.sqrt(F.col("ni") * F.col("nj"))
+            ).alias("cosine"),
+        )
+    )
+    wk = W.partitionBy("i").orderBy(
+        F.col("cosine").desc(), F.col("co").desc(), F.col("j")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 3)
+        .select("i", "j", "co", "cosine")
+    )

@@ -1110,3 +1110,77 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div n_wedges as bigint)"
         ).alias("global_coeff_ppm"),
     )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+        WITH e AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        dc AS (SELECT c, CAST(count(*) AS BIGINT) AS dcx FROM e GROUP BY c),
+        ds AS (SELECT s, CAST(count(*) AS BIGINT) AS dsy FROM e GROUP BY s),
+        xy AS (
+            SELECT dc.dcx AS x, ds.dsy AS y
+            FROM e JOIN dc ON e.c = dc.c JOIN ds ON e.s = ds.s
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               (count(*) * CAST(sum(x * y) AS DOUBLE) - CAST(sum(x) AS DOUBLE) * sum(y))
+               / (sqrt(count(*) * CAST(sum(x * x) AS DOUBLE) - CAST(sum(x) AS DOUBLE) * sum(x))
+                  * sqrt(count(*) * CAST(sum(y * y) AS DOUBLE) - CAST(sum(y) AS DOUBLE) * sum(y)))
+                   AS assortativity
+        FROM xy
+        """,
+    category="graph",
+    doc="Degree assortativity of the customer-supplier bipartite graph: "
+    "the Pearson correlation of endpoint degrees across edges — "
+    "positive means hubs connect to hubs (Newman 2002), the standard "
+    "one-number summary of a graph's mixing pattern and a cheap "
+    "early-warning for join-skew topology (disassortative graphs have "
+    "hub-to-leaf hot spots).  Exactness: the five moments (sum x, sum "
+    "y, sum xy, sum x2, sum y2) and the edge count are exact BIGINT "
+    "aggregates; r is ONE scalar expression over them — no float "
+    "accumulation, so Spark and DuckDB agree bit-for-bit after "
+    "rounding.  Scale shape: edges deduped once; degree tables are "
+    "per-node aggregates joined back by key (shuffle join on int64 "
+    "keys, SCALE rule 5); the final reduce is a 1-row aggregate.",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    dc = e.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("dcx"))
+    ds = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("dsy"))
+    xy = (
+        e.join(dc, "c")
+        .join(ds, "s")
+        .select(F.col("dcx").alias("x"), F.col("dsy").alias("y"))
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    num = n * sxy.cast("double") - sx.cast("double") * sy
+    den = F.sqrt(n * sxx.cast("double") - sx.cast("double") * sx) * F.sqrt(
+        n * syy.cast("double") - sy.cast("double") * sy
+    )
+    return xy.agg(
+        n.cast("bigint").alias("n_edges"),
+        sx.cast("bigint").alias("sx"),
+        sy.cast("bigint").alias("sy"),
+        sxy.cast("bigint").alias("sxy"),
+        sxx.cast("bigint").alias("sxx"),
+        syy.cast("bigint").alias("syy"),
+        (num / den).alias("assortativity"),
+    )

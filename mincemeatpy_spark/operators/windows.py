@@ -267,3 +267,40 @@ def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "window_percent_rank_cume",
+    oracle="""
+        SELECT o_orderkey,
+               percent_rank() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY CAST(round(o_totalprice * 100)
+                                                  AS BIGINT),
+                                             o_orderkey) AS pr,
+               cume_dist() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY CAST(round(o_totalprice * 100)
+                                               AS BIGINT),
+                                          o_orderkey) AS cd
+        FROM orders
+        """,
+    category="window",
+    doc="Relative-rank windows percent_rank ((rank-1)/(n-1)) and "
+    "cume_dist (rows<=current / n) per priority class — the normalized "
+    "position features ML pipelines derive from raw ranks.  Both are "
+    "single divisions of exact integers, identical by definition in "
+    "the two engines; ordering is on integer cents with the order key "
+    "as total tiebreaker so ranks are fully deterministic (the module "
+    "convention).  Scale shape: one shuffle on the partition key; "
+    "both functions stream off the same sort — one Window operator, "
+    "no second exchange (the frames share the ORDER BY).",
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.round(F.col("o_totalprice") * 100).cast("bigint"),
+        F.col("o_orderkey"),
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
