@@ -3473,19 +3473,22 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT (epoch_us(t_buy) - epoch_us(t_view)) // 1000000 AS sec
             FROM u WHERE t_buy > t_view
         ),
+        cnt AS (
+            SELECT sec, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY sec
+        ),
         r AS (
             SELECT sec,
-                   row_number() OVER (ORDER BY sec) AS rk,
-                   count(*) OVER () AS n
-            FROM d
+                   sum(c) OVER (ORDER BY sec) AS cum,
+                   sum(c) OVER () AS n
+            FROM cnt
         )
         SELECT
             CAST(max(n) AS BIGINT) AS n_converted,
-            max(CASE WHEN rk = CAST(ceil(n * 0.25) AS BIGINT)
+            min(CASE WHEN cum >= CAST(ceil(n * 0.25) AS BIGINT)
                      THEN sec END) AS p25_sec,
-            max(CASE WHEN rk = CAST(ceil(n * 0.50) AS BIGINT)
+            min(CASE WHEN cum >= CAST(ceil(n * 0.50) AS BIGINT)
                      THEN sec END) AS p50_sec,
-            max(CASE WHEN rk = CAST(ceil(n * 0.75) AS BIGINT)
+            min(CASE WHEN cum >= CAST(ceil(n * 0.75) AS BIGINT)
                      THEN sec END) AS p75_sec
         FROM r
         """,
@@ -3493,14 +3496,17 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Time-to-convert quartiles (first view -> first purchase per "
     "user): the product-analytics latency distribution behind 'how "
     "long does the funnel take'.  Discrete percentiles are computed "
-    "MANUALLY as rank ceil(q*n) over the sorted integer-second deltas "
-    "— the same arithmetic in both engines, immune to the "
+    "MANUALLY — smallest value whose cumulative count reaches "
+    "ceil(q*n) — the same arithmetic in both engines, immune to the "
     "interpolation-convention differences between percentile "
     "implementations (exact ints end-to-end).  Scale shape: one "
-    "shuffle on user_id for the min-timestamp conditional aggregate; "
-    "the rank window runs over the CONVERTED-USERS table only (funnel "
-    "output, orders of magnitude smaller than events), and the final "
-    "row is a 4-value aggregate.",
+    "shuffle on user_id for the min-timestamp conditional aggregate, "
+    "then latencies are GROUPED BY DISTINCT SECOND before any global "
+    "window — the cumulative sum runs over the value-histogram table "
+    "(bounded by the latency range, not the user count), the same "
+    "two-phase discipline as the KS/Mann-Whitney prefix sums; the "
+    "plan sweep verifies no single-partition exchange ever sits over "
+    "raw rows.",
 )
 def funnel_convert_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -3526,18 +3532,21 @@ def funnel_convert_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFr
             .alias("sec")
         )
     )
-    r = u.select(
+    cnt = u.groupBy("sec").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    r = cnt.select(
         "sec",
-        F.row_number().over(W.orderBy("sec")).alias("rk"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        F.sum("c").over(W.orderBy("sec")).alias("cum"),
+        F.sum("c").over(W.partitionBy()).alias("n"),
     )
+
     def at(q: float):
-        return F.max(
+        return F.min(
             F.when(
-                F.col("rk") == F.ceil(F.col("n") * q).cast("bigint"),
+                F.col("cum") >= F.ceil(F.col("n") * q).cast("bigint"),
                 F.col("sec"),
             )
         )
+
     return r.agg(
         F.max("n").cast("bigint").alias("n_converted"),
         at(0.25).alias("p25_sec"),
