@@ -422,3 +422,54 @@ def array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("w").alias("n_distinct"),
         F.size(F.array_union(F.col("w"), probe)).alias("n_union"),
     )
+
+
+@register(
+    "csv_column_roundtrip",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(event_id) AS BIGINT) AS id_sum,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(sum(length(CAST(event_id AS VARCHAR) || ','
+                               || event_type || ','
+                               || CAST(CAST(round(value * 100) AS BIGINT)
+                                       AS VARCHAR))) AS BIGINT)
+                   AS csv_chars
+        FROM events
+        GROUP BY event_type
+        """,
+    category="json",
+    doc="Embedded-CSV column surface: to_csv(struct(...)) serializes "
+    "each row to a CSV line, from_csv parses it back under an "
+    "explicit schema — the idiom for CSV-typed message payloads "
+    "(Kafka values, legacy columns) without a detour through files.  "
+    "The roundtrip is verified field-for-field: the parsed struct's "
+    "id and cents re-aggregate to the same exact sums as the source "
+    "columns, and the serialized line length is cross-checked "
+    "character-exact against the oracle's hand-built concatenation "
+    "(cents travels as an integer so no float-formatting divergence "
+    "can enter the CSV text).  from_csv carries its schema in-plan — "
+    "Catalyst prunes unreferenced parsed fields just like from_json.",
+)
+def csv_column_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    line = F.to_csv(F.struct("event_id", "event_type", "cents"))
+    parsed = F.from_csv(
+        line, "event_id BIGINT, event_type STRING, cents BIGINT"
+    )
+    d = ev.select(
+        line.alias("line"),
+        parsed.alias("p"),
+    )
+    return d.groupBy(F.col("p.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("p.event_id").cast("bigint").alias("id_sum"),
+        F.sum("p.cents").cast("bigint").alias("cents"),
+        F.sum(F.length("line")).cast("bigint").alias("csv_chars"),
+    )

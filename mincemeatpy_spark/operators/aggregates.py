@@ -1969,3 +1969,38 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_n"),
         )
     )
+
+
+@register(
+    "agg_groupingsets_df_api",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+    category="aggregation",
+    doc="DataFrame.groupingSets() (Spark 4.0): the GROUPING SETS "
+    "surface as a native DataFrame call instead of a SQL string — the "
+    "missing piece that previously forced pipelines assembled in the "
+    "DataFrame API to drop to spark.sql() for multi-grain rollups.  "
+    "Same Expand-operator plan as the SQL form (one scan, one "
+    "shuffle, rows replicated once per grouping set in the map "
+    "stage); exact integer cents.  The oracle is the SQL GROUPING "
+    "SETS twin — API and SQL must agree row-for-row including the "
+    "NULL grain markers.",
+)
+def agg_groupingsets_df_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )

@@ -809,3 +809,185 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("stage", "lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+@register(
+    "crypto_aes_roundtrip",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(length(text)) AS BIGINT) AS plain_chars,
+               CAST(count(*) AS BIGINT) AS n_roundtrip_equal
+        FROM documents
+        GROUP BY lang
+        """,
+    category="function",
+    doc="Column-level encryption surface: aes_encrypt / aes_decrypt "
+    "(GCM) over the document text — the at-rest-PII idiom where a "
+    "lake column is ciphered under a tenant key and decrypted only "
+    "inside authorized jobs.  GCM mints a random IV per call, so the "
+    "CIPHERTEXT is intentionally non-deterministic — the invariant an "
+    "oracle CAN check is the roundtrip: decrypt(encrypt(x, k), k) = x "
+    "for every row.  The query counts rows where the roundtrip equals "
+    "the plaintext (emitted as n_roundtrip_equal) alongside exact "
+    "plaintext char sums; the oracle asserts that count equals the "
+    "row count — one corrupted roundtrip anywhere breaks the hash "
+    "match.  Everything runs in codegen'd JVM expressions: no UDF, "
+    "no driver collect, ciphertext never shuffles (projection-local).",
+)
+def crypto_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = F.lit("0123456789abcdef").cast("binary")
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        "text",
+        F.aes_decrypt(
+            F.aes_encrypt(F.col("text").cast("binary"), key), key
+        )
+        .cast("string")
+        .alias("rt"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.length("text")).cast("bigint").alias("plain_chars"),
+        F.sum(F.when(F.col("rt") == F.col("text"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_roundtrip_equal"),
+    )
+
+
+@register(
+    "string_codec_roundtrip",
+    oracle="""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(length(url)) AS BIGINT) AS url_chars,
+               CAST(sum(length(to_base64(encode(url))))
+                    AS BIGINT) AS b64_chars,
+               CAST(count(*) AS BIGINT) AS n_b64_equal,
+               CAST(count(*) AS BIGINT) AS n_url_equal
+        FROM (
+            SELECT source,
+                   'https://example.com/' || source || '/doc?id='
+                   || CAST(doc_id AS VARCHAR) || '&q=a b&lang=' || lang
+                       AS url
+            FROM documents
+        )
+        GROUP BY source
+        """,
+    category="function",
+    doc="Text-codec surface: base64/unbase64 and url_encode/url_decode "
+    "roundtrips over synthesized crawl URLs (query strings with "
+    "spaces and ampersands — the characters that actually get "
+    "mangled).  base64 LENGTH is deterministic (4*ceil(n/3)) and "
+    "cross-checked exactly against DuckDB's to_base64; the url codec "
+    "has no DuckDB twin, so its invariant is the roundtrip count "
+    "(decode(encode(x)) = x per row), which the oracle pins to the "
+    "row count.  All codegen'd JVM expressions — the same no-UDF "
+    "discipline as the other scalar-function queries.",
+)
+def string_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        F.concat(
+            F.lit("https://example.com/"),
+            F.col("source"),
+            F.lit("/doc?id="),
+            F.col("doc_id").cast("string"),
+            F.lit("&q=a b&lang="),
+            F.col("lang"),
+        ).alias("url"),
+    )
+    b64 = F.base64(F.col("url").cast("binary"))
+    d = d.select(
+        "source",
+        "url",
+        b64.alias("b64"),
+        F.unbase64(b64).cast("string").alias("b64_rt"),
+        F.url_decode(F.url_encode("url")).alias("url_rt"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.length("url")).cast("bigint").alias("url_chars"),
+        F.sum(F.length("b64")).cast("bigint").alias("b64_chars"),
+        F.sum(F.when(F.col("b64_rt") == F.col("url"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b64_equal"),
+        F.sum(F.when(F.col("url_rt") == F.col("url"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_url_equal"),
+    )
+
+
+@register(
+    "map_higher_order_ops",
+    oracle="""
+        WITH per AS (
+            SELECT lang,
+                   CAST(sum(CASE WHEN source IN ('src0','src1','src2')
+                                 THEN n_chars ELSE 0 END) AS BIGINT)
+                       AS head_chars,
+                   CAST(sum(CASE WHEN source IN ('src0','src1','src2')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS head_n,
+                   CAST(sum(n_chars) AS BIGINT) AS all_chars
+            FROM documents GROUP BY lang
+        )
+        SELECT lang, head_chars, head_n, all_chars,
+               head_chars + head_n AS zip_sum
+        FROM per
+        """,
+    category="array",
+    doc="Map higher-order functions map_filter / transform_values / "
+    "map_zip_with, composed: per language, build source->chars and "
+    "source->count maps (map_from_entries over collected pairs), "
+    "map_filter to the head sources, map_zip_with to add the two maps "
+    "value-wise, then aggregate the map values back to scalars so the "
+    "oracle can pin them (DuckDB's map surface lacks these functions; "
+    "the oracle computes the same scalars with conditional "
+    "aggregation).  The map column never exceeds the source "
+    "vocabulary (20 keys), so the collect_list feeding it is bounded "
+    "per group — the only safe way to materialize a map column at "
+    "scale.  aggregate() (the array fold) does the final value sum "
+    "in-plan.",
+)
+def map_higher_order_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    per_src = d.groupBy("lang", "source").agg(
+        F.sum("n_chars").cast("bigint").alias("chars"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    m = per_src.groupBy("lang").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("source", "chars")))
+        ).alias("chars_by_src"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("source", "cnt")))
+        ).alias("cnt_by_src"),
+    )
+    head = F.map_filter(
+        F.col("chars_by_src"),
+        lambda k, _v: k.isin("src0", "src1", "src2"),
+    )
+    head_cnt = F.map_filter(
+        F.col("cnt_by_src"),
+        lambda k, _v: k.isin("src0", "src1", "src2"),
+    )
+    zipped = F.map_zip_with(
+        head,
+        head_cnt,
+        lambda _k, a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
+    )
+    total = F.aggregate(
+        F.map_values(F.col("chars_by_src")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    sum_vals = lambda col: F.aggregate(  # noqa: E731
+        F.map_values(col), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+    return m.select(
+        "lang",
+        sum_vals(head).alias("head_chars"),
+        sum_vals(head_cnt).alias("head_n"),
+        total.alias("all_chars"),
+        sum_vals(zipped).alias("zip_sum"),
+    )

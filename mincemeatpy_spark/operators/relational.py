@@ -152,3 +152,119 @@ def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(ratio).cast("bigint")).alias("ratio_sum"),
         F.sum(F.when(F.col("l_discount") == 0, 1).otherwise(0)).alias("n_div_zero"),
     )
+
+
+@register(
+    "relational_transpose",
+    oracle="""
+        WITH agg AS (
+            SELECT o_orderpriority AS p,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT 'cents' AS key,
+               max(CASE WHEN p = '1-URGENT' THEN cents END)
+                   AS "1-URGENT",
+               max(CASE WHEN p = '2-HIGH' THEN cents END) AS "2-HIGH",
+               max(CASE WHEN p = '3-MEDIUM' THEN cents END)
+                   AS "3-MEDIUM",
+               max(CASE WHEN p = '4-NOT SPECIFIED' THEN cents END)
+                   AS "4-NOT SPECIFIED",
+               max(CASE WHEN p = '5-LOW' THEN cents END) AS "5-LOW"
+        FROM agg
+        """,
+    category="relational",
+    doc="DataFrame.transpose() (Spark 4.0): flip a bounded aggregate "
+    "so rows become columns — the report-shaping step that previously "
+    "required a hand-written pivot.  The first column's values become "
+    "the new column names (sorted input => deterministic schema), the "
+    "remaining row dimension becomes the 'key' column.  Correct usage "
+    "discipline encoded here: transpose ONLY a bounded aggregate "
+    "(columns = rows of the input — transposing row-scale data would "
+    "mint millions of columns), which is also why the plan stays "
+    "driver-safe: 5 priority rows in, a 1x6 frame out.  The oracle is "
+    "the equivalent conditional-aggregation pivot with identical "
+    "column names.",
+)
+def relational_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("key"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .orderBy("key")
+    )
+    return agg.transpose()
+
+
+@register(
+    "math_functions_extended",
+    oracle="""
+        SELECT l_linenumber,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(round_even(l_quantity + 0.5, 0)) AS BIGINT)
+                   AS bround_sum,
+               CAST(sum(CASE
+                        WHEN l_quantity <= 0 THEN 0
+                        WHEN l_quantity >= 50 THEN 6
+                        ELSE CAST(floor(l_quantity / 10.0) AS BIGINT) + 1
+                        END) AS BIGINT) AS bucket_sum,
+               factorial(l_linenumber) AS line_factorial,
+               CAST(sum(CAST(floor(sqrt(l_quantity * l_quantity
+                                        + CAST(l_linenumber AS DOUBLE)
+                                          * l_linenumber) * 1000000)
+                             AS BIGINT))
+                    AS BIGINT) AS hypot_micro_sum,
+               upper(to_base(CAST(l_linenumber * 2718 AS BIGINT), 16))
+                   AS hexline
+        FROM lineitem
+        GROUP BY l_linenumber
+        """,
+    category="function",
+    doc="Extended math scalar surface in one grouped pass: bround "
+    "(banker's half-even rounding — the accounting convention; "
+    "DuckDB twin round_even), width_bucket (equi-width histogram "
+    "bucketing, oracle spelled as the clamped floor formula it is "
+    "defined by), factorial (exact BIGINT for n<=20), the "
+    "euclidean norm sqrt(x^2+y^2) checked as exact micro-truncated "
+    "PER-ROW values summed as integers (spelled as the explicit "
+    "formula in BOTH engines: Math.hypot's extra-precision algorithm "
+    "differs from sqrt(x*x+y*y) in the last ulp, which micro-"
+    "truncation amplifies — a measured cross-engine exactness "
+    "lesson), and conv/to_base (radix conversion).  The half-"
+    "even cases actually fire: quantities are integral, so q+0.5 is "
+    "always a tie and bround's even/odd branch decides every row.",
+)
+def math_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    hyp_micro = (
+        F.sqrt(
+            F.col("l_quantity") * F.col("l_quantity")
+            + F.col("l_linenumber").cast("double") * F.col("l_linenumber")
+        )
+        * 1_000_000
+    ).cast("bigint")
+    return li.groupBy("l_linenumber").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.bround(F.col("l_quantity") + 0.5, 0))
+        .cast("bigint")
+        .alias("bround_sum"),
+        F.sum(
+            F.width_bucket(
+                F.col("l_quantity"), F.lit(0.0), F.lit(50.0), F.lit(5)
+            )
+        )
+        .cast("bigint")
+        .alias("bucket_sum"),
+        F.factorial(F.first("l_linenumber")).alias("line_factorial"),
+        F.sum(hyp_micro).cast("bigint").alias("hypot_micro_sum"),
+        F.conv(
+            (F.first("l_linenumber") * 2718).cast("string"),
+            10,
+            16,
+        ).alias("hexline"),
+    )

@@ -90,3 +90,36 @@ def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= 100)
     )
+
+
+@register(
+    "sort_limit_offset",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        ORDER BY cents DESC, o_orderkey
+        LIMIT 20 OFFSET 40
+        """,
+    category="sort",
+    doc="Keyset pagination surface: DataFrame.offset(40).limit(20) over "
+    "a total order (cents DESC, key ASC tiebreaker — the module's "
+    "determinism convention).  Spark executes offset+limit as a "
+    "CollectLimit with skip — the driver materializes only "
+    "offset+limit rows, never the sorted corpus; at scale the "
+    "per-partition top-(offset+limit) is computed map-side exactly "
+    "like top-k (TakeOrderedAndProject), so a deep page costs "
+    "O(offset+limit), not a global sort.  (True keyset pagination — "
+    "WHERE key > last_seen — is still the better production idiom for "
+    "deep pages; this query is the API-parity check.)",
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        o.orderBy(F.col("cents").desc(), F.col("o_orderkey"))
+        .offset(40)
+        .limit(20)
+    )

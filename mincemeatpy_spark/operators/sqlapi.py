@@ -819,3 +819,37 @@ def sql_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_linenumber
         """,
     )
+
+
+@register(
+    "sql_star_except",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+               count(*) AS n
+        FROM orders
+        WHERE o_orderkey % 100 = 0
+        GROUP BY ALL
+        """,
+    category="sqlapi",
+    doc="SELECT * EXCEPT (cols) — the projection-by-exclusion surface "
+    "(Spark 4 / BigQuery-style): project everything but the wide or "
+    "sensitive columns without enumerating the keep-list, the idiom "
+    "that keeps SELECTs stable under additive schema evolution.  "
+    "Paired with GROUP BY ALL (group by every non-aggregate output) — "
+    "the two features compose into 'aggregate over everything except "
+    "the metrics' with zero column lists.  Catalyst resolves EXCEPT "
+    "at analysis time, so column pruning in the scan is identical to "
+    "an explicit projection (no runtime cost).  The oracle enumerates "
+    "the surviving columns explicitly.",
+)
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT * EXCEPT (o_totalprice, o_orderdate), count(*) AS n
+        FROM orders
+        WHERE o_orderkey % 100 = 0
+        GROUP BY ALL
+        """,
+    )

@@ -304,3 +304,62 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@register(
+    "window_session_builtin",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts)
+                             - lag(epoch_us(ts))
+                               OVER (PARTITION BY user_id ORDER BY
+                                     epoch_us(ts), event_id)
+                             > 1800 * 1000000
+                             OR lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY epoch_us(ts),
+                                              event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts)
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               min(epoch_us(ts)) AS w_start_us,
+               max(epoch_us(ts)) + 1800 * 1000000 AS w_end_us,
+               CAST(count(*) AS BIGINT) AS n
+        FROM sess GROUP BY user_id, sid
+        """,
+    category="window",
+    doc="Spark's BUILT-IN session_window() batch aggregation (the same "
+    "session assignment the streaming engine uses, exposed as a "
+    "groupBy key): 30-minute-gap sessions per user, one aggregation "
+    "operator — no manual lag/flag/prefix-sum chain.  The oracle IS "
+    "that manual chain (the island-detection idiom of the module's "
+    "window_session query), proving the builtin's window bounds "
+    "[first event, last event + gap) match the textbook construction "
+    "exactly (compared in exact integer micros).  Scale shape: "
+    "session_window groups map-side into per-key session ranges and "
+    "merges overlapping ranges in the aggregate — one shuffle on "
+    "user_id, no window-function sort buffer at all, which is why the "
+    "builtin beats the manual chain at scale.",
+)
+def window_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            F.unix_micros(F.col("w.end")).alias("w_end_us"),
+            "n",
+        )
+    )

@@ -1206,3 +1206,120 @@ def sink_python_datasource_arrow_stream(
             F.round(F.col("value") * 100).cast("bigint")
         ).alias("value_cents"),
     )
+
+
+def _make_partitioned_stream_class():
+    """Partitioned ``DataSourceStreamReader`` — the scale-path streaming
+    read API (vs ``SimpleDataSourceStreamReader``, which reads on the
+    DRIVER): the planner asks for ``partitions(start, end)`` per
+    micro-batch and ships each ``InputPartition`` to an executor whose
+    ``read(partition)`` materializes the rows — so one micro-batch
+    fans out across the cluster exactly like a batch scan.  This is
+    the last distinct cell of the connector matrix (stream-read with
+    executor-side parallelism)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    def _gen(i: int) -> tuple:
+        return (i, f"w{i % 7} w{(i * 3) % 11} w{(i * 5) % 13}")
+
+    class _Slice(InputPartition):
+        def __init__(self, lo: int, hi: int) -> None:
+            self.lo, self.hi = lo, hi
+
+    class PartitionedDictStreamReader(DataSourceStreamReader):
+        def __init__(self, options: dict) -> None:
+            self.n = int(options.get("n", 1000))
+            self.batch = int(options.get("batch", 250))
+            self.parts = int(options.get("parts", 4))
+
+        def initialOffset(self) -> dict:
+            return {"i": 0}
+
+        def latestOffset(self) -> dict:
+            # each poll advances the available watermark by one batch
+            # until the keyspace ends (the finite-stream convention) —
+            # pacing lives HERE: partitions() must honor [start, end)
+            # exactly or the committed offset would skip unread keys
+            self._pos = min(getattr(self, "_pos", 0) + self.batch, self.n)
+            return {"i": self._pos}
+
+        def partitions(self, start: dict, end: dict):
+            lo, hi = start["i"], end["i"]
+            if hi <= lo:
+                return [_Slice(lo, lo)]
+            step = max(1, -(-(hi - lo) // self.parts))
+            return [
+                _Slice(p, min(p + step, hi)) for p in range(lo, hi, step)
+            ]
+
+        def read(self, part: _Slice):
+            for i in range(part.lo, part.hi):
+                yield _gen(i)
+
+        def commit(self, end: dict) -> None:
+            pass  # offsets are pure key positions; nothing to release
+
+    class PartitionedDictDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "mincemeat_dict_partstream"
+
+        def schema(self) -> str:
+            return "key bigint, text string"
+
+        def streamReader(self, schema) -> PartitionedDictStreamReader:
+            return PartitionedDictStreamReader(self.options)
+
+    return PartitionedDictDataSource
+
+
+@register(
+    "source_python_datasource_stream_partitioned",
+    oracle="""
+        WITH ks AS (SELECT unnest(generate_series(0, 1499)) AS i),
+        words AS (
+            SELECT 'w' || CAST(i % 7 AS VARCHAR) AS word FROM ks
+            UNION ALL
+            SELECT 'w' || CAST((i * 3) % 11 AS VARCHAR) FROM ks
+            UNION ALL
+            SELECT 'w' || CAST((i * 5) % 13 AS VARCHAR) FROM ks
+        )
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        FROM words GROUP BY word
+        """,
+    category="source",
+    doc="Word count over the PARTITIONED Python stream reader "
+    "(DataSourceStreamReader): unlike the Simple reader — whose "
+    "read() runs on the driver and is re-shipped — partitions(start, "
+    "end) plans one InputPartition per keyspace slice per micro-batch "
+    "and executors run read(partition) in parallel, the same fan-out "
+    "contract as a batch scan.  Offsets are plain key positions "
+    "(exactly-once replay is trivially exact), commit() is the "
+    "offset-release hook.  The finite 1500-key stream drains through "
+    "the real micro-batch engine (run_to_completion) into a windowless "
+    "global word count whose oracle regenerates the corpus "
+    "arithmetically — the dict-contract determinism rule.",
+)
+def source_python_datasource_stream_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import run_to_completion
+
+    spark.dataSource.register(_make_partitioned_stream_class())
+    s = (
+        spark.readStream.format("mincemeat_dict_partstream")
+        .option("n", "1500")
+        .option("batch", "500")
+        .option("parts", "4")
+        .load()
+    )
+    counts = (
+        s.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return run_to_completion(counts, "pds_partstream_sink")
