@@ -2004,3 +2004,38 @@ def agg_groupingsets_df_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
+
+
+@register(
+    "agg_boolean_predicates",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               bool_and(value >= 0) AS all_nonneg,
+               bool_or(value > 900) AS any_huge,
+               CAST(count_if(value > 500) AS BIGINT) AS n_large,
+               CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT)
+                   AS n_even_users
+        FROM events GROUP BY event_type
+        """,
+    category="aggregation",
+    doc="Boolean-predicate aggregate surface: every()/bool_and, "
+    "some()/bool_or, count_if, and the FILTER (WHERE ...) aggregate "
+    "modifier — the assertion-style aggregates data-quality checks "
+    "are written in ('all values non-negative', 'any outlier "
+    "present') without a CASE-WHEN detour.  FILTER is evaluated "
+    "before the aggregate buffer update, so at scale it prunes the "
+    "aggregation input map-side exactly like a WHERE.  All four are "
+    "codegen'd JVM aggregates with map-side partials.",
+)
+def agg_boolean_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.every(F.col("value") >= 0).alias("all_nonneg"),
+        F.some(F.col("value") > 900).alias("any_huge"),
+        F.count_if(F.col("value") > 500).cast("bigint").alias("n_large"),
+        F.expr("count(*) FILTER (WHERE user_id % 2 = 0)")
+        .cast("bigint")
+        .alias("n_even_users"),
+    )

@@ -363,3 +363,61 @@ def window_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "window_first_nth_value",
+    oracle="""
+        WITH w AS (
+            SELECT o_custkey, o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   first_value(o_orderkey) OVER win AS first_order,
+                   nth_value(o_orderkey, 2) OVER win AS second_order,
+                   last_value(o_orderkey) OVER
+                       (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING) AS last_order
+            FROM orders
+            WINDOW win AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)
+        )
+        SELECT o_custkey % 100 AS cust_bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(first_order) AS BIGINT) AS first_sum,
+               CAST(sum(coalesce(second_order, -1)) AS BIGINT)
+                   AS second_sum,
+               CAST(sum(last_order) AS BIGINT) AS last_sum
+        FROM w GROUP BY o_custkey % 100
+        """,
+    category="window",
+    doc="Positional window values first_value / nth_value / last_value "
+    "per customer order-history: first order, second order (NULL-safe "
+    "for single-order customers), latest order — the 'first touch / "
+    "second touch / current state' triple of customer analytics.  The "
+    "last_value frame is spelled ROWS UNBOUNDED PRECEDING TO UNBOUNDED "
+    "FOLLOWING explicitly: the DEFAULT frame ends at CURRENT ROW, "
+    "which silently turns last_value into current-value — the classic "
+    "window-frame bug, encoded here as the correct form in both "
+    "engines.  Ordering carries the order-key tiebreaker (module "
+    "determinism rule); results re-aggregate to exact bucket sums.",
+)
+def window_first_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    win = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate"), F.col("o_orderkey")
+    )
+    full = win.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.first_value("o_orderkey").over(win).alias("first_order"),
+        F.nth_value("o_orderkey", 2).over(win).alias("second_order"),
+        F.last_value("o_orderkey").over(full).alias("last_order"),
+    )
+    return w.groupBy((F.col("o_custkey") % 100).alias("cust_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("first_order").cast("bigint").alias("first_sum"),
+        F.sum(F.coalesce(F.col("second_order"), F.lit(-1)))
+        .cast("bigint")
+        .alias("second_sum"),
+        F.sum("last_order").cast("bigint").alias("last_sum"),
+    )
