@@ -213,7 +213,7 @@ def relational_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
                         WHEN l_quantity >= 50 THEN 6
                         ELSE CAST(floor(l_quantity / 10.0) AS BIGINT) + 1
                         END) AS BIGINT) AS bucket_sum,
-               factorial(l_linenumber) AS line_factorial,
+               CAST(factorial(l_linenumber) AS BIGINT) AS line_factorial,
                CAST(sum(CAST(floor(sqrt(l_quantity * l_quantity
                                         + CAST(l_linenumber AS DOUBLE)
                                           * l_linenumber) * 1000000)
