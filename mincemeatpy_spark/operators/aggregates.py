@@ -1917,61 +1917,6 @@ def approx_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_mode_per_group",
-    oracle="""
-        WITH counted AS (
-            SELECT user_id % 50 AS user_bucket, event_type,
-                   CAST(count(*) AS BIGINT) AS cnt
-            FROM events GROUP BY user_id % 50, event_type
-        ),
-        ranked AS (
-            SELECT user_bucket, event_type, cnt,
-                   row_number() OVER (PARTITION BY user_bucket
-                                      ORDER BY cnt DESC, event_type)
-                       AS rk
-            FROM counted
-        )
-        SELECT user_bucket, event_type AS mode_type, cnt AS mode_n
-        FROM ranked WHERE rk = 1
-        """,
-    category="aggregation",
-    doc="Statistical mode per group with a DETERMINISTIC tie-break — "
-    "the most frequent event type per user bucket, ties resolved by "
-    "lexicographic type.  Native mode() in both engines picks an "
-    "ARBITRARY winner on ties (Spark's mode() documents the "
-    "non-determinism), so the engine derives it: exact count per "
-    "(group, value), rank (cnt DESC, value), keep rank 1 — identical "
-    "semantics in both engines by construction.  Scale shape: the "
-    "count is a two-phase hash aggregate (map-side combine absorbs "
-    "per-group skew); the rank window runs over the (group x distinct "
-    "values) table — vocabulary-sized, not row-sized — executed as "
-    "WindowGroupLimit.",
-)
-def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    counted = (
-        t(spark, sf_dir, "events")
-        .groupBy(
-            (F.col("user_id") % 50).alias("user_bucket"), "event_type"
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
-    w = W.partitionBy("user_bucket").orderBy(
-        F.col("cnt").desc(), F.col("event_type")
-    )
-    return (
-        counted.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            "user_bucket",
-            F.col("event_type").alias("mode_type"),
-            F.col("cnt").alias("mode_n"),
-        )
-    )
-
-
-@register(
     "agg_groupingsets_df_api",
     oracle="""
         SELECT o_orderstatus, o_orderpriority,

@@ -3460,174 +3460,6 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "funnel_convert_latency_quartiles",
-    oracle="""
-        WITH u AS (
-            SELECT user_id,
-                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-                   min(CASE WHEN event_type = 'purchase' THEN ts END)
-                       AS t_buy
-            FROM events GROUP BY user_id
-        ),
-        d AS (
-            SELECT (epoch_us(t_buy) - epoch_us(t_view)) // 1000000 AS sec
-            FROM u WHERE t_buy > t_view
-        ),
-        cnt AS (
-            SELECT sec, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY sec
-        ),
-        r AS (
-            SELECT sec,
-                   sum(c) OVER (ORDER BY sec) AS cum,
-                   sum(c) OVER () AS n
-            FROM cnt
-        )
-        SELECT
-            CAST(max(n) AS BIGINT) AS n_converted,
-            min(CASE WHEN cum >= CAST(ceil(n * 0.25) AS BIGINT)
-                     THEN sec END) AS p25_sec,
-            min(CASE WHEN cum >= CAST(ceil(n * 0.50) AS BIGINT)
-                     THEN sec END) AS p50_sec,
-            min(CASE WHEN cum >= CAST(ceil(n * 0.75) AS BIGINT)
-                     THEN sec END) AS p75_sec
-        FROM r
-        """,
-    category="behavioral",
-    doc="Time-to-convert quartiles (first view -> first purchase per "
-    "user): the product-analytics latency distribution behind 'how "
-    "long does the funnel take'.  Discrete percentiles are computed "
-    "MANUALLY — smallest value whose cumulative count reaches "
-    "ceil(q*n) — the same arithmetic in both engines, immune to the "
-    "interpolation-convention differences between percentile "
-    "implementations (exact ints end-to-end).  Scale shape: one "
-    "shuffle on user_id for the min-timestamp conditional aggregate, "
-    "then latencies are GROUPED BY DISTINCT SECOND before any global "
-    "window — the cumulative sum runs over the value-histogram table "
-    "(bounded by the latency range, not the user count), the same "
-    "two-phase discipline as the KS/Mann-Whitney prefix sums; the "
-    "plan sweep verifies no single-partition exchange ever sits over "
-    "raw rows.",
-)
-def funnel_convert_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    u = (
-        t(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(
-            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
-                "t_view"
-            ),
-            F.min(
-                F.when(F.col("event_type") == "purchase", F.col("ts"))
-            ).alias("t_buy"),
-        )
-        .filter(F.col("t_buy") > F.col("t_view"))
-        .select(
-            (
-                (F.unix_micros("t_buy") - F.unix_micros("t_view"))
-                / F.lit(1_000_000)
-            )
-            .cast("bigint")
-            .alias("sec")
-        )
-    )
-    cnt = u.groupBy("sec").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    r = cnt.select(
-        "sec",
-        F.sum("c").over(W.orderBy("sec")).alias("cum"),
-        F.sum("c").over(W.partitionBy()).alias("n"),
-    )
-
-    def at(q: float):
-        return F.min(
-            F.when(
-                F.col("cum") >= F.ceil(F.col("n") * q).cast("bigint"),
-                F.col("sec"),
-            )
-        )
-
-    return r.agg(
-        F.max("n").cast("bigint").alias("n_converted"),
-        at(0.25).alias("p25_sec"),
-        at(0.50).alias("p50_sec"),
-        at(0.75).alias("p75_sec"),
-    )
-
-
-@register(
-    "events_time_weighted_avg",
-    oracle="""
-        WITH seq AS (
-            SELECT user_id,
-                   CAST(round(value * 1000000) AS BIGINT) AS v_micro,
-                   epoch_us(ts) // 1000000 AS t_s,
-                   lead(epoch_us(ts) // 1000000)
-                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts),
-                             event_id) AS t_next
-            FROM events
-        ),
-        seg AS (
-            SELECT user_id, v_micro * (t_next - t_s) AS contrib,
-                   t_next - t_s AS dt
-            FROM seq WHERE t_next IS NOT NULL
-        )
-        SELECT user_id % 100 AS user_bucket,
-               CAST(sum(contrib) AS BIGINT) AS num_micro_s,
-               CAST(sum(dt) AS BIGINT) AS denom_s,
-               CAST(sum(contrib) AS DOUBLE) / sum(dt) / 1000000.0
-                   AS twa_value
-        FROM seg
-        GROUP BY user_id % 100
-        """,
-    category="behavioral",
-    doc="Time-weighted average (TWAP-style) of the event metric per "
-    "user bucket: each observation holds until the next one, so its "
-    "weight is the gap to the successor — the correct average for "
-    "irregularly sampled telemetry (a plain AVG over-weights bursts).  "
-    "Exactness: values are integerized to micros, gaps to whole "
-    "seconds, the numerator sum(v_micro * dt) is an exact BIGINT "
-    "aggregate (order-independent; max |term| ~1e9 * 2.6e6 fits "
-    "comfortably), and the single float division happens once per "
-    "bucket.  Scale shape: one shuffle on user_id for the lead() "
-    "window (ordered by (ts, event_id) for total determinism), then a "
-    "bounded 100-bucket aggregate.",
-)
-def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("user_id").orderBy(
-        F.unix_micros("ts"), F.col("event_id")
-    )
-    seq = t(spark, sf_dir, "events").select(
-        "user_id",
-        F.round(F.col("value") * 1_000_000).cast("bigint").alias("v_micro"),
-        (F.unix_micros("ts") / F.lit(1_000_000))
-        .cast("bigint")
-        .alias("t_s"),
-        F.lead(
-            (F.unix_micros("ts") / F.lit(1_000_000)).cast("bigint")
-        )
-        .over(w)
-        .alias("t_next"),
-    )
-    seg = seq.filter(F.col("t_next").isNotNull()).select(
-        (F.col("user_id") % 100).alias("user_bucket"),
-        (F.col("v_micro") * (F.col("t_next") - F.col("t_s"))).alias(
-            "contrib"
-        ),
-        (F.col("t_next") - F.col("t_s")).alias("dt"),
-    )
-    return seg.groupBy("user_bucket").agg(
-        F.sum("contrib").cast("bigint").alias("num_micro_s"),
-        F.sum("dt").cast("bigint").alias("denom_s"),
-        (
-            F.sum("contrib").cast("double") / F.sum("dt") / F.lit(1_000_000.0)
-        ).alias("twa_value"),
-    )
-
-
-@register(
     "events_interarrival_burstiness",
     oracle="""
         WITH seq AS (
@@ -3752,106 +3584,4 @@ def survival_at_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weeks",
         "churned",
         F.sum("churned").over(wrev).cast("bigint").alias("at_risk"),
-    )
-
-
-@register(
-    "recsys_item_item_cosine",
-    oracle="""
-        WITH items AS (
-            SELECT DISTINCT l_orderkey AS basket, l_partkey % 200 AS item
-            FROM lineitem
-        ),
-        item_n AS (
-            SELECT item, CAST(count(*) AS BIGINT) AS n FROM items
-            GROUP BY item
-        ),
-        pairs AS (
-            SELECT a.item AS i, b.item AS j,
-                   CAST(count(*) AS BIGINT) AS co
-            FROM items a JOIN items b
-              ON a.basket = b.basket AND a.item < b.item
-            GROUP BY a.item, b.item
-            HAVING count(*) >= 5
-        ),
-        scored AS (
-            SELECT p.i, p.j, p.co,
-                   CAST(p.co AS DOUBLE) / sqrt(ia.n * ib.n) AS cosine
-            FROM pairs p
-            JOIN item_n ia ON p.i = ia.item
-            JOIN item_n ib ON p.j = ib.item
-        ),
-        ranked AS (
-            SELECT i, j, co, cosine,
-                   row_number() OVER (PARTITION BY i
-                                      ORDER BY cosine DESC, co DESC, j)
-                       AS rk
-            FROM scored
-        )
-        SELECT i, j, co, cosine FROM ranked WHERE rk <= 3
-        """,
-    category="similarity",
-    doc="Item-item collaborative filtering (binary-occurrence cosine): "
-    "cos(i,j) = co(i,j)/sqrt(n_i*n_j) over order baskets, top-3 "
-    "neighbors per item — the co-occurrence recommender that needs no "
-    "embeddings.  Scale shape: per-basket DISTINCT before the self-"
-    "join, canonical i<j pair generation, min-support pruning (co>=5) "
-    "BEFORE the scoring joins, item counts broadcast (vocabulary-"
-    "sized), and the per-item top-3 is rank-over-partition which "
-    "Spark executes as WindowGroupLimit — partial top-k per partition "
-    "before the shuffle, the same two-phase shape as topk_global.  "
-    "Cosine is one scalar expression over exact integer counts; ties "
-    "broken (cosine, co, j) for full determinism in both engines.",
-)
-def recsys_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    items = (
-        t(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").alias("basket"),
-            (F.col("l_partkey") % 200).alias("item"),
-        )
-        .distinct()
-    )
-    item_n = items.groupBy("item").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.basket") == F.col("b.basket"))
-            & (F.col("a.item") < F.col("b.item")),
-        )
-        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
-        .filter(F.col("co") >= 5)
-    )
-    ia = F.broadcast(
-        item_n.select(F.col("item").alias("i"), F.col("n").alias("ni"))
-    )
-    ib = F.broadcast(
-        item_n.select(F.col("item").alias("j"), F.col("n").alias("nj"))
-    )
-    scored = (
-        pairs.join(ia, "i")
-        .join(ib, "j")
-        .select(
-            "i",
-            "j",
-            "co",
-            (
-                F.col("co").cast("double")
-                / F.sqrt(F.col("ni") * F.col("nj"))
-            ).alias("cosine"),
-        )
-    )
-    wk = W.partitionBy("i").orderBy(
-        F.col("cosine").desc(), F.col("co").desc(), F.col("j")
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= 3)
-        .select("i", "j", "co", "cosine")
     )

@@ -155,53 +155,6 @@ def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "relational_transpose",
-    oracle="""
-        WITH agg AS (
-            SELECT o_orderpriority AS p,
-                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                        AS BIGINT) AS cents
-            FROM orders GROUP BY o_orderpriority
-        )
-        SELECT 'cents' AS key,
-               max(CASE WHEN p = '1-URGENT' THEN cents END)
-                   AS "1-URGENT",
-               max(CASE WHEN p = '2-HIGH' THEN cents END) AS "2-HIGH",
-               max(CASE WHEN p = '3-MEDIUM' THEN cents END)
-                   AS "3-MEDIUM",
-               max(CASE WHEN p = '4-NOT SPECIFIED' THEN cents END)
-                   AS "4-NOT SPECIFIED",
-               max(CASE WHEN p = '5-LOW' THEN cents END) AS "5-LOW"
-        FROM agg
-        """,
-    category="relational",
-    doc="DataFrame.transpose() (Spark 4.0): flip a bounded aggregate "
-    "so rows become columns — the report-shaping step that previously "
-    "required a hand-written pivot.  The first column's values become "
-    "the new column names (sorted input => deterministic schema), the "
-    "remaining row dimension becomes the 'key' column.  Correct usage "
-    "discipline encoded here: transpose ONLY a bounded aggregate "
-    "(columns = rows of the input — transposing row-scale data would "
-    "mint millions of columns), which is also why the plan stays "
-    "driver-safe: 5 priority rows in, a 1x6 frame out.  The oracle is "
-    "the equivalent conditional-aggregation pivot with identical "
-    "column names.",
-)
-def relational_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    agg = (
-        t(spark, sf_dir, "orders")
-        .groupBy(F.col("o_orderpriority").alias("key"))
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
-            .cast("bigint")
-            .alias("cents")
-        )
-        .orderBy("key")
-    )
-    return agg.transpose()
-
-
-@register(
     "math_functions_extended",
     oracle="""
         SELECT l_linenumber,

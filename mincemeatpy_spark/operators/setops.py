@@ -119,60 +119,3 @@ def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("sum_chars"),
     )
-
-
-@register(
-    "set_union_by_name_evolved",
-    oracle="""
-        WITH a AS (
-            SELECT o_orderkey AS k,
-                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-                   NULL AS src
-            FROM orders WHERE o_orderkey % 3 = 0
-        ),
-        b AS (
-            SELECT o_orderpriority AS src,
-                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-                   o_orderkey AS k
-            FROM orders WHERE o_orderkey % 3 = 1
-        ),
-        u AS (
-            SELECT k, cents, src FROM a
-            UNION ALL
-            SELECT k, cents, src FROM b
-        )
-        SELECT coalesce(src, 'legacy') AS src,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(cents) AS BIGINT) AS cents
-        FROM u GROUP BY coalesce(src, 'legacy')
-        """,
-    category="setop",
-    doc="Schema-evolution union: unionByName(allowMissingColumns=True) "
-    "over two snapshots whose columns differ in ORDER and PRESENCE "
-    "(the old extract lacks the src column; the new one reordered "
-    "fields) — the API that makes appending a v2 export to a v1 "
-    "lake table a one-liner instead of a hand-written projection.  "
-    "Positional UNION would silently pair mismatched columns; "
-    "by-name matching + null-fill is the correct evolution contract "
-    "(same semantics as the reader-side source_schema_evolution).  "
-    "Exact integer cents; the oracle spells out the aligned "
-    "projection UNION ALL the API generates.",
-)
-def set_union_by_name_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    old = o.filter(F.col("o_orderkey") % 3 == 0).select(
-        F.col("o_orderkey").alias("k"), cents.alias("cents")
-    )
-    new = o.filter(F.col("o_orderkey") % 3 == 1).select(
-        F.col("o_orderpriority").alias("src"),
-        cents.alias("cents"),
-        F.col("o_orderkey").alias("k"),
-    )
-    u = old.unionByName(new, allowMissingColumns=True)
-    return u.groupBy(
-        F.coalesce(F.col("src"), F.lit("legacy")).alias("src")
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("cents").cast("bigint").alias("cents"),
-    )

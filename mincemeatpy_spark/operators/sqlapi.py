@@ -775,53 +775,6 @@ def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sql_try_arithmetic",
-    oracle="""
-        SELECT l_linenumber,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-                    AS BIGINT) AS cents,
-               CASE WHEN l_linenumber - 4 = 0 THEN NULL
-                    ELSE CAST(sum(CAST(round(l_extendedprice * 100)
-                                       AS BIGINT)) AS DOUBLE)
-                         / (l_linenumber - 4)
-               END AS ratio_cents
-        FROM lineitem
-        GROUP BY l_linenumber
-        """,
-    category="sqlapi",
-    doc="ANSI-safe arithmetic surface: try_divide returns NULL on "
-    "division-by-zero instead of either failing the job (ANSI mode) "
-    "or silently yielding NULL-with-a-different-meaning — the "
-    "operator a pipeline uses when a zero denominator is an expected "
-    "data condition, not a bug.  The divisor (l_linenumber - 4) hits "
-    "zero on every 4th line number, so the NULL path fires on real "
-    "rows (every l_linenumber = 4 group) rather than being a synthetic "
-    "corner case.  Exactness: the dividend is the exact BIGINT cents "
-    "aggregate (order-independent); try_divide runs ONCE per group on "
-    "that exact value — no per-row float quotients to accumulate.  "
-    "The DuckDB oracle spells try_divide as the explicit "
-    "CASE-WHEN-zero-THEN-NULL, which is its defined semantics.",
-)
-def sql_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        SELECT l_linenumber,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-                    AS BIGINT) AS cents,
-               try_divide(CAST(sum(CAST(round(l_extendedprice * 100)
-                                        AS BIGINT)) AS DOUBLE),
-                          l_linenumber - 4) AS ratio_cents
-        FROM lineitem
-        GROUP BY l_linenumber
-        """,
-    )
-
-
-@register(
     "sql_star_except",
     oracle="""
         SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,

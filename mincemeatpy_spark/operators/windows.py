@@ -267,157 +267,3 @@ def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-
-
-@register(
-    "window_percent_rank_cume",
-    oracle="""
-        SELECT o_orderkey,
-               percent_rank() OVER (PARTITION BY o_orderpriority
-                                    ORDER BY CAST(round(o_totalprice * 100)
-                                                  AS BIGINT),
-                                             o_orderkey) AS pr,
-               cume_dist() OVER (PARTITION BY o_orderpriority
-                                 ORDER BY CAST(round(o_totalprice * 100)
-                                               AS BIGINT),
-                                          o_orderkey) AS cd
-        FROM orders
-        """,
-    category="window",
-    doc="Relative-rank windows percent_rank ((rank-1)/(n-1)) and "
-    "cume_dist (rows<=current / n) per priority class — the normalized "
-    "position features ML pipelines derive from raw ranks.  Both are "
-    "single divisions of exact integers, identical by definition in "
-    "the two engines; ordering is on integer cents with the order key "
-    "as total tiebreaker so ranks are fully deterministic (the module "
-    "convention).  Scale shape: one shuffle on the partition key; "
-    "both functions stream off the same sort — one Window operator, "
-    "no second exchange (the frames share the ORDER BY).",
-)
-def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = W.partitionBy("o_orderpriority").orderBy(
-        F.round(F.col("o_totalprice") * 100).cast("bigint"),
-        F.col("o_orderkey"),
-    )
-    return t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
-    )
-
-
-@register(
-    "window_session_builtin",
-    oracle="""
-        WITH marked AS (
-            SELECT user_id, ts,
-                   CASE WHEN epoch_us(ts)
-                             - lag(epoch_us(ts))
-                               OVER (PARTITION BY user_id ORDER BY
-                                     epoch_us(ts), event_id)
-                             > 1800 * 1000000
-                             OR lag(ts) OVER (PARTITION BY user_id
-                                              ORDER BY epoch_us(ts),
-                                              event_id) IS NULL
-                        THEN 1 ELSE 0 END AS new_s
-            FROM events
-        ),
-        sess AS (
-            SELECT user_id, ts,
-                   sum(new_s) OVER (PARTITION BY user_id
-                                    ORDER BY epoch_us(ts)
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-            FROM marked
-        )
-        SELECT user_id,
-               min(epoch_us(ts)) AS w_start_us,
-               max(epoch_us(ts)) + 1800 * 1000000 AS w_end_us,
-               CAST(count(*) AS BIGINT) AS n
-        FROM sess GROUP BY user_id, sid
-        """,
-    category="window",
-    doc="Spark's BUILT-IN session_window() batch aggregation (the same "
-    "session assignment the streaming engine uses, exposed as a "
-    "groupBy key): 30-minute-gap sessions per user, one aggregation "
-    "operator — no manual lag/flag/prefix-sum chain.  The oracle IS "
-    "that manual chain (the island-detection idiom of the module's "
-    "window_session query), proving the builtin's window bounds "
-    "[first event, last event + gap) match the textbook construction "
-    "exactly (compared in exact integer micros).  Scale shape: "
-    "session_window groups map-side into per-key session ranges and "
-    "merges overlapping ranges in the aggregate — one shuffle on "
-    "user_id, no window-function sort buffer at all, which is why the "
-    "builtin beats the manual chain at scale.",
-)
-def window_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.session_window("ts", "30 minutes").alias("w"), "user_id"
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .select(
-            "user_id",
-            F.unix_micros(F.col("w.start")).alias("w_start_us"),
-            F.unix_micros(F.col("w.end")).alias("w_end_us"),
-            "n",
-        )
-    )
-
-
-@register(
-    "window_first_nth_value",
-    oracle="""
-        WITH w AS (
-            SELECT o_custkey, o_orderkey,
-                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-                   first_value(o_orderkey) OVER win AS first_order,
-                   nth_value(o_orderkey, 2) OVER win AS second_order,
-                   last_value(o_orderkey) OVER
-                       (PARTITION BY o_custkey
-                        ORDER BY o_orderdate, o_orderkey
-                        ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND UNBOUNDED FOLLOWING) AS last_order
-            FROM orders
-            WINDOW win AS (PARTITION BY o_custkey
-                           ORDER BY o_orderdate, o_orderkey)
-        )
-        SELECT o_custkey % 100 AS cust_bucket,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(first_order) AS BIGINT) AS first_sum,
-               CAST(sum(coalesce(second_order, -1)) AS BIGINT)
-                   AS second_sum,
-               CAST(sum(last_order) AS BIGINT) AS last_sum
-        FROM w GROUP BY o_custkey % 100
-        """,
-    category="window",
-    doc="Positional window values first_value / nth_value / last_value "
-    "per customer order-history: first order, second order (NULL-safe "
-    "for single-order customers), latest order — the 'first touch / "
-    "second touch / current state' triple of customer analytics.  The "
-    "last_value frame is spelled ROWS UNBOUNDED PRECEDING TO UNBOUNDED "
-    "FOLLOWING explicitly: the DEFAULT frame ends at CURRENT ROW, "
-    "which silently turns last_value into current-value — the classic "
-    "window-frame bug, encoded here as the correct form in both "
-    "engines.  Ordering carries the order-key tiebreaker (module "
-    "determinism rule); results re-aggregate to exact bucket sums.",
-)
-def window_first_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    win = W.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate"), F.col("o_orderkey")
-    )
-    full = win.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    w = t(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.first_value("o_orderkey").over(win).alias("first_order"),
-        F.nth_value("o_orderkey", 2).over(win).alias("second_order"),
-        F.last_value("o_orderkey").over(full).alias("last_order"),
-    )
-    return w.groupBy((F.col("o_custkey") % 100).alias("cust_bucket")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("first_order").cast("bigint").alias("first_sum"),
-        F.sum(F.coalesce(F.col("second_order"), F.lit(-1)))
-        .cast("bigint")
-        .alias("second_sum"),
-        F.sum("last_order").cast("bigint").alias("last_sum"),
-    )
