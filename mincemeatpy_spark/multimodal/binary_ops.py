@@ -126,10 +126,18 @@ def decode_image_real(payload: bytes) -> dict:
                 "JPEG dispatch needs decode_jpeg_real shipped alongside"
             ) from exc
         return jpg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            gif = decode_gif_real
+        except NameError as exc:
+            raise NotImplementedError(
+                "GIF dispatch needs decode_gif_real shipped alongside"
+            ) from exc
+        return gif(payload)
     raise NotImplementedError(
-        "GIF/WebP need a codec library not present in this environment; "
-        "PPM (P6), 24-bit BMP, RGB8 PNG and baseline JPEG decode "
-        "natively here"
+        "WebP needs a codec library not present in this environment; "
+        "PPM (P6), 24-bit BMP, RGB8 PNG, baseline JPEG and GIF (LZW, "
+        "incl. interlace) decode natively here"
     )
 
 
@@ -2368,4 +2376,385 @@ def multimodal_decode_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("sum_r") - F.col("true_r")) <= 2 * n_px).alias("within_r"),
         (F.abs(F.col("sum_g") - F.col("true_g")) <= 2 * n_px).alias("within_g"),
         (F.abs(F.col("sum_b") - F.col("true_b")) <= 2 * n_px).alias("within_b"),
+    )
+
+
+def encode_gif_indexed(
+    w: int, h: int, palette: list, index_at, interlace: bool = False
+) -> bytes:
+    """Spec-correct GIF89a writer for one indexed frame: logical screen
+    descriptor + global color table, an image descriptor (optionally
+    interlaced — rows written in the 8/8/4/2 four-pass order), and a
+    REAL variable-width LZW compressor (LSB-first bit packing, CLEAR /
+    EOI codes, dictionary growth with the one-behind width rule, CLEAR
+    + reset when the 12-bit table fills).  ``palette`` is a list of
+    (r, g, b); ``index_at(x, y)`` returns the palette index."""
+    import struct
+
+    npal = len(palette)
+    bits = max(2, (npal - 1).bit_length())  # GIF minimum code size >= 2
+    size = 1 << bits
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0])
+    for i in range(size):
+        r, g, b = palette[i] if i < npal else (0, 0, 0)
+        out += bytes([r, g, b])
+
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0x00])
+
+    # row order (interlace reorders rows across the four passes)
+    if interlace:
+        rows = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+    else:
+        rows = list(range(h))
+    data = bytes(index_at(x, y) for y in rows for x in range(w))
+
+    mcs = bits
+    CLEAR, EOI = 1 << mcs, (1 << mcs) + 1
+    out += bytes([mcs])
+
+    packed = bytearray()
+    buf = 0
+    nbuf = 0
+    codesize = mcs + 1
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbuf
+        buf |= code << nbuf
+        nbuf += codesize
+        while nbuf >= 8:
+            packed.append(buf & 0xFF)
+            buf >>= 8
+            nbuf -= 8
+
+    def fresh_table() -> dict:
+        return {bytes([i]): i for i in range(size)}
+
+    table = fresh_table()
+    next_code = EOI + 1
+    emit(CLEAR)
+    s = b""
+    for c in data:
+        sc = s + bytes([c])
+        if sc in table:
+            s = sc
+            continue
+        emit(table[s])
+        table[sc] = next_code
+        next_code += 1
+        # one-behind width rule: the decoder has added one fewer entry
+        # when it reads our next code, so the encoder widens at 2^n + 1
+        if next_code == (1 << codesize) + 1 and codesize < 12:
+            codesize += 1
+        s = bytes([c])
+        if next_code == 4096:
+            emit(CLEAR)
+            table = fresh_table()
+            next_code = EOI + 1
+            codesize = mcs + 1
+    if s:
+        emit(table[s])
+    emit(EOI)
+    if nbuf:
+        packed.append(buf & 0xFF)
+
+    for i in range(0, len(packed), 255):
+        chunk = packed[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif_real(payload: bytes) -> dict:
+    """Real, dependency-free GIF decode: header + logical screen
+    descriptor, global/local color tables, extension-block skipping
+    (GCE/comment/application), the FIRST image descriptor (animated
+    GIFs decode their first frame; the remaining frames need disposal
+    compositing, gated honestly below), optional interlace
+    de-scrambling, and a full variable-width LZW decompressor
+    (LSB-first, CLEAR/EOI, KwKwK self-reference case, width growth at
+    table size 2^n, 12-bit cap).
+
+    Returns ``{fmt, width, height, sum_r, sum_g, sum_b}`` — exact
+    integer channel sums (GIF is lossless).  Structural damage raises
+    ``ValueError``; sort-of-supported-but-not features raise
+    ``NotImplementedError`` (the WAV/PNG/JPEG gate discipline)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("malformed GIF: truncated screen descriptor")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("malformed GIF: truncated color table")
+        gct = [
+            tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)
+        ]
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("malformed GIF: unterminated sub-blocks")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return p
+            p += n
+
+    while True:
+        if pos >= len(payload):
+            raise ValueError("malformed GIF: missing trailer")
+        intro = payload[pos]
+        pos += 1
+        if intro == 0x3B:
+            raise ValueError("malformed GIF: no image data")
+        if intro == 0x21:  # extension: label + sub-blocks
+            if pos >= len(payload):
+                raise ValueError("malformed GIF: truncated extension")
+            pos = skip_subblocks(pos + 1)
+            continue
+        if intro == 0x2C:
+            break
+        raise ValueError(f"malformed GIF: unknown block 0x{intro:02x}")
+
+    if pos + 9 > len(payload):
+        raise ValueError("malformed GIF: truncated image descriptor")
+    _lx, _ly, w, h = struct.unpack_from("<HHHH", payload, pos)
+    ipacked = payload[pos + 8]
+    pos += 9
+    interlaced = bool(ipacked & 0x40)
+    pal = gct
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("malformed GIF: truncated local color table")
+        pal = [
+            tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)
+        ]
+        pos += 3 * n
+    if pal is None:
+        raise ValueError("malformed GIF: no color table")
+
+    if pos >= len(payload):
+        raise ValueError("malformed GIF: missing LZW code size")
+    mcs = payload[pos]
+    pos += 1
+    if not 2 <= mcs <= 11:
+        raise ValueError("malformed GIF: bad LZW minimum code size")
+
+    data = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("malformed GIF: unterminated image data")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            break
+        data += payload[pos : pos + n]
+        pos += n
+
+    # LZW decompress (LSB-first)
+    CLEAR, EOI = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    table = list(base)
+    codesize = mcs + 1
+    buf = 0
+    nbuf = 0
+    di = 0
+    prev = None
+    out = bytearray()
+    npix = w * h
+    while True:
+        while nbuf < codesize:
+            if di >= len(data):
+                raise ValueError("malformed GIF: LZW stream exhausted")
+            buf |= data[di] << nbuf
+            di += 1
+            nbuf += 8
+        code = buf & ((1 << codesize) - 1)
+        buf >>= codesize
+        nbuf -= codesize
+        if code == CLEAR:
+            table = list(base)
+            codesize = mcs + 1
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("malformed GIF: bad first LZW code")
+            out += table[code]
+            prev = code
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = table[prev] + table[prev][:1]  # the KwKwK case
+        else:
+            raise ValueError("malformed GIF: LZW code out of range")
+        out += entry
+        table.append(table[prev] + entry[:1])
+        if len(table) == (1 << codesize) and codesize < 12:
+            codesize += 1
+        prev = code
+        if len(out) > npix:
+            raise ValueError("malformed GIF: too many pixels")
+    if len(out) != npix:
+        raise ValueError("malformed GIF: pixel count mismatch")
+
+    if interlaced:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        rows = [None] * h
+        for i, y in enumerate(order):
+            rows[y] = out[i * w : (i + 1) * w]
+        out = bytearray().join(bytes(r) for r in rows)
+
+    npal = len(pal)
+    sr = sg = sb = 0
+    for idx in out:
+        if idx >= npal:
+            raise ValueError("malformed GIF: palette index out of range")
+        r, g, b = pal[idx]
+        sr += r
+        sg += g
+        sb += b
+    return {
+        "fmt": "gif",
+        "width": int(w),
+        "height": int(h),
+        "sum_r": sr,
+        "sum_g": sg,
+        "sum_b": sb,
+    }
+
+
+@register(
+    "multimodal_decode_gif_real",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   n_chars % 20 + 1 AS w,
+                   doc_id % 14 + 1  AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT b.doc_id, b.w, b.h,
+                   (b.doc_id + x.x * 3 + y.y * 5) % 16 AS i
+            FROM base b,
+                 LATERAL unnest(generate_series(0, b.w - 1)) AS x(x),
+                 LATERAL unnest(generate_series(0, b.h - 1)) AS y(y)
+        )
+        SELECT doc_id,
+               'gif' AS fmt,
+               CAST(any_value(w) AS BIGINT) AS width,
+               CAST(any_value(h) AS BIGINT) AS height,
+               CAST(sum((doc_id * 7 + i * 23) % 256) AS BIGINT) AS sum_r,
+               CAST(sum((doc_id * 11 + i * 29) % 256) AS BIGINT) AS sum_g,
+               CAST(sum((doc_id * 13 + i * 31) % 256) AS BIGINT) AS sum_b
+        FROM px
+        GROUP BY doc_id
+        """,
+    category="multimodal",
+    doc="GIF decoded for real (r8 — the gate list shrinks again): "
+    "stage 1 writes a genuine GIF89a per document (16-color global "
+    "palette derived from doc_id, REAL variable-width LZW with "
+    "CLEAR/EOI and the one-behind width-growth rule; every third "
+    "document INTERLACED so the four-pass row de-scramble executes "
+    "on real data); stage 2 runs decode_gif_real — screen descriptor, "
+    "color tables, extension skipping, full LZW decompression "
+    "(LSB-first, KwKwK case, 12-bit cap + mid-stream CLEAR reset, "
+    "both exercised in tests on a 200x150 random-noise image) and "
+    "palette mapping.  GIF is LOSSLESS, so the oracle enumerates the "
+    "same palette/index arithmetic in SQL and demands EXACT channel "
+    "sums — any LZW width bug, interlace mis-order or palette slip "
+    "goes red on nearly every document.  The NotImplementedError "
+    "gate now honestly covers only WebP, progressive/arithmetic JPEG "
+    "and compressed audio.  Both stages are narrow mapInPandas "
+    "passes over a repartitioned 16-byte/row projection (the JPEG "
+    "query's parallelism lesson).",
+)
+def multimodal_decode_gif_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    enc = _ship_by_value(encode_gif_indexed)
+    dec = _ship_by_value(decode_gif_real)
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                w, h = n_chars % 20 + 1, doc_id % 14 + 1
+                pal = [
+                    (
+                        (doc_id * 7 + i * 23) % 256,
+                        (doc_id * 11 + i * 29) % 256,
+                        (doc_id * 13 + i * 31) % 256,
+                    )
+                    for i in range(16)
+                ]
+
+                def idx(x, y, _d=doc_id):
+                    return (_d + x * 3 + y * 5) % 16
+
+                payloads.append(
+                    enc(w, h, pal, idx, interlace=(doc_id % 3 == 0))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, schema="doc_id long, payload binary")
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            metas = [dec(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "fmt": [m["fmt"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "sum_r": [m["sum_r"] for m in metas],
+                    "sum_g": [m["sum_g"] for m in metas],
+                    "sum_b": [m["sum_b"] for m in metas],
+                }
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, fmt string, width long, height long, "
+            "sum_r long, sum_g long, sum_b long"
+        ),
     )

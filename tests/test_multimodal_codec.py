@@ -69,15 +69,15 @@ def test_bmp_width_multiple_of_four_no_padding():
 
 def test_compressed_formats_still_gated():
     with pytest.raises(NotImplementedError):
-        decode_image_real(b"GIF89a" + b"\x00" * 32)  # GIF stays gated
-    with pytest.raises(NotImplementedError):
         decode_image_real(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 24)
-    # PNG (r6) and baseline JPEG (r7) decode for real, so a garbage
-    # body after a valid signature is MALFORMED, not unsupported
+    # PNG (r6), baseline JPEG (r7) and GIF (r8) decode for real, so a
+    # garbage body after a valid signature is MALFORMED, not unsupported
     with pytest.raises(ValueError):
         decode_image_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
     with pytest.raises(ValueError):
         decode_image_real(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    with pytest.raises(ValueError):
+        decode_image_real(b"GIF89a" + b"\x00" * 32)
 
 
 def test_ppm_maxval_gate():
@@ -354,3 +354,89 @@ def test_jpeg_dispatches_through_decode_image_real():
     rgb = _gradient_rgb(16, 8)
     meta = decode_image_real(encode_jpeg_baseline(rgb))
     assert meta["fmt"] == "jpeg" and meta["width"] == 16
+
+
+# ---------------------------------------------------------------- GIF
+
+
+def test_gif_roundtrip_lossless_including_interlace():
+    import random
+
+    from mincemeatpy_spark.multimodal.binary_ops import (
+        decode_gif_real,
+        encode_gif_indexed,
+    )
+
+    rng = random.Random(7)
+    for trial in range(12):
+        w, h = rng.randint(1, 40), rng.randint(1, 30)
+        npal = rng.choice([4, 16, 256])
+        pal = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(npal)
+        ]
+        grid = [[rng.randrange(npal) for _ in range(w)] for _ in range(h)]
+        b = encode_gif_indexed(
+            w, h, pal, lambda x, y: grid[y][x], interlace=(trial % 3 == 0)
+        )
+        m = decode_gif_real(b)
+        assert (m["fmt"], m["width"], m["height"]) == ("gif", w, h)
+        for ch, key in enumerate(("sum_r", "sum_g", "sum_b")):
+            exp = sum(
+                pal[grid[y][x]][ch] for y in range(h) for x in range(w)
+            )
+            assert m[key] == exp, (trial, key)
+
+
+def test_gif_lzw_width_growth_and_clear_reset():
+    """A 200x150 random 256-color image pushes the LZW code width to
+    12 bits AND overflows the 4096-entry table, forcing the encoder's
+    mid-stream CLEAR + reset — the decoder must follow both."""
+    import random
+
+    from mincemeatpy_spark.multimodal.binary_ops import (
+        decode_gif_real,
+        encode_gif_indexed,
+    )
+
+    rng = random.Random(13)
+    w, h = 200, 150
+    pal = [((i * 7) % 256, (i * 11) % 256, (i * 13) % 256) for i in range(256)]
+    grid = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+    b = encode_gif_indexed(w, h, pal, lambda x, y: grid[y][x])
+    m = decode_gif_real(b)
+    assert m["sum_r"] == sum(
+        pal[grid[y][x]][0] for y in range(h) for x in range(w)
+    )
+
+
+def test_gif_malformed_is_valueerror():
+    import pytest
+
+    from mincemeatpy_spark.multimodal.binary_ops import (
+        decode_gif_real,
+        encode_gif_indexed,
+    )
+
+    good = encode_gif_indexed(
+        8, 8, [(0, 0, 0), (255, 255, 255)], lambda x, y: (x + y) % 2
+    )
+    with pytest.raises(ValueError):
+        decode_gif_real(b"NOTGIF" + good[6:])
+    with pytest.raises(ValueError):
+        decode_gif_real(good[:12])  # truncated screen descriptor
+    with pytest.raises(ValueError):
+        decode_gif_real(good[:-4])  # unterminated image data
+
+
+def test_gif_dispatches_through_decode_image_real():
+    from mincemeatpy_spark.multimodal.binary_ops import (
+        decode_image_real,
+        encode_gif_indexed,
+    )
+
+    b = encode_gif_indexed(
+        5, 4, [(10, 20, 30), (40, 50, 60)], lambda x, y: x % 2
+    )
+    m = decode_image_real(b)
+    assert m["fmt"] == "gif" and m["width"] == 5 and m["height"] == 4
