@@ -152,18 +152,31 @@ def decode_audio_real(payload: bytes) -> dict:
     array in exact integer arithmetic (energy = sum of squares, <= 2^22
     per sample, exact in int64 up to ~2^41 samples).
 
-    Compressed codecs (MP3/AAC/FLAC/...) genuinely need a library not
-    in this container — only those still raise ``NotImplementedError``.
+    FLAC decodes natively since r8 (decode_flac_real — rice residuals,
+    fixed + LPC predictors, CRC-verified frames); the transform codecs
+    (MP3/AAC/Vorbis/Opus) genuinely need a DSP library not in this
+    container — only those still raise ``NotImplementedError``.
     ``multimodal_decode_audio_real`` drives this decoder end-to-end
     through the same Arrow stage as the PPM/BMP image path.
     """
     import struct
 
+    if payload[:4] == b"fLaC":
+        # same ship-alongside dispatch note as decode_image_real's PNG
+        try:
+            flac = decode_flac_real
+        except NameError as exc:
+            raise NotImplementedError(
+                "FLAC dispatch needs decode_flac_real shipped alongside"
+            ) from exc
+        meta = flac(payload)
+        meta.pop("fmt", None)
+        return meta
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
-            "compressed audio containers (MP3/AAC/FLAC/...) need a codec "
+            "transform audio codecs (MP3/AAC/Vorbis/Opus) need a DSP "
             "library not present in this environment; RIFF/WAVE PCM16 "
-            "decodes natively here"
+            "and FLAC decode natively here"
         )
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(payload):
@@ -2756,5 +2769,546 @@ def multimodal_decode_gif_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id long, fmt string, width long, height long, "
             "sum_r long, sum_g long, sum_b long"
+        ),
+    )
+
+
+def encode_flac_subset(sample_rate: int, channels: list) -> bytes:
+    """Spec-correct FLAC writer (RFC 9639 subset) for 16-bit PCM:
+    fLaC marker + STREAMINFO, then fixed-blocking frames (explicit
+    16-bit blocksize field, UTF-8 frame numbers, header CRC-8, frame
+    CRC-16) with independent channels.  Subframe types rotate by frame
+    index so every decoder path sees real data: CONSTANT when a block
+    is flat, else VERBATIM / best-of-order-0..2 FIXED / order-2 LPC
+    (coefficients [3, -1], shift 1 — prediction quality is irrelevant
+    to losslessness, which is the point of residual coding).
+    Residuals are genuine rice codes (zigzag, unary quotient, 4-bit
+    parameter, partition order 0).  ``channels`` is a list of equal-
+    length int16 sample lists."""
+    nch = len(channels)
+    n = len(channels[0])
+    bs = 16  # small blocksize => multiple frames per fixture clip
+
+    out = bytearray(b"fLaC")
+
+    bits = []
+
+    def put(v: int, w: int) -> None:
+        for i in range(w - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    def flush() -> bytes:
+        while len(bits) % 8:
+            bits.append(0)
+        b = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for bit in bits[i : i + 8]:
+                byte = (byte << 1) | bit
+            b.append(byte)
+        bits.clear()
+        return bytes(b)
+
+    # STREAMINFO (last metadata block, type 0, length 34)
+    put(1, 1)
+    put(0, 7)
+    put(34, 24)
+    put(bs, 16)
+    put(bs, 16)
+    put(0, 24)
+    put(0, 24)
+    put(sample_rate, 20)
+    put(nch - 1, 3)
+    put(15, 5)  # bits-per-sample - 1
+    put(n, 36)
+    put(0, 128)  # MD5 unset (legal: zeros = unknown)
+    out += flush()
+
+    def crc8(data: bytes) -> int:
+        c = 0
+        for byte in data:
+            c ^= byte
+            for _ in range(8):
+                c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        return c
+
+    def crc16(data: bytes) -> int:
+        c = 0
+        for byte in data:
+            c ^= byte << 8
+            for _ in range(8):
+                c = (
+                    ((c << 1) ^ 0x8005) & 0xFFFF
+                    if c & 0x8000
+                    else (c << 1) & 0xFFFF
+                )
+        return c
+
+    def utf8_number(v: int) -> bytes:
+        if v < 0x80:
+            return bytes([v])
+        seqs = [(0xC0, 11), (0xE0, 16), (0xF0, 21), (0xF8, 26), (0xFC, 31)]
+        for lead, maxbits in seqs:
+            if v < (1 << maxbits):
+                nbytes = seqs.index((lead, maxbits)) + 2
+                bs_ = [0x80 | ((v >> (6 * i)) & 0x3F) for i in range(nbytes - 1)]
+                return bytes([lead | (v >> (6 * (nbytes - 1)))]) + bytes(
+                    reversed(bs_)
+                )
+        raise ValueError("frame number too large")
+
+    def rice_put(res: list) -> None:
+        # zigzag -> choose parameter from the mean -> unary/binary
+        us = [(v << 1) if v >= 0 else (-(v << 1) - 1) for v in res]
+        mean = (sum(us) // max(1, len(us))) or 1
+        k = min(14, max(0, mean.bit_length() - 1))
+        put(0, 2)  # coding method: 4-bit rice
+        put(0, 4)  # partition order 0
+        put(k, 4)
+        for u in us:
+            q = u >> k
+            put(0, q) if q else None
+            bits.append(1)
+            if k:
+                put(u & ((1 << k) - 1), k)
+
+    FIXED = {
+        0: lambda s, i: 0,
+        1: lambda s, i: s[i - 1],
+        2: lambda s, i: 2 * s[i - 1] - s[i - 2],
+    }
+
+    for fno, start in enumerate(range(0, n, bs)):
+        blk_n = min(bs, n - start)
+        # header
+        put(0b11111111111110, 14)
+        put(0, 1)
+        put(0, 1)  # fixed blocking
+        put(0b0111, 4)  # blocksize: explicit 16-bit at header end
+        put(0, 4)  # sample rate: from STREAMINFO
+        put(nch - 1, 4)  # independent channels
+        put(0b100, 3)  # 16 bps
+        put(0, 1)
+        header = flush()
+        header += utf8_number(fno)
+        # blocksize-1, 16 bit
+        header += bytes([(blk_n - 1) >> 8, (blk_n - 1) & 0xFF])
+        header += bytes([crc8(header)])
+
+        frame = bytearray(header)
+        for ch in channels:
+            s = ch[start : start + blk_n]
+            mode = fno % 3
+            if len(set(s)) == 1:
+                put(0, 1)
+                put(0b000000, 6)
+                put(0, 1)
+                put(s[0] & 0xFFFF, 16)
+            elif mode == 0 or blk_n < 3:
+                put(0, 1)
+                put(0b000001, 6)  # VERBATIM
+                put(0, 1)
+                for v in s:
+                    put(v & 0xFFFF, 16)
+            elif mode == 1:
+                # best fixed order 0..2 by residual magnitude
+                best_k, best_res, best_cost = 0, None, None
+                for k in range(3):
+                    res = [
+                        s[i] - FIXED[k](s, i) for i in range(k, blk_n)
+                    ]
+                    cost = sum(abs(r) for r in res)
+                    if best_cost is None or cost < best_cost:
+                        best_k, best_res, best_cost = k, res, cost
+                put(0, 1)
+                put(0b001000 | best_k, 6)
+                put(0, 1)
+                for i in range(best_k):
+                    put(s[i] & 0xFFFF, 16)
+                rice_put(best_res)
+            else:
+                # LPC order 2: coefs [3, -1], shift 1 (qlp precision 4)
+                order, shift, coefs, prec = 2, 1, [3, -1], 4
+                put(0, 1)
+                put(0b100000 | (order - 1), 6)
+                put(0, 1)
+                for i in range(order):
+                    put(s[i] & 0xFFFF, 16)
+                put(prec - 1, 4)
+                put(shift, 5)
+                for c in coefs:
+                    put(c & ((1 << prec) - 1), prec)
+                res = [
+                    s[i]
+                    - ((coefs[0] * s[i - 1] + coefs[1] * s[i - 2]) >> shift)
+                    for i in range(order, blk_n)
+                ]
+                rice_put(res)
+        frame += flush()
+        c16 = crc16(bytes(frame))
+        frame += bytes([c16 >> 8, c16 & 0xFF])
+        out += frame
+    return bytes(out)
+
+
+def decode_flac_real(payload: bytes) -> dict:
+    """Real, dependency-free FLAC decode (RFC 9639 subset): STREAMINFO
+    parse, metadata-block walk, frame headers (sync, blocking
+    strategy, all blocksize/sample-rate code forms, UTF-8 frame
+    numbers, CRC-8 verified), independent channels, subframes
+    CONSTANT / VERBATIM / FIXED order 0-4 / LPC (any order, precision,
+    shift), rice residuals with both 4- and 5-bit parameters, any
+    partition order, and the escape-to-verbatim partition form; frame
+    CRC-16 verified.  Honest gates: stereo decorrelation
+    (left/right/mid-side channel assignments) and bits-per-sample
+    other than 16 raise ``NotImplementedError``; structural damage
+    raises ``ValueError``.
+
+    Returns ``{fmt, sample_rate, n_channels, n_samples, sample_sum,
+    energy}`` with exact integer sums (FLAC is lossless)."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (missing fLaC marker)")
+
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("malformed FLAC: truncated metadata header")
+        last = payload[pos] & 0x80
+        btype = payload[pos] & 0x7F
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("malformed FLAC: truncated metadata block")
+        if btype == 0:
+            streaminfo = body
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None or len(streaminfo) < 34:
+        raise ValueError("malformed FLAC: missing STREAMINFO")
+
+    si = int.from_bytes(streaminfo, "big")
+    shift_total = (34 - 18) * 8  # bits after the 20+3+5... compute below
+    # STREAMINFO layout: 16+16+24+24 | 20 rate | 3 ch-1 | 5 bps-1 | 36 n
+    rate = (si >> (34 * 8 - 80 - 20)) & ((1 << 20) - 1)
+    nch = ((si >> (34 * 8 - 100 - 3)) & 0x7) + 1
+    bps = ((si >> (34 * 8 - 103 - 5)) & 0x1F) + 1
+    total = (si >> (34 * 8 - 108 - 36)) & ((1 << 36) - 1)
+    if bps != 16:
+        raise NotImplementedError("only 16-bit FLAC supported")
+
+    def crc8(data: bytes) -> int:
+        c = 0
+        for byte in data:
+            c ^= byte
+            for _ in range(8):
+                c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        return c
+
+    def crc16(data: bytes) -> int:
+        c = 0
+        for byte in data:
+            c ^= byte << 8
+            for _ in range(8):
+                c = (
+                    ((c << 1) ^ 0x8005) & 0xFFFF
+                    if c & 0x8000
+                    else (c << 1) & 0xFFFF
+                )
+        return c
+
+    FIXED_COEF = {
+        0: [],
+        1: [1],
+        2: [2, -1],
+        3: [3, -3, 1],
+        4: [4, -6, 4, -1],
+    }
+
+    samples_done = 0
+    ssum = 0
+    senergy = 0
+    nsamples_emitted = 0
+
+    while samples_done < total:
+        frame_start = pos
+        if pos + 5 > len(payload):
+            raise ValueError("malformed FLAC: truncated frame header")
+        hdr16 = (payload[pos] << 8) | payload[pos + 1]
+        if hdr16 >> 2 != 0b11111111111110:
+            raise ValueError("malformed FLAC: lost frame sync")
+        variable = hdr16 & 1
+        b3 = payload[pos + 2]
+        bs_code, sr_code = b3 >> 4, b3 & 0xF
+        b4 = payload[pos + 3]
+        ch_code, ss_code = b4 >> 4, (b4 >> 1) & 0x7
+        if ch_code >= 8:
+            raise NotImplementedError(
+                "stereo decorrelation (L/R/M-S) not supported"
+            )
+        fch = ch_code + 1
+        if ss_code != 0b100:
+            raise NotImplementedError("only 16-bit frames supported")
+        p = pos + 4
+        # UTF-8 coded number
+        first = payload[p]
+        if first < 0x80:
+            extra = 0
+        else:
+            extra = 0
+            m = first
+            while m & 0x40:
+                extra += 1
+                m <<= 1
+            if extra == 0:
+                raise ValueError("malformed FLAC: bad UTF-8 number")
+        p += 1 + extra
+        if bs_code == 0:
+            raise ValueError("malformed FLAC: reserved blocksize code")
+        if bs_code == 1:
+            blk_n = 192
+        elif 2 <= bs_code <= 5:
+            blk_n = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            blk_n = payload[p] + 1
+            p += 1
+        elif bs_code == 7:
+            blk_n = ((payload[p] << 8) | payload[p + 1]) + 1
+            p += 2
+        else:
+            blk_n = 256 << (bs_code - 8)
+        if sr_code == 12:
+            p += 1
+        elif sr_code in (13, 14):
+            p += 2
+        elif sr_code == 15:
+            raise ValueError("malformed FLAC: invalid sample rate code")
+        if crc8(payload[frame_start:p]) != payload[p]:
+            raise ValueError("malformed FLAC: frame header CRC-8 mismatch")
+        p += 1
+
+        # bit reader over the subframe region
+        bitpos = p * 8
+
+        def rd(nbits: int) -> int:
+            nonlocal bitpos
+            v = 0
+            for _ in range(nbits):
+                byte_i = bitpos >> 3
+                if byte_i >= len(payload):
+                    raise ValueError("malformed FLAC: bitstream exhausted")
+                v = (v << 1) | ((payload[byte_i] >> (7 - (bitpos & 7))) & 1)
+                bitpos += 1
+            return v
+
+        def rd_unary() -> int:
+            q = 0
+            while rd(1) == 0:
+                q += 1
+            return q
+
+        def rd_signed(nbits: int) -> int:
+            v = rd(nbits)
+            return v - (1 << nbits) if v & (1 << (nbits - 1)) else v
+
+        def read_residual(order: int, blk: int) -> list:
+            method = rd(2)
+            if method not in (0, 1):
+                raise ValueError("malformed FLAC: bad residual method")
+            pbits = 4 if method == 0 else 5
+            escape = (1 << pbits) - 1
+            porder = rd(4)
+            nparts = 1 << porder
+            if blk % nparts:
+                raise ValueError("malformed FLAC: bad partition order")
+            res: list = []
+            for part in range(nparts):
+                cnt = blk // nparts - (order if part == 0 else 0)
+                if cnt < 0:
+                    raise ValueError("malformed FLAC: partition underflow")
+                k = rd(pbits)
+                if k == escape:
+                    raw = rd(5)
+                    for _ in range(cnt):
+                        res.append(rd_signed(raw) if raw else 0)
+                else:
+                    for _ in range(cnt):
+                        q = rd_unary()
+                        u = (q << k) | (rd(k) if k else 0)
+                        res.append(
+                            (u >> 1) if (u & 1) == 0 else -((u >> 1) + 1)
+                        )
+            return res
+
+        for _ch in range(fch):
+            if rd(1) != 0:
+                raise ValueError("malformed FLAC: bad subframe padding bit")
+            stype = rd(6)
+            if rd(1) != 0:
+                raise NotImplementedError("wasted bits not supported")
+            if stype == 0:
+                v = rd_signed(16)
+                s = [v] * blk_n
+            elif stype == 1:
+                s = [rd_signed(16) for _ in range(blk_n)]
+            elif 8 <= stype <= 12:
+                order = stype - 8
+                s = [rd_signed(16) for _ in range(order)]
+                res = read_residual(order, blk_n)
+                coefs = FIXED_COEF[order]
+                for r in res:
+                    pred = sum(
+                        c * s[len(s) - 1 - i] for i, c in enumerate(coefs)
+                    )
+                    s.append(pred + r)
+            elif stype >= 32:
+                order = stype - 31
+                s = [rd_signed(16) for _ in range(order)]
+                prec = rd(4) + 1
+                if prec == 16:
+                    raise ValueError("malformed FLAC: invalid qlp precision")
+                shift = rd(5)
+                coefs = [rd_signed(prec) for _ in range(order)]
+                res = read_residual(order, blk_n)
+                for r in res:
+                    pred = (
+                        sum(
+                            c * s[len(s) - 1 - i]
+                            for i, c in enumerate(coefs)
+                        )
+                        >> shift
+                    )
+                    s.append(pred + r)
+            else:
+                raise ValueError("malformed FLAC: reserved subframe type")
+            for v in s:
+                ssum += v
+                senergy += v * v
+            nsamples_emitted += len(s)
+
+        # byte-align, then CRC-16 over the whole frame
+        bitpos = (bitpos + 7) & ~7
+        p = bitpos >> 3
+        if p + 2 > len(payload):
+            raise ValueError("malformed FLAC: truncated frame CRC")
+        want = (payload[p] << 8) | payload[p + 1]
+        if crc16(payload[frame_start:p]) != want:
+            raise ValueError("malformed FLAC: frame CRC-16 mismatch")
+        pos = p + 2
+        samples_done += blk_n
+        _ = variable
+
+    return {
+        "fmt": "flac",
+        "sample_rate": int(rate),
+        "n_channels": int(nch),
+        "n_samples": int(nsamples_emitted),
+        "sample_sum": int(ssum),
+        "energy": int(senergy),
+    }
+
+
+@register(
+    "multimodal_decode_flac_real",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   doc_id % 2 + 1             AS ch,
+                   n_chars % 40 + 8           AS nfr,
+                   8000 + (doc_id % 3) * 8000 AS rate
+            FROM documents
+        ),
+        samples AS (
+            SELECT b.doc_id, b.ch, b.rate,
+                   ((b.doc_id * 37 + i.i * 11 + c.c * 5) % 4000) - 2000 AS s
+            FROM base b,
+                 LATERAL unnest(generate_series(0, b.nfr - 1)) AS i(i),
+                 LATERAL unnest(generate_series(0, b.ch - 1)) AS c(c)
+        )
+        SELECT doc_id,
+               CAST(any_value(rate) AS BIGINT) AS sample_rate,
+               CAST(any_value(ch) AS BIGINT)   AS n_channels,
+               CAST(count(*) AS BIGINT)        AS n_samples,
+               CAST(sum(s) AS BIGINT)          AS sample_sum,
+               CAST(sum(s * s) AS BIGINT)      AS energy
+        FROM samples
+        GROUP BY doc_id
+        """,
+    category="multimodal",
+    doc="COMPRESSED audio decoded for real (r8 — the audio gate "
+    "shrinks to the transform codecs): stage 1 encodes a genuine "
+    "FLAC stream per document (RFC 9639 subset: STREAMINFO, fixed-"
+    "blocking frames with UTF-8 numbers and CRC-8/CRC-16, independent "
+    "channels, REAL rice-coded residuals; subframe types rotate by "
+    "frame so CONSTANT, VERBATIM, best-of-order FIXED and order-2 LPC "
+    "paths all carry real data); stage 2 runs decode_flac_real — "
+    "metadata walk, frame-header parse with CRC verification, full "
+    "rice decode (both parameter widths, any partition order, the "
+    "escape-to-verbatim form) and predictor reconstruction.  FLAC is "
+    "LOSSLESS, so the oracle recomputes rate/channels/count and the "
+    "exact sample sum and energy arithmetically — a wrong rice "
+    "quotient, predictor coefficient or CRC region goes red on "
+    "nearly every document.  The NotImplementedError gate now "
+    "honestly covers only the transform codecs (MP3/AAC/Vorbis/Opus) "
+    "plus stereo-decorrelated FLAC.  Narrow mapInPandas stages over "
+    "the repartitioned 16-byte/row projection.",
+)
+def multimodal_decode_flac_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    enc = _ship_by_value(encode_flac_subset)
+    dec = _ship_by_value(decode_flac_real)
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                nch = doc_id % 2 + 1
+                nfr = n_chars % 40 + 8
+                rate = 8000 + (doc_id % 3) * 8000
+                chans = [
+                    [
+                        ((doc_id * 37 + i * 11 + c * 5) % 4000) - 2000
+                        for i in range(nfr)
+                    ]
+                    for c in range(nch)
+                ]
+                payloads.append(enc(rate, chans))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, schema="doc_id long, payload binary")
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            metas = [dec(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "sample_rate": [m["sample_rate"] for m in metas],
+                    "n_channels": [m["n_channels"] for m in metas],
+                    "n_samples": [m["n_samples"] for m in metas],
+                    "sample_sum": [m["sample_sum"] for m in metas],
+                    "energy": [m["energy"] for m in metas],
+                }
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, sample_rate long, n_channels long, "
+            "n_samples long, sample_sum long, energy long"
         ),
     )

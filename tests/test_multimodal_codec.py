@@ -133,7 +133,9 @@ def test_wav_unknown_chunk_skipped_word_aligned():
 def test_wav_compressed_codecs_still_gated():
     with pytest.raises(NotImplementedError):
         decode_audio_real(b"ID3\x04" + b"\x00" * 32)  # MP3 container magic
-    with pytest.raises(NotImplementedError):
+    # FLAC decodes for real since r8, so a garbage body after a valid
+    # marker is MALFORMED, not unsupported
+    with pytest.raises(ValueError):
         decode_audio_real(b"fLaC" + b"\x00" * 32)
     with pytest.raises(NotImplementedError):  # non-PCM WAVE (e.g. float32)
         decode_audio_real(_wav(1, 8000, [0], audio_fmt=3))
@@ -440,3 +442,77 @@ def test_gif_dispatches_through_decode_image_real():
     )
     m = decode_image_real(b)
     assert m["fmt"] == "gif" and m["width"] == 5 and m["height"] == 4
+
+
+# --------------------------------------------------------------- FLAC
+
+
+def test_flac_roundtrip_all_subframe_types():
+    import random
+
+    from mincemeatpy_spark.multimodal.binary_ops import (
+        decode_flac_real,
+        encode_flac_subset,
+    )
+
+    rng = random.Random(11)
+    for trial in range(12):
+        nch = rng.choice([1, 2])
+        n = rng.randint(1, 200)
+        chans = []
+        for c in range(nch):
+            kind = trial % 4
+            if kind == 0:
+                ch = [rng.randint(-2048, 2047) for _ in range(n)]
+            elif kind == 1:
+                ch = [((i * 13 + c * 7) % 999) - 500 for i in range(n)]
+            elif kind == 2:
+                ch = [42] * n  # constant blocks
+            else:
+                ch = [(-1) ** i * (i % 50) for i in range(n)]
+            chans.append(ch)
+        b = encode_flac_subset(16000, chans)
+        m = decode_flac_real(b)
+        assert m["fmt"] == "flac"
+        assert m["n_samples"] == n * nch
+        assert m["sample_sum"] == sum(sum(ch) for ch in chans), (trial,)
+        assert m["energy"] == sum(v * v for ch in chans for v in ch)
+
+
+def test_flac_crc_verification_bites():
+    import pytest
+
+    from mincemeatpy_spark.multimodal.binary_ops import (
+        decode_flac_real,
+        encode_flac_subset,
+    )
+
+    good = encode_flac_subset(8000, [[5, -3, 17, 200, -120, 6, 7, 8]])
+    # flip one bit in the LAST byte (inside the final frame's CRC-16
+    # footer or its protected region — either way the check must fire)
+    bad = good[:-1] + bytes([good[-1] ^ 0x01])
+    with pytest.raises(ValueError):
+        decode_flac_real(bad)
+    with pytest.raises(ValueError):
+        decode_flac_real(good[:20])  # truncated metadata
+
+
+def test_flac_dispatches_through_decode_audio_real():
+    from mincemeatpy_spark.multimodal.binary_ops import (
+        decode_audio_real,
+        encode_flac_subset,
+    )
+
+    b = encode_flac_subset(22050, [[1, 2, 3, 4, -5, -6]])
+    m = decode_audio_real(b)
+    assert m["sample_rate"] == 22050 and m["n_samples"] == 6
+    assert m["sample_sum"] == -1
+
+
+def test_audio_transform_codecs_still_gated():
+    import pytest
+
+    from mincemeatpy_spark.multimodal.binary_ops import decode_audio_real
+
+    with pytest.raises(NotImplementedError):
+        decode_audio_real(b"\xff\xfb\x90\x00" + b"\x00" * 64)  # MP3 frame
