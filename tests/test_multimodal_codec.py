@@ -516,3 +516,107 @@ def test_audio_transform_codecs_still_gated():
 
     with pytest.raises(NotImplementedError):
         decode_audio_real(b"\xff\xfb\x90\x00" + b"\x00" * 64)  # MP3 frame
+
+
+# ------------------------------------------------- progressive JPEG (r8)
+
+
+def test_progressive_jpeg_coefficient_exact():
+    """The 10-scan progressive machinery (DC/AC successive
+    approximation, spectral selection, AC refinement with correction
+    bits) must reassemble coefficients EXACTLY: reconstruction equals
+    the closed-form IDCT of the rounded FDCT coefficients
+    bit-for-bit, so the only loss in the pipeline is FDCT rounding."""
+    import numpy as np
+
+    from mincemeatpy_spark.multimodal.binary_ops import (
+        _jpeg_dct_mat,
+        decode_jpeg_progressive,
+        encode_jpeg_progressive,
+    )
+
+    A = _jpeg_dct_mat()
+
+    def expected_sums(rgb):
+        h, w = rgb.shape[:2]
+        r, g, b = [rgb[..., i].astype(np.float64) for i in range(3)]
+        Y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+        Cb = np.clip(
+            np.round(128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b),
+            0,
+            255,
+        )
+        Cr = np.clip(
+            np.round(128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b),
+            0,
+            255,
+        )
+        H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+        outs = []
+        for plane in (Y, Cb, Cr):
+            p = np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+            gh, gw = H // 8, W // 8
+            blocks = (
+                p.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            )
+            q = np.round(A @ (blocks - 128.0) @ A.T)
+            rec = A.T @ q @ A + 128.0
+            full = np.zeros((H, W))
+            for i in range(gh * gw):
+                y, x = (i // gw) * 8, (i % gw) * 8
+                full[y : y + 8, x : x + 8] = rec[i]
+            outs.append(full[:h, :w])
+        Yc, Cbc, Crc = outs[0], outs[1] - 128.0, outs[2] - 128.0
+        rr = np.clip(np.round(Yc + 1.402 * Crc), 0, 255).astype(np.int64)
+        gg = np.clip(
+            np.round(Yc - 0.344136286 * Cbc - 0.714136286 * Crc), 0, 255
+        ).astype(np.int64)
+        bb = np.clip(np.round(Yc + 1.772 * Cbc), 0, 255).astype(np.int64)
+        return int(rr.sum()), int(gg.sum()), int(bb.sum())
+
+    rng = np.random.default_rng(9)
+    for _ in range(4):
+        w, h = 8 + int(rng.integers(0, 30)), 8 + int(rng.integers(0, 25))
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        m = decode_jpeg_progressive(encode_jpeg_progressive(rgb))
+        assert (m["sum_r"], m["sum_g"], m["sum_b"]) == expected_sums(rgb)
+        assert (m["fmt"], m["width"], m["height"]) == (
+            "jpeg-progressive",
+            w,
+            h,
+        )
+
+
+def test_progressive_dispatches_through_decode_jpeg_real():
+    import numpy as np
+
+    from mincemeatpy_spark.multimodal.binary_ops import (
+        decode_jpeg_real,
+        encode_jpeg_progressive,
+    )
+
+    rgb = (np.arange(16 * 16 * 3) % 256).reshape(16, 16, 3).astype(np.uint8)
+    m = decode_jpeg_real(encode_jpeg_progressive(rgb))
+    assert m["fmt"] == "jpeg-progressive" and m["width"] == 16
+
+
+def test_progressive_unsupported_variants_gated():
+    import numpy as np
+    import pytest
+
+    from mincemeatpy_spark.multimodal.binary_ops import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive,
+    )
+
+    good = encode_jpeg_progressive(
+        (np.zeros((8, 8, 3)) + 7).astype(np.uint8)
+    )
+    # flip the SOF2 sampling byte of component 1 to 4:2:0 (0x22)
+    sof_at = good.find(b"\xff\xc2")
+    bad = bytearray(good)
+    bad[sof_at + 2 + 2 + 6 + 1] = 0x22
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_progressive(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_jpeg_progressive(good[:40])
