@@ -1346,3 +1346,30 @@ def test_segments_bulk_skewed_absorbs_hot_key(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan
     # two-phase min: a partial_min below the exchange, a final min above
     assert "partial_min" in plan or plan.count("HashAggregate") >= 2
+
+
+def test_sort_limit_offset_no_global_sort(spark, sf_dir):
+    """sort_limit_offset: offset+limit must execute as
+    TakeOrderedAndProject(limit=offset+limit, offset=offset) — the
+    per-partition top-k shape — never a global Exchange-then-Sort of
+    the whole table."""
+    plan = _plan("sort_limit_offset", spark, sf_dir)
+    assert "TakeOrderedAndProject(limit=60, offset=40" in plan, plan[:1200]
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_groupingsets_df_api_expand(spark, sf_dir):
+    """agg_groupingsets_df_api compiles to the same Expand-operator
+    shape as the SQL GROUPING SETS form: one scan, Expand, two-phase
+    aggregate."""
+    plan = _plan("agg_groupingsets_df_api", spark, sf_dir)
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_market_basket_rules_vocab_joins_broadcast(spark, sf_dir):
+    """market_basket_rules: the item-count joins are against the
+    bounded item vocabulary and must broadcast; the only shuffled join
+    is the within-basket pair generation."""
+    plan = _plan("market_basket_rules", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
