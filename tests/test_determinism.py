@@ -90,6 +90,16 @@ _RISKIEST = [
     "events_markov_eval_holdout",
     "graph_modularity",
     "ann_index_incremental_add",
+    # round-8 additions: exact-integer-moment analytics whose floats
+    # are single expressions (order-independence is the design claim),
+    # the planted-skew segment twin's shuffle-hash first-instance rule,
+    # and the two-phase quartile histogram
+    "events_interarrival_burstiness",
+    "graph_degree_assortativity",
+    "dedup_segments_bulk_skewed",
+    "market_basket_rules",
+    "survival_at_risk_table",
+    "features_woe_iv",
 ]
 
 
