@@ -1724,7 +1724,7 @@ def _jpeg_dct_mat():
     return A
 
 
-def encode_jpeg_baseline(rgb) -> bytes:
+def encode_jpeg_baseline(rgb, restart_interval: int = 0) -> bytes:
     """Spec-correct baseline JFIF encoder for the fixture stage:
     RGB->YCbCr (BT.601/JFIF), edge-replicated padding to the 16x16 MCU
     grid, 4:2:0 box-averaged chroma, level-shifted orthonormal DCT,
@@ -1854,33 +1854,47 @@ def encode_jpeg_baseline(rgb) -> bytes:
     Yl = Yzz[np.array(y_order)].tolist()
     Cbl, Crl = Cbzz.tolist(), Crzz.tolist()
 
+    # pack: one loop per SYMBOL, flushing whole bytes from an int
+    # accumulator; 1-padding to the byte boundary per the spec.
+    def pack_pending() -> bytes:
+        out_ = bytearray()
+        buf = 0
+        nbuf = 0
+        for c, L in zip(sym_codes, sym_lens):
+            buf = (buf << L) | c
+            nbuf += L
+            while nbuf >= 8:
+                nbuf -= 8
+                byte = (buf >> nbuf) & 0xFF
+                out_.append(byte)
+                if byte == 0xFF:
+                    out_.append(0x00)  # byte stuffing
+            buf &= (1 << nbuf) - 1
+        if nbuf:
+            byte = ((buf << (8 - nbuf)) | ((1 << (8 - nbuf)) - 1)) & 0xFF
+            out_.append(byte)
+            if byte == 0xFF:
+                out_.append(0x00)
+        sym_codes.clear()
+        sym_lens.clear()
+        return bytes(out_)
+
+    scan = bytearray()
     preds = [0, 0, 0]
     for i in range(len(Cbl)):  # one iteration per MCU
+        if restart_interval and i and i % restart_interval == 0:
+            # restart boundary: byte-align this segment, emit the RSTn
+            # marker (n cycles 0..7), reset DC prediction
+            scan += pack_pending()
+            scan += bytes(
+                [0xFF, 0xD0 + ((i // restart_interval - 1) & 7)]
+            )
+            preds = [0, 0, 0]
         for j in range(4):
             preds[0] = encode_block(Yl[4 * i + j], preds[0])
         preds[1] = encode_block(Cbl[i], preds[1])
         preds[2] = encode_block(Crl[i], preds[2])
-
-    # Final pack: one loop per SYMBOL, flushing whole bytes from an int
-    # accumulator; 1-padding to the byte boundary per the spec.
-    scan = bytearray()
-    buf = 0
-    nbuf = 0
-    for c, L in zip(sym_codes, sym_lens):
-        buf = (buf << L) | c
-        nbuf += L
-        while nbuf >= 8:
-            nbuf -= 8
-            byte = (buf >> nbuf) & 0xFF
-            scan.append(byte)
-            if byte == 0xFF:
-                scan.append(0x00)  # byte stuffing
-        buf &= (1 << nbuf) - 1
-    if nbuf:
-        byte = ((buf << (8 - nbuf)) | ((1 << (8 - nbuf)) - 1)) & 0xFF
-        scan.append(byte)
-        if byte == 0xFF:
-            scan.append(0x00)
+    scan += pack_pending()
 
     def seg(marker, data):
         return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
@@ -1894,11 +1908,17 @@ def encode_jpeg_baseline(rgb) -> bytes:
     sof += bytes([3, 0x11, 1])  # Cr
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dri = (
+        seg(0xDD, bytes([restart_interval >> 8, restart_interval & 0xFF]))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + seg(0xE0, jfif)
         + seg(0xDB, bytes([0]) + bytes([1] * 64))
         + seg(0xDB, bytes([1]) + bytes([1] * 64))
+        + dri
         + seg(0xC0, sof)
         + seg(0xC4, dht(0, 0, dc_bits, dc_vals))
         + seg(0xC4, dht(1, 0, ac_bits, ac_vals))
@@ -1946,6 +1966,7 @@ def decode_jpeg_real(payload: bytes) -> dict:
     frame = None
     scan_comps = None
     data_start = None
+    restart_interval = 0
     pos = 2
     while pos < len(payload):
         if pos + 2 > len(payload):
@@ -2025,7 +2046,9 @@ def decode_jpeg_real(payload: bytes) -> dict:
                 "supported (extended/lossless/arithmetic are not)"
             )
         elif m == 0xDD:
-            raise NotImplementedError("restart intervals not supported")
+            if len(data) < 2:
+                raise ValueError("malformed JPEG: truncated DRI")
+            restart_interval = (data[0] << 8) | data[1]
         elif m == 0xDA:
             ns = data[0]
             scan_comps = []
@@ -2048,7 +2071,15 @@ def decode_jpeg_real(payload: bytes) -> dict:
         raise NotImplementedError("only 4:2:0 or 4:4:4 sampling supported")
     sub = samps[0] == (2, 2)
 
+    # Scan extraction, restart-aware (r8): RSTn markers split the
+    # entropy data into independently decodable segments — the decoder
+    # verifies the n = 0..7 modulo sequence, re-aligns to a byte
+    # boundary and resets DC prediction at each one (the mechanism that
+    # makes JPEG scan data PARALLELIZABLE and error-recoverable, i.e.
+    # the format's own answer to "split points inside compressed data").
+    segments = []
     scan_bytes = bytearray()
+    expected_rst = 0
     p = data_start
     while p < len(payload) - 1:
         byte = payload[p]
@@ -2061,12 +2092,25 @@ def decode_jpeg_real(payload: bytes) -> dict:
             if nxt == 0xD9:
                 break
             if 0xD0 <= nxt <= 0xD7:
-                raise NotImplementedError("restart markers not supported")
+                if restart_interval == 0:
+                    raise ValueError(
+                        "malformed JPEG: RST marker without DRI"
+                    )
+                if nxt - 0xD0 != expected_rst:
+                    raise ValueError(
+                        "malformed JPEG: RST marker out of sequence"
+                    )
+                expected_rst = (expected_rst + 1) & 7
+                segments.append(bytes(scan_bytes))
+                scan_bytes = bytearray()
+                p += 2
+                continue
             raise ValueError("malformed JPEG: stray marker in scan data")
         scan_bytes.append(byte)
         p += 1
     else:
         raise ValueError("malformed JPEG: scan data missing EOI")
+    segments.append(bytes(scan_bytes))
 
     # --- entropy decode, LUT form (r8: VERDICT r7 task 4) -------------
     # The pre-r8 decoder walked the scan bit-by-bit through Python
@@ -2084,12 +2128,24 @@ def decode_jpeg_real(payload: bytes) -> dict:
     #   * batched dequant + dezigzag + IDCT over ALL blocks of a
     #     component at once (one (nb,8,8) matmul chain), the same
     #     whole-array discipline as the PNG unfilter loop (:1188).
-    nbits = len(scan_bytes) * 8
-    _sb = bytes(scan_bytes) + b"\x00\x00\x00\x00\x00\x00"
-    _a = np.frombuffer(_sb, dtype=np.uint8).astype(np.uint32)
-    b32 = (
-        (_a[:-3] << 24) | (_a[1:-2] << 16) | (_a[2:-1] << 8) | _a[3:]
-    ).tolist()
+    nbits = 0
+    b32: list = []
+    bitpos = 0
+
+    def _load_segment(i: int) -> None:
+        nonlocal nbits, b32, bitpos
+        if i >= len(segments):
+            raise ValueError("malformed JPEG: missing restart segment")
+        seg_ = segments[i]
+        nbits = len(seg_) * 8
+        _sb = seg_ + b"\x00\x00\x00\x00\x00\x00"
+        _a = np.frombuffer(_sb, dtype=np.uint8).astype(np.uint32)
+        b32 = (
+            (_a[:-3] << 24) | (_a[1:-2] << 16) | (_a[2:-1] << 8) | _a[3:]
+        ).tolist()
+        bitpos = 0
+
+    _load_segment(0)
 
     def _lut_for(table: dict) -> list:
         key = tuple(sorted(table.items()))
@@ -2102,8 +2158,6 @@ def decode_jpeg_real(payload: bytes) -> dict:
             lut = arr.tolist()
             _JPEG_LUT_CACHE[key] = lut
         return lut
-
-    bitpos = 0
 
     def huff(lut) -> int:
         nonlocal bitpos
@@ -2187,8 +2241,15 @@ def decode_jpeg_real(payload: bytes) -> dict:
     # position) per component — pure int work, no numpy in the loop.
     coef_rows: dict = {cid: [] for cid in ids}
     pos_rows: dict = {cid: [] for cid in ids}
+    _mcu = 0
     for my in range(mcys):
         for mx in range(mcxs):
+            if restart_interval and _mcu and _mcu % restart_interval == 0:
+                # restart boundary: next entropy segment (byte-aligned
+                # by construction), DC predictors reset
+                _load_segment(_mcu // restart_interval)
+                preds = dict.fromkeys(ids, 0)
+            _mcu += 1
             if sub:
                 for by in range(2):
                     for bx in range(2):

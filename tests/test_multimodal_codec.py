@@ -340,16 +340,40 @@ def test_jpeg_malformed_is_valueerror():
 
 def test_jpeg_unsupported_variants_gated():
     good = encode_jpeg_baseline(_gradient_rgb(16, 16))
-    # flip SOF0 -> SOF2 (progressive): honest NotImplementedError gate
+    # flip SOF0 -> SOF3 (lossless): honest NotImplementedError gate
     i = good.find(b"\xff\xc0")
     assert i > 0
+    lossless = good[:i] + b"\xff\xc3" + good[i + 2:]
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_real(lossless)
+    # SOF0 -> SOF2 now DISPATCHES to the progressive decoder (r8);
+    # the baseline encoder's 4:2:0 sampling hits its honest
+    # subsampled-progressive sub-gate
     prog = good[:i] + b"\xff\xc2" + good[i + 2:]
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="subsampled progressive"):
         decode_jpeg_real(prog)
-    # DRI segment: restart intervals gated
-    dri = good[:2] + b"\xff\xdd\x00\x04\x00\x08" + good[2:]
-    with pytest.raises(NotImplementedError):
-        decode_jpeg_real(dri)
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn (r8): restart markers split the scan into byte-aligned
+    independently-decodable segments with DC prediction reset — the
+    format's own parallel-decode split points.  Every interval choice
+    must reconstruct identically to the unrestarted stream."""
+    rgb = _gradient_rgb(48, 32)
+    base = decode_jpeg_real(encode_jpeg_baseline(rgb))
+    for ri in (1, 2, 5):
+        m = decode_jpeg_real(encode_jpeg_baseline(rgb, restart_interval=ri))
+        assert (m["sum_r"], m["sum_g"], m["sum_b"]) == (
+            base["sum_r"],
+            base["sum_g"],
+            base["sum_b"],
+        ), ri
+    # a missing segment (DRI present, data truncated at the first RST)
+    # is malformed, not silently short
+    stream = encode_jpeg_baseline(rgb, restart_interval=1)
+    cut = stream[: stream.find(b"\xff\xd0") + 2] + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg_real(cut)
 
 
 def test_jpeg_dispatches_through_decode_image_real():
