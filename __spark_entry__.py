@@ -68,15 +68,50 @@ _CATEGORY_PRIORITY = [
 ]
 
 
+def _certification_history() -> dict[str, int]:
+    """name -> most recent round whose driver CORRECTNESS sample
+    included the query (from CORRECTNESS_r*.json beside this file).
+    Absent = never driver-certified.  Used to rotate never/least-
+    recently-certified queries to the front WITHIN each category, so
+    the ~370-query local-pass tail retires over rounds (VERDICT r8
+    task 4) instead of the same prefix re-certifying forever."""
+    import glob
+    import json
+    import re
+
+    hist: dict[str, int] = {}
+    for p in sorted(
+        glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))
+    ):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(p) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(doc, dict):
+            for n in doc:
+                hist[n] = max(hist.get(n, 0), rnd)
+    return hist
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2,
-    category-interleaved (see note above)."""
+    category-interleaved (see note above), least-recently-certified
+    first within each category."""
     from itertools import zip_longest
 
     qs = load_all_queries()
+    hist = _certification_history()
     by_cat: dict[str, list[str]] = {}
     for name, q in qs.items():
         by_cat.setdefault(q.category, []).append(name)
+    # Stable within-category rotation: never-certified first (hist 0),
+    # then oldest certification round; registration order breaks ties.
+    for names in by_cat.values():
+        idx = {n: i for i, n in enumerate(names)}
+        names.sort(key=lambda n: (hist.get(n, 0), idx[n]))
     rank = {c: i for i, c in enumerate(_CATEGORY_PRIORITY)}
     order = sorted(by_cat, key=lambda c: (rank.get(c, len(rank)), c))
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -117,6 +152,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_mannwhitney_u",
         "events_psi_drift",
         "features_target_encoding_loo",
+        # round-9 flagships: the VP8L (WebP-lossless) and MP3-layer
+        # codec queries (gate-list shrink), promoted for driver
+        # certification in the r9 sample.
+        "multimodal_decode_webp_real",
     ):
         out[name] = qs[name].fn
     for row in zip_longest(*(by_cat[c] for c in order)):

@@ -1,8 +1,17 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>, ...}
+Prints ONE COMPACT JSON line (the FINAL stdout line, kept under ~1800
+chars so it survives the driver's 2000-char tail capture — the r8
+lesson: the full per-trial record pushed the line past the window and
+BENCH_r08.json recorded `parsed: null`):
+  {"metric": "...", "value": <sum of medians>, "unit": "sec",
+   "queries": {name: median, ...}, "extended": {...}, "sf": <sf>,
+   "full": "BENCH_full_latest.json", ...}
+
+The FULL falsifiability record (per-query median/IQR/trial list/host
+telemetry) is written to $SPARK_GRAFT_BENCH_FULL_OUT (default
+BENCH_full_latest.json next to this script) — commit it per round as
+BENCH_full_r{N}.json.
 
 Each query executes fully (noop sink — JVM-side materialization, no
 driver collect) on local[$SPARK_GRAFT_CPUS].
@@ -21,8 +30,11 @@ contention on all-but-one trial but also hides real regressions that
 show up as a distribution shift.
 
 Mechanical regression rule (applied by `python bench.py --compare
-BENCH_rPREV.json`, and by NOTES to classify round-over-round deltas):
-a per-query delta is
+PREV.json CUR.json` — two driver BENCH_r*.json artifacts, this
+script's own compact line, or BENCH_full_r*.json records, in any mix;
+with ONE file, CUR defaults to BENCH_full_latest.json.  A wrapper
+whose `parsed` is null degrades to regex-recovering medians/IQRs from
+its `tail` instead of crashing).  A per-query delta is
 
   REGRESSION   if median moved > +15% vs prev  AND  IQR/median < 10%
   IMPROVEMENT  if median moved < -15% vs prev  AND  IQR/median < 10%
@@ -39,14 +51,12 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from mincemeatpy_spark.registry import load_all_queries
-from mincemeatpy_spark.session import get_spark
 
 # Representative spread: scan+agg, joins (broadcast-heavy Q9 and
 # decorrelated Q21 included), windows, text, dedup/LSH, similarity,
@@ -122,45 +132,158 @@ def classify(
         return "NEW"
     med = cur["median"]
     rel_move = (med - prev_median) / prev_median
+    if abs(rel_move) <= REGRESSION_PCT:
+        return "STABLE"
+    if cur.get("iqr") is None:
+        # Moved >15% but the artifact carries no dispersion data (a
+        # compact line or a tail-recovered median) — the rule cannot
+        # certify the move either way.
+        return "UNVERIFIED"
     rel_iqr = cur["iqr"] / med if med > 0 else float("inf")
-    loads = [s["load1"] for s in cur["host"] if s["load1"] >= 0]
+    loads = [
+        s["load1"] for s in cur.get("host", []) if s.get("load1", -1) >= 0
+    ]
     contaminated = bool(loads) and (
         sum(loads) / len(loads) > LOAD_FACTOR * cpus
     )
-    if abs(rel_move) <= REGRESSION_PCT:
-        return "STABLE"
     if rel_iqr >= TIGHT_IQR or contaminated:
         return "NOISE"
     return "REGRESSION" if rel_move > 0 else "IMPROVEMENT"
 
 
+def _recover_from_tail(tail: str) -> dict[str, dict]:
+    """Best-effort per-query stats from a truncated driver tail capture
+    (the BENCH_r08.json `parsed: null` failure mode).  Recovers every
+    complete ``"name": {"median": X, "iqr": Y`` fragment, plus whole
+    compact-format name->median dicts if present."""
+    stats: dict[str, dict] = {}
+    for m in re.finditer(
+        r'"([A-Za-z0-9_]+)":\s*\{"median":\s*([0-9.]+),\s*"iqr":\s*([0-9.]+)',
+        tail,
+    ):
+        stats[m.group(1)] = {
+            "median": float(m.group(2)),
+            "iqr": float(m.group(3)),
+        }
+    for key in ("queries", "extended"):
+        m = re.search(r'"%s":\s*(\{[^{}]*\})' % key, tail)
+        if m:
+            try:
+                for n, v in json.loads(m.group(1)).items():
+                    stats.setdefault(
+                        n, {"median": float(v), "iqr": None}
+                    )
+            except (ValueError, TypeError):
+                pass
+    return stats
+
+
+def _load_bench(path: str) -> dict[str, dict]:
+    """Load any bench artifact into ``{name: {median, iqr|None, host}}``.
+
+    Accepts this script's compact stdout line, the full per-trial
+    record (BENCH_full_r*.json), a pre-r8 best-of-k record, or the
+    driver wrapper ``{tail, parsed}`` — including ``parsed: null``,
+    which degrades to tail recovery instead of crashing."""
+    with open(path) as f:
+        doc = json.load(f)
+    if "parsed" in doc or "tail" in doc:
+        parsed = doc.get("parsed")
+        if parsed is None:
+            return _recover_from_tail(doc.get("tail") or "")
+        doc = parsed
+    out: dict[str, dict] = {}
+    for name, st in (doc.get("stats") or {}).items():
+        out[name] = {
+            "median": st["median"],
+            "iqr": st.get("iqr"),
+            "host": st.get("host", []),
+        }
+    # Compact-line medians (and pre-r8 best-of-k values, which the rule
+    # treats as location estimates with unknown dispersion).
+    for key in ("queries", "extended"):
+        for name, v in (doc.get(key) or {}).items():
+            if isinstance(v, (int, float)):
+                out.setdefault(name, {"median": float(v), "iqr": None})
+    # A compact line points at its full record; prefer that for IQRs.
+    full = doc.get("full")
+    if full and not doc.get("stats"):
+        cand = (
+            full
+            if os.path.isabs(full)
+            else os.path.join(os.path.dirname(os.path.abspath(path)), full)
+        )
+        if os.path.exists(cand):
+            try:
+                with open(cand) as f:
+                    for name, st in (
+                        json.load(f).get("stats") or {}
+                    ).items():
+                        out[name] = {
+                            "median": st["median"],
+                            "iqr": st.get("iqr"),
+                            "host": st.get("host", []),
+                        }
+            except (OSError, ValueError):
+                pass
+    return out
+
+
+def run_compare(argv: list[str], cpus: int) -> int:
+    """`--compare PREV.json [CUR.json]` — classify per-query deltas
+    with the mechanical rule, from artifacts alone (no Spark session).
+    CUR defaults to BENCH_full_latest.json next to this script."""
+    i = argv.index("--compare")
+    paths = [a for a in argv[i + 1 :] if not a.startswith("--")][:2]
+    if not paths:
+        print(
+            "usage: python bench.py --compare PREV.json [CUR.json]",
+            file=sys.stderr,
+        )
+        return 2
+    if len(paths) == 1:
+        paths.append(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_full_latest.json",
+            )
+        )
+    try:
+        prev = _load_bench(paths[0])
+        cur = _load_bench(paths[1])
+    except (OSError, ValueError) as ex:
+        print(f"cannot load bench artifact: {ex}", file=sys.stderr)
+        return 2
+    if not cur:
+        print(f"no per-query data recoverable from {paths[1]}", file=sys.stderr)
+        return 2
+    for name in sorted(cur, key=lambda n: cur[n]["median"], reverse=True):
+        st = cur[name]
+        pm = prev.get(name, {}).get("median")
+        print(
+            f"{classify(name, st, pm, cpus):>12}"
+            f"  {name}: {pm} -> {st['median']} (iqr {st.get('iqr')})"
+        )
+    dropped = sorted(set(prev) - set(cur))
+    if dropped:
+        print(f"     DROPPED  {', '.join(dropped)}")
+    return 0
+
+
 def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    if "--compare" in sys.argv:
+        sys.exit(run_compare(sys.argv, cpus))
+
+    from mincemeatpy_spark.registry import load_all_queries
+    from mincemeatpy_spark.session import get_spark
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("mincemeatpy-bench")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     queries = load_all_queries()
-
-    if "--compare" in sys.argv:
-        # Classify this run's medians against a previous BENCH_r*.json
-        # (either this script's own output or the driver's wrapper with
-        # a "parsed" key) using the mechanical rule — no narrative.
-        with open(sys.argv[sys.argv.index("--compare") + 1]) as f:
-            prev = json.load(f)
-        prev = prev.get("parsed", prev)
-        with open(sys.argv[sys.argv.index("--compare") + 2]) as f:
-            cur = json.load(f)
-        cur = cur.get("parsed", cur)
-        prev_q = {**prev.get("queries", {}), **prev.get("extended", {})}
-        stats = cur.get("stats", {})
-        for name, st in stats.items():
-            print(
-                f"{classify(name, st, prev_q.get(name), cpus):>12}"
-                f"  {name}: {prev_q.get(name)} -> {st['median']}"
-                f" (iqr {st['iqr']})"
-            )
-        return
 
     if "--all" in sys.argv:
         # Diagnostic mode: single-run timing of EVERY registered query,
@@ -225,33 +348,67 @@ def main() -> None:
     timings = {n: s["median"] for n, s in head_stats.items()}
     extended = {n: s["median"] for n, s in ext_stats.items()}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                # headline value = SUM OF MEDIANS from r8 on (see module
-                # docstring); best-of-k retained alongside for the
-                # r1-r7 trend line.
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "extended": extended,
-                "extended_total_sec": round(sum(extended.values()), 3),
-                "best_total_sec": round(
-                    sum(s["best"] for s in head_stats.values()), 3
-                ),
-                "queries_best": {n: s["best"] for n, s in head_stats.items()},
-                "trials": {"headline": k_head, "extended": k_ext},
-                "regression_rule": {
-                    "flag_pct": REGRESSION_PCT,
-                    "tight_iqr": TIGHT_IQR,
-                    "load_factor": LOAD_FACTOR,
-                },
-                "stats": stats,
-            }
-        )
+    full_out = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_full_latest.json",
+        ),
     )
+    full_record = {
+        "metric": "headline_queries_total_sec",
+        # headline value = SUM OF MEDIANS from r8 on (see module
+        # docstring); best-of-k retained alongside for the r1-r7
+        # trend line.
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extended": extended,
+        "extended_total_sec": round(sum(extended.values()), 3),
+        "best_total_sec": round(
+            sum(s["best"] for s in head_stats.values()), 3
+        ),
+        "queries_best": {n: s["best"] for n, s in head_stats.items()},
+        "trials": {"headline": k_head, "extended": k_ext},
+        "regression_rule": {
+            "flag_pct": REGRESSION_PCT,
+            "tight_iqr": TIGHT_IQR,
+            "load_factor": LOAD_FACTOR,
+        },
+        "stats": stats,
+    }
+    try:
+        with open(full_out, "w") as f:
+            json.dump(full_record, f)
+    except OSError as ex:  # a read-only checkout must not kill the bench
+        print(f"warn: cannot write {full_out}: {ex}", file=sys.stderr)
+        full_out = None
+
+    # FINAL stdout line: compact (no trials/host/stats) so the whole
+    # line fits the driver's 2000-char tail capture.
+    compact = {
+        k: full_record[k]
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "queries",
+            "sf",
+            "extended",
+            "extended_total_sec",
+            "best_total_sec",
+            "trials",
+        )
+    }
+    if full_out is not None:
+        compact["full"] = os.path.basename(full_out)
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: medians only, never truncate
+        for k in ("extended", "trials", "best_total_sec"):
+            compact.pop(k, None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

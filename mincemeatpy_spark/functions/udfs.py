@@ -412,6 +412,11 @@ def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield (self.et, *self.counts)
 
     spark.udtf.register("hist_by_type", udtf(HistByType, useArrow=True))
+    # The pre-aggregation clamp is derived from the SAME n passed to
+    # hist_by_type below — a hardcoded lit(3) broke the dynamic-schema
+    # contract for any n != 4 by folding buckets >= 4 upstream
+    # (r8 ADVICE).
+    n_buckets = 4
     (
         t(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -419,16 +424,16 @@ def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.least(
                 F.greatest(F.floor(F.col("value") / 25).cast("bigint"), F.lit(0)),
-                F.lit(3),
+                F.lit(n_buckets - 1),
             ).alias("b"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .createOrReplaceTempView("events_hist_v")
     )
     return spark.sql(
-        """
+        f"""
         SELECT * FROM hist_by_type(
-            4, TABLE(events_hist_v) PARTITION BY event_type
+            {n_buckets}, TABLE(events_hist_v) PARTITION BY event_type
         )
         """
     )

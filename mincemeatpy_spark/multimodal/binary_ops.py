@@ -134,10 +134,22 @@ def decode_image_real(payload: bytes) -> dict:
                 "GIF dispatch needs decode_gif_real shipped alongside"
             ) from exc
         return gif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # same driver-side dispatch note as PNG above: ship
+        # decode_webp_real (and its _vp8l_* helpers) when traveling
+        # by value.  Lossy VP8 chunks raise inside the decoder.
+        try:
+            webp = decode_webp_real
+        except NameError as exc:
+            raise NotImplementedError(
+                "WebP dispatch needs decode_webp_real shipped alongside"
+            ) from exc
+        return webp(payload)
     raise NotImplementedError(
-        "WebP needs a codec library not present in this environment; "
-        "PPM (P6), 24-bit BMP, RGB8 PNG, baseline JPEG and GIF (LZW, "
-        "incl. interlace) decode natively here"
+        "unrecognized image container; PPM (P6), 24-bit BMP, RGB8 PNG, "
+        "baseline+progressive JPEG, GIF (LZW incl. interlace) and "
+        "lossless WebP (VP8L) decode natively here — lossy VP8 and "
+        "arithmetic/extended JPEG still need an external codec"
     )
 
 
@@ -3105,7 +3117,11 @@ def decode_flac_real(payload: bytes) -> dict:
     senergy = 0
     nsamples_emitted = 0
 
-    while samples_done < total:
+    # STREAMINFO total_samples == 0 legally means "unknown" (RFC 9639
+    # §8.2): decode frames to end-of-payload instead of returning a
+    # successful empty decode (r8 ADVICE).  A corrupt tail still fails
+    # the frame-sync / CRC checks below.
+    while (samples_done < total) if total else (pos < len(payload)):
         frame_start = pos
         if pos + 5 > len(payload):
             raise ValueError("malformed FLAC: truncated frame header")
@@ -3655,7 +3671,14 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
     qtables, htables = {}, {}
     frame = None
     pos = 2
-    scans = []  # (comp_specs, ss, se, ah, al, data_start, data_end)
+    # (comp_specs, ss, se, ah, al, data_start, data_end, table_snapshot)
+    # table_snapshot captures the DC/AC tables the scan references AT
+    # SOS-PARSE TIME: a later DHT segment may legally redefine a table
+    # id between scans (libjpeg's optimized output does), and resolving
+    # htables after the walk would decode earlier scans with the last
+    # scan's tables (r8 ADVICE, medium).  DHT rebinds a fresh dict per
+    # table, so holding references here is a true snapshot.
+    scans = []
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("malformed JPEG: expected marker")
@@ -3732,7 +3755,14 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
                         raise NotImplementedError("restart markers")
                     break
                 p += 1
-            scans.append((specs, ss, se, ahal >> 4, ahal & 0xF, end, p))
+            snap = {}
+            for _cid, _dct, _act in specs:
+                for ref in ((0, _dct), (1, _act)):
+                    if ref in htables:
+                        snap[ref] = htables[ref]
+            scans.append(
+                (specs, ss, se, ahal >> 4, ahal & 0xF, end, p, snap)
+            )
             pos = p
             continue
         pos = end
@@ -3759,7 +3789,7 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
             _JPEG_LUT_CACHE[key] = lut
         return lut
 
-    for specs, ss, se, ah, al, d0, d1 in scans:
+    for specs, ss, se, ah, al, d0, d1, scan_tables in scans:
         # unstuff
         raw = bytearray()
         p = d0
@@ -3808,9 +3838,9 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
             if ah == 0:
                 luts = {}
                 for cid, dct, _act in specs:
-                    if (0, dct) not in htables:
+                    if (0, dct) not in scan_tables:
                         raise ValueError("malformed JPEG: missing DC table")
-                    luts[cid] = _lut_for(htables[(0, dct)])
+                    luts[cid] = _lut_for(scan_tables[(0, dct)])
                 preds = {cid: 0 for cid, _d, _a2 in specs}
                 for bi in range(nblocks):
                     for cid, _dct, _act in specs:
@@ -3827,9 +3857,9 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
             if len(specs) != 1:
                 raise ValueError("malformed JPEG: interleaved AC scan")
             cid, _dct, act = specs[0]
-            if (1, act) not in htables:
+            if (1, act) not in scan_tables:
                 raise ValueError("malformed JPEG: missing AC table")
-            lut = _lut_for(htables[(1, act)])
+            lut = _lut_for(scan_tables[(1, act)])
             blocks = coef[cid]
             if ah == 0:  # first pass for this band
                 eobrun = 0
@@ -4095,5 +4125,1090 @@ def multimodal_decode_jpeg_progressive(
         ),
         (F.abs(F.col("sum_b") - F.col("true_b")) <= 2.0 * npx).alias(
             "within_b"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WebP lossless (VP8L) — spec-correct, dependency-free (r9).
+#
+# Implements the public "WebP Lossless Bitstream Specification":
+# RIFF/WEBP container with a VP8L chunk; LSB-first bit packing; canonical
+# prefix codes (simple and normal forms, code-length codes with 16/17/18
+# RLE and the max_symbol shortcut); color cache; optional meta prefix
+# groups; LZ77 backward references over the 40-code distance alphabet
+# with the 120-entry short-distance neighbor map; and all four
+# transforms (predictor, cross-color, subtract-green, color-indexing
+# with sub-byte pixel bundling).  The encoder exists to exercise every
+# decoder path with real data (the GIF/FLAC pattern, NOTES_r08.md);
+# lossless => the registered query's oracle demands EXACT channel sums.
+# Reference for parity: the reference repo has no codec surface at all
+# (mincemeat.py:1-381) — this is north-star multimodal-pipeline work.
+# ---------------------------------------------------------------------------
+
+
+def _vp8l_dist_map() -> list:
+    """The spec's 120-entry short-distance (dx, dy) map: distance codes
+    1..120 address nearby pixels in 2D before falling back to linear
+    distances (code - 120)."""
+    return [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2),
+        (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0),
+        (1, 3), (-1, 3), (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2),
+        (-3, 2), (0, 4), (4, 0), (1, 4), (-1, 4), (4, 1), (-4, 1),
+        (3, 3), (-3, 3), (2, 4), (-2, 4), (4, 2), (-4, 2), (0, 5),
+        (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0), (1, 5), (-1, 5),
+        (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2), (4, 4),
+        (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+        (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2),
+        (-6, 2), (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6),
+        (6, 3), (-6, 3), (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5),
+        (-5, 5), (7, 1), (-7, 1), (4, 6), (-4, 6), (6, 4), (-6, 4),
+        (2, 7), (-2, 7), (7, 2), (-7, 2), (3, 7), (-3, 7), (7, 3),
+        (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5), (8, 0), (4, 7),
+        (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6), (-6, 6),
+        (2, 8), (-2, 8), (7, 5), (-7, 5), (5, 7), (-5, 7), (8, 3),
+        (5, 8), (-5, 8), (6, 7), (-6, 7), (8, 4), (7, 6), (-7, 6),
+        (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+    ]
+
+
+def _vp8l_predict(mode: int, L: int, T: int, TL: int, TR: int) -> int:
+    """Spatial predictor modes 0..13 over ARGB ints (per-channel byte
+    arithmetic exactly as the spec defines: Average2 truncates, Select
+    compares Manhattan distances, ClampAddSubtractHalf uses C's
+    truncate-toward-zero division)."""
+
+    def ch(p):
+        return ((p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+
+    def pack(c):
+        return (c[0] << 24) | (c[1] << 16) | (c[2] << 8) | c[3]
+
+    def avg2(a, b):
+        return tuple((x + y) >> 1 for x, y in zip(ch(a), ch(b)))
+
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return pack(avg2(pack(avg2(L, TR)), T))
+    if mode == 6:
+        return pack(avg2(L, TL))
+    if mode == 7:
+        return pack(avg2(L, T))
+    if mode == 8:
+        return pack(avg2(TL, T))
+    if mode == 9:
+        return pack(avg2(T, TR))
+    if mode == 10:
+        return pack(avg2(pack(avg2(L, TL)), pack(avg2(T, TR))))
+    if mode == 11:
+        cl, ct, ctl = ch(L), ch(T), ch(TL)
+        p = [a + b - c for a, b, c in zip(cl, ct, ctl)]
+        p_l = sum(abs(x - y) for x, y in zip(p, cl))
+        p_t = sum(abs(x - y) for x, y in zip(p, ct))
+        return L if p_l < p_t else T
+    if mode == 12:
+        cl, ct, ctl = ch(L), ch(T), ch(TL)
+        return pack(
+            tuple(
+                min(255, max(0, a + b - c))
+                for a, b, c in zip(cl, ct, ctl)
+            )
+        )
+    if mode == 13:
+        av, ctl = avg2(L, T), ch(TL)
+        out = []
+        for a, b in zip(av, ctl):
+            d = a - b
+            half = d // 2 if d >= 0 else -((-d) // 2)  # C trunc division
+            out.append(min(255, max(0, a + half)))
+        return pack(tuple(out))
+    raise ValueError(f"malformed VP8L: predictor mode {mode}")
+
+
+def _vp8l_cte_delta(t: int, c: int) -> int:
+    """ColorTransformDelta: both the transform element and the channel
+    value are interpreted as SIGNED 8-bit; product arithmetic-shifted
+    right by 5 (the spec's exact formula)."""
+    if t >= 128:
+        t -= 256
+    if c >= 128:
+        c -= 256
+    return (t * c) >> 5
+
+
+def encode_webp_lossless(
+    pixels,
+    subtract_green: bool = False,
+    predictor=None,
+    cross_color=None,
+    palette: bool = False,
+    cache_bits: int = 0,
+    lz77: bool = False,
+    meta_split: bool = False,
+) -> bytes:
+    """Spec-correct VP8L writer.  ``pixels`` is h rows of (r, g, b[, a])
+    tuples.  Each keyword turns on one bitstream feature so the decoder
+    paths are all exercised by real encodes: subtract-green / cross
+    -color (g2r, g2b, r2b) / predictor (int mode 0-13 or "mixed" for a
+    per-tile spread) transforms, color-indexing with sub-byte bundling
+    (``palette=True``), a color cache, greedy LZ77 over the neighbor
+    -map distances, and a two-group meta prefix split.  Every prefix
+    code goes through the real machinery: simple two-symbol codes where
+    legal, else full code-length coding with 16/17/18 RLE."""
+    import struct
+
+    h = len(pixels)
+    w = len(pixels[0])
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("VP8L dimensions must be 1..16384")
+
+    def to_argb(px):
+        r, g, b = px[0], px[1], px[2]
+        a = px[3] if len(px) > 3 else 255
+        return (a << 24) | (r << 16) | (g << 8) | b
+
+    cur = [to_argb(px) for row in pixels for px in row]
+    has_alpha = any((p >> 24) != 0xFF for p in cur)
+
+    out = bytearray()
+    acc = [0, 0]  # bit accumulator, bit count (LSB-first packing)
+
+    def put(v: int, nbits: int) -> None:
+        acc[0] |= (v & ((1 << nbits) - 1)) << acc[1]
+        acc[1] += nbits
+        while acc[1] >= 8:
+            out.append(acc[0] & 0xFF)
+            acc[0] >>= 8
+            acc[1] -= 8
+
+    def put_code(sym: int, codes: dict) -> None:
+        ln, code = codes[sym]
+        for i in range(ln - 1, -1, -1):  # code bits MSB-first
+            put((code >> i) & 1, 1)
+
+    def huff_lengths(counts: dict, max_len: int) -> dict:
+        """Length-limited Huffman: plain merge, halving counts until
+        the depth cap holds (cap 15 for symbol codes, 7 for the 3-bit
+        -stored code-length code)."""
+        import heapq
+
+        syms = sorted(s for s, c in counts.items() if c > 0)
+        if not syms:
+            return {}
+        if len(syms) == 1:
+            return {syms[0]: 1}  # never 0-length in normal coding
+        cts = {s: counts[s] for s in syms}
+        while True:
+            heap = [(cts[s], i, {s: 0}) for i, s in enumerate(syms)]
+            heapq.heapify(heap)
+            tick = len(syms)  # tiebreak id
+            while len(heap) > 1:
+                c1, _, d1 = heapq.heappop(heap)
+                c2, _, d2 = heapq.heappop(heap)
+                merged = {s: d + 1 for s, d in d1.items()}
+                merged.update({s: d + 1 for s, d in d2.items()})
+                heapq.heappush(heap, (c1 + c2, tick, merged))
+                tick += 1
+            depths = heap[0][2]
+            if max(depths.values()) <= max_len:
+                return depths
+            cts = {s: (c + 1) // 2 for s, c in cts.items()}
+
+    def canon(lens: dict) -> dict:
+        """Canonical code assignment (deflate convention: shorter codes
+        first, ties by symbol; first-read bit is the code's MSB)."""
+        codes, code, prev = {}, 0, 0
+        for s in sorted(
+            (s for s in lens if lens[s] > 0), key=lambda s: (lens[s], s)
+        ):
+            ln = lens[s]
+            code <<= ln - prev
+            codes[s] = (ln, code)
+            code += 1
+            prev = ln
+        return codes
+
+    _CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+                 13, 14, 15]
+
+    def write_prefix(lens: dict, alphabet_size: int) -> dict:
+        """Write one prefix code; returns the symbol->(len, code) map."""
+        used = sorted(s for s in lens if lens[s] > 0)
+        if not used:  # unused code (e.g. distances with no refs)
+            used, lens = [0], {0: 1}
+        if len(used) <= 2 and used[-1] <= 255:
+            put(1, 1)  # simple code
+            put(len(used) - 1, 1)
+            if used[0] <= 1 and len(used) == 1:
+                put(0, 1)  # first symbol in 1 bit
+                put(used[0], 1)
+            else:
+                put(1, 1)
+                put(used[0], 8)
+            if len(used) == 2:
+                put(used[1], 8)
+            if len(used) == 1:
+                return {used[0]: (0, 0)}
+            return canon({s: 1 for s in used})
+        # normal code: emit full length array through the CL code
+        put(0, 1)
+        if len(used) == 1:
+            # avoid the single-nonzero trivial-code ambiguity: pad with
+            # a same-length dummy (decoder never reads its symbol)
+            lens = dict(lens)
+            lens[used[0]] = 1
+            lens[0 if used[0] != 0 else 1] = 1
+        full = [lens.get(s, 0) for s in range(alphabet_size)]
+        rle = []  # (cl_symbol, n_extra_bits, extra_value)
+        i = 0
+        while i < len(full):
+            ln = full[i]
+            run = 1
+            while i + run < len(full) and full[i + run] == ln:
+                run += 1
+            if ln == 0:
+                r = run
+                while r >= 11:
+                    c = min(r, 138)
+                    rle.append((18, 7, c - 11))
+                    r -= c
+                if r >= 3:
+                    rle.append((17, 3, r - 3))
+                    r = 0
+                rle.extend((0, 0, 0) for _ in range(r))
+            else:
+                rle.append((ln, 0, 0))
+                r = run - 1
+                while r >= 3:
+                    c = min(r, 6)
+                    rle.append((16, 2, c - 3))
+                    r -= c
+                rle.extend((ln, 0, 0) for _ in range(r))
+            i += run
+        cl_counts: dict = {}
+        for s, _nb, _v in rle:
+            cl_counts[s] = cl_counts.get(s, 0) + 1
+        cl_lens = huff_lengths(cl_counts, 7)
+        if len(cl_lens) == 1:
+            only = next(iter(cl_lens))
+            cl_lens[0 if only != 0 else 1] = 1
+            cl_lens[only] = 1
+        num_cl = max(
+            4, max(_CL_ORDER.index(s) for s in cl_lens) + 1
+        )
+        put(num_cl - 4, 4)
+        for s in _CL_ORDER[:num_cl]:
+            put(cl_lens.get(s, 0), 3)
+        put(0, 1)  # no max_symbol shortcut: read all alphabet_size
+        cl_codes = canon(cl_lens)
+        for s, nb, v in rle:
+            put_code(s, cl_codes)
+            if nb:
+                put(v, nb)
+        return canon(lens)
+
+    def psplit(value: int):
+        """LZ77 prefix coding of a length/distance value >= 1:
+        (prefix_code, n_extra_bits, extra_value)."""
+        vv = value - 1
+        if vv < 4:
+            return vv, 0, 0
+        extra = vv.bit_length() - 2
+        if vv < (3 << extra):
+            return 2 * extra + 2, extra, vv - (2 << extra)
+        return 2 * extra + 3, extra, vv - (3 << extra)
+
+    def write_entropy(
+        pix: list,
+        pw: int,
+        ph: int,
+        level0: bool,
+        ecache_bits: int = 0,
+        elz77: bool = False,
+        emeta: bool = False,
+    ) -> None:
+        """One entropy-coded image: [cache], [meta groups at level0],
+        prefix codes, then the LZ77/cache/literal token stream."""
+        if ecache_bits:
+            put(1, 1)
+            put(ecache_bits, 4)
+        else:
+            put(0, 1)
+
+        ngroups, hb, tgroup = 1, 0, None
+        if level0:
+            if emeta and pw > 4:
+                hb = 2  # 4-pixel tiles, checkerboard split into 2 groups
+                put(1, 1)
+                put(hb - 2, 3)
+                mw = (pw + (1 << hb) - 1) >> hb
+                mh = (ph + (1 << hb) - 1) >> hb
+                tgroup = [
+                    ((tx + ty) & 1) for ty in range(mh) for tx in range(mw)
+                ]
+                meta_pix = [
+                    0xFF000000 | (g << 8) for g in tgroup
+                ]
+                write_entropy(meta_pix, mw, mh, level0=False)
+                ngroups = 2
+            else:
+                put(0, 1)
+
+        def group_of(pos: int) -> int:
+            if tgroup is None:
+                return 0
+            x, y = pos % pw, pos // pw
+            mw = (pw + (1 << hb) - 1) >> hb
+            return tgroup[(y >> hb) * mw + (x >> hb)]
+
+        # tokenize
+        rev_dist = {}
+        if elz77:
+            for idx, (dx, dy) in enumerate(_vp8l_dist_map()):
+                lin = dy * pw + dx
+                if lin >= 1 and lin not in rev_dist:
+                    rev_dist[lin] = idx + 1
+        cache = [None] * (1 << ecache_bits) if ecache_bits else None
+        toks = []
+        i, n = 0, len(pix)
+        while i < n:
+            if elz77 and i:
+                best_l, best_d = 0, 0
+                for d in (1, 2, 3, pw - 1, pw, pw + 1):
+                    if d < 1 or d > i:
+                        continue
+                    ln = 0
+                    while (
+                        i + ln < n
+                        and ln < 4096
+                        and pix[i + ln - d] == pix[i + ln]
+                    ):
+                        ln += 1
+                    if ln > best_l:
+                        best_l, best_d = ln, d
+                if best_l >= 3:
+                    toks.append(("copy", i, best_l, best_d))
+                    if cache is not None:
+                        for k in range(i, i + best_l):
+                            hx = (
+                                (0x1E35A7BD * pix[k]) & 0xFFFFFFFF
+                            ) >> (32 - ecache_bits)
+                            cache[hx] = pix[k]
+                    i += best_l
+                    continue
+            p = pix[i]
+            if cache is not None:
+                hx = ((0x1E35A7BD * p) & 0xFFFFFFFF) >> (32 - ecache_bits)
+                if cache[hx] == p:
+                    toks.append(("cache", i, hx))
+                    i += 1
+                    continue
+                cache[hx] = p
+            toks.append(("lit", i, p))
+            i += 1
+
+        # per-group histograms over the five alphabets
+        cache_size = (1 << ecache_bits) if ecache_bits else 0
+        green_n = 256 + 24 + cache_size
+        gh = [dict() for _ in range(ngroups)]
+        rh = [dict() for _ in range(ngroups)]
+        bh = [dict() for _ in range(ngroups)]
+        ah = [dict() for _ in range(ngroups)]
+        dh = [dict() for _ in range(ngroups)]
+
+        def bump(d, k):
+            d[k] = d.get(k, 0) + 1
+
+        for tok in toks:
+            g = group_of(tok[1])
+            if tok[0] == "lit":
+                p = tok[2]
+                bump(gh[g], (p >> 8) & 0xFF)
+                bump(rh[g], (p >> 16) & 0xFF)
+                bump(bh[g], p & 0xFF)
+                bump(ah[g], (p >> 24) & 0xFF)
+            elif tok[0] == "cache":
+                bump(gh[g], 280 + tok[2])
+            else:
+                lc, _, _ = psplit(tok[2])
+                bump(gh[g], 256 + lc)
+                dcode = rev_dist.get(tok[3], tok[3] + 120)
+                dc, _, _ = psplit(dcode)
+                bump(dh[g], dc)
+
+        codes = []
+        for g in range(ngroups):
+            codes.append((
+                write_prefix(huff_lengths(gh[g], 15), green_n),
+                write_prefix(huff_lengths(rh[g], 15), 256),
+                write_prefix(huff_lengths(bh[g], 15), 256),
+                write_prefix(huff_lengths(ah[g], 15), 256),
+                write_prefix(huff_lengths(dh[g], 15), 40),
+            ))
+
+        for tok in toks:
+            gc, rc, bc, ac, dc = codes[group_of(tok[1])]
+            if tok[0] == "lit":
+                p = tok[2]
+                put_code((p >> 8) & 0xFF, gc)
+                put_code((p >> 16) & 0xFF, rc)
+                put_code(p & 0xFF, bc)
+                put_code((p >> 24) & 0xFF, ac)
+            elif tok[0] == "cache":
+                put_code(280 + tok[2], gc)
+            else:
+                lcode, lnb, lv = psplit(tok[2])
+                put_code(256 + lcode, gc)
+                if lnb:
+                    put(lv, lnb)
+                dcode = rev_dist.get(tok[3], tok[3] + 120)
+                dsym, dnb, dv = psplit(dcode)
+                put_code(dsym, dc)
+                if dnb:
+                    put(dv, dnb)
+
+    # ---- header ----
+    put(0x2F, 8)
+    put(w - 1, 14)
+    put(h - 1, 14)
+    put(1 if has_alpha else 0, 1)
+    put(0, 3)  # version
+
+    cur_w = w
+
+    # ---- transforms (stream order == forward application order) ----
+    if subtract_green:
+        put(1, 1)
+        put(2, 2)
+        cur = [
+            (p & 0xFF000000)
+            | ((((p >> 16) - (p >> 8)) & 0xFF) << 16)
+            | (p & 0xFF00)
+            | (((p & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF)
+            for p in cur
+        ]
+
+    if cross_color is not None:
+        g2r, g2b, r2b = cross_color
+        put(1, 1)
+        put(1, 2)
+        size_bits = 3
+        put(size_bits - 2, 3)
+        tw = (cur_w + 7) >> 3
+        th = (h + 7) >> 3
+        write_entropy(
+            [0xFF000000 | (r2b << 16) | (g2b << 8) | g2r] * (tw * th),
+            tw, th, level0=False,
+        )
+        nxt = []
+        for p in cur:
+            a, r = p >> 24, (p >> 16) & 0xFF
+            g, b = (p >> 8) & 0xFF, p & 0xFF
+            r2 = (r - _vp8l_cte_delta(g2r, g)) & 0xFF
+            b2 = (
+                b - _vp8l_cte_delta(g2b, g) - _vp8l_cte_delta(r2b, r)
+            ) & 0xFF
+            nxt.append((a << 24) | (r2 << 16) | (g << 8) | b2)
+        cur = nxt
+
+    if predictor is not None:
+        put(1, 1)
+        put(0, 2)
+        size_bits = 2  # 4-pixel tiles
+        put(size_bits - 2, 3)
+        tw = (cur_w + 3) >> 2
+        th = (h + 3) >> 2
+        if predictor == "mixed":
+            modes = [
+                (tx + ty) % 14 for ty in range(th) for tx in range(tw)
+            ]
+        else:
+            modes = [int(predictor)] * (tw * th)
+        write_entropy(
+            [0xFF000000 | (m << 8) for m in modes], tw, th, level0=False
+        )
+        res = []
+        for y in range(h):
+            for x in range(cur_w):
+                p = cur[y * cur_w + x]
+                if x == 0 and y == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = cur[y * cur_w + x - 1]
+                elif x == 0:
+                    pred = cur[(y - 1) * cur_w + x]
+                else:
+                    L = cur[y * cur_w + x - 1]
+                    T = cur[(y - 1) * cur_w + x]
+                    TL = cur[(y - 1) * cur_w + x - 1]
+                    TR = (
+                        cur[(y - 1) * cur_w + x + 1]
+                        if x + 1 < cur_w
+                        else cur[y * cur_w]
+                    )
+                    pred = _vp8l_predict(
+                        modes[(y >> 2) * tw + (x >> 2)], L, T, TL, TR
+                    )
+                res.append(
+                    ((((p >> 24) - (pred >> 24)) & 0xFF) << 24)
+                    | (((((p >> 16) - (pred >> 16))) & 0xFF) << 16)
+                    | (((((p >> 8) - (pred >> 8))) & 0xFF) << 8)
+                    | ((p - pred) & 0xFF)
+                )
+        cur = res
+
+    if palette:
+        pal = []
+        seen = {}
+        for p in cur:
+            if p not in seen:
+                seen[p] = len(pal)
+                pal.append(p)
+        if len(pal) > 256:
+            raise ValueError("palette transform needs <= 256 colors")
+        put(1, 1)
+        put(3, 2)
+        put(len(pal) - 1, 8)
+        deltas, prev = [], 0
+        for p in pal:
+            deltas.append(
+                ((((p >> 24) - (prev >> 24)) & 0xFF) << 24)
+                | ((((p >> 16) - (prev >> 16)) & 0xFF) << 16)
+                | ((((p >> 8) - (prev >> 8)) & 0xFF) << 8)
+                | ((p - prev) & 0xFF)
+            )
+            prev = p
+        write_entropy(deltas, len(pal), 1, level0=False)
+        if len(pal) <= 2:
+            ppb, bits_pp = 8, 1
+        elif len(pal) <= 4:
+            ppb, bits_pp = 4, 2
+        elif len(pal) <= 16:
+            ppb, bits_pp = 2, 4
+        else:
+            ppb, bits_pp = 1, 8
+        wpk = (cur_w + ppb - 1) // ppb
+        packed = []
+        for y in range(h):
+            for xp in range(wpk):
+                v = 0
+                for k in range(ppb):
+                    x = xp * ppb + k
+                    if x < cur_w:
+                        v |= seen[cur[y * cur_w + x]] << (k * bits_pp)
+                packed.append(0xFF000000 | (v << 8))
+        cur, cur_w = packed, wpk
+
+    put(0, 1)  # end of transform list
+
+    # ---- main image ----
+    write_entropy(
+        cur, cur_w, h, level0=True,
+        ecache_bits=cache_bits, elz77=lz77, emeta=meta_split,
+    )
+
+    if acc[1]:
+        out.append(acc[0] & 0xFF)
+    payload = bytes(out)
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def decode_webp_real(payload: bytes) -> dict:
+    """Real VP8L (WebP lossless) decoder: RIFF walk to the VP8L chunk,
+    then the full bitstream — prefix codes (simple + normal with
+    code-length RLE and max_symbol), color cache, meta prefix groups,
+    LZ77 over the 40-code distance alphabet with the short-distance
+    neighbor map, and inverse predictor / cross-color / subtract-green
+    / color-indexing transforms (with sub-byte bundle unpacking).
+    Returns ``{fmt, width, height, sum_r, sum_g, sum_b}`` — exact
+    integer channel sums (lossless codec => exact oracle).  Lossy VP8
+    chunks raise the honest NotImplementedError gate."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP stream (missing RIFF/WEBP)")
+    pos, data = 12, None
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if fourcc == b"VP8L":
+            data = body
+            break
+        if fourcc in (b"VP8 ", b"VP8X"):
+            raise NotImplementedError(
+                "lossy/extended WebP (VP8/VP8X) needs a DCT codec; "
+                "only lossless VP8L decodes natively here"
+            )
+        pos += 8 + clen + (clen & 1)
+    if data is None:
+        raise ValueError("malformed WebP: no VP8L chunk")
+
+    bpos = [0]
+    nbits_total = len(data) * 8
+
+    def bits(n: int) -> int:
+        p = bpos[0]
+        if p + n > nbits_total:
+            raise ValueError("malformed VP8L: bitstream exhausted")
+        v = 0
+        for i in range(n):
+            v |= ((data[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
+        bpos[0] = p + n
+        return v
+
+    if bits(8) != 0x2F:
+        raise ValueError("malformed VP8L: bad signature")
+    w = bits(14) + 1
+    h = bits(14) + 1
+    bits(1)  # alpha hint
+    if bits(3) != 0:
+        raise ValueError("malformed VP8L: unknown version")
+
+    _CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+                 13, 14, 15]
+
+    def canon(lens: dict) -> dict:
+        """(length, code) -> symbol decode table, deflate canonical."""
+        table, code, prev = {}, 0, 0
+        for s in sorted(
+            (s for s in lens if lens[s] > 0), key=lambda s: (lens[s], s)
+        ):
+            ln = lens[s]
+            code <<= ln - prev
+            table[(ln, code)] = s
+            code += 1
+            prev = ln
+        return table
+
+    def read_sym(code) -> int:
+        """code is either ('trivial', sym) or a (len, code)->sym map."""
+        if code[0] == "trivial":
+            return code[1]
+        table = code[1]
+        acc_len, acc_code = 0, 0
+        while True:
+            acc_code = (acc_code << 1) | bits(1)
+            acc_len += 1
+            if (acc_len, acc_code) in table:
+                return table[(acc_len, acc_code)]
+            if acc_len > 15:
+                raise ValueError("malformed VP8L: invalid prefix code")
+
+    def read_prefix(alphabet_size: int):
+        if bits(1):  # simple
+            nsym = bits(1) + 1
+            if bits(1):
+                s0 = bits(8)
+            else:
+                s0 = bits(1)
+            if nsym == 1:
+                return ("trivial", s0)
+            s1 = bits(8)
+            return ("table", canon({s0: 1, s1: 1}))
+        num_cl = bits(4) + 4
+        cl_lens = {}
+        for s in _CL_ORDER[:num_cl]:
+            ln = bits(3)
+            if ln:
+                cl_lens[s] = ln
+        nz = [s for s in cl_lens]
+        if len(nz) == 1:
+            cl_code = ("trivial", nz[0])
+        else:
+            cl_code = ("table", canon(cl_lens))
+        if bits(1):
+            length_nbits = 2 + 2 * bits(3)
+            max_symbol = 2 + bits(length_nbits)
+        else:
+            max_symbol = alphabet_size
+        lens_arr = []
+        prev_nz = 8
+        while len(lens_arr) < alphabet_size:
+            if max_symbol <= 0:
+                break
+            max_symbol -= 1
+            s = read_sym(cl_code)
+            if s < 16:
+                lens_arr.append(s)
+                if s:
+                    prev_nz = s
+            elif s == 16:
+                lens_arr.extend([prev_nz] * (3 + bits(2)))
+            elif s == 17:
+                lens_arr.extend([0] * (3 + bits(3)))
+            else:
+                lens_arr.extend([0] * (11 + bits(7)))
+        if len(lens_arr) > alphabet_size:
+            raise ValueError("malformed VP8L: code lengths overflow")
+        lens = {i: ln for i, ln in enumerate(lens_arr) if ln}
+        if not lens:
+            raise ValueError("malformed VP8L: empty prefix code")
+        if len(lens) == 1:
+            return ("trivial", next(iter(lens)))
+        return ("table", canon(lens))
+
+    def pval(code_val: int) -> int:
+        """Inverse LZ77 prefix coding: prefix code value -> value."""
+        if code_val < 4:
+            return code_val + 1
+        extra = (code_val - 2) >> 1
+        offset = (2 + (code_val & 1)) << extra
+        return offset + bits(extra) + 1
+
+    dist_map = _vp8l_dist_map()
+
+    def read_image(pw: int, ph: int, level0: bool) -> list:
+        transforms = []  # (type, payload...) in read order
+        cw = pw
+        if level0:
+            while bits(1):
+                ttype = bits(2)
+                if ttype == 2:  # subtract green
+                    transforms.append((2, cw))
+                elif ttype in (0, 1):  # predictor / cross-color
+                    sz = bits(3) + 2
+                    tw = (cw + (1 << sz) - 1) >> sz
+                    th = (ph + (1 << sz) - 1) >> sz
+                    tiles = read_image(tw, th, False)
+                    transforms.append((ttype, cw, sz, tw, tiles))
+                elif ttype == 3:  # color indexing
+                    psize = bits(8) + 1
+                    deltas = read_image(psize, 1, False)
+                    pal, prev = [], 0
+                    for d in deltas:
+                        prev = (
+                            ((((prev >> 24) + (d >> 24)) & 0xFF) << 24)
+                            | ((((prev >> 16) + (d >> 16)) & 0xFF) << 16)
+                            | ((((prev >> 8) + (d >> 8)) & 0xFF) << 8)
+                            | ((prev + d) & 0xFF)
+                        )
+                        pal.append(prev)
+                    if psize <= 2:
+                        ppb = 8
+                    elif psize <= 4:
+                        ppb = 4
+                    elif psize <= 16:
+                        ppb = 2
+                    else:
+                        ppb = 1
+                    transforms.append((3, cw, pal, ppb))
+                    cw = (cw + ppb - 1) // ppb
+
+        cache_bits = bits(4) if bits(1) else 0
+        cache_size = (1 << cache_bits) if cache_bits else 0
+        cache = [0] * cache_size
+
+        ngroups, hb, tgroup, mw = 1, 0, None, 0
+        if level0 and bits(1):
+            hb = bits(3) + 2
+            mw = (cw + (1 << hb) - 1) >> hb
+            mh = (ph + (1 << hb) - 1) >> hb
+            meta_img = read_image(mw, mh, False)
+            tgroup = [((p >> 8) & 0xFFFF) for p in meta_img]
+            ngroups = max(tgroup) + 1
+
+        green_n = 256 + 24 + cache_size
+        codes = []
+        for _ in range(ngroups):
+            codes.append((
+                read_prefix(green_n),
+                read_prefix(256),
+                read_prefix(256),
+                read_prefix(256),
+                read_prefix(40),
+            ))
+
+        npix = cw * ph
+        pix = []
+        while len(pix) < npix:
+            if tgroup is not None:
+                x, y = len(pix) % cw, len(pix) // cw
+                g = tgroup[(y >> hb) * mw + (x >> hb)]
+            else:
+                g = 0
+            gc, rc, bc, ac, dc = codes[g]
+            s = read_sym(gc)
+            if s < 256:
+                r = read_sym(rc)
+                b = read_sym(bc)
+                a = read_sym(ac)
+                p = (a << 24) | (r << 16) | (s << 8) | b
+                pix.append(p)
+                if cache_size:
+                    cache[
+                        ((0x1E35A7BD * p) & 0xFFFFFFFF)
+                        >> (32 - cache_bits)
+                    ] = p
+            elif s < 280:
+                length = pval(s - 256)
+                dcode = pval(read_sym(dc))
+                if dcode > 120:
+                    dist = dcode - 120
+                else:
+                    dx, dy = dist_map[dcode - 1]
+                    dist = dy * cw + dx
+                    if dist < 1:
+                        dist = 1
+                if dist > len(pix):
+                    raise ValueError("malformed VP8L: reference before start")
+                for _ in range(length):
+                    if len(pix) >= npix:
+                        raise ValueError("malformed VP8L: copy overrun")
+                    p = pix[len(pix) - dist]
+                    pix.append(p)
+                    if cache_size:
+                        cache[
+                            ((0x1E35A7BD * p) & 0xFFFFFFFF)
+                            >> (32 - cache_bits)
+                        ] = p
+            else:
+                idx = s - 280
+                if idx >= cache_size:
+                    raise ValueError("malformed VP8L: cache index")
+                pix.append(cache[idx])
+
+        # inverse transforms, reverse read order
+        for tr in reversed(transforms):
+            if tr[0] == 2:  # add green back
+                pix = [
+                    (p & 0xFF00FF00)
+                    | ((((p >> 16) + (p >> 8)) & 0xFF) << 16)
+                    | ((p + (p >> 8)) & 0xFF)
+                    for p in pix
+                ]
+            elif tr[0] == 1:  # cross-color inverse
+                _t, tcw, sz, tw_, tiles = tr
+                nxt = []
+                for i, p in enumerate(pix):
+                    x, y = i % tcw, i // tcw
+                    te = tiles[(y >> sz) * tw_ + (x >> sz)]
+                    g2r, g2b, r2b = (
+                        te & 0xFF, (te >> 8) & 0xFF, (te >> 16) & 0xFF
+                    )
+                    a, r = p >> 24, (p >> 16) & 0xFF
+                    g, b = (p >> 8) & 0xFF, p & 0xFF
+                    r2 = (r + _vp8l_cte_delta(g2r, g)) & 0xFF
+                    b2 = (
+                        b
+                        + _vp8l_cte_delta(g2b, g)
+                        + _vp8l_cte_delta(r2b, r2)
+                    ) & 0xFF
+                    nxt.append((a << 24) | (r2 << 16) | (g << 8) | b2)
+                pix = nxt
+            elif tr[0] == 0:  # predictor inverse
+                _t, tcw, sz, tw_, tiles = tr
+                out = []
+                for i, p in enumerate(pix):
+                    x, y = i % tcw, i // tcw
+                    if x == 0 and y == 0:
+                        pred = 0xFF000000
+                    elif y == 0:
+                        pred = out[i - 1]
+                    elif x == 0:
+                        pred = out[i - tcw]
+                    else:
+                        L = out[i - 1]
+                        T = out[i - tcw]
+                        TL = out[i - tcw - 1]
+                        TR = (
+                            out[i - tcw + 1]
+                            if x + 1 < tcw
+                            else out[y * tcw]
+                        )
+                        pred = _vp8l_predict(
+                            (tiles[(y >> sz) * tw_ + (x >> sz)] >> 8)
+                            & 0xFF,
+                            L, T, TL, TR,
+                        )
+                    out.append(
+                        ((((p >> 24) + (pred >> 24)) & 0xFF) << 24)
+                        | ((((p >> 16) + (pred >> 16)) & 0xFF) << 16)
+                        | ((((p >> 8) + (pred >> 8)) & 0xFF) << 8)
+                        | ((p + pred) & 0xFF)
+                    )
+                pix = out
+            else:  # color indexing inverse (unbundle + palette lookup)
+                _t, orig_w, pal, ppb = tr
+                bits_pp = 8 // ppb
+                mask = (1 << bits_pp) - 1
+                wpk = (orig_w + ppb - 1) // ppb
+                nxt = []
+                for y in range(ph):
+                    for x in range(orig_w):
+                        packed = (
+                            pix[y * wpk + x // ppb] >> 8
+                        ) & 0xFF
+                        idx = (packed >> ((x % ppb) * bits_pp)) & mask
+                        nxt.append(pal[idx] if idx < len(pal) else 0)
+                pix = nxt
+        return pix
+
+    argb = read_image(w, h, True)
+    if len(argb) != w * h:
+        raise ValueError("malformed VP8L: pixel count mismatch")
+    sum_r = sum((p >> 16) & 0xFF for p in argb)
+    sum_g = sum((p >> 8) & 0xFF for p in argb)
+    sum_b = sum(p & 0xFF for p in argb)
+    return {
+        "fmt": "webp-lossless",
+        "width": w,
+        "height": h,
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+    }
+
+
+@register(
+    "multimodal_decode_webp_real",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   n_chars % 13 + 4 AS w,
+                   doc_id % 11 + 4  AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT b.doc_id, b.w, b.h,
+                   x.x % 5 AS xm, y.y % 3 AS ym
+            FROM base b,
+                 LATERAL unnest(generate_series(0, b.w - 1)) AS x(x),
+                 LATERAL unnest(generate_series(0, b.h - 1)) AS y(y)
+        )
+        SELECT doc_id,
+               'webp-lossless' AS fmt,
+               CAST(any_value(w) AS BIGINT) AS width,
+               CAST(any_value(h) AS BIGINT) AS height,
+               CAST(sum((doc_id * 3 + xm * 7 + ym * 11) % 256) AS BIGINT)
+                   AS sum_r,
+               CAST(sum((doc_id * 5 + xm * 13 + ym * 17) % 256) AS BIGINT)
+                   AS sum_g,
+               CAST(sum((doc_id * 7 + xm * 19 + ym * 23) % 256) AS BIGINT)
+                   AS sum_b
+        FROM px
+        GROUP BY doc_id
+        """,
+    category="multimodal",
+    doc="WebP LOSSLESS (VP8L) decoded for real (r9 — the image gate's "
+    "largest remaining entry falls): stage 1 writes a genuine "
+    "RIFF/WEBP/VP8L stream per document, ROTATING the bitstream "
+    "features by doc_id%5 so every decoder path carries real data in "
+    "the registered query itself — plain literals, subtract-green + "
+    "per-tile predictor spread, color-indexing with sub-byte pixel "
+    "bundling, color-cache + LZ77 backward references, and the full "
+    "combo with cross-color and a two-group meta prefix split; stage "
+    "2 runs decode_webp_real: the complete spec surface (simple and "
+    "normal prefix codes with 16/17/18 code-length RLE, max_symbol, "
+    "the 120-entry short-distance neighbor map, all four inverse "
+    "transforms).  VP8L is LOSSLESS, so the oracle enumerates the "
+    "same pixel arithmetic in SQL and demands EXACT channel sums — "
+    "any canonical-code slip, cache-hash or predictor-edge bug goes "
+    "red on nearly every document.  Both stages are narrow "
+    "mapInPandas passes over a repartitioned 16-byte/row projection "
+    "(the JPEG parallelism lesson).  At 100 TB: pure per-row CPU, "
+    "embarrassingly parallel, no shuffle.",
+)
+def multimodal_decode_webp_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    pred = _ship_by_value(_vp8l_predict)
+    cte = _ship_by_value(_vp8l_cte_delta)
+    dmap = _ship_by_value(_vp8l_dist_map)
+    enc = _ship_with(
+        encode_webp_lossless,
+        _vp8l_predict=pred,
+        _vp8l_cte_delta=cte,
+        _vp8l_dist_map=dmap,
+    )
+    dec = _ship_with(
+        decode_webp_real,
+        _vp8l_predict=pred,
+        _vp8l_cte_delta=cte,
+        _vp8l_dist_map=dmap,
+    )
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        modes = [
+            {},
+            {"subtract_green": True, "predictor": "mixed"},
+            {"palette": True},
+            {"cache_bits": 4, "lz77": True},
+            {
+                "subtract_green": True,
+                "cross_color": (17, 203, 87),
+                "predictor": "mixed",
+                "cache_bits": 3,
+                "lz77": True,
+                "meta_split": True,
+            },
+        ]
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                w, h = n_chars % 13 + 4, doc_id % 11 + 4
+                rows = [
+                    [
+                        (
+                            (doc_id * 3 + (x % 5) * 7 + (y % 3) * 11) % 256,
+                            (doc_id * 5 + (x % 5) * 13 + (y % 3) * 17) % 256,
+                            (doc_id * 7 + (x % 5) * 19 + (y % 3) * 23) % 256,
+                        )
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                payloads.append(enc(rows, **modes[doc_id % 5]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, schema="doc_id long, payload binary")
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            metas = [dec(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "fmt": [m["fmt"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "sum_r": [m["sum_r"] for m in metas],
+                    "sum_g": [m["sum_g"] for m in metas],
+                    "sum_b": [m["sum_b"] for m in metas],
+                }
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, fmt string, width long, height long, "
+            "sum_r long, sum_g long, sum_b long"
         ),
     )

@@ -241,6 +241,10 @@ def _make_writer_class():
             import json
             import os
 
+            # Zero-partition input: no task ever ran write(), so the
+            # sink dir may not exist yet — commit() must still land an
+            # (empty) _SUCCESS manifest (r8 ADVICE).
+            os.makedirs(self.path, exist_ok=True)
             manifest = {
                 "files": sorted(m.path for m in messages),
                 "rows": sum(m.rows for m in messages),

@@ -237,3 +237,34 @@ def test_abort_before_any_write_does_not_mask_job_error():
                 f for f in os.listdir(sink) if f.startswith("_ABORTED-")
             ]
             assert len(markers) == 1, (factory.__name__, markers)
+
+
+def test_commit_with_zero_partitions_lands_empty_manifest():
+    """r8 ADVICE: the plain JSON batch writer's commit() lacked the
+    makedirs guard its abort() and both Arrow writers' commit/abort
+    got in r8 — a committed job whose tasks never ran write()
+    (zero-partition input) raised FileNotFoundError writing _SUCCESS.
+    Drive commit([]) directly against a nonexistent path for both
+    batch writer classes and assert an empty manifest lands."""
+    import json
+    import tempfile
+
+    from mincemeatpy_spark.sources.python_datasource import (
+        _make_arrow_writer_class,
+        _make_writer_class,
+    )
+
+    for factory in (_make_writer_class, _make_arrow_writer_class):
+        ds_cls = factory()
+        with tempfile.TemporaryDirectory() as root:
+            sink = os.path.join(root, "never-created")
+            assert not os.path.exists(sink)
+            ds = ds_cls.__new__(ds_cls)
+            ds.options = {"path": sink}
+            w = ds.writer(None, True)
+            w.commit([])  # must not raise
+            with open(os.path.join(sink, "_SUCCESS")) as f:
+                manifest = json.load(f)
+            assert manifest.get("files") == [] and (
+                manifest.get("rows", 0) == 0
+            ), (factory.__name__, manifest)

@@ -68,10 +68,17 @@ def test_bmp_width_multiple_of_four_no_padding():
 
 
 def test_compressed_formats_still_gated():
+    # lossless VP8L decodes for real since r9; LOSSY VP8 keeps the
+    # honest gate
     with pytest.raises(NotImplementedError):
+        decode_image_real(
+            b"RIFF\x14\x00\x00\x00WEBPVP8 \x04\x00\x00\x00" + b"\x00" * 4
+        )
+    # PNG (r6), baseline JPEG (r7), GIF (r8) and VP8L (r9) decode for
+    # real, so a garbage body after a valid signature is MALFORMED,
+    # not unsupported
+    with pytest.raises(ValueError):
         decode_image_real(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 24)
-    # PNG (r6), baseline JPEG (r7) and GIF (r8) decode for real, so a
-    # garbage body after a valid signature is MALFORMED, not unsupported
     with pytest.raises(ValueError):
         decode_image_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
     with pytest.raises(ValueError):
@@ -644,3 +651,332 @@ def test_progressive_unsupported_variants_gated():
         decode_jpeg_progressive(bytes(bad))
     with pytest.raises(ValueError):
         decode_jpeg_progressive(good[:40])
+
+
+def _pjpeg_segments(buf: bytes):
+    """Split a progressive JPEG into (marker, whole_segment_bytes) with
+    scan entropy data attached to its SOS segment."""
+    import struct
+
+    segs = [(0xD8, buf[:2])]
+    pos = 2
+    while pos < len(buf):
+        m = buf[pos + 1]
+        if m == 0xD9:
+            segs.append((0xD9, buf[pos : pos + 2]))
+            break
+        (seglen,) = struct.unpack_from(">H", buf, pos + 2)
+        end = pos + 2 + seglen
+        if m == 0xDA:  # attach entropy data up to the next marker
+            p = end
+            while p < len(buf) - 1:
+                if buf[p] == 0xFF and buf[p + 1] != 0x00:
+                    break
+                p += 1
+            segs.append((m, buf[pos:p]))
+            pos = p
+        else:
+            segs.append((m, buf[pos:end]))
+            pos = end
+    return segs
+
+
+def _dht_bytes(tables: dict) -> bytes:
+    """Serialize {(cls, tid): {(length, code): sym}} as one DHT segment."""
+    body = bytearray()
+    for (cls, tid), table in tables.items():
+        counts = [0] * 16
+        syms_by_len: dict = {}
+        for (length, _code), sym in sorted(table.items()):
+            counts[length - 1] += 1
+            syms_by_len.setdefault(length, []).append(sym)
+        body.append((cls << 4) | tid)
+        body.extend(counts)
+        for length in range(1, 17):
+            body.extend(syms_by_len.get(length, []))
+    return b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + bytes(body)
+
+
+def test_progressive_dht_redefinition_between_scans():
+    """DHT may legally redefine a table id between scans (libjpeg's
+    optimized output).  Each scan must decode with the tables in force
+    at ITS OWN SOS — resolving tables after the whole walk is the r8
+    ADVICE defect this pins."""
+    import struct
+
+    import numpy as np
+
+    from mincemeatpy_spark.multimodal.binary_ops import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(17)
+    rgb = rng.integers(0, 256, size=(24, 16, 3), dtype=np.uint8)
+    good = encode_jpeg_progressive(rgb)
+    want = decode_jpeg_progressive(good)
+
+    # Variant 1 (the exact defect): a junk-but-valid DHT after the last
+    # scan redefines (0,0) and (1,0).  Per spec it affects no scan; a
+    # decoder that resolves tables after the walk corrupts all of them.
+    junk = {
+        (0, 0): {(1, 0): 0, (2, 2): 1},
+        (1, 0): {(1, 0): 0x01, (2, 2): 0x11},
+    }
+    eoi = good.rfind(b"\xff\xd9")
+    trailing = good[:eoi] + _dht_bytes(junk) + good[eoi:]
+    got = decode_jpeg_progressive(trailing)
+    assert got == want
+
+    # Variant 2 (libjpeg shape): rewrite so EVERY scan uses table id 0
+    # for both classes, with a DHT immediately before each SOS carrying
+    # that scan's real tables.  Ids are redefined at every scan; decode
+    # must still be exact.
+    tables = {}
+    out = bytearray()
+    for m, seg in _pjpeg_segments(good):
+        if m == 0xC4:
+            data = seg[4:]
+            p = 0
+            while p < len(data):
+                cls, tid = data[p] >> 4, data[p] & 0xF
+                counts = list(data[p + 1 : p + 17])
+                nsym = sum(counts)
+                syms = list(data[p + 17 : p + 17 + nsym])
+                table, code, k = {}, 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                tables[(cls, tid)] = table
+                p += 17 + nsym
+            continue  # drop the original DHT segments
+        if m == 0xDA:
+            (seglen,) = struct.unpack_from(">H", seg, 2)
+            hdr = bytearray(seg[: 2 + seglen])
+            ns = hdr[4]
+            scan_tabs = {}
+            for i in range(ns):
+                ids = hdr[6 + 2 * i]
+                dct, act = ids >> 4, ids & 0xF
+                if (0, dct) in tables:
+                    scan_tabs[(0, 0)] = tables[(0, dct)]
+                if (1, act) in tables:
+                    scan_tabs[(1, 0)] = tables[(1, act)]
+                hdr[6 + 2 * i] = 0x00  # rewrite both ids to 0
+            out += _dht_bytes(scan_tabs) + bytes(hdr) + seg[2 + seglen :]
+            continue
+        out += seg
+    got2 = decode_jpeg_progressive(bytes(out))
+    assert got2 == want
+
+
+def test_flac_unknown_total_samples_decodes_to_eof():
+    """STREAMINFO total_samples == 0 legally means 'unknown' (RFC 9639):
+    the decoder must decode frames to end-of-payload, not return a
+    successful empty decode (r8 ADVICE)."""
+    from mincemeatpy_spark.multimodal.binary_ops import (
+        decode_flac_real,
+        encode_flac_subset,
+    )
+
+    samples = [list(range(-100, 100)) * 3]
+    good = encode_flac_subset(16000, samples)
+    want = decode_flac_real(good)
+    assert want["n_samples"] == 600
+
+    # zero the 36-bit total_samples field (last 4 bits of STREAMINFO
+    # byte 13 + bytes 14-17; STREAMINFO body starts at offset 8)
+    unk = bytearray(good)
+    unk[8 + 13] &= 0xF0
+    unk[8 + 14 : 8 + 18] = b"\x00\x00\x00\x00"
+    got = decode_flac_real(bytes(unk))
+    assert got["n_samples"] == want["n_samples"]
+    assert got["sample_sum"] == want["sample_sum"]
+    assert got["energy"] == want["energy"]
+
+
+def _rand_img(rng, w, h, ncol=None):
+    if ncol:
+        cols = [
+            (rng.integers(0, 256), rng.integers(0, 256), rng.integers(0, 256))
+            for _ in range(ncol)
+        ]
+        return [
+            [cols[int(rng.integers(0, ncol))] for _ in range(w)]
+            for _ in range(h)
+        ]
+    return [
+        [
+            (
+                int(rng.integers(0, 256)),
+                int(rng.integers(0, 256)),
+                int(rng.integers(0, 256)),
+            )
+            for _ in range(w)
+        ]
+        for _ in range(h)
+    ]
+
+
+def _img_sums(px):
+    return (
+        sum(int(p[0]) for r in px for p in r),
+        sum(int(p[1]) for r in px for p in r),
+        sum(int(p[2]) for r in px for p in r),
+    )
+
+
+def test_vp8l_roundtrip_every_bitstream_feature():
+    """Each encoder knob turns on one VP8L decoder path; lossless =>
+    exact channel sums for every combination, including the full combo
+    (subtract-green + cross-color + per-tile predictors + color cache
+    + LZ77 + two-group meta prefix split)."""
+    import numpy as np
+
+    from mincemeatpy_spark.multimodal.binary_ops import (
+        decode_webp_real,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.default_rng(42)
+    cases = [
+        (_rand_img(rng, 1, 1), {}),
+        (_rand_img(rng, 13, 9), {}),
+        (_rand_img(rng, 16, 16), {"subtract_green": True}),
+        (_rand_img(rng, 10, 10, 5), {"cache_bits": 4}),
+        (
+            [[(i % 3 * 10, 20, 30) for i in range(24)] for _ in range(6)],
+            {"lz77": True},
+        ),
+        # palette sizes straddling every bundling width (8/4/2/1 px per
+        # byte) including non-multiple image widths
+        (_rand_img(rng, 17, 5, 2), {"palette": True}),
+        (_rand_img(rng, 17, 5, 4), {"palette": True}),
+        (_rand_img(rng, 17, 5, 13), {"palette": True}),
+        (_rand_img(rng, 30, 20, 200), {"palette": True}),
+        (_rand_img(rng, 21, 17), {"predictor": "mixed"}),
+        (_rand_img(rng, 12, 11), {"cross_color": (34, 200, 17)}),
+        (_rand_img(rng, 22, 9), {"meta_split": True}),
+        (
+            _rand_img(rng, 25, 19),
+            {
+                "subtract_green": True,
+                "cross_color": (5, 250, 100),
+                "predictor": "mixed",
+                "cache_bits": 3,
+                "lz77": True,
+                "meta_split": True,
+            },
+        ),
+    ]
+    # every single predictor mode, on images big enough to hit the
+    # interior + all three edge rules and the TR-wraps-to-row-start case
+    for mode in range(14):
+        cases.append((_rand_img(rng, 9, 7), {"predictor": mode}))
+    for px, kw in cases:
+        m = decode_webp_real(encode_webp_lossless(px, **kw))
+        assert (m["sum_r"], m["sum_g"], m["sum_b"]) == _img_sums(px), kw
+        assert (m["fmt"], m["width"], m["height"]) == (
+            "webp-lossless",
+            len(px[0]),
+            len(px),
+        ), kw
+
+
+def test_vp8l_known_answer_handmade_stream():
+    """A VP8L stream assembled BIT BY BIT in this test (independent of
+    the encoder, so a self-consistent encoder/decoder inversion cannot
+    hide): 2x1 image, simple prefix codes, two green symbols.  Pins the
+    LSB-first packing, the 14-bit dimension fields, simple-code
+    parsing, and canonical code assignment (smaller symbol -> code 0)."""
+    import struct
+
+    from mincemeatpy_spark.multimodal.binary_ops import decode_webp_real
+
+    out = bytearray()
+    acc = [0, 0]
+
+    def put(v, n):
+        acc[0] |= (v & ((1 << n) - 1)) << acc[1]
+        acc[1] += n
+        while acc[1] >= 8:
+            out.append(acc[0] & 0xFF)
+            acc[0] >>= 8
+            acc[1] -= 8
+
+    put(0x2F, 8)          # signature
+    put(1, 14)            # width-1 = 1
+    put(0, 14)            # height-1 = 0
+    put(0, 1)             # alpha hint
+    put(0, 3)             # version
+    put(0, 1)             # no transforms
+    put(0, 1)             # no color cache
+    put(0, 1)             # no meta prefix
+    # green: simple, 2 symbols (5, 9), 8-bit first
+    put(1, 1); put(1, 1); put(1, 1); put(5, 8); put(9, 8)
+    # red: simple, 1 symbol 77 (8-bit)
+    put(1, 1); put(0, 1); put(1, 1); put(77, 8)
+    # blue: simple, 1 symbol 33
+    put(1, 1); put(0, 1); put(1, 1); put(33, 8)
+    # alpha: simple, 1 symbol 255
+    put(1, 1); put(0, 1); put(1, 1); put(255, 8)
+    # distance: simple, 1 symbol 0 (1-bit form)
+    put(1, 1); put(0, 1); put(0, 1); put(0, 1)
+    # pixel 0: green bit 0 -> symbol 5; pixel 1: bit 1 -> symbol 9
+    put(0, 1)
+    put(1, 1)
+    if acc[1]:
+        out.append(acc[0] & 0xFF)
+
+    payload = bytes(out)
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    stream = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    m = decode_webp_real(stream)
+    assert (m["width"], m["height"]) == (2, 1)
+    assert m["sum_r"] == 77 * 2
+    assert m["sum_g"] == 5 + 9
+    assert m["sum_b"] == 33 * 2
+
+
+def test_vp8l_error_paths():
+    import pytest
+
+    from mincemeatpy_spark.multimodal.binary_ops import (
+        decode_webp_real,
+        encode_webp_lossless,
+    )
+
+    good = encode_webp_lossless([[(1, 2, 3), (4, 5, 6)]])
+    with pytest.raises(ValueError):
+        decode_webp_real(b"RUFF" + good[4:])
+    with pytest.raises(ValueError):
+        decode_webp_real(good[:20])  # truncated mid-bitstream
+    with pytest.raises(NotImplementedError):  # lossy VP8 stays gated
+        decode_webp_real(
+            b"RIFF\x14\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd"
+        )
+    # bad signature byte inside the VP8L chunk
+    bad = bytearray(good)
+    bad[20] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_webp_real(bytes(bad))
+    with pytest.raises(ValueError):
+        encode_webp_lossless([[(1, 2, 3)] * 20000])  # width > 16384
+
+
+def test_vp8l_dispatches_through_decode_image_real():
+    from mincemeatpy_spark.multimodal.binary_ops import (
+        decode_image_real,
+        encode_webp_lossless,
+    )
+
+    px = [[(9, 8, 7), (1, 2, 3)], [(200, 100, 50), (0, 0, 0)]]
+    m = decode_image_real(encode_webp_lossless(px, palette=True))
+    assert m["fmt"] == "webp-lossless" and m["width"] == 2
+    assert (m["sum_r"], m["sum_g"], m["sum_b"]) == _img_sums(px)
