@@ -4292,48 +4292,69 @@ def encode_webp_lossless(
             acc[1] -= 8
 
     def put_code(sym: int, codes: dict) -> None:
-        ln, code = codes[sym]
-        for i in range(ln - 1, -1, -1):  # code bits MSB-first
-            put((code >> i) & 1, 1)
+        # codes carry the bit-reversed form so the MSB-first code emits
+        # as ONE LSB-first put instead of a per-bit loop
+        ln, _code, rev = codes[sym]
+        if ln:
+            put(rev, ln)
 
     def huff_lengths(counts: dict, max_len: int) -> dict:
-        """Length-limited Huffman: plain merge, halving counts until
-        the depth cap holds (cap 15 for symbol codes, 7 for the 3-bit
-        -stored code-length code)."""
+        """Length-limited Huffman: parent-pointer merge (O(n log n)),
+        halving counts until the depth cap holds (cap 15 for symbol
+        codes, 7 for the 3-bit-stored code-length code)."""
         import heapq
 
         syms = sorted(s for s, c in counts.items() if c > 0)
         if not syms:
             return {}
-        if len(syms) == 1:
+        n = len(syms)
+        if n == 1:
             return {syms[0]: 1}  # never 0-length in normal coding
-        cts = {s: counts[s] for s in syms}
+        cnt = [counts[s] for s in syms]
         while True:
-            heap = [(cts[s], i, {s: 0}) for i, s in enumerate(syms)]
+            heap = [(c, i) for i, c in enumerate(cnt)]
             heapq.heapify(heap)
-            tick = len(syms)  # tiebreak id
+            children = {}
+            nxt = n
             while len(heap) > 1:
-                c1, _, d1 = heapq.heappop(heap)
-                c2, _, d2 = heapq.heappop(heap)
-                merged = {s: d + 1 for s, d in d1.items()}
-                merged.update({s: d + 1 for s, d in d2.items()})
-                heapq.heappush(heap, (c1 + c2, tick, merged))
-                tick += 1
-            depths = heap[0][2]
-            if max(depths.values()) <= max_len:
-                return depths
-            cts = {s: (c + 1) // 2 for s, c in cts.items()}
+                c1, i1 = heapq.heappop(heap)
+                c2, i2 = heapq.heappop(heap)
+                children[nxt] = (i1, i2)
+                heapq.heappush(heap, (c1 + c2, nxt))
+                nxt += 1
+            lens, maxd = {}, 0
+            stack = [(heap[0][1], 0)]
+            while stack:
+                node, d = stack.pop()
+                if node < n:
+                    lens[syms[node]] = d
+                    if d > maxd:
+                        maxd = d
+                else:
+                    a, b = children[node]
+                    stack.append((a, d + 1))
+                    stack.append((b, d + 1))
+            if maxd <= max_len:
+                return lens
+            cnt = [(c + 1) // 2 for c in cnt]
 
     def canon(lens: dict) -> dict:
         """Canonical code assignment (deflate convention: shorter codes
-        first, ties by symbol; first-read bit is the code's MSB)."""
+        first, ties by symbol; first-read bit is the code's MSB).
+        Entries are (len, code, bit-reversed code) — the reversal is
+        paid once per symbol here, not once per occurrence in
+        put_code."""
         codes, code, prev = {}, 0, 0
         for s in sorted(
             (s for s in lens if lens[s] > 0), key=lambda s: (lens[s], s)
         ):
             ln = lens[s]
             code <<= ln - prev
-            codes[s] = (ln, code)
+            rev, tmp = 0, code
+            for _ in range(ln):
+                rev = (rev << 1) | (tmp & 1)
+                tmp >>= 1
+            codes[s] = (ln, code, rev)
             code += 1
             prev = ln
         return codes
@@ -4358,7 +4379,7 @@ def encode_webp_lossless(
             if len(used) == 2:
                 put(used[1], 8)
             if len(used) == 1:
-                return {used[0]: (0, 0)}
+                return {used[0]: (0, 0, 0)}
             return canon({s: 1 for s in used})
         # normal code: emit full length array through the CL code
         put(0, 1)
@@ -4368,7 +4389,12 @@ def encode_webp_lossless(
             lens = dict(lens)
             lens[used[0]] = 1
             lens[0 if used[0] != 0 else 1] = 1
-        full = [lens.get(s, 0) for s in range(alphabet_size)]
+        # Trim trailing zeros and announce the count via the spec's
+        # max_symbol shortcut — big alphabets (green = 280+cache) with
+        # few used symbols then cost O(last_used), not O(alphabet),
+        # and the decoder's max_symbol path runs on real data.
+        last_used = max(lens)
+        full = [lens.get(s, 0) for s in range(last_used + 1)]
         rle = []  # (cl_symbol, n_extra_bits, extra_value)
         i = 0
         while i < len(full):
@@ -4409,7 +4435,14 @@ def encode_webp_lossless(
         put(num_cl - 4, 4)
         for s in _CL_ORDER[:num_cl]:
             put(cl_lens.get(s, 0), 3)
-        put(0, 1)  # no max_symbol shortcut: read all alphabet_size
+        # max_symbol = number of CL symbols the decoder will read
+        # before treating the rest of the alphabet as zeros
+        put(1, 1)
+        k = 0
+        while (1 << (2 + 2 * k)) <= len(rle) - 2:
+            k += 1
+        put(k, 3)
+        put(len(rle) - 2, 2 + 2 * k)
         cl_codes = canon(cl_lens)
         for s, nb, v in rle:
             put_code(s, cl_codes)
@@ -4759,16 +4792,25 @@ def decode_webp_real(payload: bytes) -> dict:
 
     bpos = [0]
     nbits_total = len(data) * 8
+    # Precomputed 32-bit little-endian windows: any <=25-bit field is
+    # one shift+mask (the JPEG decoder's O(1) bit-peek trick, adapted
+    # to VP8L's LSB-first packing).  Max field read: 18 extra bits at
+    # a 7-bit offset = 25 bits.
+    import numpy as np
+
+    _a = np.frombuffer(data + b"\x00\x00\x00", dtype=np.uint8).astype(
+        np.uint32
+    )
+    b32 = (
+        _a[:-3] | (_a[1:-2] << 8) | (_a[2:-1] << 16) | (_a[3:] << 24)
+    ).tolist()
 
     def bits(n: int) -> int:
         p = bpos[0]
         if p + n > nbits_total:
             raise ValueError("malformed VP8L: bitstream exhausted")
-        v = 0
-        for i in range(n):
-            v |= ((data[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
         bpos[0] = p + n
-        return v
+        return (b32[p >> 3] >> (p & 7)) & ((1 << n) - 1)
 
     if bits(8) != 0x2F:
         raise ValueError("malformed VP8L: bad signature")
@@ -4781,30 +4823,54 @@ def decode_webp_real(payload: bytes) -> dict:
     _CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
                  13, 14, 15]
 
-    def canon(lens: dict) -> dict:
-        """(length, code) -> symbol decode table, deflate canonical."""
-        table, code, prev = {}, 0, 0
+    def canon(lens: dict):
+        """Deflate-canonical decode tables: an 8-bit first-level LUT
+        (indexed by the next 8 stream bits, LSB-first — so entries are
+        filled at the bit-REVERSED code) plus a (len, code)->sym dict
+        for the rare codes longer than 8 bits."""
+        lut = [None] * 256
+        long_table, code, prev = {}, 0, 0
         for s in sorted(
             (s for s in lens if lens[s] > 0), key=lambda s: (lens[s], s)
         ):
             ln = lens[s]
             code <<= ln - prev
-            table[(ln, code)] = s
+            if ln <= 8:
+                rev, tmp = 0, code
+                for _ in range(ln):
+                    rev = (rev << 1) | (tmp & 1)
+                    tmp >>= 1
+                for j in range(1 << (8 - ln)):
+                    lut[rev | (j << ln)] = (s, ln)
+            else:
+                long_table[(ln, code)] = s
             code += 1
             prev = ln
-        return table
+        return lut, long_table
 
     def read_sym(code) -> int:
-        """code is either ('trivial', sym) or a (len, code)->sym map."""
+        """code is ('trivial', sym) or ('table', (lut, long_table))."""
         if code[0] == "trivial":
             return code[1]
-        table = code[1]
+        lut, long_table = code[1]
+        p = bpos[0]
+        hit = lut[(b32[p >> 3] >> (p & 7)) & 0xFF]
+        if hit is not None:
+            s, ln = hit
+            if p + ln > nbits_total:
+                raise ValueError("malformed VP8L: bitstream exhausted")
+            bpos[0] = p + ln
+            return s
         acc_len, acc_code = 0, 0
         while True:
-            acc_code = (acc_code << 1) | bits(1)
+            if p >= nbits_total:
+                raise ValueError("malformed VP8L: bitstream exhausted")
+            acc_code = (acc_code << 1) | ((b32[p >> 3] >> (p & 7)) & 1)
             acc_len += 1
-            if (acc_len, acc_code) in table:
-                return table[(acc_len, acc_code)]
+            p += 1
+            if (acc_len, acc_code) in long_table:
+                bpos[0] = p
+                return long_table[(acc_len, acc_code)]
             if acc_len > 15:
                 raise ValueError("malformed VP8L: invalid prefix code")
 

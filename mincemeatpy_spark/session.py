@@ -44,6 +44,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if os.environ.get("SPARK_GRAFT_CBO_STATS") == "1":
+        # CBO flags must be on BEFORE planning; the stats themselves
+        # come from tables.bootstrap_cbo_statistics (same flag).
+        builder = builder.config("spark.sql.cbo.enabled", "true").config(
+            "spark.sql.cbo.joinReorder.enabled", "true"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

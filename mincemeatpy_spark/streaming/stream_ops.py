@@ -369,6 +369,86 @@ def ensure_protobuf(spark: SparkSession) -> bool:
         return False
 
 
+_STATE_ROWS_PER_STORE = 15_000
+"""Auto-sizing constant, DERIVED FROM the r8 crossover measurements
+(NOTES_r08.md, SCALE.md): 8 stores are right at <=50k rows/batch
+(store lifecycle dominates: 1.4-4.6x wins over 32) and 32 are right at
+~500k rows/batch of Python-stateful work (39.9->25.9 s and
+49.4->24.5 s at sf1) — one store per ~15k rows/batch reproduces both
+columns, clamped to [8, spark.sql.shuffle.partitions].  JVM-state
+operators (stream-stream joins, window aggs) keep the floor: the r8
+table shows 8 beating 32 for the sf1 outer join (7.9 vs 11.3 s), so
+scaling up only pays where per-row Python work is the bottleneck."""
+
+_PY_STATEFUL_MARKERS = (
+    "FlatMapGroupsInPandasWithState",  # applyInPandasWithState
+    "TransformWithStateInPySpark",  # transformWithStateInPandas
+    "TransformWithStateInPandas",
+)
+
+
+def _estimate_batch_rows(df: DataFrame):
+    """Rows in the LARGEST micro-batch of ``df``'s file sources, read
+    from parquet footers only (no data scan).  The engine's finite
+    streams stage fixtures as parquet dirs with ``maxFilesPerTrigger=1``
+    (one file = one batch); without that option the first batch takes
+    every file.  Returns None when no file source is found (e.g. the
+    custom Python DataSource streams) — caller falls back to the
+    floor."""
+    import re
+    from pathlib import Path
+
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001 - sizing must never kill the run
+        return None
+    one_per_batch = "maxFilesPerTrigger -> 1" in plan
+    total, found = 0, False
+    for m in re.finditer(r"FileSource\[([^\]]+)\]", plan):
+        d = Path(m.group(1))
+        files = (
+            sorted(d.glob("*.parquet"))
+            if d.is_dir()
+            else ([d] if d.suffix == ".parquet" else [])
+        )
+        if not files:
+            continue
+        import pyarrow.parquet as pq
+
+        counts = [
+            pq.ParquetFile(str(f)).metadata.num_rows for f in files
+        ]
+        # multi-source queries (stream-stream joins) SUM: every
+        # source's batch feeds the same stateful stage
+        total += max(counts) if one_per_batch else sum(counts)
+        found = True
+    return total if found else None
+
+
+def _auto_state_partitions(spark: SparkSession, df=None) -> int:
+    """SCALE.md's sizing rule as code (r8 judge task 5): estimate the
+    first micro-batch's rows from the source footers, scale stores for
+    Python-stateful plans at ~1 per 15k rows/batch, clamp to
+    [8, spark.sql.shuffle.partitions]."""
+    lo = 8
+    try:
+        hi = max(lo, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except Exception:  # noqa: BLE001
+        hi = lo
+    if df is None:
+        return lo
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001
+        return lo
+    if not any(k in plan for k in _PY_STATEFUL_MARKERS):
+        return lo
+    rows = _estimate_batch_rows(df)
+    if not rows:
+        return lo
+    return max(lo, min(hi, rows // _STATE_ROWS_PER_STORE))
+
+
 class _sized_state_partitions:
     """Pin ``spark.sql.shuffle.partitions`` (which fixes the number of
     state-store instances a stateful streaming query creates PER
@@ -381,19 +461,23 @@ class _sized_state_partitions:
     and at the test fixtures' state size a 32-store query spends 1.4-4.6x
     its wall-time on store lifecycle, measured trial-for-trial in r8.
     On a 100 TB stream you RAISE this (it must exceed peak state / store
-    budget); the default comes from $SPARK_GRAFT_STREAM_STATE_PARTITIONS
-    (8).  Correctness is partition-count-invariant — keyed state hashes
+    budget).  Since r9 the value AUTO-SIZES from the plan and source
+    footers (_auto_state_partitions — the r8 sf1 crossover encoded as
+    code); $SPARK_GRAFT_STREAM_STATE_PARTITIONS, when set, overrides
+    it.  Correctness is partition-count-invariant — keyed state hashes
     by key — and every e2e query's DuckDB oracle runs under this sizing.
     Save/restore keeps the session conf leak-free (the test suite runs
     conf-order adversarially)."""
 
-    def __init__(self, spark: SparkSession) -> None:
+    def __init__(self, spark: SparkSession, df=None) -> None:
         import os
 
         self.spark = spark
-        self.n = int(
-            os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
-        )
+        env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+        # explicit env wins (the crossover tooling sets it to pin a
+        # column); otherwise auto-size from the plan + source footers
+        # (r8 judge task 5 — no per-query hand tuning)
+        self.n = int(env) if env else _auto_state_partitions(spark, df)
 
     def __enter__(self) -> None:
         self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
@@ -408,7 +492,7 @@ def run_to_completion(stream_df: DataFrame, query_name: str, mode: str | None = 
     completion into an in-memory table; return it as a batch DataFrame."""
     if mode is None:
         mode = "complete" if _has_agg(stream_df) else "append"
-    with _sized_state_partitions(stream_df.sparkSession):
+    with _sized_state_partitions(stream_df.sparkSession, stream_df):
         q = (
             stream_df.writeStream.outputMode(mode)
             .format("memory")

@@ -111,10 +111,19 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: t(spark, sf_dir, name) for name in TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view (for the SQL API surface)."""
+def register_views(
+    spark: SparkSession, sf_dir: str, cbo_stats: bool | None = None
+) -> None:
+    """Register every table as a temp view (for the SQL API surface).
+    ``cbo_stats`` (default: $SPARK_GRAFT_CBO_STATS=1) additionally
+    registers ANALYZE'd catalog tables so CBO join reordering can
+    fire — see bootstrap_cbo_statistics."""
     for name in TABLES:
         t(spark, sf_dir, name).createOrReplaceTempView(name)
+    if cbo_stats is None:
+        cbo_stats = os.environ.get("SPARK_GRAFT_CBO_STATS") == "1"
+    if cbo_stats:
+        bootstrap_cbo_statistics(spark, sf_dir)
 
 
 _ROW_GROUPS: dict[str, int] = {}
@@ -166,3 +175,41 @@ def fan_out(
     if df.rdd.getNumPartitions() < p:
         return df.repartition(p)
     return df
+
+
+def bootstrap_cbo_statistics(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple = (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+    ),
+) -> None:
+    """Catalog + statistics bootstrap for Catalyst's cost-based
+    optimizer (r8 judge task 7).  Path-based parquet reads carry no
+    catalog statistics, so CBO join reordering never fires on them;
+    this registers each fixture as an external table (``tpch_<name>``
+    USING parquet LOCATION — no data copy) and runs ``ANALYZE TABLE
+    ... COMPUTE STATISTICS FOR ALL COLUMNS`` (one scan per table).
+
+    Behind a flag by design: the ANALYZE scan is a real cost you pay
+    once per fixture, exactly as you would on a warehouse.  Enable via
+    ``register_views(..., cbo_stats=True)`` or
+    ``$SPARK_GRAFT_CBO_STATS=1`` (which also makes get_spark turn on
+    spark.sql.cbo.enabled + joinReorder before planning).
+    probes/r9/cbo_q9_sf1.py measures the effect on a deliberately
+    mis-ordered Q9 at sf1."""
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        spark.sql(f"DROP TABLE IF EXISTS tpch_{name}")
+        spark.sql(
+            f"CREATE TABLE tpch_{name} USING parquet LOCATION '{path}'"
+        )
+        spark.sql(
+            f"ANALYZE TABLE tpch_{name} COMPUTE STATISTICS FOR ALL COLUMNS"
+        )

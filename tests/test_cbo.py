@@ -98,3 +98,94 @@ def test_cbo_statistics_and_join_reorder():
     # the reorder itself: plans must differ between CBO on/off for the
     # deliberately mis-ordered star join
     assert "CBO_PLAN_DIFFERS True" in r.stdout, r.stdout[-2000:]
+
+
+_Q9_PROBE = textwrap.dedent(
+    """
+    import os, sys, tempfile
+    sys.path.insert(0, {repo!r})
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "4")
+             .config("spark.sql.warehouse.dir",
+                     tempfile.mkdtemp(prefix="cbo-q9-wh-"))
+             .config("spark.sql.cbo.enabled", "true")
+             .config("spark.sql.cbo.joinReorder.enabled", "true")
+             .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+             .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from mincemeatpy_spark.tables import bootstrap_cbo_statistics
+    bootstrap_cbo_statistics(spark, "/root/testdata/sf0.01")
+
+    q = '''
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               sum(l_extendedprice * (1 - l_discount)
+                   - 0.1 * p_retailprice * l_quantity) AS sum_profit
+        FROM tpch_lineitem l
+        JOIN tpch_orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN tpch_supplier s ON l.l_suppkey  = s.s_suppkey
+        JOIN tpch_nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN tpch_part p     ON l.l_partkey  = p.p_partkey
+                                AND p.p_name LIKE '%red%'
+        GROUP BY n_name, year(o_orderdate)
+    '''
+    plan_on = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    plan_off = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+    print("Q9_PLAN_DIFFERS", plan_on != plan_off)
+
+    import re
+    def rel_order(plan):
+        seen = []
+        for x in re.findall(r"tpch_(part|orders|supplier|nation|lineitem)",
+                            plan):
+            if x not in seen:
+                seen.append(x)
+        return seen
+    # the user order leads lineitem-orders; with stats the optimizer
+    # must NOT keep the big-x-big pair first
+    print("Q9_OFF_ORDER", rel_order(plan_off)[:2])
+    print("Q9_ON_REORDERED", rel_order(plan_on)[:2] != ["lineitem", "orders"])
+
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    rows_on = sorted(tuple(r) for r in spark.sql(q).collect())
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    rows_off = sorted(tuple(r) for r in spark.sql(q).collect())
+    # group keys exact; the profit SUM is an order-dependent float
+    # (tests/test_engine_traps.py) and the join order IS what changed,
+    # so compare it within relative tolerance
+    keys_eq = [r[:2] for r in rows_on] == [r[:2] for r in rows_off]
+    sums_eq = all(
+        abs(a[2] - b[2]) <= 1e-9 * max(1.0, abs(a[2]))
+        for a, b in zip(rows_on, rows_off)
+    )
+    print("Q9_ROWS_EQUAL", keys_eq and sums_eq and len(rows_on) > 0)
+    """
+)
+
+
+def test_cbo_bootstrap_reorders_misordered_q9():
+    """r8 judge task 7: the session/tables bootstrap
+    (tables.bootstrap_cbo_statistics, flag $SPARK_GRAFT_CBO_STATS)
+    feeds ANALYZE'd statistics to Catalyst, and a deliberately
+    mis-ordered Q9 (lineitem x orders first, selective part dim last)
+    gets re-planned — asserted as a plan diff with identical results.
+    The sf1 wall-time delta is measured by probes/r9/cbo_q9_sf1.py."""
+    r = subprocess.run(
+        [sys.executable, "-c", _Q9_PROBE.format(repo=_REPO)],
+        capture_output=True,
+        text=True,
+        cwd=_REPO,
+        timeout=600,
+    )
+    out = r.stdout
+    assert "Q9_PLAN_DIFFERS True" in out, (
+        f"stdout={out[-2000:]}\nstderr={r.stderr[-2000:]}"
+    )
+    assert "Q9_OFF_ORDER ['lineitem', 'orders']" in out, out[-2000:]
+    assert "Q9_ON_REORDERED True" in out, out[-2000:]
+    assert "Q9_ROWS_EQUAL True" in out, out[-2000:]

@@ -32,3 +32,53 @@ def test_pin_restores_on_exception(spark):
             assert spark.conf.get("spark.sql.shuffle.partitions") != before
             raise RuntimeError("boom")
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_auto_state_partitions_sizing_rule(spark, sf_dir):
+    """r8 judge task 5: the state-store count auto-sizes from the plan
+    and the source parquet footers — floor 8 at test scale, scaled at
+    ~1 store / 15k rows/batch for Python-stateful plans, clamped to the
+    session's shuffle partitions, JVM-state plans stay at the floor."""
+    import mincemeatpy_spark.streaming.stream_ops as so
+    from pyspark.sql import functions as F
+
+    ev = so.events_stream_timesplit(spark, sf_dir)
+
+    # footer-based estimate: largest staged file's rows, no data scan
+    rows = so._estimate_batch_rows(ev)
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert rows is not None and 0 < rows <= total
+
+    # JVM-state plan (window agg): floor regardless of volume
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    assert so._auto_state_partitions(spark, agg) == 8
+
+    # Python-stateful plan at test scale: under 15k rows/batch => floor
+    gss = so.session_timeout_gss(ev)
+    assert so._auto_state_partitions(spark, gss) == 8
+
+    # the scaling arithmetic, with the estimate pinned to sf1-like
+    # volume and a 32-partition session (save/restore)
+    old_est = so._estimate_batch_rows
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        so._estimate_batch_rows = lambda df: 500_000
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        assert so._auto_state_partitions(spark, gss) == 32  # clamped hi
+        so._estimate_batch_rows = lambda df: 150_000
+        assert so._auto_state_partitions(spark, gss) == 10
+        so._estimate_batch_rows = lambda df: 0
+        assert so._auto_state_partitions(spark, gss) == 8
+    finally:
+        so._estimate_batch_rows = old_est
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    # explicit env still wins (the crossover tooling's pin)
+    import os
+
+    os.environ["SPARK_GRAFT_STREAM_STATE_PARTITIONS"] = "12"
+    try:
+        assert so._sized_state_partitions(spark, gss).n == 12
+    finally:
+        del os.environ["SPARK_GRAFT_STREAM_STATE_PARTITIONS"]
+    assert so._sized_state_partitions(spark, gss).n == 8
