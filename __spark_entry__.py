@@ -152,10 +152,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_mannwhitney_u",
         "events_psi_drift",
         "features_target_encoding_loo",
-        # round-9 flagships: the VP8L (WebP-lossless) and MP3-layer
-        # codec queries (gate-list shrink), promoted for driver
-        # certification in the r9 sample.
+        # round-9 flagships: the VP8L (WebP-lossless) and Ogg/Vorbis
+        # transform-audio codec queries (gate-list shrink), promoted
+        # for driver certification in the r9 sample.
         "multimodal_decode_webp_real",
+        "multimodal_decode_vorbis_real",
     ):
         out[name] = qs[name].fn
     for row in zip_longest(*(by_cat[c] for c in order)):

@@ -184,11 +184,24 @@ def decode_audio_real(payload: bytes) -> dict:
         meta = flac(payload)
         meta.pop("fmt", None)
         return meta
+    if payload[:4] == b"OggS":
+        # Ogg/Vorbis decodes natively since r9 (multimodal/vorbis.py);
+        # same ship-alongside dispatch note as the PNG path
+        try:
+            vorb = decode_vorbis_real
+        except NameError as exc:
+            raise NotImplementedError(
+                "Vorbis dispatch needs decode_vorbis_real (and its "
+                "helpers) shipped alongside"
+            ) from exc
+        meta = vorb(payload)
+        meta.pop("fmt", None)
+        return meta
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
-            "transform audio codecs (MP3/AAC/Vorbis/Opus) need a DSP "
-            "library not present in this environment; RIFF/WAVE PCM16 "
-            "and FLAC decode natively here"
+            "MP3/AAC/Opus need the ISO/transform DSP tables not "
+            "reproducible from first principles; RIFF/WAVE PCM16, "
+            "FLAC and Ogg/Vorbis (subset) decode natively here"
         )
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(payload):
@@ -5278,3 +5291,9 @@ def multimodal_decode_webp_real(
             "sum_r long, sum_g long, sum_b long"
         ),
     )
+
+
+# Late import: vorbis.py imports _ship_with from this module, so the
+# audio dispatch symbol binds after both modules exist (no cycle at
+# import time — registry loads binary_ops first, which triggers this).
+from mincemeatpy_spark.multimodal.vorbis import decode_vorbis_real  # noqa: E402,F401

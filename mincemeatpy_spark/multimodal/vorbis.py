@@ -1,0 +1,1397 @@
+"""Vorbis I transform-audio codec, dependency-free (r9 judge task 3).
+
+The first TRANSFORM codec in the audio family (the gate previously
+covered all of MP3/AAC/Vorbis/Opus): a real MDCT pipeline — windowed
+overlapping transforms, a piecewise-linear floor in the dB domain, VQ
+-coded residue vectors, all entropy-coded with in-stream codebooks —
+inside a real Ogg transport (pages, lacing, the Ogg CRC-32).
+
+Why Vorbis and not MP3: Vorbis I carries its ENTIRE entropy/VQ
+configuration in the stream (setup header codebooks, floor and residue
+configs), and its window + MDCT are closed-form, so a from-scratch
+implementation needs no copyrighted fixed tables; MPEG audio needs the
+ISO Huffman tables and the 512-tap synthesis window verbatim, which
+cannot be reproduced from first principles.  Scope (documented subset,
+encoder and decoder agree on the full bitstream machinery):
+
+* Ogg encapsulation: page framing, 255-lacing, BOS/EOS flags, and the
+  spec CRC-32 (poly 0x04C11DB7, unreflected, init/xorout 0) — verified
+  on every page.
+* Headers: identification, comment, setup — parsed for real (channel
+  count, rate, blocksizes, every codebook, floor, residue, mapping and
+  mode config drive the audio decode).
+* Codebooks: the Vorbis codeword-assignment algorithm (first-available
+  -leaf in ENTRY order — not deflate-canonical), unordered length
+  lists, lookup type 0 (scalar) and type 1 (lattice VQ with the Vorbis
+  packed-float format).
+* Floor type 1: class/partition config, posts coded against the
+  low/high-neighbor render_point prediction with the room-folding
+  value mapping, step2 flag pruning, integer Bresenham render_line,
+  and the inverse-dB amplitude table.
+* Residue type 2: channel interleave, classword decoding through the
+  classbook, multi-pass cascade bitmap, additive VQ partitions.
+* Single blocksize (mode blockflag 0), mapping type 0, no channel
+  coupling (square-polar coupling and long/short window switching are
+  the documented remaining gap, named in the decoder's error path).
+
+Certification (the progressive-JPEG pattern): lossy codec => the
+registered query hash-matches the EXACT fields (rate, channels,
+n_samples) and asserts a reconstruction bound whose closed form the
+test suite derives — the decoder's spectrum is floor*residue exactly,
+so decode equals the independent numpy reconstruction of the same
+quantized data bit-for-bit, and the windowed MDCT round trip bounds
+the final sample error by the quantization step (tests pin both).
+
+Conformance caveat, stated honestly: this container has no reference
+Vorbis decoder to test against, so byte-level interop with libvorbis
+is UNVERIFIED; the bitstream layout follows the public Vorbis I
+specification, and every layer is pinned by hand-assembled
+known-answer streams (Ogg page bytes, codeword tables, floor curve)
+so encoder/decoder inverse-bug cancellation cannot hide.
+
+Reference parity note: the reference repo (mincemeat.py:1-381) has no
+codec surface; this is north-star multimodal-pipeline work.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mincemeatpy_spark.registry import register
+from mincemeatpy_spark.tables import t
+
+# NOTE: _ship_with/_ship_by_value are imported lazily inside the query
+# builder — binary_ops imports THIS module at its bottom for the audio
+# dispatch, so a top-level import here would be circular.
+
+
+def _vorbis_ilog(x: int) -> int:
+    """Vorbis ilog: bit width of x (ilog(0)=0, ilog(7)=3)."""
+    n = 0
+    while x > 0:
+        n += 1
+        x >>= 1
+    return n
+
+
+def _ogg_crc(data: bytes, _tab: list = []) -> int:
+    """Ogg page CRC-32: poly 0x04C11DB7, UNREFLECTED, init 0, xorout
+    0 — deliberately not zlib's reflected CRC.  Table-driven; the
+    mutable-default cache rebuilds once per (shipped-by-value)
+    function copy."""
+    if not _tab:
+        for i in range(256):
+            crc = i << 24
+            for _ in range(8):
+                crc = (
+                    (crc << 1) ^ 0x04C11DB7 if crc & 0x80000000 else crc << 1
+                ) & 0xFFFFFFFF
+            _tab.append(crc)
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _tab[((crc >> 24) ^ b) & 0xFF]
+    return crc
+
+
+def _ogg_pages(packets: list, serial: int = 0x6D6D70) -> bytes:
+    """Frame packets into Ogg pages: one page per packet (plus lacing
+    continuation inside the page), BOS on the first, EOS on the last.
+    Production muxers pack multiple packets per page; one-per-page is
+    legal and keeps granule bookkeeping trivial."""
+    import struct
+
+    out = bytearray()
+    for i, (pkt, granule) in enumerate(packets):
+        segs = []
+        n = len(pkt)
+        while n >= 255:
+            segs.append(255)
+            n -= 255
+        segs.append(n)  # final short (or 0) lacing value
+        htype = (0x02 if i == 0 else 0) | (
+            0x04 if i == len(packets) - 1 else 0
+        )
+        header = (
+            b"OggS"
+            + bytes([0, htype])
+            + struct.pack("<q", granule)
+            + struct.pack("<I", serial)
+            + struct.pack("<I", i)
+            + b"\x00\x00\x00\x00"  # CRC placeholder
+            + bytes([len(segs)])
+            + bytes(segs)
+        )
+        page = bytearray(header + pkt)
+        crc = _ogg_crc(bytes(page))
+        page[22:26] = struct.pack("<I", crc)
+        out += page
+    return bytes(out)
+
+
+def _ogg_unpages(payload: bytes) -> tuple:
+    """Walk Ogg pages, verify every CRC, reassemble packets (lacing
+    255-continuation, packets spanning pages via the continued flag).
+    Returns (packets, final_granule) — the last page's granule position
+    is the total presentable sample count (Ogg/Vorbis trimming)."""
+    import struct
+
+    packets, partial = [], bytearray()
+    granule = 0
+    pos = 0
+    while pos < len(payload):
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError("malformed Ogg: lost page capture")
+        nseg = payload[pos + 26]
+        segs = payload[pos + 27 : pos + 27 + nseg]
+        body_at = pos + 27 + nseg
+        body_len = sum(segs)
+        page = bytearray(payload[pos : body_at + body_len])
+        if len(page) != 27 + nseg + body_len:
+            raise ValueError("malformed Ogg: truncated page")
+        (crc_stored,) = struct.unpack_from("<I", page, 22)
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc_stored:
+            raise ValueError("malformed Ogg: page CRC mismatch")
+        (granule,) = struct.unpack_from("<q", page, 6)
+        off = body_at
+        for j, s in enumerate(segs):
+            partial += payload[off : off + s]
+            off += s
+            if s < 255:
+                packets.append(bytes(partial))
+                partial = bytearray()
+        pos = body_at + body_len
+    if partial:
+        raise ValueError("malformed Ogg: unterminated packet")
+    return packets, granule
+
+
+def _vorbis_codewords(lengths: list) -> list:
+    """The Vorbis I codeword assignment: entries take the lowest
+    available leaf at their depth IN ENTRY ORDER (spec 3.2.1 decision
+    tree; libvorbis' marker algorithm).  NOT deflate-canonical — the
+    resulting words depend on the length SEQUENCE.  Returns a list of
+    (length, codeword) with codeword None for unused (length 0)
+    entries.  Wire convention used by this codec pair: the ROOT branch
+    (the word's MSB) goes on the wire first, inside the otherwise
+    LSB-first bit packing (libvorbis realizes the same order via its
+    bit-reversed decode tables)."""
+    marker = [0] * 33
+    out = []
+    for ln in lengths:
+        if ln == 0:
+            out.append((0, None))
+            continue
+        entry = marker[ln]
+        if entry >> ln:
+            raise ValueError("over-subscribed codebook lengths")
+        out.append((ln, entry))
+        for j in range(ln, 0, -1):
+            if marker[j] & 1:
+                if j == 1:
+                    marker[1] += 1
+                else:
+                    marker[j] = marker[j - 1] << 1
+                break
+            marker[j] += 1
+        for j in range(ln + 1, 33):
+            if (marker[j] >> 1) == entry:
+                entry = marker[j]
+                marker[j] = marker[j - 1] << 1
+            else:
+                break
+    return out
+
+
+def _vorbis_float32_pack(x: float) -> int:
+    """Vorbis packed float: |sign 1|exponent 10|mantissa 21| with bias
+    788; value = (-1)^s * mantissa * 2^(exp-788).  Exact for the
+    integer-valued VQ min/delta this codec writes."""
+    if x == 0:
+        return 0
+    sign = 0x80000000 if x < 0 else 0
+    x = abs(x)
+    mant = x
+    exp = 788
+    while mant >= (1 << 21):
+        mant /= 2.0
+        exp += 1
+    while mant < (1 << 20) and exp > 0:
+        mant *= 2.0
+        exp -= 1
+    mant_i = int(round(mant))
+    if mant_i >= (1 << 21):
+        mant_i >>= 1
+        exp += 1
+    return sign | (exp << 21) | mant_i
+
+
+def _vorbis_float32_unpack(v: int) -> float:
+    mant = v & 0x1FFFFF
+    sign = -1.0 if v & 0x80000000 else 1.0
+    exp = (v & 0x7FE00000) >> 21
+    return sign * mant * 2.0 ** (exp - 788)
+
+
+def _vorbis_inverse_db(i: int) -> float:
+    """Floor-1 amplitude table value for index 0..255: a geometric ramp
+    from 1e-7 to 1.0 (the spec's stated 140 dB floor range).  The spec
+    tabulates 256 float constants; this derives them from the range
+    formula — self-consistent across encoder, decoder and the test
+    oracle, and documented as derived rather than transcribed."""
+    return 1e-7 * (1e7 ** (i / 255.0))
+
+
+def _vorbis_render_line(x0: int, y0: int, x1: int, y1: int, n: int, out) -> None:
+    """Floor-1 integer Bresenham (spec render_line): writes index
+    values into out[x0:min(x1,n)] along the line, truncating division
+    toward zero like the spec's C semantics."""
+    dy = y1 - y0
+    adx = x1 - x0
+    ady = abs(dy)
+    # C-style truncate-toward-zero division for the slope
+    base = dy // adx if dy >= 0 else -((-dy) // adx)
+    sy = base + 1 if dy >= 0 else base - 1
+    y = y0
+    err = 0
+    ady -= abs(base) * adx
+    if x0 < n:
+        out[x0] = y0
+    for x in range(x0 + 1, min(x1, n)):
+        err += ady
+        if err >= adx:
+            err -= adx
+            y += sy
+        else:
+            y += base
+        out[x] = y
+
+
+def _vorbis_render_point(x0: int, y0: int, x1: int, y1: int, x: int) -> int:
+    """Floor-1 predicted post value (spec render_point): truncating
+    interpolation between neighbors."""
+    dy = y1 - y0
+    adx = x1 - x0
+    ady = abs(dy)
+    off = ady * (x - x0) // adx
+    return y0 - off if dy < 0 else y0 + off
+
+
+def _vorbis_window(n: int):
+    """The Vorbis window: sin(pi/2 * sin^2(pi*(j+1/2)/n)) — satisfies
+    the Princen-Bradley condition, so lapped MDCT frames reconstruct
+    exactly (up to quantization)."""
+    import numpy as np
+
+    j = np.arange(n)
+    return np.sin(0.5 * np.pi * np.sin(np.pi * (j + 0.5) / n) ** 2)
+
+
+def _vorbis_mdct_mat(n: int):
+    """cos((2*pi/n) * (j + 1/2 + n/4) * (k + 1/2)) as an (n, n/2)
+    matrix: forward X = (4/n) * C.T @ (w*x), inverse y = w * (C @ X) —
+    the scaling that makes windowed overlap-add an exact inverse
+    (verified to 3e-14 numerically; 2/n leaves a 0.5x alias residue)."""
+    import numpy as np
+
+    j = np.arange(n)[:, None]
+    k = np.arange(n // 2)[None, :]
+    return np.cos((2.0 * np.pi / n) * (j + 0.5 + n / 4.0) * (k + 0.5))
+
+
+def _vorbis_enc_config(blocksize: int, resid_max: int) -> dict:
+    """The one stream layout the encoder writes (the decoder reads
+    whatever the setup header says — these are just the writer's
+    choices).  Floor: 1 partition, 1 class, 8 posts + implicit
+    {0, 2^rangebits}, multiplier 2 (range 128).  Residue type 2:
+    partition_size 8, 2 classes (zero / coded), classbook dim 4, one
+    pass, VQ book dim 2 over [-R, R].  A plain dict so it ships by
+    value into executor closures."""
+    return {
+        "n": blocksize,
+        "R": resid_max,
+        "floor_posts": [8, 16, 24, 36, 48, 64, 88, 108][
+            : min(8, blocksize // 32)
+        ],
+        "rangebits": _vorbis_ilog(blocksize // 2 - 1),  # 7 for 256
+        "multiplier": 2,  # range 128
+        "range": 128,
+        "part_size": 8,
+        "classbook_dim": 4,
+    }
+
+
+def encode_vorbis_subset(
+    sample_rate: int,
+    channels: list,
+    blocksize: int = 256,
+    resid_max: int = 8,
+    _debug: bool = False,
+) -> bytes:
+    """Vorbis-I-subset writer (module docstring has the exact scope).
+    ``channels`` is a list of per-channel int16 sample lists.  Two
+    passes: tokenize every frame first (floor post values, classwords,
+    VQ entries), build Huffman codebooks from the real histograms,
+    then emit headers + audio packets into Ogg pages."""
+    import numpy as np
+
+    cfg = _vorbis_enc_config(blocksize, resid_max)
+    n, half = cfg["n"], cfg["n"] // 2
+    ch = len(channels)
+    L = len(channels[0])
+    if any(len(c) != L for c in channels):
+        raise ValueError("all channels must have equal length")
+    if L == 0:
+        raise ValueError("empty signal")
+
+    if n not in _VORBIS_MDCT_CACHE:
+        _VORBIS_MDCT_CACHE[n] = (_vorbis_window(n), _vorbis_mdct_mat(n))
+    w, C = _VORBIS_MDCT_CACHE[n]
+
+    # frame the signal: half-block zero priming front and back
+    nframes = (L + half - 1) // half + 1
+    padded = np.zeros((ch, half + nframes * half + n), dtype=np.float64)
+    for c in range(ch):
+        padded[c, half : half + L] = (
+            np.asarray(channels[c], dtype=np.float64) / 32768.0
+        )
+
+    posts_x = sorted([0, 1 << cfg["rangebits"]] + cfg["floor_posts"])
+    range_ = cfg["range"]
+
+    def db_index(amp: float) -> int:
+        import math
+
+        if amp < 1e-7:
+            return 0
+        return max(0, min(255, int(round(255.0 * math.log(amp / 1e-7) / math.log(1e7)))))
+
+    # ---- pass 1: tokenize every (frame, channel) ----
+    debug_frames = []  # test hook: per-frame (curves, quantized residue)
+    frames = []  # per frame: (per-ch post raw vals, classwords, vq entries)
+    floor_hist: dict = {}
+    class_hist: dict = {}
+    vq_hist: dict = {}
+    part_count = ch * half // cfg["part_size"]
+
+    for f in range(nframes):
+        x = padded[:, f * half : f * half + n]
+        spec = (4.0 / n) * (C.T @ (w * x).T).T  # (ch, half)
+
+        ch_posts = []
+        curves = []
+        for c in range(ch):
+            mag = np.abs(spec[c])
+            # envelope at each post position: local max in a window
+            fy = []
+            for px in posts_x:
+                # +-8-bin local envelope: tracks the spectrum closely
+                # enough that the clamped-residue spikes stay ~0.3x amp
+                # (a wider window over-raises the floor in valleys and
+                # zeroes their residue entirely — measured worse)
+                k0 = max(0, min(half - 1, px) - 8)
+                k1 = min(half, max(1, px + 8))
+                # floor ~ local_max / R: the quantized residue then
+                # spans the full [-R, R] range with step local_max/R
+                fy.append(
+                    max(0, min(range_ - 1, db_index(float(mag[k0:k1].max()) / cfg["R"]) // cfg["multiplier"]))
+                )
+            # encode posts against the spec's prediction/room mapping,
+            # in X-LIST STREAM ORDER (sorted order here == list order
+            # after the implicit two)
+            final_y = {0: fy[0], len(posts_x) - 1: fy[-1]}
+            raw = [fy[0], fy[-1]]
+            # stream order: implicit x0, x_last, then cfg["floor_posts"]
+            order = [posts_x.index(p) for p in cfg["floor_posts"]]
+            for si in order:
+                lo = max(
+                    (j for j in final_y if posts_x[j] < posts_x[si]),
+                    key=lambda j: posts_x[j],
+                )
+                hi = min(
+                    (j for j in final_y if posts_x[j] > posts_x[si]),
+                    key=lambda j: posts_x[j],
+                )
+                predicted = _vorbis_render_point(
+                    posts_x[lo], final_y[lo], posts_x[hi], final_y[hi], posts_x[si]
+                )
+                target = fy[si]
+                d = target - predicted
+                highroom = range_ - predicted
+                lowroom = predicted
+                room = 2 * min(highroom, lowroom)
+                if d == 0:
+                    val = 0
+                else:
+                    val = 2 * d if d > 0 else -2 * d - 1
+                    if val >= room:
+                        if highroom > lowroom:
+                            if d < 0:  # unreachable on this side
+                                val = 0
+                                target = predicted
+                            else:
+                                val = d + lowroom
+                        else:
+                            if d > 0:
+                                val = 0
+                                target = predicted
+                            else:
+                                val = highroom - d - 1
+                raw.append(val)
+                final_y[si] = target
+            ch_posts.append((raw, dict(final_y)))
+            # rendered curve (decoder algorithm, flags included)
+            curves.append(
+                _vorbis_floor_curve(
+                    posts_x,
+                    raw,
+                    [posts_x.index(p) for p in cfg["floor_posts"]],
+                    range_,
+                    cfg["multiplier"],
+                    half,
+                )
+            )
+            for v in raw[2:]:
+                floor_hist[v] = floor_hist.get(v, 0) + 1
+            for v in raw[:2]:
+                pass  # y0/y1 are raw bits, not book-coded
+
+        # residue quantization against the decoded curves
+        inter = np.zeros(ch * half)
+        frame_q = []
+        for c in range(ch):
+            q = np.clip(
+                np.round(spec[c] / curves[c]), -cfg["R"], cfg["R"]
+            ).astype(np.int64)
+            inter[c::ch] = q  # type-2 interleave
+            frame_q.append(q)
+        inter = inter.astype(np.int64)
+        if _debug:
+            debug_frames.append((list(curves), frame_q))
+
+        classes = []
+        for p in range(part_count):
+            seg = inter[p * cfg["part_size"] : (p + 1) * cfg["part_size"]]
+            classes.append(1 if np.any(seg != 0) else 0)
+        # residue symbols IN DECODE ORDER: classword for a group of
+        # classbook_dim partitions, then each partition's VQ entries
+        # immediately (the decoder walk interleaves them)
+        res_tokens = []
+        for p in range(0, part_count, cfg["classbook_dim"]):
+            word = 0
+            for j in range(cfg["classbook_dim"]):
+                word = word * 2 + (
+                    classes[p + j] if p + j < part_count else 0
+                )
+            res_tokens.append(("cls", word))
+            class_hist[word] = class_hist.get(word, 0) + 1
+            for j in range(cfg["classbook_dim"]):
+                pp = p + j
+                if pp >= part_count or classes[pp] == 0:
+                    continue
+                seg = inter[pp * cfg["part_size"] : (pp + 1) * cfg["part_size"]]
+                for i in range(0, cfg["part_size"], 2):
+                    e = int(seg[i] + cfg["R"]) + int(seg[i + 1] + cfg["R"]) * (
+                        2 * cfg["R"] + 1
+                    )
+                    res_tokens.append(("vq", e))
+                    vq_hist[e] = vq_hist.get(e, 0) + 1
+        frames.append((ch_posts, res_tokens))
+
+    # ---- codebooks from real histograms ----
+    def huff(counts: dict, n_entries: int) -> list:
+        import heapq
+
+        used = sorted(s for s, c in counts.items() if c > 0)
+        if not used:
+            used = [0]
+        if len(used) == 1:
+            other = 0 if used[0] != 0 else 1
+            if other < n_entries:
+                used.append(other)
+        if len(used) == 1:  # n_entries == 1
+            return [1]
+        cnt = {s: counts.get(s, 0) + 1 for s in used}
+        heap = [(c, i) for i, (s, c) in enumerate(sorted(cnt.items()))]
+        syms = sorted(cnt)
+        heapq.heapify(heap)
+        children: dict = {}
+        nxt = len(syms)
+        while len(heap) > 1:
+            c1, i1 = heapq.heappop(heap)
+            c2, i2 = heapq.heappop(heap)
+            children[nxt] = (i1, i2)
+            heapq.heappush(heap, (c1 + c2, nxt))
+            nxt += 1
+        lens = [0] * n_entries
+        stack = [(heap[0][1], 0)]
+        while stack:
+            node, d = stack.pop()
+            if node < len(syms):
+                lens[syms[node]] = max(1, d)
+            else:
+                a, b = children[node]
+                stack.append((a, d + 1))
+                stack.append((b, d + 1))
+        return lens
+
+    class_lens = huff(class_hist, 2 ** cfg["classbook_dim"])
+    vq_lens = huff(vq_hist, (2 * cfg["R"] + 1) ** 2)
+    floor_lens = huff(floor_hist, range_)
+
+    # ---- emit ----
+    out = bytearray()
+    acc = [0, 0]
+
+    def put(v: int, nbits: int) -> None:
+        acc[0] |= (v & ((1 << nbits) - 1)) << acc[1]
+        acc[1] += nbits
+        while acc[1] >= 8:
+            out.append(acc[0] & 0xFF)
+            acc[0] >>= 8
+            acc[1] -= 8
+
+    def flush() -> bytes:
+        if acc[1]:
+            out.append(acc[0] & 0xFF)
+        acc[0] = acc[1] = 0
+        pkt = bytes(out)
+        out.clear()
+        return pkt
+
+    def rev_words(words: list) -> list:
+        """(len, word) -> (len, bit-reversed word): the root/MSB-first
+        wire order then emits as ONE LSB-first put per symbol."""
+        out_w = []
+        for ln, word in words:
+            if word is None:
+                out_w.append((0, None))
+                continue
+            rev, tmp = 0, word
+            for _ in range(ln):
+                rev = (rev << 1) | (tmp & 1)
+                tmp >>= 1
+            out_w.append((ln, rev))
+        return out_w
+
+    def put_word(code_tuple) -> None:
+        ln, rev = code_tuple
+        put(rev, ln)
+
+    def write_codebook(dims: int, lens: list, lookup: dict | None) -> None:
+        put(0x564342, 24)
+        put(dims, 16)
+        put(len(lens), 24)
+        put(0, 1)  # not ordered
+        sparse = any(ln == 0 for ln in lens)
+        put(1 if sparse else 0, 1)
+        for ln in lens:
+            if sparse:
+                put(1 if ln else 0, 1)
+                if ln:
+                    put(ln - 1, 5)
+            else:
+                put(ln - 1, 5)
+        if lookup is None:
+            put(0, 4)
+        else:
+            put(1, 4)
+            put(_vorbis_float32_pack(lookup["min"]), 32)
+            put(_vorbis_float32_pack(lookup["delta"]), 32)
+            put(lookup["value_bits"] - 1, 4)
+            put(0, 1)  # sequence_p
+            for m in lookup["mults"]:
+                put(m, lookup["value_bits"])
+
+    # header 1: identification
+    def ident() -> bytes:
+        put(0x01, 8)
+        for b in b"vorbis":
+            put(b, 8)
+        put(0, 32)
+        put(ch, 8)
+        put(sample_rate, 32)
+        put(0, 32)
+        put(0, 32)
+        put(0, 32)
+        bs = _vorbis_ilog(n - 1)  # log2(n) for power of two
+        put(bs, 4)
+        put(bs, 4)
+        put(1, 1)
+        return flush()
+
+    def comment() -> bytes:
+        put(0x03, 8)
+        for b in b"vorbis":
+            put(b, 8)
+        vendor = b"mincemeatpy_spark vorbis-subset"
+        put(len(vendor), 32)
+        for b in vendor:
+            put(b, 8)
+        put(0, 32)  # no user comments
+        put(1, 1)
+        return flush()
+
+    def setup() -> bytes:
+        put(0x05, 8)
+        for b in b"vorbis":
+            put(b, 8)
+        put(3 - 1, 8)  # 3 codebooks
+        # book 0: residue classbook (scalar)
+        write_codebook(cfg["classbook_dim"], class_lens, None)
+        # book 1: residue VQ pairs over [-R, R]
+        write_codebook(
+            2,
+            vq_lens,
+            {
+                "min": -float(cfg["R"]),
+                "delta": 1.0,
+                "value_bits": _vorbis_ilog(2 * cfg["R"]),
+                "mults": list(range(2 * cfg["R"] + 1)),
+            },
+        )
+        # book 2: floor post values (scalar)
+        write_codebook(1, floor_lens, None)
+        put(0, 6)  # time_count-1
+        put(0, 16)  # time transform 0
+        put(0, 6)  # floor_count-1
+        put(1, 16)  # floor type 1
+        put(1, 5)  # 1 partition
+        put(0, 4)  # its class: 0
+        put(len(cfg["floor_posts"]) - 1, 3)  # class dim - 1
+        put(0, 2)  # subclass bits
+        put(2 + 1, 8)  # subclass book 0 -> book 2 (+1 coded)
+        put(cfg["multiplier"] - 1, 2)
+        put(cfg["rangebits"], 4)
+        for px in cfg["floor_posts"]:
+            put(px, cfg["rangebits"])
+        put(0, 6)  # residue_count-1
+        put(2, 16)  # residue type 2
+        put(0, 24)  # begin
+        put(ch * half, 24)  # end
+        put(cfg["part_size"] - 1, 24)
+        put(2 - 1, 6)  # 2 classifications
+        put(0, 8)  # classbook = book 0
+        # cascade: class 0 -> no passes; class 1 -> pass 0 only
+        put(0, 3)
+        put(0, 1)
+        put(1, 3)
+        put(0, 1)
+        # books for class 1 / pass 0
+        put(1, 8)  # book 1
+        put(0, 6)  # mapping_count-1
+        put(0, 16)  # mapping type 0
+        put(0, 1)  # submaps flag
+        put(0, 1)  # coupling flag
+        put(0, 2)  # reserved
+        put(0, 8)  # submap 0: time (unused)
+        put(0, 8)  # floor 0
+        put(0, 8)  # residue 0
+        put(0, 6)  # mode_count-1
+        put(0, 1)  # blockflag
+        put(0, 16)  # windowtype
+        put(0, 16)  # transformtype
+        put(0, 8)  # mapping
+        put(1, 1)  # framing
+        return flush()
+
+    class_words = rev_words(_vorbis_codewords(class_lens))
+    vq_words = rev_words(_vorbis_codewords(vq_lens))
+    floor_words = rev_words(_vorbis_codewords(floor_lens))
+    ybits = _vorbis_ilog(range_ - 1)
+
+    def audio(frame) -> bytes:
+        ch_posts, res_tokens = frame
+        put(0, 1)  # audio packet
+        # mode number: ilog(mode_count - 1) = ilog(0) = 0 bits
+        for c in range(ch):
+            raw, _fy = ch_posts[c]
+            put(1, 1)  # nonzero
+            put(raw[0], ybits)
+            put(raw[1], ybits)
+            for v in raw[2:]:
+                put_word(floor_words[v])
+        for kind, sym in res_tokens:
+            put_word(class_words[sym] if kind == "cls" else vq_words[sym])
+        return flush()
+
+    packets = [(ident(), 0), (comment(), 0), (setup(), 0)]
+    produced = 0
+    for i, fr in enumerate(frames):
+        if i > 0:
+            produced += half
+        packets.append((audio(fr), min(produced, L) if i > 0 else 0))
+    # final granule = true sample count (trims the zero padding)
+    pkt, _ = packets[-1]
+    packets[-1] = (pkt, L)
+    stream = _ogg_pages(packets)
+    if _debug:
+        return stream, debug_frames
+    return stream
+
+
+def _vorbis_floor_curve(
+    posts_x: list,
+    raw: list,
+    stream_order: list,
+    range_: int,
+    multiplier: int,
+    half: int,
+):
+    """Floor-1 curve synthesis EXACTLY as the decoder performs it
+    (spec 7.2.3-7.2.4): prediction + room folding to final Y values,
+    step2 flag pruning, Bresenham line render, inverse-dB lookup.
+    Shared by the encoder (to quantize residue against the curve the
+    decoder will see) and the decoder itself."""
+    import numpy as np
+
+    n_posts = len(posts_x)
+    final_y = [0] * n_posts
+    flags = [False] * n_posts
+    final_y[0], final_y[-1] = raw[0], raw[1]
+    flags[0] = flags[-1] = True
+    known = [0, n_posts - 1]
+    for ri, si in enumerate(stream_order):
+        lo = max((j for j in known if posts_x[j] < posts_x[si]), key=lambda j: posts_x[j])
+        hi = min((j for j in known if posts_x[j] > posts_x[si]), key=lambda j: posts_x[j])
+        predicted = _vorbis_render_point(
+            posts_x[lo], final_y[lo], posts_x[hi], final_y[hi], posts_x[si]
+        )
+        val = raw[2 + ri]
+        highroom = range_ - predicted
+        lowroom = predicted
+        room = 2 * min(highroom, lowroom)
+        if val:
+            flags[lo] = flags[hi] = flags[si] = True
+            if val >= room:
+                if highroom > lowroom:
+                    final_y[si] = val - lowroom + predicted
+                else:
+                    final_y[si] = predicted - (val - highroom) - 1
+            else:
+                final_y[si] = (
+                    predicted - ((val + 1) >> 1)
+                    if val & 1
+                    else predicted + (val >> 1)
+                )
+        else:
+            flags[si] = False
+            final_y[si] = predicted
+        known.append(si)
+
+    # render over flagged posts in X order
+    idx = sorted(range(n_posts), key=lambda j: posts_x[j])
+    rendered = [0] * half
+    lx, ly = 0, final_y[idx[0]]
+    for j in idx[1:]:
+        if not flags[j]:
+            continue
+        hx, hy = posts_x[j], final_y[j]
+        _vorbis_render_line(lx, ly, hx, hy, half, rendered)
+        lx, ly = hx, hy
+    if lx < half:
+        for x in range(lx, half):
+            rendered[x] = ly
+    curve = np.array(
+        [
+            _vorbis_inverse_db(min(255, max(0, v * multiplier)))
+            for v in rendered
+        ]
+    )
+    return curve
+
+
+_VORBIS_MDCT_CACHE: dict = {}
+
+
+def decode_vorbis_real(payload: bytes, _samples: bool = False) -> dict:
+    """Real Vorbis decode over the subset in the module docstring: Ogg
+    unpage (CRC-verified) -> header parse (codebooks, floor-1, residue
+    -2, mapping-0, modes all read from the stream and DRIVING the
+    decode) -> per-packet floor + residue + dot product -> IMDCT ->
+    window overlap-add -> int16.  Returns ``{fmt, sample_rate,
+    n_channels, n_samples, sample_sum, energy}``.  Out-of-subset
+    streams (floor 0, residue 0, channel coupling, long/short blocks,
+    ordered codebook lengths) raise NotImplementedError by name."""
+    import numpy as np
+
+    packets, final_granule = _ogg_unpages(payload)
+    if len(packets) < 3:
+        raise ValueError("malformed Vorbis: missing headers")
+
+    # ---- bit reader over one packet ----
+    class _R:
+        def __init__(self, data: bytes) -> None:
+            import numpy as np
+
+            self.p = 0
+            self.nbits = len(data) * 8
+            # 32-bit little-endian windows: any field <= 25 bits is one
+            # shift+mask (the repo's VP8L/JPEG bit-peek pattern)
+            a = np.frombuffer(data + b"\x00\x00\x00\x00", dtype=np.uint8).astype(
+                np.uint32
+            )
+            self.b32 = (
+                a[:-4] | (a[1:-3] << 8) | (a[2:-2] << 16) | (a[3:-1] << 24)
+            ).tolist() or [0]
+
+        def bits(self, n: int) -> int:
+            p = self.p
+            if p + n > self.nbits:
+                raise ValueError("malformed Vorbis: packet exhausted")
+            self.p = p + n
+            if n <= 25:
+                return (self.b32[p >> 3] >> (p & 7)) & ((1 << n) - 1)
+            lo = (self.b32[p >> 3] >> (p & 7)) & ((1 << 25) - 1)
+            p2 = p + 25
+            hi = (self.b32[p2 >> 3] >> (p2 & 7)) & ((1 << (n - 25)) - 1)
+            return lo | (hi << 25)
+
+        def word(self, book: dict) -> int:
+            p = self.p
+            hit = book["lut"][(self.b32[p >> 3] >> (p & 7)) & 0xFF]
+            if hit is not None:
+                e, ln = hit
+                if p + ln > self.nbits:
+                    raise ValueError("malformed Vorbis: packet exhausted")
+                self.p = p + ln
+                return e
+            table = book["long"]
+            acc, ln = 0, 0
+            while True:
+                if p >= self.nbits:
+                    raise ValueError("malformed Vorbis: packet exhausted")
+                acc = (acc << 1) | ((self.b32[p >> 3] >> (p & 7)) & 1)
+                p += 1
+                ln += 1
+                hit2 = table.get((ln, acc))
+                if hit2 is not None:
+                    self.p = p
+                    return hit2
+                if ln > 32:
+                    raise ValueError("malformed Vorbis: bad codeword")
+
+    def expect_header(r: _R, kind: int) -> None:
+        if r.bits(8) != kind:
+            raise ValueError("malformed Vorbis: wrong header packet type")
+        for b in b"vorbis":
+            if r.bits(8) != b:
+                raise ValueError("malformed Vorbis: missing magic")
+
+    # ---- identification ----
+    r = _R(packets[0])
+    expect_header(r, 1)
+    if r.bits(32) != 0:
+        raise ValueError("malformed Vorbis: unknown version")
+    ch = r.bits(8)
+    rate = r.bits(32)
+    r.bits(32), r.bits(32), r.bits(32)  # bitrate hints
+    bs0 = r.bits(4)
+    bs1 = r.bits(4)
+    if bs0 != bs1:
+        raise NotImplementedError(
+            "long/short window switching not supported (blocksizes differ)"
+        )
+    n = 1 << bs0
+    half = n // 2
+    if not r.bits(1):
+        raise ValueError("malformed Vorbis: identification framing bit")
+
+    # ---- comment: structural parse only ----
+    r = _R(packets[1])
+    expect_header(r, 3)
+    vlen = r.bits(32)
+    for _ in range(vlen):
+        r.bits(8)
+    for _ in range(r.bits(32)):
+        clen = r.bits(32)
+        for _ in range(clen):
+            r.bits(8)
+    if not r.bits(1):
+        raise ValueError("malformed Vorbis: comment framing bit")
+
+    # ---- setup ----
+    r = _R(packets[2])
+    expect_header(r, 5)
+
+    books = []
+    for _ in range(r.bits(8) + 1):
+        if r.bits(24) != 0x564342:
+            raise ValueError("malformed Vorbis: codebook sync")
+        dims = r.bits(16)
+        entries = r.bits(24)
+        if r.bits(1):
+            raise NotImplementedError("ordered codebook lengths not supported")
+        sparse = r.bits(1)
+        lengths = []
+        for _e in range(entries):
+            if sparse:
+                lengths.append(r.bits(5) + 1 if r.bits(1) else 0)
+            else:
+                lengths.append(r.bits(5) + 1)
+        lookup_type = r.bits(4)
+        vq = None
+        if lookup_type == 1:
+            mn = _vorbis_float32_unpack(r.bits(32))
+            delta = _vorbis_float32_unpack(r.bits(32))
+            vbits = r.bits(4) + 1
+            seq_p = r.bits(1)
+            lv = 1
+            while (lv + 1) ** dims <= entries:
+                lv += 1
+            mults = [r.bits(vbits) for _ in range(lv)]
+            vq = []
+            for e in range(entries):
+                last = 0.0
+                vec = []
+                div = 1
+                for _i in range(dims):
+                    off = (e // div) % lv
+                    val = mn + delta * mults[off] + last
+                    if seq_p:
+                        last = val
+                    vec.append(val)
+                    div *= lv
+                vq.append(vec)
+        elif lookup_type != 0:
+            raise ValueError("malformed Vorbis: reserved lookup type")
+        lut = [None] * 256
+        long_tab = {}
+        for e, (ln, word) in enumerate(_vorbis_codewords(lengths)):
+            if not ln:
+                continue
+            if ln <= 8:
+                rev, tmp = 0, word
+                for _ in range(ln):
+                    rev = (rev << 1) | (tmp & 1)
+                    tmp >>= 1
+                for j in range(1 << (8 - ln)):
+                    lut[rev | (j << ln)] = (e, ln)
+            else:
+                long_tab[(ln, word)] = e
+        books.append(
+            {"dims": dims, "lut": lut, "long": long_tab, "vq": vq}
+        )
+
+    for _ in range(r.bits(6) + 1):  # time transforms
+        if r.bits(16) != 0:
+            raise ValueError("malformed Vorbis: nonzero time transform")
+
+    floors = []
+    for _ in range(r.bits(6) + 1):
+        ftype = r.bits(16)
+        if ftype != 1:
+            raise NotImplementedError(f"floor type {ftype} not supported")
+        parts = r.bits(5)
+        pclass = [r.bits(4) for _ in range(parts)]
+        maxc = max(pclass) if pclass else -1
+        cdims, csubs, cmaster, cbooks = [], [], [], []
+        for _c in range(maxc + 1):
+            cdims.append(r.bits(3) + 1)
+            sb = r.bits(2)
+            csubs.append(sb)
+            cmaster.append(r.bits(8) if sb else -1)
+            cbooks.append([r.bits(8) - 1 for _ in range(1 << sb)])
+        multiplier = r.bits(2) + 1
+        rangebits = r.bits(4)
+        xlist = []
+        for p in range(parts):
+            for _d in range(cdims[pclass[p]]):
+                xlist.append(r.bits(rangebits))
+        posts_x = sorted([0, 1 << rangebits] + xlist)
+        floors.append({
+            "pclass": pclass,
+            "cdims": cdims,
+            "csubs": csubs,
+            "cmaster": cmaster,
+            "cbooks": cbooks,
+            "multiplier": multiplier,
+            "range": [256, 128, 86, 64][multiplier - 1],
+            "posts_x": posts_x,
+            "stream_order": [posts_x.index(x) for x in xlist],
+        })
+
+    residues = []
+    for _ in range(r.bits(6) + 1):
+        rtype = r.bits(16)
+        if rtype not in (1, 2):
+            raise NotImplementedError(f"residue type {rtype} not supported")
+        begin, end = r.bits(24), r.bits(24)
+        psize = r.bits(24) + 1
+        ncls = r.bits(6) + 1
+        classbook = r.bits(8)
+        cascade = []
+        for _c in range(ncls):
+            low = r.bits(3)
+            high = r.bits(5) if r.bits(1) else 0
+            cascade.append(high * 8 + low)
+        rbooks = []
+        for c in range(ncls):
+            row = []
+            for p in range(8):
+                row.append(r.bits(8) if cascade[c] & (1 << p) else -1)
+            rbooks.append(row)
+        residues.append({
+            "type": rtype,
+            "begin": begin,
+            "end": end,
+            "psize": psize,
+            "ncls": ncls,
+            "classbook": classbook,
+            "books": rbooks,
+        })
+
+    mappings = []
+    for _ in range(r.bits(6) + 1):
+        if r.bits(16) != 0:
+            raise ValueError("malformed Vorbis: unknown mapping type")
+        submaps = r.bits(4) + 1 if r.bits(1) else 1
+        if r.bits(1):
+            raise NotImplementedError(
+                "square-polar channel coupling not supported"
+            )
+        if r.bits(2) != 0:
+            raise ValueError("malformed Vorbis: mapping reserved bits")
+        mux = (
+            [r.bits(4) for _ in range(ch)] if submaps > 1 else [0] * ch
+        )
+        smaps = []
+        for _s in range(submaps):
+            r.bits(8)  # time config (unused)
+            smaps.append((r.bits(8), r.bits(8)))  # (floor, residue)
+        mappings.append({"mux": mux, "submaps": smaps})
+
+    modes = []
+    for _ in range(r.bits(6) + 1):
+        blockflag = r.bits(1)
+        if blockflag:
+            raise NotImplementedError(
+                "long/short window switching not supported (blockflag)"
+            )
+        if r.bits(16) != 0 or r.bits(16) != 0:
+            raise ValueError("malformed Vorbis: nonzero window/transform")
+        modes.append(r.bits(8))
+    if not r.bits(1):
+        raise ValueError("malformed Vorbis: setup framing bit")
+
+    key = n
+    if key not in _VORBIS_MDCT_CACHE:
+        _VORBIS_MDCT_CACHE[key] = (_vorbis_window(n), _vorbis_mdct_mat(n))
+    w, C = _VORBIS_MDCT_CACHE[key]
+
+    # ---- audio packets ----
+    prev_tail = None  # right half of the previous frame, windowed
+    pcm = [[] for _ in range(ch)]
+    mode_bits = _vorbis_ilog(len(modes) - 1)
+
+    for pkt in packets[3:]:
+        r = _R(pkt)
+        if r.bits(1) != 0:
+            continue  # non-audio packet in the audio stream: skip
+        mode = modes[r.bits(mode_bits) if mode_bits else 0]
+        mapping = mappings[mode]
+
+        curves = []
+        for c in range(ch):
+            fl = floors[mapping["submaps"][mapping["mux"][c]][0]]
+            if not r.bits(1):
+                curves.append(None)  # unused channel this frame
+                continue
+            range_ = fl["range"]
+            ybits = _vorbis_ilog(range_ - 1)
+            raw = [r.bits(ybits), r.bits(ybits)]
+            for p in fl["pclass"]:
+                cbits = fl["csubs"][p]
+                csub = (1 << cbits) - 1
+                cval = (
+                    r.word(books[fl["cmaster"][p]])
+                    if cbits
+                    else 0
+                )
+                for _d in range(fl["cdims"][p]):
+                    bk = fl["cbooks"][p][cval & csub]
+                    cval >>= cbits
+                    raw.append(
+                        r.word(books[bk]) if bk >= 0 else 0
+                    )
+            curves.append(
+                _vorbis_floor_curve(
+                    fl["posts_x"],
+                    raw,
+                    fl["stream_order"],
+                    range_,
+                    fl["multiplier"],
+                    half,
+                )
+            )
+
+        spec = np.zeros((ch, half))
+        for s_i, (fli, rsi) in enumerate(mapping["submaps"]):
+            sub_ch = [
+                c for c in range(ch) if mapping["mux"][c] == s_i
+            ]
+            rs = residues[rsi]
+            do_decode = [curves[c] is not None for c in sub_ch]
+            if not any(do_decode):
+                continue
+            nsc = len(sub_ch)
+            if rs["type"] == 2:
+                vec_n = nsc * half
+                v = np.zeros(vec_n)
+                _residue_partitions(r, rs, books, v)
+                for idx, c in enumerate(sub_ch):
+                    if curves[c] is not None:
+                        spec[c] = curves[c] * v[idx::nsc]
+            else:  # type 1: per-channel vectors
+                for idx, c in enumerate(sub_ch):
+                    v = np.zeros(half)
+                    if curves[c] is not None:
+                        _residue_partitions(r, rs, books, v)
+                        spec[c] = curves[c] * v
+
+        # IMDCT + window + overlap-add
+        y = (C @ spec.T).T * w  # (ch, n)
+        if prev_tail is not None:
+            out = prev_tail + y[:, :half]
+            for c in range(ch):
+                pcm[c].extend(out[c])
+        prev_tail = y[:, half:]
+
+    total = len(pcm[0]) if ch else 0
+    keep = min(total, final_granule) if final_granule > 0 else total
+    samples = np.clip(
+        np.round(np.array([p[:keep] for p in pcm]) * 32768.0),
+        -32768,
+        32767,
+    ).astype(np.int64)
+    out = {
+        "fmt": "vorbis",
+        "sample_rate": rate,
+        "n_channels": ch,
+        "n_samples": int(keep),
+        "sample_sum": int(samples.sum()) if keep else 0,
+        "energy": int((samples * samples).sum()) if keep else 0,
+    }
+    if _samples:  # test hook: per-sample arrays for the bound proofs
+        out["samples"] = samples
+    return out
+
+
+def _residue_partitions(r, rs, books, v) -> None:
+    """Shared residue partition walk (types 1 and 2 after the
+    interleave decision): classwords through the classbook on pass 0,
+    additive VQ vectors per (class, pass) where the cascade bitmap has
+    books."""
+    begin, end, psize = rs["begin"], rs["end"], rs["psize"]
+    end = min(end, len(v))
+    if end <= begin:
+        return
+    cls_book = books[rs["classbook"]]
+    cwdim = cls_book["dims"]
+    part_count = (end - begin) // psize
+    classes = [0] * part_count
+    max_pass = max(
+        (p for row in rs["books"] for p in range(8) if row[p] >= 0),
+        default=-1,
+    )
+    for pas in range(max_pass + 1):
+        i = 0
+        while i < part_count:
+            if pas == 0:
+                temp = r.word(cls_book)
+                for j in reversed(range(cwdim)):
+                    if i + j < part_count:
+                        classes[i + j] = temp % rs["ncls"]
+                    temp //= rs["ncls"]
+            for _j in range(cwdim):
+                if i >= part_count:
+                    break
+                bk = rs["books"][classes[i]][pas]
+                if bk >= 0:
+                    book = books[bk]
+                    if book["vq"] is None:
+                        raise ValueError(
+                            "malformed Vorbis: scalar book in VQ context"
+                        )
+                    off = begin + i * psize
+                    k = 0
+                    while k < psize:
+                        vec = book["vq"][r.word(book)]
+                        for d in vec:
+                            v[off + k] += d
+                            k += 1
+                i += 1
+
+
+@register(
+    "multimodal_decode_vorbis_real",
+    oracle="""
+        SELECT doc_id,
+               'vorbis' AS fmt,
+               CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+               CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+               CAST(n_chars % 400 + 100 AS BIGINT) AS n_samples,
+               TRUE AS within_err
+        FROM documents
+        """,
+    category="multimodal",
+    doc="The first TRANSFORM audio codec under the correctness gate "
+    "(r9 — the audio gate list shrinks to MP3/AAC/Opus): stage 1 "
+    "synthesizes a deterministic two-tone signal per document and "
+    "encodes it as a real Ogg/Vorbis-subset stream — MDCT frames, "
+    "floor-1 posts fit in the dB domain, residue VQ entries, Huffman "
+    "codebooks built from the frame's real histograms and written "
+    "into the setup header; stage 2 runs decode_vorbis_real: Ogg "
+    "unpage with CRC verification, full header/codebook parse, floor "
+    "curve synthesis (render_point prediction + Bresenham), residue "
+    "classword/VQ decode, IMDCT and windowed overlap-add.  Vorbis is "
+    "LOSSY, so this follows the repo's bound-assert convention "
+    "(multimodal_decode_jpeg_real): rate/channels/n_samples are "
+    "exact-hash-matched and within_err asserts max|decoded-original| "
+    "<= 0.5*amplitude + 64 — measured error is ~0.1-0.2x amplitude "
+    "(the R=8 VQ quantization step plus floor interpolation dips), "
+    "so the bound has ~2.5x slack yet any structural bug (codeword "
+    "walk, floor room-folding, residue interleave, MDCT scaling) "
+    "blows it on nearly every document.  tests/test_vorbis.py "
+    "additionally pins the tight property: decoded PCM equals the "
+    "independent numpy reconstruction of floor*residue to float "
+    "precision.  Both stages are narrow mapInPandas passes over a "
+    "repartitioned projection (the JPEG parallelism lesson); at "
+    "100 TB this is embarrassingly parallel per-row CPU.",
+)
+def multimodal_decode_vorbis_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    from mincemeatpy_spark.multimodal.binary_ops import (
+        _ship_by_value,
+        _ship_with,
+    )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    helpers = {
+        "_vorbis_ilog": _ship_by_value(_vorbis_ilog),
+        "_ogg_crc": _ship_by_value(_ogg_crc),
+        "_ogg_pages": _ship_with(_ogg_pages, _ogg_crc=_ship_by_value(_ogg_crc)),
+        "_ogg_unpages": _ship_with(_ogg_unpages, _ogg_crc=_ship_by_value(_ogg_crc)),
+        "_vorbis_codewords": _ship_by_value(_vorbis_codewords),
+        "_vorbis_float32_pack": _ship_by_value(_vorbis_float32_pack),
+        "_vorbis_float32_unpack": _ship_by_value(_vorbis_float32_unpack),
+        "_vorbis_inverse_db": _ship_by_value(_vorbis_inverse_db),
+        "_vorbis_render_line": _ship_by_value(_vorbis_render_line),
+        "_vorbis_render_point": _ship_by_value(_vorbis_render_point),
+        "_vorbis_window": _ship_by_value(_vorbis_window),
+        "_vorbis_mdct_mat": _ship_by_value(_vorbis_mdct_mat),
+        "_VORBIS_MDCT_CACHE": {},
+    }
+    helpers["_vorbis_floor_curve"] = _ship_with(
+        _vorbis_floor_curve,
+        _vorbis_render_point=helpers["_vorbis_render_point"],
+        _vorbis_render_line=helpers["_vorbis_render_line"],
+        _vorbis_inverse_db=helpers["_vorbis_inverse_db"],
+    )
+    helpers["_vorbis_enc_config"] = _ship_with(
+        _vorbis_enc_config, _vorbis_ilog=helpers["_vorbis_ilog"]
+    )
+    helpers["_residue_partitions"] = _ship_by_value(_residue_partitions)
+    enc = _ship_with(encode_vorbis_subset, **helpers)
+    dec = _ship_with(decode_vorbis_real, **helpers)
+    src = _ship_by_value(_vorbis_test_signal)
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                chans, rate = src(doc_id, n_chars)
+                payloads.append(enc(rate, chans))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, schema="doc_id long, payload binary")
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = dec(bytes(payload), _samples=True)
+                chans, _rate = src(int(doc_id), 0, n_samples=m["n_samples"])
+                amp = max(
+                    1, max(abs(v) for c in chans for v in c)
+                )
+                bound = 0.5 * amp + 64
+                err = max(
+                    (
+                        abs(int(s) - int(o))
+                        for c in range(m["n_channels"])
+                        for s, o in zip(m["samples"][c], chans[c])
+                    ),
+                    default=0,
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        m["fmt"],
+                        m["sample_rate"],
+                        m["n_channels"],
+                        m["n_samples"],
+                        bool(err <= bound),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "sample_rate", "n_channels",
+                    "n_samples", "within_err",
+                ],
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, fmt string, sample_rate long, "
+            "n_channels long, n_samples long, within_err boolean"
+        ),
+    )
+
+
+def _vorbis_test_signal(doc_id: int, n_chars: int, n_samples: int = 0):
+    """Closed-form per-document test signal (shared by the encode and
+    bound-check stages): two deterministic tones, int16, L = n_chars %
+    400 + 100 samples (or an explicit n_samples), 1 or 2 channels."""
+    import math
+
+    L = n_samples if n_samples else n_chars % 400 + 100
+    rate = 8000 + (doc_id % 4) * 4000
+    nch = 1 + doc_id % 2
+    a1 = 5000 + (doc_id % 7) * 1000
+    p1 = 20 + (doc_id % 13)
+    p2 = 7 + (doc_id % 5)
+    chans = []
+    for c in range(nch):
+        ph = 0.3 * c
+        chans.append(
+            [
+                int(
+                    round(
+                        a1 * math.sin(2 * math.pi * i / p1 + ph)
+                        + 2000 * math.sin(2 * math.pi * i / p2)
+                    )
+                )
+                for i in range(L)
+            ]
+        )
+    return chans, rate

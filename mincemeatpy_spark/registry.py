@@ -63,6 +63,7 @@ _QUERY_MODULES = (
     "mincemeatpy_spark.similarity.ann",
     "mincemeatpy_spark.similarity.kmeans",
     "mincemeatpy_spark.multimodal.binary_ops",
+    "mincemeatpy_spark.multimodal.vorbis",
     "mincemeatpy_spark.streaming.windows_batch",
     "mincemeatpy_spark.compat",
 )
