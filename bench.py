@@ -96,6 +96,9 @@ EXTENDED = [
     "stream_chained_window_aggs_e2e",
     "lm_doc_score_kn",
     "stream_session_timeout_gss_e2e",
+    # r9: the two new codec queries (VP8L image, Vorbis audio)
+    "multimodal_decode_webp_real",
+    "multimodal_decode_vorbis_real",
 ]
 
 REGRESSION_PCT = 0.15  # median must move more than this ...
