@@ -132,11 +132,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid_rrf",
         "kmeans_loop_2iter",
         "stream_tumbling_counts_e2e",
-        # round-4 late additions: incremental fuzzy dedup, the kNN
-        # embedding-quality probe, PMI phrase mining, and the DP release.
-        "dedup_incremental_lsh",
+        # round-4 late additions (r9 trims dedup_incremental_lsh and
+        # word_pmi_collocations from the leads: both carry 5+ rounds of
+        # driver certification, and the 50-slot prefix must still span
+        # every category after the r9 codec flagships joined)
         "embedding_knn_label_eval",
-        "word_pmi_collocations",
         "dp_noisy_counts",
         # round-7 flagships, promoted so the driver's 50-query prefix
         # certifies them (VERDICT r7 task 5): the PPJoin prefix-filter

@@ -21,9 +21,9 @@ encoder and decoder agree on the full bitstream machinery):
   count, rate, blocksizes, every codebook, floor, residue, mapping and
   mode config drive the audio decode).
 * Codebooks: the Vorbis codeword-assignment algorithm (first-available
-  -leaf in ENTRY order — not deflate-canonical), unordered length
-  lists, lookup type 0 (scalar) and type 1 (lattice VQ with the Vorbis
-  packed-float format).
+  -leaf in ENTRY order — not deflate-canonical), unordered (plain and
+  sparse) AND ordered length lists, lookup type 0 (scalar) and type 1
+  (lattice VQ with the Vorbis packed-float format).
 * Floor type 1: class/partition config, posts coded against the
   low/high-neighbor render_point prediction with the room-folding
   value mapping, step2 flag pruning, integer Bresenham render_line,
@@ -803,6 +803,88 @@ def _vorbis_floor_curve(
     return curve
 
 
+def _vorbis_read_codebook(r) -> dict:
+    """Parse one codebook from a bit reader (sync, dims, entries,
+    ordered/unordered/sparse length lists, lookup type 0/1 with the
+    packed-float VQ lattice) and build its decode tables (8-bit LUT +
+    long-code dict).  Module-level so tests can drive it directly with
+    hand-assembled bitstreams (the ordered-form KAT)."""
+    if r.bits(24) != 0x564342:
+        raise ValueError("malformed Vorbis: codebook sync")
+    dims = r.bits(16)
+    entries = r.bits(24)
+    if r.bits(1):
+        # ORDERED length list (spec 3.2.1): lengths are
+        # non-decreasing; the stream carries run counts — for each
+        # current length, read(ilog(entries - assigned)) entries
+        # take it, then the length increments.  This encoder never
+        # writes the form (histogram lengths aren't monotone), so
+        # tests pin it with a hand-assembled codebook stream.
+        lengths = []
+        cur_len = r.bits(5) + 1
+        while len(lengths) < entries:
+            num = r.bits(_vorbis_ilog(entries - len(lengths)))
+            if len(lengths) + num > entries:
+                raise ValueError(
+                    "malformed Vorbis: ordered lengths overflow"
+                )
+            lengths.extend([cur_len] * num)
+            cur_len += 1
+            if cur_len > 32:
+                raise ValueError(
+                    "malformed Vorbis: ordered lengths exceed 32"
+                )
+    else:
+        sparse = r.bits(1)
+        lengths = []
+        for _e in range(entries):
+            if sparse:
+                lengths.append(r.bits(5) + 1 if r.bits(1) else 0)
+            else:
+                lengths.append(r.bits(5) + 1)
+    lookup_type = r.bits(4)
+    vq = None
+    if lookup_type == 1:
+        mn = _vorbis_float32_unpack(r.bits(32))
+        delta = _vorbis_float32_unpack(r.bits(32))
+        vbits = r.bits(4) + 1
+        seq_p = r.bits(1)
+        lv = 1
+        while (lv + 1) ** dims <= entries:
+            lv += 1
+        mults = [r.bits(vbits) for _ in range(lv)]
+        vq = []
+        for e in range(entries):
+            last = 0.0
+            vec = []
+            div = 1
+            for _i in range(dims):
+                off = (e // div) % lv
+                val = mn + delta * mults[off] + last
+                if seq_p:
+                    last = val
+                vec.append(val)
+                div *= lv
+            vq.append(vec)
+    elif lookup_type != 0:
+        raise ValueError("malformed Vorbis: reserved lookup type")
+    lut = [None] * 256
+    long_tab = {}
+    for e, (ln, word) in enumerate(_vorbis_codewords(lengths)):
+        if not ln:
+            continue
+        if ln <= 8:
+            rev, tmp = 0, word
+            for _ in range(ln):
+                rev = (rev << 1) | (tmp & 1)
+                tmp >>= 1
+            for j in range(1 << (8 - ln)):
+                lut[rev | (j << ln)] = (e, ln)
+        else:
+            long_tab[(ln, word)] = e
+    return {"dims": dims, "lut": lut, "long": long_tab, "vq": vq}
+
+
 _VORBIS_MDCT_CACHE: dict = {}
 
 
@@ -918,64 +1000,10 @@ def decode_vorbis_real(payload: bytes, _samples: bool = False) -> dict:
 
     books = []
     for _ in range(r.bits(8) + 1):
-        if r.bits(24) != 0x564342:
-            raise ValueError("malformed Vorbis: codebook sync")
-        dims = r.bits(16)
-        entries = r.bits(24)
-        if r.bits(1):
-            raise NotImplementedError("ordered codebook lengths not supported")
-        sparse = r.bits(1)
-        lengths = []
-        for _e in range(entries):
-            if sparse:
-                lengths.append(r.bits(5) + 1 if r.bits(1) else 0)
-            else:
-                lengths.append(r.bits(5) + 1)
-        lookup_type = r.bits(4)
-        vq = None
-        if lookup_type == 1:
-            mn = _vorbis_float32_unpack(r.bits(32))
-            delta = _vorbis_float32_unpack(r.bits(32))
-            vbits = r.bits(4) + 1
-            seq_p = r.bits(1)
-            lv = 1
-            while (lv + 1) ** dims <= entries:
-                lv += 1
-            mults = [r.bits(vbits) for _ in range(lv)]
-            vq = []
-            for e in range(entries):
-                last = 0.0
-                vec = []
-                div = 1
-                for _i in range(dims):
-                    off = (e // div) % lv
-                    val = mn + delta * mults[off] + last
-                    if seq_p:
-                        last = val
-                    vec.append(val)
-                    div *= lv
-                vq.append(vec)
-        elif lookup_type != 0:
-            raise ValueError("malformed Vorbis: reserved lookup type")
-        lut = [None] * 256
-        long_tab = {}
-        for e, (ln, word) in enumerate(_vorbis_codewords(lengths)):
-            if not ln:
-                continue
-            if ln <= 8:
-                rev, tmp = 0, word
-                for _ in range(ln):
-                    rev = (rev << 1) | (tmp & 1)
-                    tmp >>= 1
-                for j in range(1 << (8 - ln)):
-                    lut[rev | (j << ln)] = (e, ln)
-            else:
-                long_tab[(ln, word)] = e
-        books.append(
-            {"dims": dims, "lut": lut, "long": long_tab, "vq": vq}
-        )
+        books.append(_vorbis_read_codebook(r))
 
     for _ in range(r.bits(6) + 1):  # time transforms
+
         if r.bits(16) != 0:
             raise ValueError("malformed Vorbis: nonzero time transform")
 
@@ -1297,6 +1325,12 @@ def multimodal_decode_vorbis_real(
         _vorbis_render_line=helpers["_vorbis_render_line"],
         _vorbis_inverse_db=helpers["_vorbis_inverse_db"],
     )
+    helpers["_vorbis_read_codebook"] = _ship_with(
+        _vorbis_read_codebook,
+        _vorbis_float32_unpack=helpers["_vorbis_float32_unpack"],
+        _vorbis_codewords=helpers["_vorbis_codewords"],
+        _vorbis_ilog=helpers["_vorbis_ilog"],
+    )
     helpers["_vorbis_enc_config"] = _ship_with(
         _vorbis_enc_config, _vorbis_ilog=helpers["_vorbis_ilog"]
     )
@@ -1395,3 +1429,213 @@ def _vorbis_test_signal(doc_id: int, n_chars: int, n_samples: int = 0):
             ]
         )
     return chans, rate
+
+
+@register(
+    "pipeline_audio_corpus",
+    oracle="""
+        WITH cids AS (
+            SELECT DISTINCT doc_id % 200 AS cid FROM documents
+        ),
+        uniq AS (
+            SELECT cid,
+                   CASE cid % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+                        ELSE 'vorbis' END AS fmt,
+                   cid % 300 + 60 AS n_samples,
+                   CASE WHEN cid % 3 = 2 THEN 0 ELSE (
+                       SELECT sum((cid * 31 + i.i * i.i * 7) % 4001 - 2000)
+                       FROM unnest(generate_series(0, cid % 300 + 59)) AS i(i)
+                   ) END AS ssum
+            FROM cids
+        ),
+        asset_counts AS (
+            SELECT doc_id % 200 AS cid, count(*) AS n_assets
+            FROM documents GROUP BY doc_id % 200
+        )
+        SELECT u.fmt,
+               CAST(sum(ac.n_assets) AS BIGINT) AS n_assets,
+               CAST(count(*) AS BIGINT) AS n_unique,
+               CAST(sum(u.n_samples) AS BIGINT) AS total_unique_samples,
+               CAST(sum(u.ssum) AS BIGINT) AS lossless_sample_sum,
+               TRUE AS all_pass
+        FROM uniq u
+        JOIN asset_counts ac ON ac.cid = u.cid
+        GROUP BY u.fmt
+        """,
+    category="multimodal",
+    doc="The audio family END-TO-END (the image pipeline's twin, "
+    "pipeline_multimodal_corpus): stage 1 writes a mixed corpus — "
+    "RIFF/WAVE PCM16, FLAC and Ogg/Vorbis payloads rotated by content "
+    "id, with doc_id%200 PLANTED DUPLICATES (byte-identical assets "
+    "under different doc_ids, the re-crawl reality); stage 2 "
+    "content-addresses with sha2-256, DEDUPES BEFORE DECODE (the "
+    "100 TB ordering — decode only unique bytes), dispatches each "
+    "representative through decode_audio_real (container sniffing: "
+    "WAV chunk walk / FLAC frames / Ogg-Vorbis MDCT pipeline), gates "
+    "on decoded sample count, and emits a per-format manifest.  The "
+    "test signal is INTEGER closed-form (no libm sin in the oracle — "
+    "the cross-engine rounding trap tests/test_engine_traps.py pins), "
+    "so unique counts, sample totals and the lossless formats' exact "
+    "sample sums all hash-match; the lossy Vorbis contributes exact "
+    "n_samples and the all_pass gate.  Scale shape: digest groupBy "
+    "shuffles 32-byte keys, payload bytes travel once, per-unique "
+    "decode is embarrassingly parallel.",
+)
+def pipeline_audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mincemeatpy_spark.multimodal.binary_ops import (
+        _ship_by_value,
+        _ship_with,
+        decode_flac_real,
+        encode_flac_subset,
+    )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    helpers = {
+        "_vorbis_ilog": _ship_by_value(_vorbis_ilog),
+        "_ogg_crc": _ship_by_value(_ogg_crc),
+        "_vorbis_codewords": _ship_by_value(_vorbis_codewords),
+        "_vorbis_float32_pack": _ship_by_value(_vorbis_float32_pack),
+        "_vorbis_float32_unpack": _ship_by_value(_vorbis_float32_unpack),
+        "_vorbis_inverse_db": _ship_by_value(_vorbis_inverse_db),
+        "_vorbis_render_line": _ship_by_value(_vorbis_render_line),
+        "_vorbis_render_point": _ship_by_value(_vorbis_render_point),
+        "_vorbis_window": _ship_by_value(_vorbis_window),
+        "_vorbis_mdct_mat": _ship_by_value(_vorbis_mdct_mat),
+        "_VORBIS_MDCT_CACHE": {},
+    }
+    helpers["_ogg_pages"] = _ship_with(_ogg_pages, _ogg_crc=helpers["_ogg_crc"])
+    helpers["_ogg_unpages"] = _ship_with(_ogg_unpages, _ogg_crc=helpers["_ogg_crc"])
+    helpers["_vorbis_floor_curve"] = _ship_with(
+        _vorbis_floor_curve,
+        _vorbis_render_point=helpers["_vorbis_render_point"],
+        _vorbis_render_line=helpers["_vorbis_render_line"],
+        _vorbis_inverse_db=helpers["_vorbis_inverse_db"],
+    )
+    helpers["_vorbis_read_codebook"] = _ship_with(
+        _vorbis_read_codebook,
+        _vorbis_float32_unpack=helpers["_vorbis_float32_unpack"],
+        _vorbis_codewords=helpers["_vorbis_codewords"],
+        _vorbis_ilog=helpers["_vorbis_ilog"],
+    )
+    helpers["_vorbis_enc_config"] = _ship_with(
+        _vorbis_enc_config, _vorbis_ilog=helpers["_vorbis_ilog"]
+    )
+    helpers["_residue_partitions"] = _ship_by_value(_residue_partitions)
+    enc_vorbis = _ship_with(encode_vorbis_subset, **helpers)
+    enc_flac = _ship_by_value(encode_flac_subset)
+    dec_flac = _ship_by_value(decode_flac_real)
+    dec_vorbis = _ship_with(decode_vorbis_real, **helpers)
+
+    def _signal(cid: int):
+        L = cid % 300 + 60
+        return [((cid * 31 + i * i * 7) % 4001) - 2000 for i in range(L)]
+
+    sig = _ship_by_value(_signal)
+
+    def encode(batches) -> "pd.DataFrame":
+        import struct
+
+        import pandas as pd
+
+        def wav(rate, samples):
+            data = struct.pack(f"<{len(samples)}h", *samples)
+            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            chunks = (
+                b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            return (
+                b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+            )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                cid = int(doc_id) % 200
+                s = sig(cid)
+                rate = 8000 + (cid % 3) * 4000
+                k = cid % 3
+                if k == 0:
+                    payload = wav(rate, s)
+                elif k == 1:
+                    payload = enc_flac(rate, [s])
+                else:
+                    payload = enc_vorbis(rate, [s])
+                rows.append((int(doc_id), payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    assets = d.mapInPandas(encode, schema="doc_id long, payload binary")
+    assets = assets.withColumn("digest", F.sha2(F.col("payload"), 256))
+
+    # dedupe BEFORE decode: one representative payload per digest
+    reps = assets.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.first("payload").alias("payload"),
+    )
+
+    def decode(batches) -> "pd.DataFrame":
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for digest, n_assets, payload in zip(
+                pdf["digest"], pdf["n_assets"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                if b[:4] == b"RIFF":
+                    fmt = "wav"
+                    import struct
+
+                    # minimal WAV read (the pipeline's own assets)
+                    pos, ssum, n = 12, 0, 0
+                    while pos + 8 <= len(b):
+                        cid4 = b[pos : pos + 4]
+                        (size,) = struct.unpack_from("<I", b, pos + 4)
+                        if cid4 == b"data":
+                            vals = struct.unpack_from(
+                                f"<{size // 2}h", b, pos + 8
+                            )
+                            ssum, n = sum(vals), len(vals)
+                        pos += 8 + size + (size & 1)
+                elif b[:4] == b"fLaC":
+                    m = dec_flac(b)
+                    ssum, n = m["sample_sum"], m["n_samples"]
+                    fmt = "flac"
+                else:
+                    m = dec_vorbis(b)
+                    n = m["n_samples"]
+                    ssum = 0  # lossy: excluded from the exact sum
+                    fmt = "vorbis"
+                rows.append(
+                    (digest, int(n_assets), fmt, n, ssum, bool(n >= 60))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "digest", "n_assets", "fmt", "n_samples", "ssum",
+                    "ok",
+                ],
+            )
+
+    decoded = reps.mapInPandas(
+        decode,
+        schema=(
+            "digest string, n_assets long, fmt string, n_samples long,"
+            " ssum long, ok boolean"
+        ),
+    )
+    return decoded.groupBy("fmt").agg(
+        F.sum("n_assets").cast("bigint").alias("n_assets"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        F.sum("n_samples").cast("bigint").alias("total_unique_samples"),
+        F.sum("ssum").cast("bigint").alias("lossless_sample_sum"),
+        F.min("ok").alias("all_pass"),
+    )

@@ -242,3 +242,61 @@ def test_ilog_spec_values():
     assert [_vorbis_ilog(v) for v in (0, 1, 2, 3, 4, 7, 127)] == [
         0, 1, 2, 2, 3, 3, 7,
     ]
+
+
+def test_ordered_codebook_lengths_parse():
+    """The ordered length-list form (spec 3.2.1): non-decreasing
+    lengths carried as per-length run counts in ilog(remaining) bits.
+    Our encoder never writes it (histogram lengths are not monotone),
+    so this KAT hand-assembles the codebook bits and checks the parsed
+    decode tables against the codeword-assignment ground truth."""
+    from mincemeatpy_spark.multimodal.vorbis import _vorbis_read_codebook
+
+    acc = [0, 0]
+    out = bytearray()
+
+    def put(v, n):
+        acc[0] |= (v & ((1 << n) - 1)) << acc[1]
+        acc[1] += n
+        while acc[1] >= 8:
+            out.append(acc[0] & 0xFF)
+            acc[0] >>= 8
+            acc[1] -= 8
+
+    put(0x564342, 24)  # sync
+    put(1, 16)  # dims
+    put(8, 24)  # entries
+    put(1, 1)  # ORDERED
+    put(2 - 1, 5)  # initial length 2
+    put(2, 4)  # ilog(8)=4: two entries of length 2
+    put(2, 3)  # ilog(6)=3: two of length 3
+    put(4, 3)  # ilog(4)=3: four of length 4  -> Kraft exactly 1
+    put(0, 4)  # lookup type 0
+    if acc[1]:
+        out.append(acc[0] & 0xFF)
+
+    class R:
+        def __init__(self, d):
+            self.d, self.p = d, 0
+
+        def bits(self, n):
+            v = 0
+            for i in range(n):
+                v |= ((self.d[(self.p + i) >> 3] >> ((self.p + i) & 7)) & 1) << i
+            self.p += n
+            return v
+
+    book = _vorbis_read_codebook(R(bytes(out)))
+    assert book["dims"] == 1 and book["vq"] is None
+    got = {}
+    for idx, hit in enumerate(book["lut"]):
+        if hit is not None:
+            e, ln = hit
+            # recover the wire-MSB-first word from the reversed index
+            rev = idx & ((1 << ln) - 1)
+            word = 0
+            for _ in range(ln):
+                word = (word << 1) | (rev & 1)
+                rev >>= 1
+            got.setdefault(e, (ln, word))
+    assert got == dict(enumerate(_vorbis_codewords([2, 2, 3, 3, 4, 4, 4, 4])))
