@@ -44,6 +44,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Pre-seed the pbshim on the worker PYTHONPATH at session BUILD:
+    # stream_ops.ensure_protobuf otherwise mutates sc.environment
+    # mid-session when the first transformWithState query runs, which
+    # invalidates the cached Python worker pool (keyed by env) — the
+    # old ~65 workers are orphaned and every Python-UDF query after
+    # the first streaming query pays a full worker respawn (~2 s,
+    # measured r9).  With the path stable from the start,
+    # ensure_protobuf's guard sees it present and never mutates.
+    shim = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pbshim")
+    builder = builder.config(
+        "spark.executorEnv.PYTHONPATH",
+        shim + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
     if os.environ.get("SPARK_GRAFT_CBO_STATS") == "1":
         # CBO flags must be on BEFORE planning; the stats themselves
         # come from tables.bootstrap_cbo_statistics (same flag).
