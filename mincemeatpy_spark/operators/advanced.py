@@ -225,6 +225,59 @@ def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_bernoulli_split",
+    oracle="""
+        SELECT CASE WHEN ('0x' || substring(
+                   md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                   )::BIGINT % 1000 < 100
+               THEN 'eval' ELSE 'train' END AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(min(doc_id) AS BIGINT) AS min_doc,
+               CAST(max(doc_id) AS BIGINT) AS max_doc
+        FROM documents
+        GROUP BY 1
+        """,
+    category="sampling",
+    doc="Deterministic hash-Bernoulli train/eval split (the corpus "
+    "pipeline's holdout primitive): membership is a salted-md5 "
+    "integer derivation mod 1000 < 100 (~10% eval), so the split is "
+    "uniform-by-hash, REPRODUCIBLE across runs/engines/partitionings "
+    "(no rand() seed plumbing), and STABLE under corpus growth — a "
+    "document's split never changes when neighbors are added, which "
+    "is what keeps eval sets uncontaminated across recrawls.  Both "
+    "splits come out of ONE scan via a grouped aggregate on the "
+    "derived label; the hash is scan-side codegen, no UDF, no "
+    "shuffle beyond the 2-group aggregate.  At 100 TB: this predicate "
+    "pushed into the scan IS the sampling operator — no sort, no "
+    "global state, embarrassingly parallel (same derivation family "
+    "as features_hashing_trick / dp_noisy_counts).",
+)
+def sample_bernoulli_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("split-v1:"), F.col("doc_id").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    split = F.when(h % 1000 < 100, F.lit("eval")).otherwise(F.lit("train"))
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )
+
+
+@register(
     "market_basket_pairs",
     oracle="""
         WITH basket AS (
