@@ -104,6 +104,13 @@ EXTENDED = [
 REGRESSION_PCT = 0.15  # median must move more than this ...
 TIGHT_IQR = 0.10  # ... with relative IQR below this, to be believed
 LOAD_FACTOR = 1.5  # mean loadavg > LOAD_FACTOR * cpus => contaminated
+# Self-defense against the documented external noisy neighbor (r9: the
+# committed webp entry carried trials [25.9, 4.9, 6.3], IQR 10.5 vs
+# median 6.26 — ratio 1.68): a burst whose IQR exceeds this multiple of
+# its median is re-run ONCE, both attempts recorded, the quieter kept.
+# Quiet-host relative IQRs here run <0.1, so 1.0 is a 10x margin while
+# still catching the r9 contamination shape (which 2.0 would miss).
+RETRY_IQR_FACTOR = 1.0
 
 
 def _host_sample() -> dict:
@@ -118,6 +125,53 @@ def _host_sample() -> dict:
     except OSError:
         nproc = -1
     return {"load1": load1, "nproc": nproc}
+
+
+def _measure_one(run_once, trials: int, host_sample=None) -> dict:
+    """One trial burst: stats over `trials` timed runs of run_once()."""
+    host_sample = host_sample or _host_sample
+    samples: list[float] = []
+    host: list[dict] = []
+    for _ in range(trials):
+        host.append(host_sample())
+        samples.append(run_once())
+    host.append(host_sample())
+    return {
+        "median": round(statistics.median(samples), 3),
+        "iqr": round(_iqr(samples), 3),
+        "best": round(min(samples), 3),
+        "trials": [round(s, 3) for s in samples],
+        "host": host,
+    }
+
+
+def _measure_with_retry(run_once, trials: int, host_sample=None) -> dict:
+    """r9 judge task 7: re-trial a noise-contaminated burst once.
+
+    If the first burst's IQR exceeds RETRY_IQR_FACTOR x its median
+    (the signature of an external loadavg spike landing mid-burst —
+    quiet-host relative IQRs here run <0.1), run ONE more burst.  Both
+    attempts are recorded; the attempt with the lower relative IQR is
+    kept as the entry so committed medians are quiet-host by
+    construction, and the other rides along as `noisy_attempt`."""
+    first = _measure_one(run_once, trials, host_sample)
+    if first["iqr"] <= RETRY_IQR_FACTOR * max(first["median"], 1e-9):
+        return first
+
+    second = _measure_one(run_once, trials, host_sample)
+
+    def rel(s: dict) -> float:
+        return s["iqr"] / max(s["median"], 1e-9)
+
+    keep, other = (
+        (second, first) if rel(second) <= rel(first) else (first, second)
+    )
+    keep = dict(keep)
+    keep["retried"] = True
+    keep["noisy_attempt"] = {
+        k: other[k] for k in ("median", "iqr", "best", "trials", "host")
+    }
+    return keep
 
 
 def _iqr(xs: list[float]) -> float:
@@ -320,21 +374,13 @@ def main() -> None:
         out: dict[str, dict] = {}
         for name in names:
             q = queries[name]
-            samples: list[float] = []
-            host: list[dict] = []
-            for _ in range(trials):
-                host.append(_host_sample())
+
+            def run_once(fn=q.fn):
                 t0 = time.perf_counter()
-                q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                samples.append(time.perf_counter() - t0)
-            host.append(_host_sample())
-            out[name] = {
-                "median": round(statistics.median(samples), 3),
-                "iqr": round(_iqr(samples), 3),
-                "best": round(min(samples), 3),
-                "trials": [round(s, 3) for s in samples],
-                "host": host,
-            }
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                return time.perf_counter() - t0
+
+            out[name] = _measure_with_retry(run_once, trials)
         return out
 
     k_head = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
@@ -388,8 +434,12 @@ def main() -> None:
         print(f"warn: cannot write {full_out}: {ex}", file=sys.stderr)
         full_out = None
 
-    # FINAL stdout line: compact (no trials/host/stats) so the whole
-    # line fits the driver's 2000-char tail capture.
+    print(_compact_line(full_record, full_out))
+
+
+def _compact_line(full_record: dict, full_out: str | None) -> str:
+    """FINAL stdout line: compact (no trials/host/stats) so the whole
+    line fits the driver's 2000-char tail capture."""
     compact = {
         k: full_record[k]
         for k in (
@@ -403,15 +453,19 @@ def main() -> None:
             "best_total_sec",
             "trials",
         )
+        if k in full_record
     }
     if full_out is not None:
         compact["full"] = os.path.basename(full_out)
     line = json.dumps(compact)
     if len(line) > 1900:  # belt-and-braces: medians only, never truncate
-        for k in ("extended", "trials", "best_total_sec"):
+        # extended_total_sec rides with extended: a total with no
+        # per-query backing cannot be attributed by _load_bench (r9
+        # ADVICE).
+        for k in ("extended", "extended_total_sec", "trials", "best_total_sec"):
             compact.pop(k, None)
         line = json.dumps(compact)
-    print(line)
+    return line
 
 
 if __name__ == "__main__":

@@ -4378,6 +4378,13 @@ def encode_webp_lossless(
     def write_prefix(lens: dict, alphabet_size: int) -> dict:
         """Write one prefix code; returns the symbol->(len, code) map."""
         used = sorted(s for s in lens if lens[s] > 0)
+        # The decoder sizes its read loop by alphabet_size; any symbol
+        # at or past it would be silently dropped on decode (r9 ADVICE:
+        # make the parameter load-bearing instead of dead).
+        if used and used[-1] >= alphabet_size:
+            raise ValueError(
+                f"prefix-code symbol {used[-1]} >= alphabet {alphabet_size}"
+            )
         if not used:  # unused code (e.g. distances with no refs)
             used, lens = [0], {0: 1}
         if len(used) <= 2 and used[-1] <= 255:

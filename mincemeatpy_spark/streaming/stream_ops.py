@@ -405,23 +405,35 @@ def _estimate_batch_rows(df: DataFrame):
     one_per_batch = "maxFilesPerTrigger -> 1" in plan
     total, found = 0, False
     for m in re.finditer(r"FileSource\[([^\]]+)\]", plan):
-        d = Path(m.group(1))
-        files = (
-            sorted(d.glob("*.parquet"))
-            if d.is_dir()
-            else ([d] if d.suffix == ".parquet" else [])
-        )
-        if not files:
-            continue
-        import pyarrow.parquet as pq
+        # Everything below (glob, footer reads, pyarrow import) honors
+        # the same never-kill-the-run contract as the plan fetch: a
+        # zero-byte/corrupt *.parquet or a missing pyarrow degrades the
+        # estimate, never the query (r9 ADVICE).
+        try:
+            d = Path(m.group(1))
+            files = (
+                sorted(d.glob("*.parquet"))
+                if d.is_dir()
+                else ([d] if d.suffix == ".parquet" else [])
+            )
+            if not files:
+                continue
+            import pyarrow.parquet as pq
 
-        counts = [
-            pq.ParquetFile(str(f)).metadata.num_rows for f in files
-        ]
-        # multi-source queries (stream-stream joins) SUM: every
-        # source's batch feeds the same stateful stage
-        total += max(counts) if one_per_batch else sum(counts)
-        found = True
+            counts = []
+            for f in files:
+                try:
+                    counts.append(pq.ParquetFile(str(f)).metadata.num_rows)
+                except Exception:  # noqa: BLE001 - corrupt/empty file
+                    continue
+            if not counts:
+                continue
+            # multi-source queries (stream-stream joins) SUM: every
+            # source's batch feeds the same stateful stage
+            total += max(counts) if one_per_batch else sum(counts)
+            found = True
+        except Exception:  # noqa: BLE001 - sizing must never kill the run
+            continue
     return total if found else None
 
 

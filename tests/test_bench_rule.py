@@ -111,3 +111,73 @@ def test_load_bench_handles_all_artifact_shapes(tmp_path):
     got = _load_bench(str(p))
     assert got["qc"] == {"median": 4.0, "iqr": None}
     assert got["qd"]["median"] == 5.0
+
+
+def test_compact_fallback_drops_extended_total_with_extended():
+    """r9 ADVICE: when the >1900-char fallback strips per-query
+    'extended' medians, 'extended_total_sec' must go with them — a
+    total with no per-query backing cannot be attributed."""
+    import bench
+
+    big_ext = {f"q{i:04d}_{'x' * 40}": 1.234 for i in range(60)}
+    rec = {
+        "metric": "headline_queries_total_sec",
+        "value": 10.0,
+        "unit": "sec",
+        "queries": {"q1": 1.0},
+        "sf": 0.1,
+        "extended": big_ext,
+        "extended_total_sec": round(sum(big_ext.values()), 3),
+        "best_total_sec": 9.0,
+        "trials": {"headline": 5, "extended": 3},
+    }
+    import json
+
+    line = bench._compact_line(rec, "BENCH_full_latest.json")
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert "extended" not in parsed
+    assert "extended_total_sec" not in parsed  # rides with extended
+    assert parsed["value"] == 10.0 and parsed["queries"] == {"q1": 1.0}
+
+    # small record: everything kept, total paired with its queries
+    small = dict(rec, extended={"e1": 2.0}, extended_total_sec=2.0)
+    parsed2 = json.loads(bench._compact_line(small, None))
+    assert parsed2["extended_total_sec"] == 2.0
+    assert parsed2["extended"] == {"e1": 2.0}
+
+
+def test_iqr_retry_burst():
+    """r9 judge task 7: a burst whose IQR > 2x median re-trials ONCE,
+    records both attempts, and keeps the quieter one."""
+    import bench
+
+    host = lambda: {"load1": 1.0, "nproc": 10}
+
+    # quiet burst: no retry, no extra keys
+    quiet = iter([1.0, 1.1, 0.9])
+    s = bench._measure_with_retry(lambda: next(quiet), 3, host)
+    assert "retried" not in s and "noisy_attempt" not in s
+    assert s["median"] == 1.0 and len(s["trials"]) == 3
+
+    # noisy first burst (IQR 24.9 vs median 6.3 — the r9 webp shape),
+    # quiet second: second kept, first preserved as noisy_attempt
+    seq = iter([25.9, 4.9, 6.3, 1.3, 1.25, 1.4])
+    s = bench._measure_with_retry(lambda: next(seq), 3, host)
+    assert s["retried"] is True
+    assert s["median"] == 1.3
+    assert s["iqr"] <= bench.RETRY_IQR_FACTOR * s["median"]
+    assert s["noisy_attempt"]["median"] == 6.3
+    assert s["noisy_attempt"]["trials"] == [25.9, 4.9, 6.3]
+
+    # both bursts noisy: exactly one retry, lower-relative-IQR kept
+    seq2 = iter([25.0, 1.0, 6.0, 30.0, 1.0, 2.0])
+    s = bench._measure_with_retry(lambda: next(seq2), 3, host)
+    assert s["retried"] is True
+    rel = s["iqr"] / s["median"]
+    rel_other = s["noisy_attempt"]["iqr"] / s["noisy_attempt"]["median"]
+    assert rel <= rel_other
+    import pytest
+
+    with pytest.raises(StopIteration):  # no third burst ever
+        next(seq2)

@@ -82,3 +82,44 @@ def test_auto_state_partitions_sizing_rule(spark, sf_dir):
     finally:
         del os.environ["SPARK_GRAFT_STREAM_STATE_PARTITIONS"]
     assert so._sized_state_partitions(spark, gss).n == 8
+
+def test_estimate_batch_rows_survives_corrupt_parquet(spark, sf_dir, tmp_path):
+    """r9 ADVICE: a zero-byte or corrupt file matching *.parquet in a
+    streaming source dir must degrade the estimate (skip the file /
+    return None), never raise out of _auto_state_partitions."""
+    import shutil
+
+    import mincemeatpy_spark.streaming.stream_ops as so
+
+    # a source dir with one good staged file and one zero-byte imposter
+    src = tmp_path / "staged"
+    src.mkdir()
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(100).coalesce(
+        1
+    ).write.parquet(str(src / "good"))
+    good = next((src / "good").glob("*.parquet"))
+    shutil.copy(good, src / "part-0000.parquet")
+    shutil.rmtree(src / "good")
+    (src / "part-0001.parquet").write_bytes(b"")  # zero-byte
+    (src / "part-0002.parquet").write_bytes(b"not parquet at all")
+
+    ev = (
+        spark.readStream.schema(
+            spark.read.parquet(str(src / "part-0000.parquet")).schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    rows = so._estimate_batch_rows(ev)  # must not raise
+    assert rows == 100  # the good footer counted, corrupt ones skipped
+
+    # all-corrupt dir: estimate degrades to None => sizing floor
+    bad = tmp_path / "allbad"
+    bad.mkdir()
+    (bad / "x.parquet").write_bytes(b"")
+    ev2 = (
+        spark.readStream.schema("v INT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(bad))
+    )
+    assert so._estimate_batch_rows(ev2) is None
