@@ -99,6 +99,9 @@ EXTENDED = [
     # r9: the two new codec queries (VP8L image, Vorbis audio)
     "multimodal_decode_webp_real",
     "multimodal_decode_vorbis_real",
+    # r10: tokenizer ENCODE (the daily-ingest op; merge table cached,
+    # so this measures encode, not retrain) and compressed video
+    "bpe_encode_corpus",
 ]
 
 REGRESSION_PCT = 0.15  # median must move more than this ...
