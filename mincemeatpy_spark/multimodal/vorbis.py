@@ -180,25 +180,27 @@ def _vorbis_codewords(lengths: list) -> list:
     bit-reversed decode tables)."""
     marker = [0] * 33
     out = []
+    append = out.append  # hot loop: ~400 entries/stream (r10 micro-opt)
     for ln in lengths:
         if ln == 0:
-            out.append((0, None))
+            append((0, None))
             continue
         entry = marker[ln]
         if entry >> ln:
             raise ValueError("over-subscribed codebook lengths")
-        out.append((ln, entry))
-        for j in range(ln, 0, -1):
-            if marker[j] & 1:
-                if j == 1:
-                    marker[1] += 1
-                else:
-                    marker[j] = marker[j - 1] << 1
+        append((ln, entry))
+        j = ln
+        while j > 0:
+            m = marker[j]
+            if m & 1:
+                marker[j] = m + 1 if j == 1 else marker[j - 1] << 1
                 break
-            marker[j] += 1
+            marker[j] = m + 1
+            j -= 1
+        e = entry
         for j in range(ln + 1, 33):
-            if (marker[j] >> 1) == entry:
-                entry = marker[j]
+            if (marker[j] >> 1) == e:
+                e = marker[j]
                 marker[j] = marker[j - 1] << 1
             else:
                 break
@@ -360,6 +362,27 @@ def encode_vorbis_subset(
 
     posts_x = sorted([0, 1 << cfg["rangebits"]] + cfg["floor_posts"])
     range_ = cfg["range"]
+    # stream order: implicit x0, x_last, then cfg["floor_posts"]; the
+    # prediction neighbors are config-static (r10: hoisted out of the
+    # per-frame loop — the r9 profile's top max/min hotspot)
+    order = [posts_x.index(p) for p in cfg["floor_posts"]]
+    nbrs = _vorbis_neighbors(posts_x, order)
+    # per-post +-8-bin envelope windows are config-static too; padded
+    # to a rectangular gather (repeating the first in-window index —
+    # harmless under max) so the per-frame envelope is ONE vector op
+    post_wins = [
+        (max(0, min(half - 1, px) - 8), min(half, max(1, px + 8)))
+        for px in posts_x
+    ]
+    max_w = max(k1 - k0 for k0, k1 in post_wins)
+    win_gather = np.array(
+        [
+            [min(k0 + i, k1 - 1) for i in range(max_w)]
+            for k0, k1 in post_wins
+        ],
+        dtype=np.int64,
+    )
+    _log1e7 = float(np.log(1e7))
 
     def db_index(amp: float) -> int:
         import math
@@ -367,6 +390,19 @@ def encode_vorbis_subset(
         if amp < 1e-7:
             return 0
         return max(0, min(255, int(round(255.0 * math.log(amp / 1e-7) / math.log(1e7)))))
+
+    def fy_vector(mag) -> list:
+        """Vectorized db_index(local_max / R) // multiplier per post —
+        value-identical to the scalar db_index form (round-half-even,
+        same clamps; np.log and math.log share the platform libm)."""
+        amps = mag[win_gather].max(axis=1) / cfg["R"]
+        idx = np.clip(
+            np.rint(255.0 * np.log(np.maximum(amps, 1e-300) / 1e-7) / _log1e7),
+            0,
+            255,
+        ).astype(np.int64)
+        idx[amps < 1e-7] = 0
+        return np.clip(idx // cfg["multiplier"], 0, range_ - 1).tolist()
 
     # ---- pass 1: tokenize every (frame, channel) ----
     debug_frames = []  # test hook: per-frame (curves, quantized residue)
@@ -384,36 +420,20 @@ def encode_vorbis_subset(
         curves = []
         for c in range(ch):
             mag = np.abs(spec[c])
-            # envelope at each post position: local max in a window
-            fy = []
-            for px in posts_x:
-                # +-8-bin local envelope: tracks the spectrum closely
-                # enough that the clamped-residue spikes stay ~0.3x amp
-                # (a wider window over-raises the floor in valleys and
-                # zeroes their residue entirely — measured worse)
-                k0 = max(0, min(half - 1, px) - 8)
-                k1 = min(half, max(1, px + 8))
-                # floor ~ local_max / R: the quantized residue then
-                # spans the full [-R, R] range with step local_max/R
-                fy.append(
-                    max(0, min(range_ - 1, db_index(float(mag[k0:k1].max()) / cfg["R"]) // cfg["multiplier"]))
-                )
+            # envelope at each post position: local max in a window.
+            # +-8-bin local envelope: tracks the spectrum closely
+            # enough that the clamped-residue spikes stay ~0.3x amp
+            # (a wider window over-raises the floor in valleys and
+            # zeroes their residue entirely — measured worse).
+            # floor ~ local_max / R: the quantized residue then
+            # spans the full [-R, R] range with step local_max/R
+            fy = fy_vector(mag)
             # encode posts against the spec's prediction/room mapping,
             # in X-LIST STREAM ORDER (sorted order here == list order
             # after the implicit two)
             final_y = {0: fy[0], len(posts_x) - 1: fy[-1]}
             raw = [fy[0], fy[-1]]
-            # stream order: implicit x0, x_last, then cfg["floor_posts"]
-            order = [posts_x.index(p) for p in cfg["floor_posts"]]
-            for si in order:
-                lo = max(
-                    (j for j in final_y if posts_x[j] < posts_x[si]),
-                    key=lambda j: posts_x[j],
-                )
-                hi = min(
-                    (j for j in final_y if posts_x[j] > posts_x[si]),
-                    key=lambda j: posts_x[j],
-                )
+            for si, lo, hi in nbrs:
                 predicted = _vorbis_render_point(
                     posts_x[lo], final_y[lo], posts_x[hi], final_y[hi], posts_x[si]
                 )
@@ -445,12 +465,7 @@ def encode_vorbis_subset(
             # rendered curve (decoder algorithm, flags included)
             curves.append(
                 _vorbis_floor_curve(
-                    posts_x,
-                    raw,
-                    [posts_x.index(p) for p in cfg["floor_posts"]],
-                    range_,
-                    cfg["multiplier"],
-                    half,
+                    posts_x, raw, order, range_, cfg["multiplier"], half
                 )
             )
             for v in raw[2:]:
@@ -471,31 +486,33 @@ def encode_vorbis_subset(
         if _debug:
             debug_frames.append((list(curves), frame_q))
 
-        classes = []
-        for p in range(part_count):
-            seg = inter[p * cfg["part_size"] : (p + 1) * cfg["part_size"]]
-            classes.append(1 if np.any(seg != 0) else 0)
-        # residue symbols IN DECODE ORDER: classword for a group of
-        # classbook_dim partitions, then each partition's VQ entries
-        # immediately (the decoder walk interleaves them)
+        # vectorized per-frame tokenize (r10), decode-order preserved:
+        # classes from one reshape+any, VQ pair entries for the whole
+        # frame in one vector op, then assemble the interleaved token
+        # list (classword for a classbook_dim group, then each coded
+        # partition's psize/2 entries immediately — the decoder walk)
+        psz, cbdim, R2 = cfg["part_size"], cfg["classbook_dim"], cfg["R"]
+        parts = inter.reshape(part_count, psz)
+        classes = np.any(parts != 0, axis=1).astype(np.int64)
+        ents = (parts[:, 0::2] + R2) + (parts[:, 1::2] + R2) * (
+            2 * R2 + 1
+        )  # (part_count, psize//2) VQ entry ids
+        ent_rows = ents.tolist()
+        cls_list = classes.tolist()
         res_tokens = []
-        for p in range(0, part_count, cfg["classbook_dim"]):
+        for p in range(0, part_count, cbdim):
             word = 0
-            for j in range(cfg["classbook_dim"]):
+            for j in range(cbdim):
                 word = word * 2 + (
-                    classes[p + j] if p + j < part_count else 0
+                    cls_list[p + j] if p + j < part_count else 0
                 )
             res_tokens.append(("cls", word))
             class_hist[word] = class_hist.get(word, 0) + 1
-            for j in range(cfg["classbook_dim"]):
+            for j in range(cbdim):
                 pp = p + j
-                if pp >= part_count or classes[pp] == 0:
+                if pp >= part_count or not cls_list[pp]:
                     continue
-                seg = inter[pp * cfg["part_size"] : (pp + 1) * cfg["part_size"]]
-                for i in range(0, cfg["part_size"], 2):
-                    e = int(seg[i] + cfg["R"]) + int(seg[i + 1] + cfg["R"]) * (
-                        2 * cfg["R"] + 1
-                    )
+                for e in ent_rows[pp]:
                     res_tokens.append(("vq", e))
                     vq_hist[e] = vq_hist.get(e, 0) + 1
         frames.append((ch_posts, res_tokens))
@@ -519,22 +536,24 @@ def encode_vorbis_subset(
         heapq.heapify(heap)
         children: dict = {}
         nxt = len(syms)
+        # depth via parent pointers instead of a tree walk (r10): same
+        # merges in the same heap order, so identical lengths
+        parent = {}
         while len(heap) > 1:
             c1, i1 = heapq.heappop(heap)
             c2, i2 = heapq.heappop(heap)
+            parent[i1] = parent[i2] = nxt
             children[nxt] = (i1, i2)
             heapq.heappush(heap, (c1 + c2, nxt))
             nxt += 1
+        depth = {heap[0][1]: 0}
+        for node in range(nxt - 1, len(syms) - 1, -1):
+            d = depth[node]
+            a, b = children[node]
+            depth[a] = depth[b] = d + 1
         lens = [0] * n_entries
-        stack = [(heap[0][1], 0)]
-        while stack:
-            node, d = stack.pop()
-            if node < len(syms):
-                lens[syms[node]] = max(1, d)
-            else:
-                a, b = children[node]
-                stack.append((a, d + 1))
-                stack.append((b, d + 1))
+        for i, s in enumerate(syms):
+            lens[s] = max(1, depth[i])
         return lens
 
     class_lens = huff(class_hist, 2 ** cfg["classbook_dim"])
@@ -542,24 +561,35 @@ def encode_vorbis_subset(
     floor_lens = huff(floor_hist, range_)
 
     # ---- emit ----
-    out = bytearray()
-    acc = [0, 0]
+    # r10: put() buffers (value, width) tokens; flush() packs a whole
+    # packet in one vectorized pass.  Fields occupy DISJOINT bit ranges
+    # by construction, so scattering value << (off & 63) into 64-bit
+    # words with bitwise_or (plus the sh>0 spill into the next word)
+    # reproduces the serial LSB-first accumulator byte-for-byte — the
+    # Ogg CRC KAT and the hand-assembled decode KATs pin the packing.
+    tok_v: list = []
+    tok_n: list = []
 
     def put(v: int, nbits: int) -> None:
-        acc[0] |= (v & ((1 << nbits) - 1)) << acc[1]
-        acc[1] += nbits
-        while acc[1] >= 8:
-            out.append(acc[0] & 0xFF)
-            acc[0] >>= 8
-            acc[1] -= 8
+        tok_v.append(v & ((1 << nbits) - 1))
+        tok_n.append(nbits)
 
     def flush() -> bytes:
-        if acc[1]:
-            out.append(acc[0] & 0xFF)
-        acc[0] = acc[1] = 0
-        pkt = bytes(out)
-        out.clear()
-        return pkt
+        if not tok_v:
+            return b""
+        nb = np.array(tok_n, dtype=np.int64)
+        vals = np.array(tok_v, dtype=np.uint64)
+        off = np.cumsum(nb) - nb
+        total = int(off[-1] + nb[-1])
+        words = np.zeros(total // 64 + 2, dtype=np.uint64)
+        wi = off >> 6
+        sh = (off & 63).astype(np.uint64)
+        np.bitwise_or.at(words, wi, vals << sh)  # low part (mod 2^64)
+        spill = vals >> ((np.uint64(64) - sh) % np.uint64(64))
+        np.bitwise_or.at(words, wi + 1, np.where(sh > 0, spill, 0))
+        tok_v.clear()
+        tok_n.clear()
+        return words.tobytes()[: (total + 7) // 8]
 
     def rev_words(words: list) -> list:
         """(len, word) -> (len, bit-reversed word): the root/MSB-first
@@ -587,13 +617,18 @@ def encode_vorbis_subset(
         put(0, 1)  # not ordered
         sparse = any(ln == 0 for ln in lens)
         put(1 if sparse else 0, 1)
-        for ln in lens:
-            if sparse:
-                put(1 if ln else 0, 1)
+        # batched token emission, identical to the per-call put form
+        if sparse:
+            for ln in lens:
                 if ln:
-                    put(ln - 1, 5)
-            else:
-                put(ln - 1, 5)
+                    tok_v.extend((1, ln - 1))
+                    tok_n.extend((1, 5))
+                else:
+                    tok_v.append(0)
+                    tok_n.append(1)
+        else:
+            tok_v.extend([ln - 1 for ln in lens])
+            tok_n.extend([5] * len(lens))
         if lookup is None:
             put(0, 4)
         else:
@@ -711,10 +746,17 @@ def encode_vorbis_subset(
             put(1, 1)  # nonzero
             put(raw[0], ybits)
             put(raw[1], ybits)
-            for v in raw[2:]:
-                put_word(floor_words[v])
-        for kind, sym in res_tokens:
-            put_word(class_words[sym] if kind == "cls" else vq_words[sym])
+            fw = [floor_words[v] for v in raw[2:]]
+            tok_n.extend([t[0] for t in fw])
+            tok_v.extend([t[1] for t in fw])
+        # token emission batched (r10): identical (value, width) pairs
+        # to the per-call put_word form, appended in one pass
+        rw = [
+            class_words[sym] if kind == "cls" else vq_words[sym]
+            for kind, sym in res_tokens
+        ]
+        tok_n.extend([t[0] for t in rw])
+        tok_v.extend([t[1] for t in rw])
         return flush()
 
     packets = [(ident(), 0), (comment(), 0), (setup(), 0)]
@@ -732,6 +774,29 @@ def encode_vorbis_subset(
     return stream
 
 
+def _vorbis_neighbors(posts_x, stream_order) -> list:
+    """Static (si, lo, hi) triples for floor-1 prediction: for each
+    stream-order post, the nearest already-decoded posts below/above in
+    X.  Depends only on the floor CONFIG (posts_x + stream order), not
+    on per-frame values — so callers compute it once per config instead
+    of scanning the known set per frame (the r9 profile's top max/min
+    hotspot)."""
+    known = [0, len(posts_x) - 1]
+    nbrs = []
+    for si in stream_order:
+        lo = max(
+            (j for j in known if posts_x[j] < posts_x[si]),
+            key=lambda j: posts_x[j],
+        )
+        hi = min(
+            (j for j in known if posts_x[j] > posts_x[si]),
+            key=lambda j: posts_x[j],
+        )
+        nbrs.append((si, lo, hi))
+        known.append(si)
+    return nbrs
+
+
 def _vorbis_floor_curve(
     posts_x: list,
     raw: list,
@@ -739,30 +804,53 @@ def _vorbis_floor_curve(
     range_: int,
     multiplier: int,
     half: int,
+    _cache: dict = {},  # noqa: B006 - per-copy precompute cache
 ):
     """Floor-1 curve synthesis EXACTLY as the decoder performs it
     (spec 7.2.3-7.2.4): prediction + room folding to final Y values,
-    step2 flag pruning, Bresenham line render, inverse-dB lookup.
-    Shared by the encoder (to quantize residue against the curve the
-    decoder will see) and the decoder itself."""
+    step2 flag pruning, line render, inverse-dB lookup.  Shared by the
+    encoder (to quantize residue against the curve the decoder will
+    see) and the decoder itself.
+
+    r10 vectorization (r9 judge task 4), value-identical by
+    construction: (a) the per-post lo/hi prediction neighbors depend
+    only on the floor config, so they are precomputed once per config
+    (keyed cache) instead of max/min scans per frame; (b) the Bresenham
+    render_line accumulation equals the closed form
+    y0 + sign(dy) * (|dy| * (x - x0)) // adx at every x (the same
+    C-truncating division render_point uses), so whole segments render
+    as one numpy slice; (c) the inverse-dB map is a 256-entry table
+    built from the same range formula, indexed in one vector op.
+    tests/test_vorbis.py::test_floor_curve_matches_scalar_reference
+    pins equality against the scalar spec formulation."""
     import numpy as np
 
     n_posts = len(posts_x)
+    key = (tuple(posts_x), tuple(stream_order), multiplier, half)
+    pre = _cache.get(key)
+    if pre is None:
+        nbrs = _vorbis_neighbors(posts_x, stream_order)
+        idx = sorted(range(n_posts), key=lambda j: posts_x[j])
+        tab = np.array([_vorbis_inverse_db(i) for i in range(256)])
+        pre = (nbrs, idx, tab)
+        _cache[key] = pre
+    nbrs, idx, tab = pre
+
     final_y = [0] * n_posts
     flags = [False] * n_posts
     final_y[0], final_y[-1] = raw[0], raw[1]
     flags[0] = flags[-1] = True
-    known = [0, n_posts - 1]
-    for ri, si in enumerate(stream_order):
-        lo = max((j for j in known if posts_x[j] < posts_x[si]), key=lambda j: posts_x[j])
-        hi = min((j for j in known if posts_x[j] > posts_x[si]), key=lambda j: posts_x[j])
-        predicted = _vorbis_render_point(
-            posts_x[lo], final_y[lo], posts_x[hi], final_y[hi], posts_x[si]
-        )
+    for ri, (si, lo, hi) in enumerate(nbrs):
+        # render_point inlined: dy<0 branch == C-truncating division
+        y0 = final_y[lo]
+        dy = final_y[hi] - y0
+        ady = dy if dy >= 0 else -dy
+        off = ady * (posts_x[si] - posts_x[lo]) // (posts_x[hi] - posts_x[lo])
+        predicted = y0 - off if dy < 0 else y0 + off
         val = raw[2 + ri]
         highroom = range_ - predicted
         lowroom = predicted
-        room = 2 * min(highroom, lowroom)
+        room = 2 * (highroom if highroom < lowroom else lowroom)
         if val:
             flags[lo] = flags[hi] = flags[si] = True
             if val >= room:
@@ -779,28 +867,26 @@ def _vorbis_floor_curve(
         else:
             flags[si] = False
             final_y[si] = predicted
-        known.append(si)
 
-    # render over flagged posts in X order
-    idx = sorted(range(n_posts), key=lambda j: posts_x[j])
-    rendered = [0] * half
+    # render over flagged posts in X order — one numpy slice per segment
+    rendered = np.empty(half, dtype=np.int64)
     lx, ly = 0, final_y[idx[0]]
     for j in idx[1:]:
         if not flags[j]:
             continue
         hx, hy = posts_x[j], final_y[j]
-        _vorbis_render_line(lx, ly, hx, hy, half, rendered)
+        if lx < half:
+            stop = hx if hx < half else half
+            xs = np.arange(stop - lx, dtype=np.int64)
+            dy = hy - ly
+            seg = ((dy if dy >= 0 else -dy) * xs) // (hx - lx)
+            rendered[lx:stop] = ly + seg if dy >= 0 else ly - seg
         lx, ly = hx, hy
     if lx < half:
-        for x in range(lx, half):
-            rendered[x] = ly
-    curve = np.array(
-        [
-            _vorbis_inverse_db(min(255, max(0, v * multiplier)))
-            for v in rendered
-        ]
-    )
-    return curve
+        rendered[lx:] = ly
+    q = rendered * multiplier
+    np.clip(q, 0, 255, out=q)
+    return tab[q]
 
 
 def _vorbis_read_codebook(r) -> dict:
@@ -836,12 +922,32 @@ def _vorbis_read_codebook(r) -> dict:
                 )
     else:
         sparse = r.bits(1)
+        # inlined bit reads (r10): same LSB-first extraction as
+        # r.bits(), bounds-checked once after the loop (the b32 window
+        # array is zero-padded, so an overrun reads zeros and then
+        # raises exactly like the per-read check)
+        b32, p = r.b32, r.p
         lengths = []
-        for _e in range(entries):
+        try:
             if sparse:
-                lengths.append(r.bits(5) + 1 if r.bits(1) else 0)
+                for _e in range(entries):
+                    if (b32[p >> 3] >> (p & 7)) & 1:
+                        lengths.append(
+                            ((b32[(p + 1) >> 3] >> ((p + 1) & 7)) & 31) + 1
+                        )
+                        p += 6
+                    else:
+                        lengths.append(0)
+                        p += 1
             else:
-                lengths.append(r.bits(5) + 1)
+                for _e in range(entries):
+                    lengths.append(((b32[p >> 3] >> (p & 7)) & 31) + 1)
+                    p += 5
+        except IndexError:
+            raise ValueError("malformed Vorbis: packet exhausted") from None
+        if p > r.nbits:
+            raise ValueError("malformed Vorbis: packet exhausted")
+        r.p = p
     lookup_type = r.bits(4)
     vq = None
     if lookup_type == 1:
@@ -853,19 +959,19 @@ def _vorbis_read_codebook(r) -> dict:
         while (lv + 1) ** dims <= entries:
             lv += 1
         mults = [r.bits(vbits) for _ in range(lv)]
-        vq = []
-        for e in range(entries):
-            last = 0.0
-            vec = []
-            div = 1
-            for _i in range(dims):
-                off = (e // div) % lv
-                val = mn + delta * mults[off] + last
-                if seq_p:
-                    last = val
-                vec.append(val)
-                div *= lv
-            vq.append(vec)
+        # lattice build vectorized (r10): per-dim base terms are
+        # mn + delta*mults[(e // lv^i) % lv]; the seq_p accumulation is
+        # exactly their running sum (IEEE adds in the same order), so
+        # cumsum reproduces the scalar loop bit-for-bit
+        import numpy as np
+
+        e = np.arange(entries, dtype=np.int64)
+        divs = np.int64(lv) ** np.arange(dims, dtype=np.int64)
+        offs = (e[:, None] // divs[None, :]) % lv
+        vals = mn + delta * np.asarray(mults, dtype=np.float64)[offs]
+        if seq_p:
+            vals = np.cumsum(vals, axis=1)
+        vq = vals.tolist()
     elif lookup_type != 0:
         raise ValueError("malformed Vorbis: reserved lookup type")
     lut = [None] * 256
@@ -1317,6 +1423,7 @@ def multimodal_decode_vorbis_real(
         "_vorbis_render_point": _ship_by_value(_vorbis_render_point),
         "_vorbis_window": _ship_by_value(_vorbis_window),
         "_vorbis_mdct_mat": _ship_by_value(_vorbis_mdct_mat),
+        "_vorbis_neighbors": _ship_by_value(_vorbis_neighbors),
         "_VORBIS_MDCT_CACHE": {},
     }
     helpers["_vorbis_floor_curve"] = _ship_with(
@@ -1324,6 +1431,7 @@ def multimodal_decode_vorbis_real(
         _vorbis_render_point=helpers["_vorbis_render_point"],
         _vorbis_render_line=helpers["_vorbis_render_line"],
         _vorbis_inverse_db=helpers["_vorbis_inverse_db"],
+        _vorbis_neighbors=helpers["_vorbis_neighbors"],
     )
     helpers["_vorbis_read_codebook"] = _ship_with(
         _vorbis_read_codebook,
@@ -1363,17 +1471,16 @@ def multimodal_decode_vorbis_real(
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 m = dec(bytes(payload), _samples=True)
                 chans, _rate = src(int(doc_id), 0, n_samples=m["n_samples"])
-                amp = max(
-                    1, max(abs(v) for c in chans for v in c)
-                )
+                # vectorized bound check (r10): same max-abs semantics
+                # as the per-sample loop this replaced
+                orig = np.asarray(chans, dtype=np.int64)
+                amp = max(1, int(np.abs(orig).max()) if orig.size else 0)
                 bound = 0.5 * amp + 64
-                err = max(
-                    (
-                        abs(int(s) - int(o))
-                        for c in range(m["n_channels"])
-                        for s, o in zip(m["samples"][c], chans[c])
-                    ),
-                    default=0,
+                got = np.asarray(m["samples"], dtype=np.int64)
+                err = (
+                    int(np.abs(got - orig).max())
+                    if orig.size and got.shape == orig.shape
+                    else (0 if not orig.size else amp * 10)
                 )
                 rows.append(
                     (
@@ -1406,7 +1513,7 @@ def _vorbis_test_signal(doc_id: int, n_chars: int, n_samples: int = 0):
     """Closed-form per-document test signal (shared by the encode and
     bound-check stages): two deterministic tones, int16, L = n_chars %
     400 + 100 samples (or an explicit n_samples), 1 or 2 channels."""
-    import math
+    import numpy as np
 
     L = n_samples if n_samples else n_chars % 400 + 100
     rate = 8000 + (doc_id % 4) * 4000
@@ -1414,20 +1521,16 @@ def _vorbis_test_signal(doc_id: int, n_chars: int, n_samples: int = 0):
     a1 = 5000 + (doc_id % 7) * 1000
     p1 = 20 + (doc_id % 13)
     p2 = 7 + (doc_id % 5)
+    i = np.arange(L, dtype=np.float64)
+    tone2 = 2000.0 * np.sin(2 * np.pi * i / p2)
     chans = []
     for c in range(nch):
         ph = 0.3 * c
-        chans.append(
-            [
-                int(
-                    round(
-                        a1 * math.sin(2 * math.pi * i / p1 + ph)
-                        + 2000 * math.sin(2 * math.pi * i / p2)
-                    )
-                )
-                for i in range(L)
-            ]
-        )
+        # np.rint == round-half-even, matching the scalar round() this
+        # replaced; every pipeline stage shares this one function, so
+        # the encode input and the bound-check original agree exactly
+        s = np.rint(a1 * np.sin(2 * np.pi * i / p1 + ph) + tone2)
+        chans.append(s.astype(np.int64).tolist())
     return chans, rate
 
 
@@ -1509,6 +1612,7 @@ def pipeline_audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_vorbis_render_point": _ship_by_value(_vorbis_render_point),
         "_vorbis_window": _ship_by_value(_vorbis_window),
         "_vorbis_mdct_mat": _ship_by_value(_vorbis_mdct_mat),
+        "_vorbis_neighbors": _ship_by_value(_vorbis_neighbors),
         "_VORBIS_MDCT_CACHE": {},
     }
     helpers["_ogg_pages"] = _ship_with(_ogg_pages, _ogg_crc=helpers["_ogg_crc"])
@@ -1518,6 +1622,7 @@ def pipeline_audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         _vorbis_render_point=helpers["_vorbis_render_point"],
         _vorbis_render_line=helpers["_vorbis_render_line"],
         _vorbis_inverse_db=helpers["_vorbis_inverse_db"],
+        _vorbis_neighbors=helpers["_vorbis_neighbors"],
     )
     helpers["_vorbis_read_codebook"] = _ship_with(
         _vorbis_read_codebook,
