@@ -157,6 +157,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for driver certification in the r9 sample.
         "multimodal_decode_webp_real",
         "multimodal_decode_vorbis_real",
+        # round-10 flagships: lossy VP8 (WebP) — the last derivable
+        # image-gate entry — compressed video (MJPEG-in-AVI through the
+        # real JPEG pipeline), the video-corpus composite, and the BPE
+        # encode pair landed after the r9 snapshot.
+        "multimodal_decode_vp8_real",
+        "multimodal_decode_mjpeg_real",
+        "pipeline_video_corpus",
+        "bpe_encode_corpus",
     ):
         out[name] = qs[name].fn
     for row in zip_longest(*(by_cat[c] for c in order)):

@@ -64,6 +64,7 @@ _QUERY_MODULES = (
     "mincemeatpy_spark.similarity.kmeans",
     "mincemeatpy_spark.multimodal.binary_ops",
     "mincemeatpy_spark.multimodal.vorbis",
+    "mincemeatpy_spark.multimodal.vp8",
     "mincemeatpy_spark.streaming.windows_batch",
     "mincemeatpy_spark.compat",
 )

@@ -68,9 +68,15 @@ def test_bmp_width_multiple_of_four_no_padding():
 
 
 def test_compressed_formats_still_gated():
-    # lossless VP8L decodes for real since r9; LOSSY VP8 keeps the
-    # honest gate
-    with pytest.raises(NotImplementedError):
+    # lossless VP8L decodes for real since r9 and lossy VP8 since r10
+    # (tests/test_vp8.py); the image gate now covers VP8X extended
+    # features only
+    with pytest.raises(NotImplementedError, match="VP8X"):
+        decode_image_real(
+            b"RIFF\x14\x00\x00\x00WEBPVP8X\x04\x00\x00\x00" + b"\x00" * 4
+        )
+    # a truncated lossy-VP8 chunk is MALFORMED, not unsupported
+    with pytest.raises(ValueError):
         decode_image_real(
             b"RIFF\x14\x00\x00\x00WEBPVP8 \x04\x00\x00\x00" + b"\x00" * 4
         )
@@ -261,11 +267,17 @@ def test_avi_truncated_movi_is_malformed():
 
 
 def test_avi_compressed_fourcc_gated():
+    # MJPG decodes for real since r10 (tests/test_mjpeg.py); the gate
+    # now covers inter-frame codecs only
     raw = bytearray(encode_avi_dib(4, 2, 1, _vpx))
     at = raw.find(b"vidsDIB ")
     assert at > 0
+    raw[at + 4 : at + 8] = b"H264"
+    with pytest.raises(NotImplementedError, match="H264"):
+        decode_avi_real(bytes(raw))
+    # an MJPG handler over raw DIB strf is malformed, not gated
     raw[at + 4 : at + 8] = b"MJPG"
-    with pytest.raises(NotImplementedError, match="MJPG"):
+    with pytest.raises(ValueError, match="biCompression"):
         decode_avi_real(bytes(raw))
 
 
@@ -957,9 +969,15 @@ def test_vp8l_error_paths():
         decode_webp_real(b"RUFF" + good[4:])
     with pytest.raises(ValueError):
         decode_webp_real(good[:20])  # truncated mid-bitstream
-    with pytest.raises(NotImplementedError):  # lossy VP8 stays gated
+    # lossy VP8 decodes for real since r10: a 4-byte chunk is
+    # malformed (too short), not unsupported; VP8X keeps the gate
+    with pytest.raises(ValueError):
         decode_webp_real(
             b"RIFF\x14\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd"
+        )
+    with pytest.raises(NotImplementedError):
+        decode_webp_real(
+            b"RIFF\x14\x00\x00\x00WEBPVP8X\x04\x00\x00\x00abcd"
         )
     # bad signature byte inside the VP8L chunk
     bad = bytearray(good)
