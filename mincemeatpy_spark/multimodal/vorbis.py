@@ -47,7 +47,13 @@ Vorbis decoder to test against, so byte-level interop with libvorbis
 is UNVERIFIED; the bitstream layout follows the public Vorbis I
 specification, and every layer is pinned by hand-assembled
 known-answer streams (Ogg page bytes, codeword tables, floor curve)
-so encoder/decoder inverse-bug cancellation cannot hide.
+so encoder/decoder inverse-bug cancellation cannot hide.  Since r10,
+tests/test_vorbis_interop.py additionally decodes a COMPLETE
+Ogg/Vorbis stream assembled by an independent test-local
+implementation (own bit packer, own CRC, own header/codebook writer —
+no ``encode_vorbis_subset`` involvement) against an independent numpy
+reconstruction, sub-LSB exact — the encoder shares no code with
+either side of that check.
 
 Reference parity note: the reference repo (mincemeat.py:1-381) has no
 codec surface; this is north-star multimodal-pipeline work.
