@@ -100,8 +100,13 @@ EXTENDED = [
     "multimodal_decode_webp_real",
     "multimodal_decode_vorbis_real",
     # r10: tokenizer ENCODE (the daily-ingest op; merge table cached,
-    # so this measures encode, not retrain) and compressed video
+    # so this measures encode, not retrain), compressed video (MJPEG
+    # through the real JPEG pipeline + the dedupe-before-decode video
+    # composite), and lossy WebP (VP8 intra)
     "bpe_encode_corpus",
+    "multimodal_decode_mjpeg_real",
+    "pipeline_video_corpus",
+    "multimodal_decode_vp8_real",
 ]
 
 REGRESSION_PCT = 0.15  # median must move more than this ...

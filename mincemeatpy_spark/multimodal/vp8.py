@@ -594,49 +594,69 @@ def _vp8_simple_filter(yplane, filter_level, sharpness, skip_inner,
 # --- shared macroblock reconstruction ------------------------------------
 
 
+def _vp8_idct4_batch(coefs):
+    """Batched twin of ``_vp8_idct4``: (B, 16) int64 -> (B, 16), the
+    identical integer arithmetic per block (numpy int64 >> is the same
+    arithmetic shift); equality vs the scalar form is pinned in
+    tests/test_vp8.py."""
+    import numpy as np
+
+    ip = np.asarray(coefs, dtype=np.int64).reshape(-1, 4, 4)
+
+    def butterfly(m, final):
+        i0, i1, i2, i3 = m[:, 0], m[:, 1], m[:, 2], m[:, 3]
+        a1 = i0 + i2
+        b1 = i0 - i2
+        c1 = ((i1 * 35468) >> 16) - (i3 + ((i3 * 20091) >> 16))
+        d1 = (i1 + ((i1 * 20091) >> 16)) + ((i3 * 35468) >> 16)
+        out = np.stack([a1 + d1, b1 + c1, b1 - c1, a1 - d1], axis=1)
+        if final:
+            out = (out + 4) >> 3
+        return out
+
+    tmp = butterfly(ip, False)
+    # second pass operates on rows: transpose, butterfly, transpose back
+    out = butterfly(tmp.transpose(0, 2, 1), True).transpose(0, 2, 1)
+    return out.reshape(-1, 16)
+
+
 def _vp8_dequant_mb(tables, qf, y2_levels, y_levels, u_levels, v_levels):
     """Dequantize + inverse transforms for one macroblock.  Levels are
     SCAN-order lists; returns 16 luma, 4 U, 4 V residual 4x4 blocks
-    (row-major lists of 16) via the exact integer IWHT/IDCT."""
+    (row-major lists of 16) via the exact integer IWHT + one batched
+    integer IDCT over all 24 blocks."""
+    import numpy as np
+
     zz = tables["zigzag"]
     y2 = [0] * 16
     for i in range(16):
         q = qf["y2dc"] if i == 0 else qf["y2ac"]
         y2[zz[i]] = y2_levels[i] * q
     dcs = _vp8_iwht4(y2)
-    y_blocks = []
-    for b in range(16):
-        coefs = [0] * 16
-        coefs[0] = dcs[b]
-        for i in range(1, 16):
-            coefs[zz[i]] = y_levels[b][i] * qf["y1ac"]
-        y_blocks.append(_vp8_idct4(coefs))
-    uv_blocks = []
-    for levels_set in (u_levels, v_levels):
-        blocks = []
-        for b in range(4):
-            coefs = [0] * 16
-            for i in range(16):
-                q = qf["uvdc"] if i == 0 else qf["uvac"]
-                coefs[zz[i]] = levels_set[b][i] * q
-            blocks.append(_vp8_idct4(coefs))
-        uv_blocks.append(blocks)
-    return y_blocks, uv_blocks[0], uv_blocks[1]
+    coefs = np.zeros((24, 16), dtype=np.int64)
+    lv = np.asarray(y_levels, dtype=np.int64)  # (16, 16) scan order
+    coefs[:16][:, zz[1:]] = lv[:, 1:] * qf["y1ac"]
+    coefs[:16, 0] = dcs
+    quv = np.asarray([qf["uvdc"]] + [qf["uvac"]] * 15, dtype=np.int64)
+    coefs[16:20][:, zz] = np.asarray(u_levels, dtype=np.int64) * quv
+    coefs[20:24][:, zz] = np.asarray(v_levels, dtype=np.int64) * quv
+    blocks = _vp8_idct4_batch(coefs).tolist()
+    return blocks[:16], blocks[16:20], blocks[20:24]
 
 
 def _vp8_add_residual(pred, blocks, size):
-    """pred (size,size) + per-4x4 residual blocks, clamped to u8."""
+    """pred (size,size) + per-4x4 residual blocks, clamped to u8 —
+    the raster block grid reassembled in one transpose."""
     import numpy as np
 
-    out = pred.copy()
     n = size // 4
-    for b in range(n * n):
-        by, bx = (b // n) * 4, (b % n) * 4
-        res = np.asarray(blocks[b], dtype=np.int64).reshape(4, 4)
-        out[by : by + 4, bx : bx + 4] = np.clip(
-            out[by : by + 4, bx : bx + 4] + res, 0, 255
-        )
-    return out
+    res = (
+        np.asarray(blocks, dtype=np.int64)
+        .reshape(n, n, 4, 4)
+        .transpose(0, 2, 1, 3)
+        .reshape(size, size)
+    )
+    return np.clip(pred + res, 0, 255)
 
 
 # --- frame encode ---------------------------------------------------------
@@ -688,8 +708,13 @@ def encode_vp8_frame(y, u, v, qi: int = 4, filter_level: int = 0,
         dtype=np.float64,
     )
 
-    def fdct_targets(res4):
-        return 2.0 * (A @ res4 @ A.T)
+    zz_np = np.asarray(tables["zigzag"], dtype=np.int64)
+    qvec_y2 = np.asarray(
+        [qf["y2dc"]] + [qf["y2ac"]] * 15, dtype=np.float64
+    )
+    qvec_uv = np.asarray(
+        [qf["uvdc"]] + [qf["uvac"]] * 15, dtype=np.float64
+    )
 
     def plane_pred_ctx(rec, px, py, size):
         has_above, has_left = py > 0, px > 0
@@ -724,26 +749,23 @@ def encode_vp8_frame(y, u, v, qi: int = 4, filter_level: int = 0,
             ab, lf, co, ha, hl = plane_pred_ctx(yrec, px, py, 16)
             ypred = _vp8_predict_block(ymode, ab, lf, co, 16, ha, hl)
             res = ysrc[py : py + 16, px : px + 16] - ypred
-            y_levels, dc_targets = [], np.zeros((4, 4))
-            for b in range(16):
-                by, bx = (b // 4) * 4, (b % 4) * 4
-                ct = fdct_targets(res[by : by + 4, bx : bx + 4])
-                flat = ct.reshape(16)
-                lv = [0] * 16
-                for i in range(1, 16):
-                    lv[i] = int(
-                        np.round(flat[tables["zigzag"][i]] / qf["y1ac"])
-                    )
-                y_levels.append(lv)
-                dc_targets[b // 4, b % 4] = flat[0]
+            # batched per-block DCT: (16, 4, 4) blocks in one einsum,
+            # quantized with vectorized rint (identical to the scalar
+            # np.round-per-coefficient loop: both are rint)
+            blocks = (
+                res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
+                .reshape(16, 4, 4)
+            )
+            cts = 2.0 * np.einsum("ij,bjk,lk->bil", A, blocks, A)
+            flats = cts.reshape(16, 16)
+            lvs_y = np.rint(flats[:, zz_np] / qf["y1ac"]).astype(np.int64)
+            lvs_y[:, 0] = 0  # DC travels via Y2
+            y_levels = lvs_y.tolist()
+            dc_targets = flats[:, 0].reshape(4, 4)
             wht = (Wm @ dc_targets @ Wm) / 2.0
-            wflat = wht.reshape(16)
-            y2_levels = [0] * 16
-            for i in range(16):
-                q = qf["y2dc"] if i == 0 else qf["y2ac"]
-                y2_levels[i] = int(
-                    np.round(wflat[tables["zigzag"][i]] / q)
-                )
+            y2_levels = np.rint(
+                wht.reshape(16)[zz_np] / qvec_y2
+            ).astype(np.int64).tolist()
 
             cx, cy = mbx * 8, mby * 8
             uv_levels = []
@@ -753,19 +775,16 @@ def encode_vp8_frame(y, u, v, qi: int = 4, filter_level: int = 0,
                 pred = _vp8_predict_block(uvmode, ab, lf, co, 8, ha, hl)
                 uv_preds.append(pred)
                 cres = plane_src[cy : cy + 8, cx : cx + 8] - pred
-                lvs = []
-                for b in range(4):
-                    by, bx = (b // 2) * 4, (b % 2) * 4
-                    ct = fdct_targets(cres[by : by + 4, bx : bx + 4])
-                    flat = ct.reshape(16)
-                    lv = [0] * 16
-                    for i in range(16):
-                        q = qf["uvdc"] if i == 0 else qf["uvac"]
-                        lv[i] = int(
-                            np.round(flat[tables["zigzag"][i]] / q)
-                        )
-                    lvs.append(lv)
-                uv_levels.append(lvs)
+                cblocks = (
+                    cres.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
+                    .reshape(4, 4, 4)
+                )
+                ccts = 2.0 * np.einsum("ij,bjk,lk->bil", A, cblocks, A)
+                cflats = ccts.reshape(4, 16)
+                uv_levels.append(
+                    np.rint(cflats[:, zz_np] / qvec_uv)
+                    .astype(np.int64).tolist()
+                )
 
             skip = (
                 all(l == 0 for l in y2_levels)
@@ -1238,10 +1257,11 @@ def multimodal_decode_vp8_real(
         _vp8_be_bool=helpers["_vp8_be_bool"],
     )
     helpers["_vp8_simple_filter"] = _ship_by_value(_vp8_simple_filter)
+    helpers["_vp8_idct4_batch"] = _ship_by_value(_vp8_idct4_batch)
     helpers["_vp8_dequant_mb"] = _ship_with(
         _vp8_dequant_mb,
         _vp8_iwht4=helpers["_vp8_iwht4"],
-        _vp8_idct4=helpers["_vp8_idct4"],
+        _vp8_idct4_batch=helpers["_vp8_idct4_batch"],
     )
     helpers["_vp8_add_residual"] = _ship_by_value(_vp8_add_residual)
     enc_frame = _ship_with(encode_vp8_frame, **helpers)
