@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_mjpeg_real",
         "pipeline_video_corpus",
         "bpe_encode_corpus",
+        "multimodal_resize_real",
     ):
         out[name] = qs[name].fn
     for row in zip_longest(*(by_cat[c] for c in order)):

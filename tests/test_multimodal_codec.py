@@ -998,3 +998,45 @@ def test_vp8l_dispatches_through_decode_image_real():
     m = decode_image_real(encode_webp_lossless(px, palette=True))
     assert m["fmt"] == "webp-lossless" and m["width"] == 2
     assert (m["sum_r"], m["sum_g"], m["sum_b"]) == _img_sums(px)
+
+
+def test_resize_bilinear_integer_kernel():
+    """The Q8 fixed-point bilinear kernel (multimodal_resize_real):
+    identity at same size, exact corner averaging on a 2x2 -> 1x1
+    collapse, single-pixel upscale replication, and the SQL-oracle
+    arithmetic recomputed per output pixel."""
+    import numpy as np
+
+    from mincemeatpy_spark.multimodal.binary_ops import _resize_bilinear_u8
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (6, 9, 3)).astype(np.uint8)
+    # identity: px = ((2ox+1)*w*128)//w - 128 = 256*ox exactly
+    assert (_resize_bilinear_u8(img, 9, 6) == img).all()
+    # 2x2 -> 1x1: center sample = average of the four with +32768 round
+    sq = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    out = _resize_bilinear_u8(sq, 1, 1)
+    expect = (sq.astype(int).sum(axis=(0, 1)) * 128 * 128 + 32768) >> 16
+    assert (out[0, 0] == expect).all()
+    # 1x1 -> 3x3: pure replication
+    one = np.full((1, 1, 3), 200, np.uint8)
+    assert (_resize_bilinear_u8(one, 3, 3) == 200).all()
+    # arbitrary resize matches a scalar recompute of the oracle math
+    w, h, ow, oh = 9, 6, 4, 7
+    out = _resize_bilinear_u8(img, ow, oh)
+    for oy in range(oh):
+        for ox in range(ow):
+            px = max(((2 * ox + 1) * w * 128) // ow - 128, 0)
+            py = max(((2 * oy + 1) * h * 128) // oh - 128, 0)
+            x0, fx = px // 256, px % 256
+            y0, fy = py // 256, py % 256
+            x1, y1 = min(x0 + 1, w - 1), min(y0 + 1, h - 1)
+            for c in range(3):
+                v = (
+                    int(img[y0, x0, c]) * (256 - fx) * (256 - fy)
+                    + int(img[y0, x1, c]) * fx * (256 - fy)
+                    + int(img[y1, x0, c]) * (256 - fx) * fy
+                    + int(img[y1, x1, c]) * fx * fy
+                    + 32768
+                ) >> 16
+                assert out[oy, ox, c] == v
