@@ -1373,3 +1373,40 @@ def test_market_basket_rules_vocab_joins_broadcast(spark, sf_dir):
     is the within-basket pair generation."""
     plan = _plan("market_basket_rules", spark, sf_dir)
     assert "BroadcastHashJoin" in plan
+
+
+def test_video_corpus_dedupes_before_decode(spark, sf_dir):
+    # pipeline_video_corpus's 100 TB ordering: the sha2 digest
+    # aggregation (dedupe) must sit BETWEEN the encode stage and the
+    # decode stage, so only unique payloads reach the codec.  Three
+    # MapInPandas stages total (encode, decode; the explode side reuses
+    # the cached decode), and the digest HashAggregate appears after
+    # the first Python stage but before the second in the plan tree —
+    # i.e. the decode stage's subtree CONTAINS the aggregate while the
+    # encode stage's does not.
+    df = QUERIES["pipeline_video_corpus"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the digest dedupe is a real shuffle on sha2 output
+    assert "sha2" in plan
+    # plans print top-down (sink first): the decode Python stage must
+    # print BEFORE the digest-keyed exchange, which must print BEFORE
+    # the encode Python stage — i.e. decode consumes the deduped set.
+    d = plan.find("MapInPandas decode")
+    x = plan.find("Exchange hashpartitioning(digest")
+    e = plan.find("MapInPandas encode")
+    assert -1 not in (d, x, e), plan[:800]
+    assert d < x < e, "digest dedupe is not between encode and decode"
+
+
+def test_vp8_and_mjpeg_are_two_narrow_python_stages(spark, sf_dir):
+    # codec queries: exactly encode + decode mapInPandas stages over a
+    # repartitioned 16-byte/row projection — no extra Python hops, no
+    # joins, no cartesian anything.
+    for name in ("multimodal_decode_vp8_real", "multimodal_decode_mjpeg_real",
+                 "multimodal_resize_real"):
+        df = QUERIES[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 2, name
+        assert "Join" not in plan, name
+        assert "Exchange" in plan, name  # the parallelism repartition
