@@ -45,7 +45,13 @@ update prior, which is also the real table's dominant value).  All
 structure, arithmetic and reconstruction are spec-shaped and the
 encoder/decoder pair is exactly self-consistent; byte interop with
 libvpx additionally requires dropping the RFC's two tables into
-``_vp8_tables`` (a two-constant swap, no code change).  The honest
+``_vp8_tables`` (a two-constant swap, no code change).  The layers
+that don't depend on those tables are pinned across INDEPENDENT
+implementations: tests/test_vp8_interop.py assembles complete frames
+with a test-local classic carry-propagation bool encoder (a different
+algorithm shape from this module's big-integer encoder) and the
+module decoder reconstructs the independently computed pixels
+exactly.  The honest
 gates (B_PRED sub-block modes — whose 900-entry keyframe probability
 table is likewise empirical — plus segmentation, loop-filter deltas
 and multiple token partitions) raise ``NotImplementedError`` naming
