@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_video_corpus",
         "bpe_encode_corpus",
         "multimodal_resize_real",
+        "multimodal_decode_gif_anim",
     ):
         out[name] = qs[name].fn
     for row in zip_longest(*(by_cat[c] for c in order)):

@@ -107,6 +107,7 @@ EXTENDED = [
     "multimodal_decode_mjpeg_real",
     "pipeline_video_corpus",
     "multimodal_decode_vp8_real",
+    "multimodal_decode_gif_anim",
 ]
 
 REGRESSION_PCT = 0.15  # median must move more than this ...

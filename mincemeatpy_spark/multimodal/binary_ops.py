@@ -3237,9 +3237,20 @@ def encode_gif_indexed(
         rows = list(range(h))
     data = bytes(index_at(x, y) for y in rows for x in range(w))
 
-    mcs = bits
+    out += bytes([bits])
+    out += _gif_lzw_compress(data, bits)
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _gif_lzw_compress(data: bytes, mcs: int) -> bytes:
+    """The real variable-width GIF LZW compressor (LSB-first packing,
+    CLEAR/EOI, one-behind width rule, CLEAR+reset at the 12-bit cap),
+    emitted as 255-byte sub-blocks WITHOUT the trailing 0 terminator
+    (callers append it).  Shared by the single-frame and animation
+    encoders."""
+    size = 1 << mcs
     CLEAR, EOI = 1 << mcs, (1 << mcs) + 1
-    out += bytes([mcs])
 
     packed = bytearray()
     buf = 0
@@ -3286,11 +3297,66 @@ def encode_gif_indexed(
     if nbuf:
         packed.append(buf & 0xFF)
 
+    out = bytearray()
     for i in range(0, len(packed), 255):
         chunk = packed[i : i + 255]
         out += bytes([len(chunk)]) + chunk
-    out += b"\x00\x3b"
     return bytes(out)
+
+
+def _gif_lzw_decompress(data: bytes, mcs: int, npix: int) -> bytearray:
+    """The real variable-width GIF LZW decompressor (LSB-first,
+    CLEAR/EOI, KwKwK self-reference case, width growth at table size
+    2^n, 12-bit cap), shared by the single-frame and animation
+    decoders.  Exactly ``npix`` indices or ValueError."""
+    CLEAR, EOI = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    table = list(base)
+    codesize = mcs + 1
+    buf = 0
+    nbuf = 0
+    di = 0
+    prev = None
+    out = bytearray()
+    while True:
+        while nbuf < codesize:
+            if di >= len(data):
+                raise ValueError("malformed GIF: LZW stream exhausted")
+            buf |= data[di] << nbuf
+            di += 1
+            nbuf += 8
+        code = buf & ((1 << codesize) - 1)
+        buf >>= codesize
+        nbuf -= codesize
+        if code == CLEAR:
+            table = list(base)
+            codesize = mcs + 1
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("malformed GIF: bad first LZW code")
+            out += table[code]
+            prev = code
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = table[prev] + table[prev][:1]  # the KwKwK case
+        else:
+            raise ValueError("malformed GIF: LZW code out of range")
+        out += entry
+        table.append(table[prev] + entry[:1])
+        if len(table) == (1 << codesize) and codesize < 12:
+            codesize += 1
+        prev = code
+        if len(out) > npix:
+            raise ValueError("malformed GIF: too many pixels")
+    if len(out) != npix:
+        raise ValueError("malformed GIF: pixel count mismatch")
+    return out
 
 
 def decode_gif_real(payload: bytes) -> dict:
@@ -3388,55 +3454,7 @@ def decode_gif_real(payload: bytes) -> dict:
         data += payload[pos : pos + n]
         pos += n
 
-    # LZW decompress (LSB-first)
-    CLEAR, EOI = 1 << mcs, (1 << mcs) + 1
-    base = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
-    table = list(base)
-    codesize = mcs + 1
-    buf = 0
-    nbuf = 0
-    di = 0
-    prev = None
-    out = bytearray()
-    npix = w * h
-    while True:
-        while nbuf < codesize:
-            if di >= len(data):
-                raise ValueError("malformed GIF: LZW stream exhausted")
-            buf |= data[di] << nbuf
-            di += 1
-            nbuf += 8
-        code = buf & ((1 << codesize) - 1)
-        buf >>= codesize
-        nbuf -= codesize
-        if code == CLEAR:
-            table = list(base)
-            codesize = mcs + 1
-            prev = None
-            continue
-        if code == EOI:
-            break
-        if prev is None:
-            if code >= len(table):
-                raise ValueError("malformed GIF: bad first LZW code")
-            out += table[code]
-            prev = code
-            continue
-        if code < len(table):
-            entry = table[code]
-        elif code == len(table):
-            entry = table[prev] + table[prev][:1]  # the KwKwK case
-        else:
-            raise ValueError("malformed GIF: LZW code out of range")
-        out += entry
-        table.append(table[prev] + entry[:1])
-        if len(table) == (1 << codesize) and codesize < 12:
-            codesize += 1
-        prev = code
-        if len(out) > npix:
-            raise ValueError("malformed GIF: too many pixels")
-    if len(out) != npix:
-        raise ValueError("malformed GIF: pixel count mismatch")
+    out = _gif_lzw_decompress(data, mcs, w * h)
 
     if interlaced:
         order = (
@@ -3466,6 +3484,237 @@ def decode_gif_real(payload: bytes) -> dict:
         "sum_r": sr,
         "sum_g": sg,
         "sum_b": sb,
+    }
+
+
+def encode_gif_anim(sw: int, sh: int, gpalette: list, frames: list,
+                    bg_index: int = 0, loop: int = 0) -> bytes:
+    """Spec-correct ANIMATED GIF89a writer: logical screen descriptor
+    with background color index + global color table, the NETSCAPE2.0
+    looping application extension, and per frame a Graphics Control
+    Extension (disposal method, optional transparency index, delay)
+    followed by a sub-rectangle image descriptor (optional LOCAL color
+    table) and real LZW data.  Each frame dict: ``{x, y, w, h,
+    index_at(u, v), disposal, transparent_idx (or None), palette (or
+    None for global), delay}``."""
+    import struct
+
+    npal = len(gpalette)
+    gbits = max(2, (npal - 1).bit_length())
+    gsize = 1 << gbits
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | ((gbits - 1) << 4) | (gbits - 1), bg_index, 0])
+    for i in range(gsize):
+        r, g, b = gpalette[i] if i < npal else (0, 0, 0)
+        out += bytes([r, g, b])
+
+    # NETSCAPE looping extension
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop)
+    out += b"\x00"
+
+    for fr in frames:
+        tidx = fr.get("transparent_idx")
+        packed = (fr.get("disposal", 0) & 7) << 2
+        if tidx is not None:
+            packed |= 1
+        out += b"\x21\xf9\x04" + bytes([packed])
+        out += struct.pack("<H", fr.get("delay", 4))
+        out += bytes([tidx if tidx is not None else 0, 0])
+
+        pal = fr.get("palette")
+        out += b"\x2c" + struct.pack(
+            "<HHHH", fr["x"], fr["y"], fr["w"], fr["h"]
+        )
+        if pal is not None:
+            lbits = max(2, (len(pal) - 1).bit_length())
+            lsize = 1 << lbits
+            out += bytes([0x80 | (lbits - 1)])
+            for i in range(lsize):
+                r, g, b = pal[i] if i < len(pal) else (0, 0, 0)
+                out += bytes([r, g, b])
+            bits = lbits
+        else:
+            out += b"\x00"
+            bits = gbits
+        data = bytes(
+            fr["index_at"](u, v)
+            for v in range(fr["h"])
+            for u in range(fr["w"])
+        )
+        out += bytes([bits])
+        out += _gif_lzw_compress(data, bits)
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_anim(payload: bytes) -> dict:
+    """Real ANIMATED GIF decode: the full block walk (every image
+    descriptor, not just the first), Graphics Control Extensions
+    driving per-frame compositing — transparency indices skip pixels,
+    disposal 0/1 keeps the canvas, disposal 2 restores the frame's
+    rectangle to the background color, disposal 3 restores the
+    pre-frame canvas — with sub-rectangle frames, local color tables
+    and the same real LZW decompressor as the single-frame path.  The
+    canvas starts filled with the logical screen's background color.
+    Returns ``{fmt, width, height, n_frames, frames}`` where frames is
+    one (sum_r, sum_g, sum_b) triple per composited canvas state —
+    exact integers (GIF is lossless)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("malformed GIF: truncated screen descriptor")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    bg_index = payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("malformed GIF: truncated color table")
+        gct = [
+            tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)
+        ]
+        pos += 3 * n
+    if gct is None:
+        raise ValueError("malformed GIF: animation needs a global table")
+    bg = gct[bg_index] if bg_index < len(gct) else (0, 0, 0)
+
+    canvas = [bg] * (sw * sh)
+    frames = []
+    gce = None
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("malformed GIF: unterminated sub-blocks")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return p
+            p += n
+
+    while True:
+        if pos >= len(payload):
+            raise ValueError("malformed GIF: missing trailer")
+        intro = payload[pos]
+        pos += 1
+        if intro == 0x3B:
+            break
+        if intro == 0x21:
+            if pos >= len(payload):
+                raise ValueError("malformed GIF: truncated extension")
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:
+                if pos + 6 > len(payload) or payload[pos] != 4:
+                    raise ValueError("malformed GIF: bad GCE block")
+                gpk = payload[pos + 1]
+                tr = payload[pos + 4]
+                gce = {
+                    "disposal": (gpk >> 2) & 7,
+                    "tidx": tr if gpk & 1 else None,
+                }
+                pos = skip_subblocks(pos)
+            else:
+                pos = skip_subblocks(pos)
+            continue
+        if intro != 0x2C:
+            raise ValueError(f"malformed GIF: unknown block 0x{intro:02x}")
+
+        if pos + 9 > len(payload):
+            raise ValueError("malformed GIF: truncated image descriptor")
+        lx, ly, w, h = struct.unpack_from("<HHHH", payload, pos)
+        ipacked = payload[pos + 8]
+        pos += 9
+        if lx + w > sw or ly + h > sh:
+            raise ValueError("malformed GIF: frame exceeds the screen")
+        interlaced = bool(ipacked & 0x40)
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("malformed GIF: truncated local table")
+            pal = [
+                tuple(payload[pos + 3 * i : pos + 3 * i + 3])
+                for i in range(n)
+            ]
+            pos += 3 * n
+
+        if pos >= len(payload):
+            raise ValueError("malformed GIF: missing LZW code size")
+        mcs = payload[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            raise ValueError("malformed GIF: bad LZW minimum code size")
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("malformed GIF: unterminated image data")
+            n = payload[pos]
+            pos += 1
+            if n == 0:
+                break
+            data += payload[pos : pos + n]
+            pos += n
+        out = _gif_lzw_decompress(data, mcs, w * h)
+        if interlaced:
+            order = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            rows = [None] * h
+            for i, y in enumerate(order):
+                rows[y] = out[i * w : (i + 1) * w]
+            out = bytearray().join(bytes(r) for r in rows)
+
+        disposal = gce["disposal"] if gce else 0
+        tidx = gce["tidx"] if gce else None
+        prev_canvas = list(canvas) if disposal == 3 else None
+        npal = len(pal)
+        for v in range(h):
+            row = (ly + v) * sw + lx
+            src = v * w
+            for u in range(w):
+                idx = out[src + u]
+                if idx == tidx:
+                    continue
+                if idx >= npal:
+                    raise ValueError(
+                        "malformed GIF: palette index out of range"
+                    )
+                canvas[row + u] = pal[idx]
+        frames.append(
+            (
+                sum(c[0] for c in canvas),
+                sum(c[1] for c in canvas),
+                sum(c[2] for c in canvas),
+            )
+        )
+        if disposal == 2:
+            for v in range(h):
+                row = (ly + v) * sw + lx
+                for u in range(w):
+                    canvas[row + u] = bg
+        elif disposal == 3:
+            canvas = prev_canvas
+        gce = None
+
+    if not frames:
+        raise ValueError("malformed GIF: no image data")
+    return {
+        "fmt": "gif-anim",
+        "width": int(sw),
+        "height": int(sh),
+        "n_frames": len(frames),
+        "frames": frames,
     }
 
 
@@ -3522,8 +3771,14 @@ def multimodal_decode_gif_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    enc = _ship_by_value(encode_gif_indexed)
-    dec = _ship_by_value(decode_gif_real)
+    enc = _ship_with(
+        encode_gif_indexed,
+        _gif_lzw_compress=_ship_by_value(_gif_lzw_compress),
+    )
+    dec = _ship_with(
+        decode_gif_real,
+        _gif_lzw_decompress=_ship_by_value(_gif_lzw_decompress),
+    )
 
     def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -3576,6 +3831,165 @@ def multimodal_decode_gif_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id long, fmt string, width long, height long, "
             "sum_r long, sum_g long, sum_b long"
+        ),
+    )
+
+
+@register(
+    "multimodal_decode_gif_anim",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, n_chars % 10 + 6 AS w, doc_id % 8 + 6 AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT d.doc_id, d.w, d.h, x.x, y.y, k.k
+            FROM dims d,
+                 LATERAL unnest(generate_series(0, d.w - 1)) AS x(x),
+                 LATERAL unnest(generate_series(0, d.h - 1)) AS y(y),
+                 LATERAL unnest(generate_series(0, 3)) AS k(k)
+        ),
+        sel AS (
+            SELECT doc_id, k,
+                   CASE WHEN k = 3 AND y < 2 AND (5 * x + y) % 8 <> 6
+                        THEN 1 ELSE 0 END AS use_local,
+                   CASE
+                     WHEN k = 3 AND y < 2 AND (5 * x + y) % 8 <> 6
+                       THEN (5 * x + y) % 8
+                     WHEN k = 2 AND x >= 1 AND x <= w // 2
+                              AND y >= 1 AND y <= h // 2
+                       THEN ((x - 1) + 3 * (y - 1)) % 8
+                     WHEN k = 1 AND x >= 2 AND x < w - 2
+                              AND y >= 2 AND y < h - 2
+                              AND ((x - 2) * 2 + (y - 2)) % 8 <> 3
+                       THEN ((x - 2) * 2 + (y - 2)) % 8
+                     WHEN k >= 2 AND x >= 2 AND x < w - 2
+                              AND y >= 2 AND y < h - 2
+                       THEN 0
+                     ELSE (x + y) % 7 + 1
+                   END AS idx
+            FROM px
+        )
+        SELECT doc_id,
+               CAST(k AS BIGINT) AS frame_no,
+               CAST(4 AS BIGINT) AS n_frames,
+               CAST(sum(CASE use_local
+                    WHEN 1 THEN (doc_id * 11 + idx * 53) % 256
+                    ELSE (doc_id * 37 + idx * 29) % 256 END) AS BIGINT)
+                   AS sum_r,
+               CAST(sum(CASE use_local
+                    WHEN 1 THEN (doc_id * 11 + idx * 53 + 90) % 256
+                    ELSE (doc_id * 37 + idx * 29 + 85) % 256 END) AS BIGINT)
+                   AS sum_g,
+               CAST(sum(CASE use_local
+                    WHEN 1 THEN (doc_id * 11 + idx * 53 + 180) % 256
+                    ELSE (doc_id * 37 + idx * 29 + 170) % 256 END) AS BIGINT)
+                   AS sum_b
+        FROM sel
+        GROUP BY doc_id, k
+        """,
+    category="multimodal",
+    doc="ANIMATED GIF decoded for real (r10 — multi-frame compositing "
+    "joins the codec family): stage 1 writes a genuine 4-frame GIF89a "
+    "per document — NETSCAPE loop extension, per-frame Graphics "
+    "Control Extensions exercising disposal 1 (keep), 2 (restore the "
+    "frame rect to the background color) and 3 (restore the pre-frame "
+    "canvas), a transparency index in two frames, sub-rectangle "
+    "frames, and a LOCAL color table on the last frame; stage 2 runs "
+    "decode_gif_anim: the full block walk, real LZW per frame, and "
+    "the compositing state machine, emitting one row per composited "
+    "canvas state.  GIF is LOSSLESS and the compositing rules are "
+    "deterministic, so the oracle folds the whole "
+    "frame0->draw->dispose->draw pipeline into closed-form per-pixel "
+    "CASE logic and the per-frame channel sums HASH-MATCH EXACTLY.  "
+    "At 100 TB: per-row CPU in two narrow Arrow stages; the frame "
+    "explosion happens inside the decode pass (4 rows out per asset), "
+    "not as a shuffle.",
+)
+def multimodal_decode_gif_anim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    lzw_c = _ship_by_value(_gif_lzw_compress)
+    lzw_d = _ship_by_value(_gif_lzw_decompress)
+    enc = _ship_with(encode_gif_anim, _gif_lzw_compress=lzw_c)
+    dec = _ship_with(decode_gif_anim, _gif_lzw_decompress=lzw_d)
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                cid, n_chars = int(doc_id), int(n_chars)
+                w, h = n_chars % 10 + 6, cid % 8 + 6
+                G = [
+                    (
+                        (cid * 37 + i * 29) % 256,
+                        (cid * 37 + i * 29 + 85) % 256,
+                        (cid * 37 + i * 29 + 170) % 256,
+                    )
+                    for i in range(8)
+                ]
+                L = [
+                    (
+                        (cid * 11 + i * 53) % 256,
+                        (cid * 11 + i * 53 + 90) % 256,
+                        (cid * 11 + i * 53 + 180) % 256,
+                    )
+                    for i in range(8)
+                ]
+                frames = [
+                    dict(x=0, y=0, w=w, h=h,
+                         index_at=lambda u, v: (u + v) % 7 + 1,
+                         disposal=1, transparent_idx=None, palette=None),
+                    dict(x=2, y=2, w=w - 4, h=h - 4,
+                         index_at=lambda u, v: (2 * u + v) % 8,
+                         disposal=2, transparent_idx=3, palette=None),
+                    dict(x=1, y=1, w=w // 2, h=h // 2,
+                         index_at=lambda u, v: (u + 3 * v) % 8,
+                         disposal=3, transparent_idx=None, palette=None),
+                    dict(x=0, y=0, w=w, h=2,
+                         index_at=lambda u, v: (5 * u + v) % 8,
+                         disposal=1, transparent_idx=6, palette=L),
+                ]
+                payloads.append(enc(w, h, G, frames, bg_index=0))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, schema="doc_id long, payload binary")
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = dec(bytes(payload))
+                for k, (sr, sg, sb) in enumerate(m["frames"]):
+                    rows.append(
+                        (int(doc_id), k, m["n_frames"], sr, sg, sb)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_no", "n_frames", "sum_r", "sum_g",
+                    "sum_b",
+                ],
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, frame_no long, n_frames long, sum_r long, "
+            "sum_g long, sum_b long"
         ),
     )
 

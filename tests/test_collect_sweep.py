@@ -37,6 +37,13 @@ _PKG = pathlib.Path(__file__).resolve().parent.parent / "mincemeatpy_spark"
 
 # function -> (expected number of collect sites, the bound that makes them safe)
 _ALLOWLIST = {
+    "text/analysis.py::_bpe_merge_table": (
+        1,
+        "model artifact, not data: the trained merge list (3 rows "
+        "here, ~30k for a production tokenizer) collected once per "
+        "fixture and broadcast to every encode task — the documented "
+        "loop-control/model-artifact collect class",
+    ),
     "compat.py::mapreduce": (
         1,
         "compat contract — the reference returns a driver dict "

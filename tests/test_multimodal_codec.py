@@ -1040,3 +1040,127 @@ def test_resize_bilinear_integer_kernel():
                     + 32768
                 ) >> 16
                 assert out[oy, ox, c] == v
+
+
+# ------------------------------------------------------------- r10: anim GIF
+
+from mincemeatpy_spark.multimodal.binary_ops import (  # noqa: E402
+    decode_gif_anim,
+    encode_gif_anim,
+)
+
+
+def _anim_pal(seed):
+    return [
+        ((seed + i * 29) % 256, (seed + i * 29 + 85) % 256,
+         (seed + i * 29 + 170) % 256)
+        for i in range(8)
+    ]
+
+
+def test_gif_anim_disposal_semantics_exact():
+    """Disposal 1/2/3 + transparency + sub-rects + a local table,
+    matched against an independent compositing reference."""
+    w, h = 11, 9
+    G = _anim_pal(17)
+    L = _anim_pal(201)
+    frames = [
+        dict(x=0, y=0, w=w, h=h, index_at=lambda u, v: (u + v) % 7 + 1,
+             disposal=1, transparent_idx=None, palette=None),
+        dict(x=2, y=2, w=w - 4, h=h - 4,
+             index_at=lambda u, v: (2 * u + v) % 8,
+             disposal=2, transparent_idx=3, palette=None),
+        dict(x=1, y=1, w=w // 2, h=h // 2,
+             index_at=lambda u, v: (u + 3 * v) % 8,
+             disposal=3, transparent_idx=None, palette=None),
+        dict(x=0, y=0, w=w, h=2, index_at=lambda u, v: (5 * u + v) % 8,
+             disposal=1, transparent_idx=6, palette=L),
+    ]
+    m = decode_gif_anim(encode_gif_anim(w, h, G, frames, bg_index=0))
+    assert (m["fmt"], m["n_frames"]) == ("gif-anim", 4)
+
+    C = [[G[(x + y) % 7 + 1] for x in range(w)] for y in range(h)]
+    states = [[r[:] for r in C]]
+    C1 = [r[:] for r in C]
+    for v in range(h - 4):
+        for u in range(w - 4):
+            i = (2 * u + v) % 8
+            if i != 3:
+                C1[v + 2][u + 2] = G[i]
+    states.append([r[:] for r in C1])
+    D1 = [r[:] for r in C1]
+    for v in range(h - 4):
+        for u in range(w - 4):
+            D1[v + 2][u + 2] = G[0]
+    C2 = [r[:] for r in D1]
+    for v in range(h // 2):
+        for u in range(w // 2):
+            C2[v + 1][u + 1] = G[(u + 3 * v) % 8]
+    states.append(C2)
+    C3 = [r[:] for r in D1]
+    for v in range(2):
+        for u in range(w):
+            i = (5 * u + v) % 8
+            if i != 6:
+                C3[v][u] = L[i]
+    states.append(C3)
+    for k, S in enumerate(states):
+        sums = tuple(
+            sum(S[y][x][c] for y in range(h) for x in range(w))
+            for c in range(3)
+        )
+        assert m["frames"][k] == sums, k
+
+
+def test_gif_anim_fully_transparent_frame_keeps_canvas():
+    G = _anim_pal(3)
+    frames = [
+        dict(x=0, y=0, w=4, h=4, index_at=lambda u, v: 5, disposal=1,
+             transparent_idx=None, palette=None),
+        dict(x=0, y=0, w=4, h=4, index_at=lambda u, v: 2, disposal=1,
+             transparent_idx=2, palette=None),  # every pixel transparent
+    ]
+    m = decode_gif_anim(encode_gif_anim(4, 4, G, frames))
+    assert m["frames"][0] == m["frames"][1]
+
+
+def test_gif_anim_malformed():
+    import pytest
+
+    G = _anim_pal(3)
+    frames = [dict(x=0, y=0, w=4, h=4, index_at=lambda u, v: 1,
+                   disposal=0, transparent_idx=None, palette=None)]
+    good = bytearray(encode_gif_anim(4, 4, G, frames))
+    # frame rect exceeding the logical screen
+    bad = bytearray(good)
+    at = bad.index(b"\x2c")
+    bad[at + 5 : at + 7] = b"\x09\x00"  # frame width 9 > screen 4
+    with pytest.raises(ValueError, match="exceeds"):
+        decode_gif_anim(bytes(bad))
+    # truncated GCE
+    at = good.index(b"\x21\xf9")
+    with pytest.raises(ValueError):
+        decode_gif_anim(bytes(good[: at + 3]))
+    # no frames at all
+    with pytest.raises(ValueError, match="no image data"):
+        decode_gif_anim(bytes(good[:13]) + good[13 : 13 + 3 * 8] + b"\x3b")
+
+
+def test_gif_anim_single_frame_matches_single_decoder():
+    # a one-frame animation composites to exactly what the
+    # single-frame decoder reads
+    from mincemeatpy_spark.multimodal.binary_ops import (
+        decode_gif_real,
+        encode_gif_indexed,
+    )
+
+    G = _anim_pal(9)
+    single = encode_gif_indexed(6, 5, G, lambda x, y: (x * 3 + y) % 8)
+    anim = encode_gif_anim(
+        6, 5, G,
+        [dict(x=0, y=0, w=6, h=5, index_at=lambda u, v: (u * 3 + v) % 8,
+              disposal=0, transparent_idx=None, palette=None)],
+    )
+    a = decode_gif_real(single)
+    b = decode_gif_anim(anim)
+    assert (a["sum_r"], a["sum_g"], a["sum_b"]) == b["frames"][0]
