@@ -132,26 +132,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid_rrf",
         "kmeans_loop_2iter",
         "stream_tumbling_counts_e2e",
-        # round-4 late additions (r9 trims dedup_incremental_lsh and
-        # word_pmi_collocations from the leads: both carry 5+ rounds of
-        # driver certification, and the 50-slot prefix must still span
-        # every category after the r9 codec flagships joined)
-        "embedding_knn_label_eval",
-        "dp_noisy_counts",
-        # round-7 flagships, promoted so the driver's 50-query prefix
-        # certifies them (VERDICT r7 task 5): the PPJoin prefix-filter
-        # similarity join and CCNet segment dedup (both sf1-soak-fixed),
-        # the DSIR selection pair, the KS/Mann-Whitney drift tests, and
-        # the two queries whose oracles round 8 hardened (LOO target
-        # encoding integerized; PSI week floor-div made engine-agnostic).
+        # round-4/7/8 flagships trimmed from the leads over rounds as
+        # they accumulate driver certifications (r9 trimmed
+        # dedup_incremental_lsh + word_pmi_collocations; r10 trims
+        # embedding_knn_label_eval, dp_noisy_counts,
+        # corpus_dsir_resample, stats_mannwhitney_u, events_psi_drift
+        # and features_target_encoding_loo — each certified in 2+
+        # driver samples — so the 50-slot prefix still spans every
+        # category after the six r10 flagships joined).
         "dedup_prefix_filter_join",
         "dedup_segments_bulk",
         "corpus_dsir_weights",
-        "corpus_dsir_resample",
         "stats_ks_two_sample",
-        "stats_mannwhitney_u",
-        "events_psi_drift",
-        "features_target_encoding_loo",
         # round-9 flagships: the VP8L (WebP-lossless) and Ogg/Vorbis
         # transform-audio codec queries (gate-list shrink), promoted
         # for driver certification in the r9 sample.

@@ -3362,9 +3362,9 @@ def _gif_lzw_decompress(data: bytes, mcs: int, npix: int) -> bytearray:
 def decode_gif_real(payload: bytes) -> dict:
     """Real, dependency-free GIF decode: header + logical screen
     descriptor, global/local color tables, extension-block skipping
-    (GCE/comment/application), the FIRST image descriptor (animated
-    GIFs decode their first frame; the remaining frames need disposal
-    compositing, gated honestly below), optional interlace
+    (GCE/comment/application), the FIRST image descriptor (the
+    single-still contract; full multi-frame disposal compositing is
+    ``decode_gif_anim`` since r10), optional interlace
     de-scrambling, and a full variable-width LZW decompressor
     (LSB-first, CLEAR/EOI, KwKwK self-reference case, width growth at
     table size 2^n, 12-bit cap).
