@@ -108,6 +108,7 @@ EXTENDED = [
     "pipeline_video_corpus",
     "multimodal_decode_vp8_real",
     "multimodal_decode_gif_anim",
+    "multimodal_decode_vp8x_real",
 ]
 
 REGRESSION_PCT = 0.15  # median must move more than this ...

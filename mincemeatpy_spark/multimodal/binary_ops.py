@@ -5901,7 +5901,7 @@ def encode_webp_lossless(
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
 
 
-def decode_webp_real(payload: bytes) -> dict:
+def decode_webp_real(payload: bytes, _pixels: bool = False) -> dict:
     """Real VP8L (WebP lossless) decoder: RIFF walk to the VP8L chunk,
     then the full bitstream — prefix codes (simple + normal with
     code-length RLE and max_symbol), color cache, meta prefix groups,
@@ -5937,10 +5937,16 @@ def decode_webp_real(payload: bytes) -> dict:
                 ) from exc
             return vp8(body[:clen])
         if fourcc == b"VP8X":
-            raise NotImplementedError(
-                "extended WebP (VP8X: animation/alpha/EXIF) not in the "
-                "subset; VP8 and VP8L frames decode natively here"
-            )
+            # extended container: static alpha images decode for real
+            # since r10 (decode_webp_extended); ship-alongside
+            try:
+                ext = decode_webp_extended
+            except NameError as exc:
+                raise NotImplementedError(
+                    "VP8X dispatch needs decode_webp_extended shipped "
+                    "alongside"
+                ) from exc
+            return ext(payload)
         pos += 8 + clen + (clen & 1)
     if data is None:
         raise ValueError("malformed WebP: no VP8L chunk")
@@ -6284,7 +6290,7 @@ def decode_webp_real(payload: bytes) -> dict:
     sum_r = sum((p >> 16) & 0xFF for p in argb)
     sum_g = sum((p >> 8) & 0xFF for p in argb)
     sum_b = sum(p & 0xFF for p in argb)
-    return {
+    out = {
         "fmt": "webp-lossless",
         "width": w,
         "height": h,
@@ -6292,6 +6298,207 @@ def decode_webp_real(payload: bytes) -> dict:
         "sum_g": sum_g,
         "sum_b": sum_b,
     }
+    if _pixels:  # ARGB ints; the VP8X ALPH path reads the green plane
+        out["argb"] = argb
+    return out
+
+
+def _webp_alpha_filter(plane: list, w: int, h: int, f: int,
+                       inverse: bool) -> list:
+    """The WebP ALPH chunk's prediction filters (0 none, 1 horizontal,
+    2 vertical, 3 gradient), libwebp's edge convention: pixel (0,0)
+    predicts 0; row 0 predicts from the left; column 0 predicts from
+    above; interior per filter (gradient = clamp(left+above-corner)).
+    Forward subtracts the prediction mod 256; inverse adds it back
+    against the already-RECONSTRUCTED plane."""
+    if f == 0:
+        return list(plane)
+    out = [0] * (w * h)
+    src = out if inverse else plane  # predictions read reconstructed
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                pred = 0
+            elif y == 0:
+                pred = src[i - 1]
+            elif x == 0:
+                pred = src[i - w]
+            elif f == 1:
+                pred = src[i - 1]
+            elif f == 2:
+                pred = src[i - w]
+            else:
+                g = src[i - 1] + src[i - w] - src[i - w - 1]
+                pred = 0 if g < 0 else (255 if g > 255 else g)
+            out[i] = (plane[i] + pred) % 256 if inverse else (
+                plane[i] - pred
+            ) % 256
+    return out
+
+
+def encode_webp_extended(y, u, v, alpha, qi: int = 4,
+                         filter_level: int = 0, sharpness: int = 0,
+                         mode_seed: int = 0, alpha_filter: int = 0,
+                         alpha_compression: int = 1) -> bytes:
+    """Extended WebP (VP8X) writer for static lossy-with-alpha images:
+    VP8X chunk (alpha flag, 24-bit canvas dims), ALPH chunk — the
+    alpha plane run through a prediction filter, then either raw
+    (C=0) or compressed as a HEADERLESS VP8L stream of alpha-as-green
+    (C=1; the VP8L header is exactly 40 bits, so stripping the first
+    5 bytes of a real lossless encode yields the spec's headerless
+    form) — and the VP8 key frame from ``encode_vp8_frame``."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(alpha, dtype=np.int64)
+    h, w = a.shape
+    plane = a.reshape(-1).tolist()
+    filtered = _webp_alpha_filter(plane, w, h, alpha_filter, False)
+    if alpha_compression == 0:
+        adata = bytes(filtered)
+    else:
+        rows = [
+            [(0, filtered[yy * w + xx], 0) for xx in range(w)]
+            for yy in range(h)
+        ]
+        lossless = encode_webp_lossless(rows)
+        # RIFF(8) WEBP(4) VP8L+size(8) = 20-byte container prefix,
+        # then the 5-byte (40-bit) VP8L header
+        adata = lossless[20 + 5 :]
+    alph = bytes([(alpha_filter << 2) | alpha_compression]) + adata
+
+    frame = encode_vp8_frame(
+        y, u, v, qi=qi, filter_level=filter_level, sharpness=sharpness,
+        mode_seed=mode_seed,
+    )
+
+    def chunk(four: bytes, data: bytes) -> bytes:
+        c = four + struct.pack("<I", len(data)) + data
+        if len(data) % 2:
+            c += b"\x00"
+        return c
+
+    vp8x = bytes([0x10, 0, 0, 0])  # flags: ALPHA
+    vp8x += struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3]
+    body = chunk(b"VP8X", vp8x) + chunk(b"ALPH", alph) + chunk(
+        b"VP8 ", frame
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def decode_webp_extended(payload: bytes,
+                         return_planes: bool = False) -> dict:
+    """Real VP8X (extended WebP) decode for static alpha images: VP8X
+    header (flags + 24-bit canvas dims), the ALPH chunk — header byte
+    (preprocessing informational, filter method inverted for real,
+    compression 0 = raw or 1 = headerless VP8L alpha-as-green, decoded
+    by re-framing the stream under a synthesized 40-bit VP8L header
+    and reading the green plane) — and the VP8 key frame through
+    ``decode_vp8_real``.  Canvas dims are cross-checked against the
+    frame.  Animated VP8X (ANIM flag / ANMF chunks) raises the honest
+    gate.  When shipped by value, needs decode_vp8_real and
+    decode_webp_real (with its _vp8l_* helpers) alongside."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP stream (missing RIFF/WEBP)")
+    pos = 12
+    canvas = None
+    alph = None
+    frame = None
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if fourcc == b"VP8X":
+            if clen < 10:
+                raise ValueError("malformed VP8X: short header")
+            flags = body[0]
+            if flags & 0x02:
+                raise NotImplementedError(
+                    "animated WebP (VP8X ANIM) not in the subset; "
+                    "static alpha images decode natively here"
+                )
+            cw = 1 + (body[4] | (body[5] << 8) | (body[6] << 16))
+            ch = 1 + (body[7] | (body[8] << 8) | (body[9] << 16))
+            canvas = (cw, ch)
+        elif fourcc == b"ALPH":
+            alph = bytes(body)
+        elif fourcc == b"VP8 ":
+            frame = bytes(body)
+        elif fourcc == b"ANMF":
+            raise NotImplementedError(
+                "animated WebP (ANMF frames) not in the subset"
+            )
+        # ICCP/EXIF/XMP chunks: metadata, skipped
+        pos += 8 + clen + (clen & 1)
+    if canvas is None:
+        raise ValueError("malformed VP8X: missing header chunk")
+    if frame is None:
+        raise ValueError("malformed VP8X: no VP8 frame")
+    try:
+        vp8 = decode_vp8_real
+        webp = decode_webp_real
+    except NameError as exc:
+        raise NotImplementedError(
+            "VP8X decode needs decode_vp8_real/decode_webp_real "
+            "shipped alongside"
+        ) from exc
+    m = vp8(frame, return_planes=return_planes)
+    w, h = canvas
+    if (m["width"], m["height"]) != (w, h):
+        raise ValueError("VP8X canvas dims disagree with the frame")
+    out = {
+        "fmt": "webp-vp8x",
+        "width": w,
+        "height": h,
+        "sum_y": m["sum_y"],
+        "sum_u": m["sum_u"],
+        "sum_v": m["sum_v"],
+        "sum_a": 255 * w * h,  # no ALPH chunk => fully opaque
+    }
+    if return_planes:
+        out["y_plane"] = m["y_plane"]
+        out["u_plane"] = m["u_plane"]
+        out["v_plane"] = m["v_plane"]
+    if alph is not None:
+        if len(alph) < 1:
+            raise ValueError("malformed ALPH: empty chunk")
+        hdr = alph[0]
+        f = (hdr >> 2) & 3
+        comp = hdr & 3
+        if comp == 0:
+            if len(alph) - 1 != w * h:
+                raise ValueError("malformed ALPH: raw size mismatch")
+            filtered = list(alph[1:])
+        elif comp == 1:
+            # re-frame the headerless stream under a synthesized
+            # 40-bit VP8L header (byte-aligned by construction)
+            head = bytearray([0x2F])
+            dims = (w - 1) | ((h - 1) << 14)  # +1 alpha hint, +3 version = 0
+            head += struct.pack("<I", dims)
+            stream = bytes(head) + alph[1:]
+            cont = (
+                b"RIFF"
+                + struct.pack("<I", 12 + len(stream))
+                + b"WEBP"
+                + b"VP8L"
+                + struct.pack("<I", len(stream))
+                + stream
+            )
+            lm = webp(cont, _pixels=True)
+            filtered = [(p >> 8) & 0xFF for p in lm["argb"]]
+        else:
+            raise ValueError(f"malformed ALPH: compression {comp}")
+        plane = _webp_alpha_filter(filtered, w, h, f, True)
+        out["sum_a"] = sum(plane)
+        if return_planes:
+            out["a_plane"] = [
+                plane[yy * w : (yy + 1) * w] for yy in range(h)
+            ]
+    return out
 
 
 @register(
@@ -6440,4 +6647,7 @@ def multimodal_decode_webp_real(
 # (no cycle at import time — registry loads binary_ops first, which
 # triggers this).
 from mincemeatpy_spark.multimodal.vorbis import decode_vorbis_real  # noqa: E402,F401
-from mincemeatpy_spark.multimodal.vp8 import decode_vp8_real  # noqa: E402,F401
+from mincemeatpy_spark.multimodal.vp8 import (  # noqa: E402,F401
+    decode_vp8_real,
+    encode_vp8_frame,
+)

@@ -1155,61 +1155,12 @@ def decode_vp8_real(payload: bytes, return_planes: bool = False) -> dict:
     return out
 
 
-@register(
-    "multimodal_decode_vp8_real",
-    oracle="""
-        SELECT doc_id,
-               'webp-vp8' AS fmt,
-               CAST(n_chars % 17 + 8 AS BIGINT) AS width,
-               CAST(doc_id % 13 + 8 AS BIGINT) AS height,
-               TRUE AS within_y,
-               TRUE AS within_u,
-               TRUE AS within_v
-        FROM documents
-        """,
-    category="multimodal",
-    doc="Lossy WebP (VP8 key frames) decoded FOR REAL (r9 judge task 1 "
-    "— the last derivable image-gate entry falls): stage 1 encodes a "
-    "genuine RIFF/WEBP/'VP8 ' stream per document — boolean "
-    "arithmetic coder, keyframe header with token-probability update "
-    "flags, per-MB mode coding on the keyframe trees (DC/V/H/TM "
-    "rotated per macroblock AND per doc), Y2 walsh-hadamard + 4x4 DCT "
-    "token partition with CAT1..6 extra bits, quantizer rotation "
-    "doc_id%24, SIMPLE loop-filter level/sharpness rotation, and an "
-    "all-skip flat document every 7th doc so the mb_no_coeff_skip "
-    "path carries data; stage 2 routes through decode_webp_real's "
-    "container dispatch into decode_vp8_real: header parse, mode "
-    "decode, detokenization with band/context tracking, dequant, "
-    "exact integer IWHT+IDCT, intra prediction with 127/129 edge "
-    "fills, loop filter.  VP8 is LOSSY => the bound-assert "
-    "convention: width/height hash-match exactly and within_{y,u,v} "
-    "assert decoded plane sums sit within (3 + qi/3)/pixel of the "
-    "closed-form source sums (measured mean error 0.6-2.2/pixel over "
-    "the qi range — any dequant/zigzag/predictor/context bug blows "
-    "the bound by orders of magnitude on nearly every document).  "
-    "Table provenance is documented in the module docstring: the two "
-    "empirical 1056-entry probability tables are deterministic "
-    "placeholders (the stream machinery is exactly self-consistent); "
-    "everything else is spec-transcribed and KAT-pinned.  Both stages "
-    "are narrow mapInPandas passes over a repartitioned 16-byte/row "
-    "projection.  At 100 TB: pure per-row CPU, embarrassingly "
-    "parallel, no shuffle.",
-)
-def multimodal_decode_vp8_real(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    import pandas as pd
-
+def _vp8_ship_helpers() -> dict:
+    """The full by-value ship graph for the VP8 codec pair (the query
+    builders' shared plumbing — see binary_ops._ship_with)."""
     from mincemeatpy_spark.multimodal.binary_ops import (
         _ship_by_value,
         _ship_with,
-        decode_webp_real,
-    )
-
-    d = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", "n_chars")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     helpers = {
@@ -1270,6 +1221,67 @@ def multimodal_decode_vp8_real(
         _vp8_idct4_batch=helpers["_vp8_idct4_batch"],
     )
     helpers["_vp8_add_residual"] = _ship_by_value(_vp8_add_residual)
+    return helpers
+
+
+@register(
+    "multimodal_decode_vp8_real",
+    oracle="""
+        SELECT doc_id,
+               'webp-vp8' AS fmt,
+               CAST(n_chars % 17 + 8 AS BIGINT) AS width,
+               CAST(doc_id % 13 + 8 AS BIGINT) AS height,
+               TRUE AS within_y,
+               TRUE AS within_u,
+               TRUE AS within_v
+        FROM documents
+        """,
+    category="multimodal",
+    doc="Lossy WebP (VP8 key frames) decoded FOR REAL (r9 judge task 1 "
+    "— the last derivable image-gate entry falls): stage 1 encodes a "
+    "genuine RIFF/WEBP/'VP8 ' stream per document — boolean "
+    "arithmetic coder, keyframe header with token-probability update "
+    "flags, per-MB mode coding on the keyframe trees (DC/V/H/TM "
+    "rotated per macroblock AND per doc), Y2 walsh-hadamard + 4x4 DCT "
+    "token partition with CAT1..6 extra bits, quantizer rotation "
+    "doc_id%24, SIMPLE loop-filter level/sharpness rotation, and an "
+    "all-skip flat document every 7th doc so the mb_no_coeff_skip "
+    "path carries data; stage 2 routes through decode_webp_real's "
+    "container dispatch into decode_vp8_real: header parse, mode "
+    "decode, detokenization with band/context tracking, dequant, "
+    "exact integer IWHT+IDCT, intra prediction with 127/129 edge "
+    "fills, loop filter.  VP8 is LOSSY => the bound-assert "
+    "convention: width/height hash-match exactly and within_{y,u,v} "
+    "assert decoded plane sums sit within (3 + qi/3)/pixel of the "
+    "closed-form source sums (measured mean error 0.6-2.2/pixel over "
+    "the qi range — any dequant/zigzag/predictor/context bug blows "
+    "the bound by orders of magnitude on nearly every document).  "
+    "Table provenance is documented in the module docstring: the two "
+    "empirical 1056-entry probability tables are deterministic "
+    "placeholders (the stream machinery is exactly self-consistent); "
+    "everything else is spec-transcribed and KAT-pinned.  Both stages "
+    "are narrow mapInPandas passes over a repartitioned 16-byte/row "
+    "projection.  At 100 TB: pure per-row CPU, embarrassingly "
+    "parallel, no shuffle.",
+)
+def multimodal_decode_vp8_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    from mincemeatpy_spark.multimodal.binary_ops import (
+        _ship_by_value,
+        _ship_with,
+        decode_webp_real,
+    )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    helpers = _vp8_ship_helpers()
     enc_frame = _ship_with(encode_vp8_frame, **helpers)
     enc = _ship_with(encode_webp_lossy, encode_vp8_frame=enc_frame)
     dec_vp8 = _ship_with(decode_vp8_real, **helpers)
@@ -1378,5 +1390,198 @@ def multimodal_decode_vp8_real(
         schema=(
             "doc_id long, fmt string, width long, height long, "
             "within_y boolean, within_u boolean, within_v boolean"
+        ),
+    )
+
+
+@register(
+    "multimodal_decode_vp8x_real",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, n_chars % 17 + 8 AS w, doc_id % 13 + 8 AS h
+            FROM documents
+        ),
+        a AS (
+            SELECT d.doc_id,
+                   sum((d.doc_id * 13 + x.x * 3 + y.y * 7) % 256) AS sa
+            FROM dims d,
+                 LATERAL unnest(generate_series(0, d.w - 1)) AS x(x),
+                 LATERAL unnest(generate_series(0, d.h - 1)) AS y(y)
+            GROUP BY d.doc_id
+        )
+        SELECT d.doc_id,
+               'webp-vp8x' AS fmt,
+               CAST(d.w AS BIGINT) AS width,
+               CAST(d.h AS BIGINT) AS height,
+               CAST(a.sa AS BIGINT) AS sum_a,
+               TRUE AS within_y,
+               TRUE AS within_u,
+               TRUE AS within_v
+        FROM dims d JOIN a USING (doc_id)
+        """,
+    category="multimodal",
+    doc="EXTENDED WebP (VP8X) decoded for real — the most common "
+    "real-world WebP shape, lossy color + alpha: stage 1 writes a "
+    "genuine VP8X container per document (flags + 24-bit canvas dims, "
+    "an ALPH chunk whose alpha plane rotates through all four "
+    "prediction filters and BOTH compression methods — raw and "
+    "headerless-VP8L alpha-as-green — and a VP8 key frame with the "
+    "usual quantizer/mode rotation); stage 2 runs "
+    "decode_webp_extended: header parse, animation gate, filter "
+    "inversion against the reconstructed plane, the headerless VP8L "
+    "stream re-framed under a synthesized 40-bit header and decoded "
+    "by the REAL lossless machinery, dims cross-checked against the "
+    "VP8 frame.  The alpha channel is LOSSLESS => sum_a hash-matches "
+    "exactly; the color planes follow the VP8 bound-assert convention "
+    "(within (3+qi/3)/px of the closed-form source).  At 100 TB: "
+    "pure per-row CPU in two narrow Arrow stages, no shuffle.",
+)
+def multimodal_decode_vp8x_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    from mincemeatpy_spark.multimodal.binary_ops import (
+        _ship_by_value,
+        _ship_with,
+        _vp8l_cte_delta,
+        _vp8l_dist_map,
+        _vp8l_predict,
+        _webp_alpha_filter,
+        decode_webp_extended,
+        decode_webp_real,
+        encode_webp_extended,
+        encode_webp_lossless,
+    )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    helpers = _vp8_ship_helpers()
+    vp8l_helpers = {
+        "_vp8l_predict": _ship_by_value(_vp8l_predict),
+        "_vp8l_cte_delta": _ship_by_value(_vp8l_cte_delta),
+        "_vp8l_dist_map": _ship_by_value(_vp8l_dist_map),
+    }
+    filt = _ship_by_value(_webp_alpha_filter)
+    enc_frame = _ship_with(encode_vp8_frame, **helpers)
+    enc_lossless = _ship_with(encode_webp_lossless, **vp8l_helpers)
+    enc = _ship_with(
+        encode_webp_extended,
+        encode_vp8_frame=enc_frame,
+        encode_webp_lossless=enc_lossless,
+        _webp_alpha_filter=filt,
+    )
+    dec_vp8 = _ship_with(decode_vp8_real, **helpers)
+    dec_webp = _ship_with(decode_webp_real, **vp8l_helpers)
+    dec = _ship_with(
+        decode_webp_extended,
+        decode_vp8_real=dec_vp8,
+        decode_webp_real=dec_webp,
+        _webp_alpha_filter=filt,
+    )
+
+    def _src(doc_id: int, n_chars: int):
+        import numpy as np
+
+        w = n_chars % 17 + 8
+        h = doc_id % 13 + 8
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+        x = np.arange(w)[None, :]
+        yy = np.arange(h)[:, None]
+        Y = ((doc_id * 31 + x * 7 + yy * 13) % 200 + 28).astype(np.uint8)
+        cx = np.arange(cw)[None, :]
+        cy = np.arange(ch)[:, None]
+        U = (((doc_id + cx * 5 + cy * 3) % 64) + 96).astype(np.uint8)
+        V = (((doc_id * 2 + cx * 3 + cy * 5) % 64) + 96).astype(np.uint8)
+        A = ((doc_id * 13 + x * 3 + yy * 7) % 256).astype(np.uint8)
+        return Y, U, V, A
+
+    src = _ship_by_value(_src)
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                Y, U, V, A = src(doc_id, n_chars)
+                qi = (doc_id * 5) % 24
+                payload = enc(
+                    Y, U, V, A,
+                    qi=qi,
+                    filter_level=(doc_id % 3) * 2,
+                    mode_seed=doc_id,
+                    alpha_filter=doc_id % 4,
+                    alpha_compression=doc_id % 2,
+                )
+                rows.append(
+                    (
+                        doc_id, payload, qi,
+                        int(Y.astype("int64").sum()),
+                        int(U.astype("int64").sum()),
+                        int(V.astype("int64").sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "payload", "qi", "true_y", "true_u",
+                    "true_v",
+                ],
+            )
+
+    encoded = d.mapInPandas(
+        encode,
+        schema=(
+            "doc_id long, payload binary, qi long, true_y long, "
+            "true_u long, true_v long"
+        ),
+    )
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, qi, ty, tu, tv in zip(
+                pdf["doc_id"], pdf["payload"], pdf["qi"],
+                pdf["true_y"], pdf["true_u"], pdf["true_v"],
+            ):
+                m = dec(bytes(payload))
+                per_px = 3 + int(qi) // 3
+                ybound = per_px * m["width"] * m["height"]
+                cbound = (
+                    per_px
+                    * ((m["width"] + 1) // 2)
+                    * ((m["height"] + 1) // 2)
+                )
+                rows.append(
+                    (
+                        int(doc_id), m["fmt"], m["width"], m["height"],
+                        m["sum_a"],
+                        abs(m["sum_y"] - int(ty)) <= ybound,
+                        abs(m["sum_u"] - int(tu)) <= cbound,
+                        abs(m["sum_v"] - int(tv)) <= cbound,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "width", "height", "sum_a",
+                    "within_y", "within_u", "within_v",
+                ],
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, fmt string, width long, height long, "
+            "sum_a long, within_y boolean, within_u boolean, "
+            "within_v boolean"
         ),
     )

@@ -68,10 +68,15 @@ def test_bmp_width_multiple_of_four_no_padding():
 
 
 def test_compressed_formats_still_gated():
-    # lossless VP8L decodes for real since r9 and lossy VP8 since r10
-    # (tests/test_vp8.py); the image gate now covers VP8X extended
-    # features only
-    with pytest.raises(NotImplementedError, match="VP8X"):
+    # lossless VP8L decodes for real since r9, lossy VP8 and static
+    # VP8X-alpha since r10; the image gate now covers ANIMATED WebP
+    with pytest.raises(NotImplementedError, match="ANIM"):
+        decode_image_real(
+            b"RIFF\x1e\x00\x00\x00WEBPVP8X\x0a\x00\x00\x00"
+            + bytes([0x02, 0, 0, 0]) + b"\x00" * 6
+        )
+    # a truncated VP8X header is MALFORMED, not unsupported
+    with pytest.raises(ValueError):
         decode_image_real(
             b"RIFF\x14\x00\x00\x00WEBPVP8X\x04\x00\x00\x00" + b"\x00" * 4
         )
@@ -969,13 +974,13 @@ def test_vp8l_error_paths():
         decode_webp_real(b"RUFF" + good[4:])
     with pytest.raises(ValueError):
         decode_webp_real(good[:20])  # truncated mid-bitstream
-    # lossy VP8 decodes for real since r10: a 4-byte chunk is
-    # malformed (too short), not unsupported; VP8X keeps the gate
+    # lossy VP8 (and VP8X headers) decode for real since r10: a
+    # 4-byte chunk is malformed (too short), not unsupported
     with pytest.raises(ValueError):
         decode_webp_real(
             b"RIFF\x14\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd"
         )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_webp_real(
             b"RIFF\x14\x00\x00\x00WEBPVP8X\x04\x00\x00\x00abcd"
         )

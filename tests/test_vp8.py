@@ -477,10 +477,19 @@ def test_webp_container_dispatch():
     assert m["fmt"] == "webp-vp8"
     assert (m["width"], m["height"]) == (20, 12)
     assert abs(m["sum_y"] - int(Y.astype("int64").sum())) <= 4 * 20 * 12
-    # VP8X still gated
-    bad = payload[:12] + b"VP8X" + payload[16:]
-    with pytest.raises(NotImplementedError, match="VP8X"):
-        bo.decode_image_real(bad)
+    # VP8X decodes for real since r10 (static alpha images,
+    # tests/test_vp8x.py); ANIMATED VP8X keeps the gate
+    import struct
+
+    anim = (
+        payload[:12]
+        + b"VP8X"
+        + struct.pack("<I", 10)
+        + bytes([0x02, 0, 0, 0])
+        + b"\x00" * 6
+    )
+    with pytest.raises(NotImplementedError, match="ANIM"):
+        bo.decode_image_real(anim)
 
 
 def test_quant_factor_rules():
