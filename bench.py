@@ -109,6 +109,7 @@ EXTENDED = [
     "multimodal_decode_vp8_real",
     "multimodal_decode_gif_anim",
     "multimodal_decode_vp8x_real",
+    "multimodal_decode_webp_anim",
 ]
 
 REGRESSION_PCT = 0.15  # median must move more than this ...

@@ -6417,10 +6417,16 @@ def decode_webp_extended(payload: bytes,
                 raise ValueError("malformed VP8X: short header")
             flags = body[0]
             if flags & 0x02:
-                raise NotImplementedError(
-                    "animated WebP (VP8X ANIM) not in the subset; "
-                    "static alpha images decode natively here"
-                )
+                # animations decode for real since r10 (ANMF with
+                # VP8L frames); same ship-alongside convention
+                try:
+                    anim = decode_webp_anim
+                except NameError as exc:
+                    raise NotImplementedError(
+                        "animated WebP needs decode_webp_anim shipped "
+                        "alongside"
+                    ) from exc
+                return anim(payload)
             cw = 1 + (body[4] | (body[5] << 8) | (body[6] << 16))
             ch = 1 + (body[7] | (body[8] << 8) | (body[9] << 16))
             canvas = (cw, ch)
@@ -6429,8 +6435,10 @@ def decode_webp_extended(payload: bytes,
         elif fourcc == b"VP8 ":
             frame = bytes(body)
         elif fourcc == b"ANMF":
-            raise NotImplementedError(
-                "animated WebP (ANMF frames) not in the subset"
+            # flagged animations route to decode_webp_anim before this
+            # walk; an ANMF without the ANIM flag is malformed
+            raise ValueError(
+                "malformed VP8X: ANMF chunk without the ANIM flag"
             )
         # ICCP/EXIF/XMP chunks: metadata, skipped
         pos += 8 + clen + (clen & 1)
@@ -6499,6 +6507,369 @@ def decode_webp_extended(payload: bytes,
                 plane[yy * w : (yy + 1) * w] for yy in range(h)
             ]
     return out
+
+
+def encode_webp_anim(cw: int, ch: int, bg_rgba: tuple, frames: list,
+                     loop: int = 0) -> bytes:
+    """Animated WebP writer: VP8X (ANIM+ALPHA flags, 24-bit canvas
+    dims), ANIM chunk (BGRA background color + loop count), and one
+    ANMF chunk per frame — 16-byte header (x/2, y/2, w-1, h-1 as
+    24-bit fields, duration, the blend/dispose flag byte) wrapping a
+    REAL VP8L sub-image (lossless, alpha-capable).  Each frame dict:
+    ``{x, y, pixels (rows of (r, g, b, a)), blend (True = alpha-blend,
+    False = overwrite), dispose (True = restore rect to background),
+    duration}``; x and y must be even (the container stores them
+    halved)."""
+    import struct
+
+    def u24(v: int) -> bytes:
+        return struct.pack("<I", v)[:3]
+
+    def chunk(four: bytes, data: bytes) -> bytes:
+        c = four + struct.pack("<I", len(data)) + data
+        if len(data) % 2:
+            c += b"\x00"
+        return c
+
+    vp8x = bytes([0x12, 0, 0, 0])  # flags: ALPHA | ANIM
+    vp8x += u24(cw - 1) + u24(ch - 1)
+    r, g, b, a = bg_rgba
+    anim = bytes([b, g, r, a]) + struct.pack("<H", loop)
+    body = chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim)
+    for fr in frames:
+        if fr["x"] % 2 or fr["y"] % 2:
+            raise ValueError("ANMF frame offsets must be even")
+        px = fr["pixels"]
+        fh, fw = len(px), len(px[0])
+        sub = encode_webp_lossless(px)[12:]  # the VP8L chunk bytes
+        flags = (0 if fr.get("blend", True) else 2) | (
+            1 if fr.get("dispose", False) else 0
+        )
+        hdr = (
+            u24(fr["x"] // 2) + u24(fr["y"] // 2)
+            + u24(fw - 1) + u24(fh - 1)
+            + u24(fr.get("duration", 40)) + bytes([flags])
+        )
+        body += chunk(b"ANMF", hdr + sub)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def decode_webp_anim(payload: bytes, return_frames: bool = False) -> dict:
+    """Real ANIMATED WebP decode (the GIF-anim pattern applied to the
+    VP8X container): VP8X + ANIM headers, then per ANMF chunk a real
+    VP8L sub-image decode (alpha-capable), composited onto the canvas
+    — blend flag 'do not blend' overwrites the rect; alpha blending is
+    implemented for the BINARY alpha case (frame pixels fully opaque
+    or fully transparent — the sprite/logo animation reality;
+    fractional alpha raises the named gate), disposal restores the
+    frame rect to the ANIM background color.  The canvas starts filled
+    with the background color.  Lossy VP8 sub-frames stay gated by
+    name (their bound-assert semantics don't fit the exact compositing
+    oracle).  Returns one exact (sum_r, sum_g, sum_b, sum_a) per
+    composited canvas state.  When shipped by value, needs
+    decode_webp_real (with its _vp8l_* helpers) alongside."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP stream (missing RIFF/WEBP)")
+
+    def u24(b: bytes) -> int:
+        return b[0] | (b[1] << 8) | (b[2] << 16)
+
+    try:
+        webp = decode_webp_real
+    except NameError as exc:
+        raise NotImplementedError(
+            "animated WebP decode needs decode_webp_real shipped "
+            "alongside"
+        ) from exc
+
+    pos = 12
+    canvas_dims = None
+    bg = None
+    frames_out = []
+    canvas = None
+    cw = ch = 0
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if fourcc == b"VP8X":
+            if clen < 10:
+                raise ValueError("malformed VP8X: short header")
+            cw = 1 + u24(body[4:7])
+            ch = 1 + u24(body[7:10])
+            canvas_dims = (cw, ch)
+        elif fourcc == b"ANIM":
+            if clen < 6:
+                raise ValueError("malformed ANIM: short chunk")
+            bg = (body[2], body[1], body[0], body[3])  # BGRA stored
+            if canvas_dims is None:
+                raise ValueError("malformed: ANIM before VP8X")
+            canvas = [bg] * (cw * ch)
+        elif fourcc == b"ANMF":
+            if canvas is None:
+                raise ValueError("malformed: ANMF before ANIM")
+            if clen < 16:
+                raise ValueError("malformed ANMF: short header")
+            fx = u24(body[0:3]) * 2
+            fy = u24(body[3:6]) * 2
+            fw = 1 + u24(body[6:9])
+            fh = 1 + u24(body[9:12])
+            flags = body[15]
+            blend = not (flags & 2)
+            dispose = bool(flags & 1)
+            if fx + fw > cw or fy + fh > ch:
+                raise ValueError("ANMF frame exceeds the canvas")
+            # frame data: sub-chunks; the subset takes one VP8L image
+            sp = 16
+            argb = None
+            while sp + 8 <= len(body):
+                sf = body[sp : sp + 4]
+                (sl,) = struct.unpack_from("<I", body, sp + 4)
+                sdata = body[sp + 8 : sp + 8 + sl]
+                if sf == b"VP8L":
+                    cont = (
+                        b"RIFF"
+                        + struct.pack("<I", 12 + len(sdata))
+                        + b"WEBP"
+                        + b"VP8L"
+                        + struct.pack("<I", len(sdata))
+                        + sdata
+                    )
+                    m = webp(cont, _pixels=True)
+                    if (m["width"], m["height"]) != (fw, fh):
+                        raise ValueError(
+                            "ANMF dims disagree with the sub-image"
+                        )
+                    argb = m["argb"]
+                elif sf in (b"VP8 ", b"ALPH"):
+                    raise NotImplementedError(
+                        "lossy VP8 sub-frames in animations not in "
+                        "the subset (exact compositing needs lossless "
+                        "frames); VP8L sub-images decode natively"
+                    )
+                sp += 8 + sl + (sl & 1)
+            if argb is None:
+                raise ValueError("malformed ANMF: no sub-image")
+            for v in range(fh):
+                row = (fy + v) * cw + fx
+                src = v * fw
+                for u in range(fw):
+                    p = argb[src + u]
+                    pa = (p >> 24) & 0xFF
+                    rgba = (
+                        (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF, pa,
+                    )
+                    if blend:
+                        if pa == 255:
+                            canvas[row + u] = rgba
+                        elif pa == 0:
+                            pass  # fully transparent: keep canvas
+                        else:
+                            raise NotImplementedError(
+                                "fractional-alpha ANMF blending not in "
+                                "the subset (binary alpha composites "
+                                "exactly)"
+                            )
+                    else:
+                        canvas[row + u] = rgba
+            frames_out.append(
+                (
+                    sum(c[0] for c in canvas),
+                    sum(c[1] for c in canvas),
+                    sum(c[2] for c in canvas),
+                    sum(c[3] for c in canvas),
+                )
+            )
+            if dispose:
+                for v in range(fh):
+                    row = (fy + v) * cw + fx
+                    for u in range(fw):
+                        canvas[row + u] = bg
+        pos += 8 + clen + (clen & 1)
+    if canvas_dims is None:
+        raise ValueError("malformed VP8X: missing header chunk")
+    if not frames_out:
+        raise ValueError("malformed animation: no ANMF frames")
+    out = {
+        "fmt": "webp-anim",
+        "width": cw,
+        "height": ch,
+        "n_frames": len(frames_out),
+        "frames": frames_out,
+    }
+    return out
+
+
+@register(
+    "multimodal_decode_webp_anim",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, n_chars % 8 + 8 AS w, doc_id % 6 + 8 AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT d.doc_id, d.w, d.h, x.x, y.y, k.k
+            FROM dims d,
+                 LATERAL unnest(generate_series(0, d.w - 1)) AS x(x),
+                 LATERAL unnest(generate_series(0, d.h - 1)) AS y(y),
+                 LATERAL unnest(generate_series(0, 2)) AS k(k)
+        ),
+        sel AS (
+            SELECT doc_id, w, h, k,
+                   CASE WHEN k = 2
+                             AND x >= 2 AND x < w - 2
+                             AND y >= 2 AND y < h - 2
+                             AND NOT (x >= 4 AND x < 4 + w // 2
+                                      AND y >= 2 AND y < 2 + h // 2)
+                        THEN 1 ELSE 0 END AS use_bg,
+                   CASE
+                     WHEN k = 2 AND x >= 4 AND x < 4 + w // 2
+                              AND y >= 2 AND y < 2 + h // 2
+                       THEN ((x - 4) + 3 * (y - 2)) % 7
+                     WHEN k >= 1 AND x >= 2 AND x < w - 2
+                              AND y >= 2 AND y < h - 2
+                              AND (x + y) % 2 = 1
+                       THEN (2 * (x - 2) + (y - 2)) % 7
+                     ELSE (x + y) % 7
+                   END AS idx
+            FROM px
+        )
+        SELECT doc_id,
+               CAST(k AS BIGINT) AS frame_no,
+               CAST(3 AS BIGINT) AS n_frames,
+               CAST(sum(CASE use_bg WHEN 1 THEN (doc_id * 19) % 256
+                    ELSE (doc_id * 37 + idx * 29) % 256 END) AS BIGINT)
+                   AS sum_r,
+               CAST(sum(CASE use_bg WHEN 1 THEN (doc_id * 19 + 60) % 256
+                    ELSE (doc_id * 37 + idx * 29 + 85) % 256 END)
+                    AS BIGINT) AS sum_g,
+               CAST(sum(CASE use_bg WHEN 1 THEN (doc_id * 19 + 120) % 256
+                    ELSE (doc_id * 37 + idx * 29 + 170) % 256 END)
+                    AS BIGINT) AS sum_b,
+               CAST(255 * any_value(w) * any_value(h) AS BIGINT) AS sum_a
+        FROM sel
+        GROUP BY doc_id, k
+        """,
+    category="multimodal",
+    doc="ANIMATED WebP decoded for real (r10 — the last entry in the "
+    "WebP family's gate falls to a principled subset): stage 1 writes "
+    "a genuine VP8X/ANIM/ANMF container per document — three frames "
+    "exercising overwrite compositing, BINARY-alpha blending (a "
+    "checkerboard sprite over the canvas — the logo/sprite animation "
+    "reality; fractional alpha stays gated by name), "
+    "dispose-to-background, sub-rectangle frames with even-offset "
+    "encoding, each frame a REAL VP8L lossless sub-image carrying its "
+    "own alpha; stage 2 runs decode_webp_anim: header walk, per-ANMF "
+    "VP8L decode through the full lossless machinery (re-framed under "
+    "a synthesized header), dims cross-checks, and the compositing "
+    "state machine.  Frames are LOSSLESS and the compositing rules "
+    "deterministic, so the oracle folds draw/blend/dispose into "
+    "closed-form per-pixel CASE logic and per-frame channel sums "
+    "(including alpha) HASH-MATCH EXACTLY.  At 100 TB: per-row CPU in "
+    "two narrow Arrow stages, frame rows fan out inside the decode "
+    "pass, no extra shuffle.",
+)
+def multimodal_decode_webp_anim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    vp8l_helpers = {
+        "_vp8l_predict": _ship_by_value(_vp8l_predict),
+        "_vp8l_cte_delta": _ship_by_value(_vp8l_cte_delta),
+        "_vp8l_dist_map": _ship_by_value(_vp8l_dist_map),
+    }
+    enc_lossless = _ship_with(encode_webp_lossless, **vp8l_helpers)
+    enc = _ship_with(encode_webp_anim, encode_webp_lossless=enc_lossless)
+    dec_webp = _ship_with(decode_webp_real, **vp8l_helpers)
+    dec = _ship_with(decode_webp_anim, decode_webp_real=dec_webp)
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                cid, nc = int(doc_id), int(n_chars)
+                w, h = nc % 8 + 8, cid % 6 + 8
+
+                def G(i, _c=cid):
+                    return (
+                        (_c * 37 + i * 29) % 256,
+                        (_c * 37 + i * 29 + 85) % 256,
+                        (_c * 37 + i * 29 + 170) % 256,
+                        255,
+                    )
+
+                bg = (
+                    (cid * 19) % 256, (cid * 19 + 60) % 256,
+                    (cid * 19 + 120) % 256, 255,
+                )
+                f0 = dict(
+                    x=0, y=0, blend=False, dispose=False,
+                    pixels=[
+                        [G((x + y) % 7) for x in range(w)]
+                        for y in range(h)
+                    ],
+                )
+                f1 = dict(
+                    x=2, y=2, blend=True, dispose=True,
+                    pixels=[
+                        [
+                            G((2 * u + v) % 7)[:3]
+                            + ((255 if (u + v) % 2 else 0),)
+                            for u in range(w - 4)
+                        ]
+                        for v in range(h - 4)
+                    ],
+                )
+                f2 = dict(
+                    x=4, y=2, blend=False, dispose=False,
+                    pixels=[
+                        [G((u + 3 * v) % 7) for u in range(w // 2)]
+                        for v in range(h // 2)
+                    ],
+                )
+                payloads.append(enc(w, h, bg, [f0, f1, f2]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, schema="doc_id long, payload binary")
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = dec(bytes(payload))
+                for k, (sr, sg, sb, sa) in enumerate(m["frames"]):
+                    rows.append(
+                        (int(doc_id), k, m["n_frames"], sr, sg, sb, sa)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_no", "n_frames", "sum_r", "sum_g",
+                    "sum_b", "sum_a",
+                ],
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, frame_no long, n_frames long, sum_r long, "
+            "sum_g long, sum_b long, sum_a long"
+        ),
+    )
 
 
 @register(

@@ -68,9 +68,10 @@ def test_bmp_width_multiple_of_four_no_padding():
 
 
 def test_compressed_formats_still_gated():
-    # lossless VP8L decodes for real since r9, lossy VP8 and static
-    # VP8X-alpha since r10; the image gate now covers ANIMATED WebP
-    with pytest.raises(NotImplementedError, match="ANIM"):
+    # lossless VP8L decodes for real since r9; lossy VP8, VP8X-alpha
+    # and VP8L-frame animations since r10 — an ANIM-flagged container
+    # with no frames is now MALFORMED, not unsupported
+    with pytest.raises(ValueError, match="no ANMF frames"):
         decode_image_real(
             b"RIFF\x1e\x00\x00\x00WEBPVP8X\x0a\x00\x00\x00"
             + bytes([0x02, 0, 0, 0]) + b"\x00" * 6

@@ -477,8 +477,9 @@ def test_webp_container_dispatch():
     assert m["fmt"] == "webp-vp8"
     assert (m["width"], m["height"]) == (20, 12)
     assert abs(m["sum_y"] - int(Y.astype("int64").sum())) <= 4 * 20 * 12
-    # VP8X decodes for real since r10 (static alpha images,
-    # tests/test_vp8x.py); ANIMATED VP8X keeps the gate
+    # VP8X decodes for real since r10 (static alpha AND animations,
+    # tests/test_vp8x.py); an ANIM-flagged container with no frames
+    # is malformed, not unsupported
     import struct
 
     anim = (
@@ -488,7 +489,7 @@ def test_webp_container_dispatch():
         + bytes([0x02, 0, 0, 0])
         + b"\x00" * 6
     )
-    with pytest.raises(NotImplementedError, match="ANIM"):
+    with pytest.raises(ValueError, match="no ANMF frames"):
         bo.decode_image_real(anim)
 
 

@@ -71,14 +71,13 @@ def test_vp8x_dims_cross_checked():
         decode_webp_extended(bytes(raw))
 
 
-def test_vp8x_animation_gates():
+def test_vp8x_animation_routing_and_malformed_anmf():
+    # the ANIM flag routes to decode_webp_anim via decode_webp_real's
+    # dispatch (tests/test_vp8x.py::test_webp_anim_* cover the real
+    # decode); decode_webp_extended itself treats the flag as a
+    # missing-animation-machinery gate when called directly
     Y, U, V, A = _planes(3, 16, 16)
-    raw = bytearray(encode_webp_extended(Y, U, V, A))
-    at = raw.index(b"VP8X") + 8
-    raw[at] |= 0x02  # ANIM flag
-    with pytest.raises(NotImplementedError, match="ANIM"):
-        decode_webp_extended(bytes(raw))
-    # an ANMF chunk also gates
+    # an ANMF chunk WITHOUT the ANIM flag is malformed, not gated
     good = encode_webp_extended(Y, U, V, A)
     anmf = b"ANMF" + struct.pack("<I", 4) + b"\x00" * 4
     spliced = good[:12] + anmf + good[12:]
@@ -87,7 +86,7 @@ def test_vp8x_animation_gates():
         + struct.pack("<I", len(spliced) - 8)
         + spliced[8:]
     )
-    with pytest.raises(NotImplementedError, match="ANMF"):
+    with pytest.raises(ValueError, match="without the ANIM flag"):
         decode_webp_extended(spliced)
 
 
@@ -135,3 +134,104 @@ def test_vp8x_dispatches_through_decode_image_real():
     m = decode_image_real(encode_webp_extended(Y, U, V, A, qi=2))
     assert m["fmt"] == "webp-vp8x"
     assert m["sum_a"] == int(A.astype("int64").sum())
+
+
+# ----------------------------------------------------------- animated WebP
+
+from mincemeatpy_spark.multimodal.binary_ops import (  # noqa: E402
+    decode_webp_anim,
+    encode_webp_anim,
+)
+
+
+def _anim_payload(cid=5, w=12, h=10):
+    def G(i):
+        return ((cid * 37 + i * 29) % 256, (cid * 37 + i * 29 + 85) % 256,
+                (cid * 37 + i * 29 + 170) % 256, 255)
+
+    bg = ((cid * 19) % 256, (cid * 19 + 60) % 256,
+          (cid * 19 + 120) % 256, 255)
+    f0 = dict(x=0, y=0, blend=False, dispose=False,
+              pixels=[[G((x + y) % 7) for x in range(w)] for y in range(h)])
+    f1 = dict(x=2, y=2, blend=True, dispose=True,
+              pixels=[[G((2 * u + v) % 7)[:3]
+                       + ((255 if (u + v) % 2 else 0),)
+                       for u in range(w - 4)] for v in range(h - 4)])
+    f2 = dict(x=4, y=2, blend=False, dispose=False,
+              pixels=[[G((u + 3 * v) % 7) for u in range(w // 2)]
+                      for v in range(h // 2)])
+    return encode_webp_anim(w, h, bg, [f0, f1, f2]), G, bg
+
+
+def test_webp_anim_compositing_exact():
+    """Overwrite + binary-alpha blend + dispose-to-background, matched
+    against an independent compositing reference."""
+    w, h, cid = 12, 10, 5
+    payload, G, bg = _anim_payload(cid, w, h)
+    m = decode_webp_anim(payload)
+    assert (m["fmt"], m["n_frames"]) == ("webp-anim", 3)
+    C = [[G((x + y) % 7) for x in range(w)] for y in range(h)]
+    states = [[r[:] for r in C]]
+    C1 = [r[:] for r in C]
+    for v in range(h - 4):
+        for u in range(w - 4):
+            if (u + v) % 2:
+                C1[v + 2][u + 2] = G((2 * u + v) % 7)[:3] + (255,)
+    states.append([r[:] for r in C1])
+    D = [r[:] for r in C1]
+    for v in range(h - 4):
+        for u in range(w - 4):
+            D[v + 2][u + 2] = bg
+    C2 = [r[:] for r in D]
+    for v in range(h // 2):
+        for u in range(w // 2):
+            C2[v + 2][u + 4] = G((u + 3 * v) % 7)
+    states.append(C2)
+    for k, S in enumerate(states):
+        sums = tuple(
+            sum(S[y][x][c] for y in range(h) for x in range(w))
+            for c in range(4)
+        )
+        assert m["frames"][k] == sums, k
+
+
+def test_webp_anim_gates_and_malformed():
+    payload, G, bg = _anim_payload()
+    # fractional alpha in a blended frame gates by name
+    frac = encode_webp_anim(
+        8, 8, bg,
+        [dict(x=0, y=0, blend=False, dispose=False,
+              pixels=[[G(1)] * 8 for _ in range(8)]),
+         dict(x=0, y=0, blend=True, dispose=False,
+              pixels=[[G(2)[:3] + (128,)] * 8 for _ in range(8)])],
+    )
+    with pytest.raises(NotImplementedError, match="fractional"):
+        decode_webp_anim(frac)
+    # but NON-blended fractional alpha is a plain overwrite: decodes
+    m = decode_webp_anim(encode_webp_anim(
+        8, 8, bg,
+        [dict(x=0, y=0, blend=False, dispose=False,
+              pixels=[[G(2)[:3] + (128,)] * 8 for _ in range(8)])],
+    ))
+    assert m["frames"][0][3] == 128 * 64
+    # frame exceeding the canvas
+    big = encode_webp_anim(
+        8, 8, bg,
+        [dict(x=4, y=0, blend=False, dispose=False,
+              pixels=[[G(1)] * 6 for _ in range(4)])],
+    )
+    with pytest.raises(ValueError, match="exceeds"):
+        decode_webp_anim(big)
+    # odd offsets rejected at encode time
+    with pytest.raises(ValueError, match="even"):
+        encode_webp_anim(
+            8, 8, bg,
+            [dict(x=1, y=0, blend=False, dispose=False,
+                  pixels=[[G(1)] * 2 for _ in range(2)])],
+        )
+
+
+def test_webp_anim_dispatches_through_decode_image_real():
+    payload, _G, _bg = _anim_payload()
+    m = decode_image_real(payload)
+    assert m["fmt"] == "webp-anim" and m["n_frames"] == 3
