@@ -68,18 +68,30 @@ _CATEGORY_PRIORITY = [
 ]
 
 
-def _certification_history() -> dict[str, int]:
-    """name -> most recent round whose driver CORRECTNESS sample
-    included the query (from CORRECTNESS_r*.json beside this file).
-    Absent = never driver-certified.  Used to rotate never/least-
-    recently-certified queries to the front WITHIN each category, so
-    the ~370-query local-pass tail retires over rounds (VERDICT r8
-    task 4) instead of the same prefix re-certifying forever."""
+def _certification_history() -> tuple[dict[str, int], set[str]]:
+    """Scan CORRECTNESS_r*.json beside this file and return
+    ``(last_pass_round, ever_sampled)``:
+
+    * ``last_pass_round[name]`` — most recent round whose driver sample
+      recorded a full PASS (rows+schema+hash all True, err None) for
+      the query; absent = never driver-PASSED.
+    * ``ever_sampled`` — names that appeared in ANY sample, pass or
+      fail.
+
+    Used to rotate queries to the front WITHIN each category in three
+    tiers (VERDICT r10 task 2): sampled-but-never-passed FIRST (a
+    recorded driver FAIL must not hide behind the never-sampled queue —
+    ``percentiles_approx`` / ``hll_sketch_reaggregate`` sat on an r2
+    ``no_oracle`` err for eight rounds), then never-sampled, then
+    least-recently-passed — so the local-pass tail retires over rounds
+    (VERDICT r8 task 4) instead of the same prefix re-certifying
+    forever."""
     import glob
     import json
     import re
 
-    hist: dict[str, int] = {}
+    last_pass: dict[str, int] = {}
+    sampled: set[str] = set()
     for p in sorted(
         glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))
     ):
@@ -90,10 +102,19 @@ def _certification_history() -> dict[str, int]:
                 doc = json.load(f)
         except (OSError, ValueError):
             continue
-        if isinstance(doc, dict):
-            for n in doc:
-                hist[n] = max(hist.get(n, 0), rnd)
-    return hist
+        if not isinstance(doc, dict):
+            continue
+        for n, rec in doc.items():
+            sampled.add(n)
+            if (
+                isinstance(rec, dict)
+                and rec.get("rows_match") is True
+                and rec.get("schema_match") is True
+                and rec.get("hash_match") is True
+                and not rec.get("err")
+            ):
+                last_pass[n] = max(last_pass.get(n, 0), rnd)
+    return last_pass, sampled
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -103,15 +124,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from itertools import zip_longest
 
     qs = load_all_queries()
-    hist = _certification_history()
+    last_pass, sampled = _certification_history()
     by_cat: dict[str, list[str]] = {}
     for name, q in qs.items():
         by_cat.setdefault(q.category, []).append(name)
-    # Stable within-category rotation: never-certified first (hist 0),
-    # then oldest certification round; registration order breaks ties.
+    # Stable within-category rotation, three tiers (VERDICT r10 task
+    # 2): (0) sampled-but-never-PASSED — a recorded driver FAIL/err
+    # re-enters the sample before anything else; (1) never sampled;
+    # (2) by oldest PASS round.  Registration order breaks ties.
+    def _tier(n: str) -> int:
+        if n in last_pass:
+            return 2
+        return 0 if n in sampled else 1
+
     for names in by_cat.values():
         idx = {n: i for i, n in enumerate(names)}
-        names.sort(key=lambda n: (hist.get(n, 0), idx[n]))
+        names.sort(key=lambda n: (_tier(n), last_pass.get(n, 0), idx[n]))
     rank = {c: i for i, c in enumerate(_CATEGORY_PRIORITY)}
     order = sorted(by_cat, key=lambda c: (rank.get(c, len(rank)), c))
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -132,33 +160,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid_rrf",
         "kmeans_loop_2iter",
         "stream_tumbling_counts_e2e",
-        # round-4/7/8 flagships trimmed from the leads over rounds as
-        # they accumulate driver certifications (r9 trimmed
-        # dedup_incremental_lsh + word_pmi_collocations; r10 trims
-        # embedding_knn_label_eval, dp_noisy_counts,
-        # corpus_dsir_resample, stats_mannwhitney_u, events_psi_drift
-        # and features_target_encoding_loo — each certified in 2+
-        # driver samples — so the 50-slot prefix still spans every
-        # category after the six r10 flagships joined).
-        "dedup_prefix_filter_join",
-        "dedup_segments_bulk",
-        "corpus_dsir_weights",
-        "stats_ks_two_sample",
-        # round-9 flagships: the VP8L (WebP-lossless) and Ogg/Vorbis
-        # transform-audio codec queries (gate-list shrink), promoted
-        # for driver certification in the r9 sample.
-        "multimodal_decode_webp_real",
-        "multimodal_decode_vorbis_real",
-        # round-10 flagships: lossy VP8 (WebP) — the last derivable
-        # image-gate entry — compressed video (MJPEG-in-AVI through the
-        # real JPEG pipeline), the video-corpus composite, and the BPE
-        # encode pair landed after the r9 snapshot.
+        # Flagships are trimmed from the leads over rounds as they
+        # accumulate driver certifications (r9 trimmed
+        # dedup_incremental_lsh + word_pmi_collocations; r10 trimmed
+        # six 2+-cert entries; r11 trims dedup_prefix_filter_join,
+        # dedup_segments_bulk, corpus_dsir_weights, stats_ks_two_sample
+        # (3 certs each) and multimodal_decode_webp_real /
+        # multimodal_decode_vorbis_real (2 certs each) — freeing slots
+        # for the never-certified tail now that tier-0 re-certification
+        # also competes for the 50-query prefix).
+        # round-10 flagships (1 driver cert each — stay until 2+).
         "multimodal_decode_vp8_real",
         "multimodal_decode_mjpeg_real",
         "pipeline_video_corpus",
         "bpe_encode_corpus",
         "multimodal_resize_real",
         "multimodal_decode_gif_anim",
+        # round-11 headline fix: the r10 driver red (ArrayType final
+        # schema) — re-submitted as a lead so its first driver word
+        # after the fix is a green.
+        "orders_nested_export",
     ):
         out[name] = qs[name].fn
     for row in zip_longest(*(by_cat[c] for c in order)):

@@ -25,7 +25,7 @@ from mincemeatpy_spark.registry import register
 from mincemeatpy_spark.tables import t
 
 
-def decode_image_real(payload: bytes) -> dict:
+def decode_image_real(payload: bytes, placeholder_vp8_ok: bool = False) -> dict:
     """Real, dependency-free image decode for the two trivial formats a
     from-scratch parser can own: binary PPM (``P6``) and uncompressed
     24-bit BMP (``BM``, bottom-up rows padded to 4 bytes).  For those
@@ -36,11 +36,15 @@ def decode_image_real(payload: bytes) -> dict:
     sum_b}`` (raw channel SUMS — their oracles divide themselves).
 
     Compressed formats this repo now decodes for real live in their own
-    decoders: PNG (``decode_png_real``), baseline JPEG
-    (``decode_jpeg_real``), AVI (``decode_video_real``) — this function
-    dispatches JFIF payloads to the JPEG decoder and raises
+    decoders: PNG (``decode_png_real``), JPEG (``decode_jpeg_real``),
+    GIF (``decode_gif_real``), WebP lossless/lossy/VP8X/animated
+    (``decode_webp_real`` + friends), AVI (``decode_video_real``) —
+    this function dispatches by container magic and raises
     ``NotImplementedError`` only for formats that genuinely need an
-    external codec (GIF/WebP/...).  ``multimodal_decode_real`` drives
+    external codec (arithmetic/extended JPEG, inter-frame video).
+    ``placeholder_vp8_ok`` rides along to the lossy-WebP path: decoding
+    externally encoded 'VP8 ' chunks is gated while the token tables
+    are placeholders (ADVICE r10).  ``multimodal_decode_real`` drives
     this decoder end-to-end through the same Arrow stage as the stub.
     """
     if payload[:2] == b"P6":
@@ -144,13 +148,18 @@ def decode_image_real(payload: bytes) -> dict:
             raise NotImplementedError(
                 "WebP dispatch needs decode_webp_real shipped alongside"
             ) from exc
-        return webp(payload)
+        # lossless (VP8L) chunks decode unconditionally; lossy 'VP8 '
+        # chunks require the caller's provenance opt-in while the token
+        # tables are placeholders (ADVICE r10 fail-loud gate)
+        return webp(payload, placeholder_vp8_ok=placeholder_vp8_ok)
     raise NotImplementedError(
         "unrecognized image container; PPM (P6), 24-bit BMP, RGB8 PNG, "
-        "baseline+progressive JPEG, GIF (LZW incl. interlace), "
-        "lossless WebP (VP8L) and lossy WebP (VP8 key frames) decode "
-        "natively here — arithmetic/extended JPEG and extended WebP "
-        "(VP8X) still need an external codec"
+        "baseline+progressive JPEG, GIF (LZW incl. interlace + "
+        "animation), lossless WebP (VP8L), lossy WebP (VP8 key frames, "
+        "self-encoded corpus only while the token tables are "
+        "placeholders), extended WebP (VP8X) and animated WebP decode "
+        "natively here — arithmetic/extended JPEG and inter-frame "
+        "video codecs (H264/VP9) still need an external codec"
     )
 
 
@@ -5901,7 +5910,11 @@ def encode_webp_lossless(
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
 
 
-def decode_webp_real(payload: bytes, _pixels: bool = False) -> dict:
+def decode_webp_real(
+    payload: bytes,
+    _pixels: bool = False,
+    placeholder_vp8_ok: bool = False,
+) -> dict:
     """Real VP8L (WebP lossless) decoder: RIFF walk to the VP8L chunk,
     then the full bitstream — prefix codes (simple + normal with
     code-length RLE and max_symbol), color cache, meta prefix groups,
@@ -5911,8 +5924,12 @@ def decode_webp_real(payload: bytes, _pixels: bool = False) -> dict:
     Returns ``{fmt, width, height, sum_r, sum_g, sum_b}`` — exact
     integer channel sums (lossless codec => exact oracle).  Lossy VP8
     chunks dispatch to ``decode_vp8_real`` (multimodal/vp8.py, shipped
-    alongside) and return YUV sums; VP8X extended features stay behind
-    the honest NotImplementedError gate."""
+    alongside) and return YUV sums — but ONLY when the caller asserts
+    self-encoded provenance via ``placeholder_vp8_ok=True``: with the
+    documented placeholder token-probability tables, an externally
+    encoded (libwebp) lossy stream would mis-decode silently, so the
+    default raises decode_vp8_real's honest gate (ADVICE r10).  VP8X
+    dispatches to decode_webp_extended with the same flag."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
@@ -5935,7 +5952,9 @@ def decode_webp_real(payload: bytes, _pixels: bool = False) -> dict:
                     "lossy WebP dispatch needs decode_vp8_real shipped "
                     "alongside"
                 ) from exc
-            return vp8(body[:clen])
+            return vp8(
+                body[:clen], placeholder_tables_ok=placeholder_vp8_ok
+            )
         if fourcc == b"VP8X":
             # extended container: static alpha images decode for real
             # since r10 (decode_webp_extended); ship-alongside
@@ -5946,7 +5965,7 @@ def decode_webp_real(payload: bytes, _pixels: bool = False) -> dict:
                     "VP8X dispatch needs decode_webp_extended shipped "
                     "alongside"
                 ) from exc
-            return ext(payload)
+            return ext(payload, placeholder_vp8_ok=placeholder_vp8_ok)
         pos += 8 + clen + (clen & 1)
     if data is None:
         raise ValueError("malformed WebP: no VP8L chunk")
@@ -6389,7 +6408,8 @@ def encode_webp_extended(y, u, v, alpha, qi: int = 4,
 
 
 def decode_webp_extended(payload: bytes,
-                         return_planes: bool = False) -> dict:
+                         return_planes: bool = False,
+                         placeholder_vp8_ok: bool = False) -> dict:
     """Real VP8X (extended WebP) decode for static alpha images: VP8X
     header (flags + 24-bit canvas dims), the ALPH chunk — header byte
     (preprocessing informational, filter method inverted for real,
@@ -6454,7 +6474,11 @@ def decode_webp_extended(payload: bytes,
             "VP8X decode needs decode_vp8_real/decode_webp_real "
             "shipped alongside"
         ) from exc
-    m = vp8(frame, return_planes=return_planes)
+    m = vp8(
+        frame,
+        return_planes=return_planes,
+        placeholder_tables_ok=placeholder_vp8_ok,
+    )
     w, h = canvas
     if (m["width"], m["height"]) != (w, h):
         raise ValueError("VP8X canvas dims disagree with the frame")
@@ -6558,10 +6582,10 @@ def decode_webp_anim(payload: bytes, return_frames: bool = False) -> dict:
     """Real ANIMATED WebP decode (the GIF-anim pattern applied to the
     VP8X container): VP8X + ANIM headers, then per ANMF chunk a real
     VP8L sub-image decode (alpha-capable), composited onto the canvas
-    — blend flag 'do not blend' overwrites the rect; alpha blending is
-    implemented for the BINARY alpha case (frame pixels fully opaque
-    or fully transparent — the sprite/logo animation reality;
-    fractional alpha raises the named gate), disposal restores the
+    — blend flag 'do not blend' overwrites the rect; alpha blending
+    implements the container spec's over-operator in exact integer
+    arithmetic (floor rounding; fractional alpha included since r11 —
+    it is pure arithmetic, no empirical tables), disposal restores the
     frame rect to the ANIM background color.  The canvas starts filled
     with the background color.  Lossy VP8 sub-frames stay gated by
     name (their bound-assert semantics don't fit the exact compositing
@@ -6667,11 +6691,30 @@ def decode_webp_anim(payload: bytes, return_frames: bool = False) -> dict:
                         elif pa == 0:
                             pass  # fully transparent: keep canvas
                         else:
-                            raise NotImplementedError(
-                                "fractional-alpha ANMF blending not in "
-                                "the subset (binary alpha composites "
-                                "exactly)"
-                            )
+                            # fractional alpha (r11, closing the last
+                            # anim-WebP gate): the container spec's
+                            # over-operator in EXACT integer form.
+                            #   A = pa + ca*(255-pa)/255
+                            # scaled by 255:
+                            #   A_num = 255*pa + ca*(255-pa)
+                            #   RGB   = (255*src*pa + dst*ca*(255-pa))
+                            #           / A_num
+                            # floor rounding (deterministic; the
+                            # oracle replicates it with integer //).
+                            cr, cg, cb, ca = canvas[row + u]
+                            a_num = 255 * pa + ca * (255 - pa)
+                            if a_num == 0:
+                                canvas[row + u] = (0, 0, 0, 0)
+                            else:
+                                canvas[row + u] = (
+                                    (255 * rgba[0] * pa
+                                     + cr * ca * (255 - pa)) // a_num,
+                                    (255 * rgba[1] * pa
+                                     + cg * ca * (255 - pa)) // a_num,
+                                    (255 * rgba[2] * pa
+                                     + cb * ca * (255 - pa)) // a_num,
+                                    a_num // 255,
+                                )
                     else:
                         canvas[row + u] = rgba
             frames_out.append(
@@ -6758,7 +6801,8 @@ def decode_webp_anim(payload: bytes, return_frames: bool = False) -> dict:
     "a genuine VP8X/ANIM/ANMF container per document — three frames "
     "exercising overwrite compositing, BINARY-alpha blending (a "
     "checkerboard sprite over the canvas — the logo/sprite animation "
-    "reality; fractional alpha stays gated by name), "
+    "reality; fractional alpha covered by "
+    "multimodal_decode_webp_anim_fralpha since r11), "
     "dispose-to-background, sub-rectangle frames with even-offset "
     "encoding, each frame a REAL VP8L lossless sub-image carrying its "
     "own alpha; stage 2 runs decode_webp_anim: header walk, per-ANMF "
@@ -6838,6 +6882,194 @@ def multimodal_decode_webp_anim(
                     ],
                 )
                 payloads.append(enc(w, h, bg, [f0, f1, f2]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    encoded = d.mapInPandas(encode, schema="doc_id long, payload binary")
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = dec(bytes(payload))
+                for k, (sr, sg, sb, sa) in enumerate(m["frames"]):
+                    rows.append(
+                        (int(doc_id), k, m["n_frames"], sr, sg, sb, sa)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_no", "n_frames", "sum_r", "sum_g",
+                    "sum_b", "sum_a",
+                ],
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, frame_no long, n_frames long, sum_r long, "
+            "sum_g long, sum_b long, sum_a long"
+        ),
+    )
+
+
+@register(
+    "multimodal_decode_webp_anim_fralpha",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, n_chars % 8 + 8 AS w, doc_id % 6 + 8 AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT d.doc_id, d.w, d.h, x.x, y.y
+            FROM dims d,
+                 LATERAL unnest(generate_series(0, d.w - 1)) AS x(x),
+                 LATERAL unnest(generate_series(0, d.h - 1)) AS y(y)
+        ),
+        base AS (
+            SELECT doc_id, w, h, x, y,
+                   CASE WHEN y < 4
+                        THEN (doc_id * 37 + ((x + 2 * y) % 7) * 29) % 256
+                        ELSE (doc_id * 19) % 256 END AS d0r,
+                   CASE WHEN y < 4
+                        THEN (doc_id * 37 + ((x + 2 * y) % 7) * 29 + 85) % 256
+                        ELSE (doc_id * 19 + 60) % 256 END AS d0g,
+                   CASE WHEN y < 4
+                        THEN (doc_id * 37 + ((x + 2 * y) % 7) * 29 + 170) % 256
+                        ELSE (doc_id * 19 + 120) % 256 END AS d0b,
+                   CASE WHEN y < 4 THEN 255
+                        ELSE (doc_id * 29 + 17) % 256 END AS d0a,
+                   (x >= 2 AND x < w - 2 AND y >= 2 AND y < h - 2)
+                       AS inf1,
+                   (doc_id * 41 + (((x - 2) + 2 * (y - 2)) % 7) * 31) % 256
+                       AS sr,
+                   (doc_id * 41 + (((x - 2) + 2 * (y - 2)) % 7) * 31 + 90)
+                       % 256 AS sg,
+                   (doc_id * 41 + (((x - 2) + 2 * (y - 2)) % 7) * 31 + 180)
+                       % 256 AS sb,
+                   (doc_id * 13 + (x - 2) * 7 + (y - 2) * 11) % 256 AS sa
+            FROM px
+        ),
+        f1 AS (
+            SELECT doc_id,
+                   CASE WHEN NOT inf1 OR sa = 0 THEN d0r
+                        WHEN sa = 255 THEN sr
+                        ELSE (255 * sr * sa + d0r * d0a * (255 - sa))
+                             // (255 * sa + d0a * (255 - sa)) END AS p1r,
+                   CASE WHEN NOT inf1 OR sa = 0 THEN d0g
+                        WHEN sa = 255 THEN sg
+                        ELSE (255 * sg * sa + d0g * d0a * (255 - sa))
+                             // (255 * sa + d0a * (255 - sa)) END AS p1g,
+                   CASE WHEN NOT inf1 OR sa = 0 THEN d0b
+                        WHEN sa = 255 THEN sb
+                        ELSE (255 * sb * sa + d0b * d0a * (255 - sa))
+                             // (255 * sa + d0a * (255 - sa)) END AS p1b,
+                   CASE WHEN NOT inf1 OR sa = 0 THEN d0a
+                        WHEN sa = 255 THEN 255
+                        ELSE (255 * sa + d0a * (255 - sa)) // 255
+                        END AS p1a
+            FROM base
+        )
+        SELECT doc_id, CAST(0 AS BIGINT) AS frame_no,
+               CAST(2 AS BIGINT) AS n_frames,
+               CAST(sum(d0r) AS BIGINT) AS sum_r,
+               CAST(sum(d0g) AS BIGINT) AS sum_g,
+               CAST(sum(d0b) AS BIGINT) AS sum_b,
+               CAST(sum(d0a) AS BIGINT) AS sum_a
+        FROM base GROUP BY doc_id
+        UNION ALL
+        SELECT doc_id, CAST(1 AS BIGINT) AS frame_no,
+               CAST(2 AS BIGINT) AS n_frames,
+               CAST(sum(p1r) AS BIGINT) AS sum_r,
+               CAST(sum(p1g) AS BIGINT) AS sum_g,
+               CAST(sum(p1b) AS BIGINT) AS sum_b,
+               CAST(sum(p1a) AS BIGINT) AS sum_a
+        FROM f1 GROUP BY doc_id
+        """,
+    category="multimodal",
+    doc="FRACTIONAL-alpha animated WebP (r11 — closes the last "
+    "animated-WebP gate, VERDICT r10 task 7): frame 0 overwrites an "
+    "opaque gradient band onto a canvas whose ANIM background itself "
+    "carries fractional alpha; frame 1 alpha-BLENDS a sub-rect whose "
+    "per-pixel alpha sweeps 0..255, overlapping BOTH destination "
+    "regimes (opaque band rows and translucent background rows).  "
+    "Blending is the container spec's over-operator in exact integer "
+    "arithmetic with floor rounding — pure arithmetic, no empirical "
+    "tables — so the oracle replicates the formula per pixel with "
+    "integer // and the per-frame channel sums (alpha included) "
+    "HASH-MATCH EXACTLY.  Same 100 TB shape as the other codec "
+    "queries: two narrow Arrow stages, per-row CPU, no extra shuffle.",
+)
+def multimodal_decode_webp_anim_fralpha(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    vp8l_helpers = {
+        "_vp8l_predict": _ship_by_value(_vp8l_predict),
+        "_vp8l_cte_delta": _ship_by_value(_vp8l_cte_delta),
+        "_vp8l_dist_map": _ship_by_value(_vp8l_dist_map),
+    }
+    enc_lossless = _ship_with(encode_webp_lossless, **vp8l_helpers)
+    enc = _ship_with(encode_webp_anim, encode_webp_lossless=enc_lossless)
+    dec_webp = _ship_with(decode_webp_real, **vp8l_helpers)
+    dec = _ship_with(decode_webp_anim, decode_webp_real=dec_webp)
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                cid, nc = int(doc_id), int(n_chars)
+                w, h = nc % 8 + 8, cid % 6 + 8
+                bg = (
+                    (cid * 19) % 256, (cid * 19 + 60) % 256,
+                    (cid * 19 + 120) % 256, (cid * 29 + 17) % 256,
+                )
+                f0 = dict(
+                    x=0, y=0, blend=False, dispose=False,
+                    pixels=[
+                        [
+                            (
+                                (cid * 37 + ((x + 2 * y) % 7) * 29) % 256,
+                                (cid * 37 + ((x + 2 * y) % 7) * 29 + 85)
+                                % 256,
+                                (cid * 37 + ((x + 2 * y) % 7) * 29 + 170)
+                                % 256,
+                                255,
+                            )
+                            for x in range(w)
+                        ]
+                        for y in range(4)
+                    ],
+                )
+                f1 = dict(
+                    x=2, y=2, blend=True, dispose=False,
+                    pixels=[
+                        [
+                            (
+                                (cid * 41 + ((u + 2 * v) % 7) * 31) % 256,
+                                (cid * 41 + ((u + 2 * v) % 7) * 31 + 90)
+                                % 256,
+                                (cid * 41 + ((u + 2 * v) % 7) * 31 + 180)
+                                % 256,
+                                (cid * 13 + u * 7 + v * 11) % 256,
+                            )
+                            for u in range(w - 4)
+                        ]
+                        for v in range(h - 4)
+                    ],
+                )
+                payloads.append(enc(w, h, bg, [f0, f1]))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )

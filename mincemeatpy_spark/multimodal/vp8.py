@@ -163,6 +163,11 @@ def _vp8_tables() -> dict:
         "ac_q": ac_q,
         "coef_probs": coef_probs,
         "coef_update_probs": coef_update_probs,
+        # Flipped to False when the RFC 6386 §13.4/§13.5 empirical
+        # tables are dropped in at this two-constant swap point; until
+        # then decode_vp8_real only decodes this module's own encoder
+        # output and external input is gated (ADVICE r10).
+        "placeholder_token_probs": True,
         "EOB": EOB,
     }
 
@@ -920,6 +925,13 @@ def encode_vp8_frame(y, u, v, qi: int = 4, filter_level: int = 0,
     tokens = _vp8_be_finish(ts)
 
     first_size = len(header)
+    # The frame tag stores the header-partition size in 19 bits; a
+    # larger header would silently corrupt the tag (ADVICE r10).
+    if not 0 < first_size < (1 << 19):
+        raise ValueError(
+            f"VP8 header partition size {first_size} outside the "
+            "19-bit frame-tag field"
+        )
     tag = 0 | (0 << 1) | (1 << 4) | (first_size << 5)
     out = bytes(
         [tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF]
@@ -949,7 +961,11 @@ def encode_webp_lossy(y, u, v, qi: int = 4, filter_level: int = 0,
 # --- frame decode ---------------------------------------------------------
 
 
-def decode_vp8_real(payload: bytes, return_planes: bool = False) -> dict:
+def decode_vp8_real(
+    payload: bytes,
+    return_planes: bool = False,
+    placeholder_tables_ok: bool = False,
+) -> dict:
     """Real VP8 key-frame decode (see module docstring for the subset
     and table provenance): frame tag + start code + dimensions, bool-
     decoded keyframe header, mode decoding with the keyframe trees,
@@ -957,11 +973,27 @@ def decode_vp8_real(payload: bytes, return_planes: bool = False) -> dict:
     exact integer IWHT+IDCT, intra prediction with the 127/129 edge
     fills, and the SIMPLE loop filter.  Returns YUV sums (colorspace
     conversion is outside the VP8 spec); ``return_planes`` adds the
-    cropped planes for white-box tests."""
+    cropped planes for white-box tests.
+
+    ``placeholder_tables_ok`` (ADVICE r10, fail-loud gate): while the
+    token-probability tables are the documented placeholders, a stream
+    produced by a REAL encoder (libwebp/libvpx) would mis-decode into
+    garbage silently — the placeholder-vs-real choice is invisible in
+    the bitstream, so callers must assert provenance explicitly.  Pass
+    True only for streams from this module's own ``encode_vp8_frame``
+    family; every other input raises the honest gate below."""
     import numpy as np
 
     if len(payload) < 10:
         raise ValueError("VP8 frame too short")
+    if not placeholder_tables_ok and _vp8_tables()["placeholder_token_probs"]:
+        raise NotImplementedError(
+            "lossy VP8 decode of externally encoded streams is "
+            "undefined while the RFC 6386 §13.4/§13.5 empirical "
+            "token-probability tables are placeholders (not derivable "
+            "offline); pass placeholder_tables_ok=True only for "
+            "streams produced by this module's own encode_vp8_frame"
+        )
     tag = payload[0] | (payload[1] << 8) | (payload[2] << 16)
     if tag & 1:
         raise NotImplementedError(
@@ -976,7 +1008,10 @@ def decode_vp8_real(payload: bytes, return_planes: bool = False) -> dict:
         raise ValueError("bad VP8 dimensions")
     header = payload[10 : 10 + first_size]
     tokens = payload[10 + first_size :]
-    if len(header) < first_size or not tokens:
+    # first_size == 0 would sail past the < check (0 < 0 is false) and
+    # crash _vp8_bd_init on an empty buffer (ADVICE r10) — a keyframe
+    # header partition is never empty, so reject it as truncation.
+    if first_size == 0 or len(header) < first_size or not tokens:
         raise ValueError("truncated VP8 partitions")
 
     tables = _vp8_tables()
@@ -998,9 +1033,17 @@ def decode_vp8_real(payload: bytes, return_planes: bool = False) -> dict:
             "multiple VP8 token partitions not in the subset"
         )
     qi = _vp8_bd_literal(st, 7)
-    for _ in range(5):
+    for delta in ("y1dc", "y2dc", "y2ac", "uvdc", "uvac"):
         if _vp8_bd_bool(st, 128):
-            _vp8_bd_signed(st, 4)  # parsed but the subset writes none
+            # A present delta would change the per-plane dequant
+            # factors; silently decoding with the base qi would be
+            # wrong reconstruction (ADVICE r10) — gate by name like
+            # segmentation/multi-partition instead.
+            _vp8_bd_signed(st, 4)
+            raise NotImplementedError(
+                f"VP8 per-plane quantizer delta ({delta}) not in the "
+                "subset"
+            )
     _vp8_bd_bool(st, 128)  # refresh_entropy_probs
     cp = [
         [[list(n) for n in c] for c in b] for b in tables["coef_probs"]
@@ -1361,7 +1404,9 @@ def multimodal_decode_vp8_real(
                 pdf["doc_id"], pdf["payload"], pdf["qi"],
                 pdf["true_y"], pdf["true_u"], pdf["true_v"],
             ):
-                m = dec(bytes(payload))
+                # provenance-asserted: the corpus is self-encoded in
+                # the stage above, so the placeholder-table gate opts in
+                m = dec(bytes(payload), placeholder_vp8_ok=True)
                 per_px = 3 + int(qi) // 3
                 ybound = per_px * m["width"] * m["height"]
                 cbound = (
@@ -1552,7 +1597,9 @@ def multimodal_decode_vp8x_real(
                 pdf["doc_id"], pdf["payload"], pdf["qi"],
                 pdf["true_y"], pdf["true_u"], pdf["true_v"],
             ):
-                m = dec(bytes(payload))
+                # provenance-asserted: the corpus is self-encoded in
+                # the stage above, so the placeholder-table gate opts in
+                m = dec(bytes(payload), placeholder_vp8_ok=True)
                 per_px = 3 + int(qi) // 3
                 ybound = per_px * m["width"] * m["height"]
                 cbound = (

@@ -1494,13 +1494,14 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events GROUP BY user_id
         )
         SELECT b.user_id,
-               [b.n_events, b.n_types, b.n_days, b.mean_value_micros]
-                   AS features,
-               [CASE WHEN t.event_type = 'click'    THEN 1 ELSE 0 END,
+               concat_ws(',', b.n_events, b.n_types, b.n_days,
+                         b.mean_value_micros) AS features,
+               concat_ws(',',
+                CASE WHEN t.event_type = 'click'    THEN 1 ELSE 0 END,
                 CASE WHEN t.event_type = 'view'     THEN 1 ELSE 0 END,
                 CASE WHEN t.event_type = 'purchase' THEN 1 ELSE 0 END,
                 CASE WHEN t.event_type NOT IN ('click','view','purchase')
-                     THEN 1 ELSE 0 END] AS top_type_onehot
+                     THEN 1 ELSE 0 END) AS top_type_onehot
         FROM base b
         JOIN top_type t ON t.user_id = b.user_id AND t.rk = 1
         """,
@@ -1508,13 +1509,15 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Feature assembly — the feature-store export step that turns raw "
     "events into per-entity ML feature vectors: numeric features "
     "(event count, type cardinality, active days, mean value in exact "
-    "integer micro-units with floor division) packed into an array "
-    "column, plus a deterministic one-hot of the user's modal event "
+    "integer micro-units with floor division) packed into a vector, "
+    "plus a deterministic one-hot of the user's modal event "
     "type (count-desc, name-asc tie-break; unknown types fold into an "
     "OOV slot — the fixed-vocabulary contract a training job needs).  "
-    "One shuffle on user_id produces everything; arrays assemble "
-    "scan-side after the aggregate, so the output is directly "
-    "writable as training-ready parquet.",
+    "One shuffle on user_id produces everything; vectors assemble "
+    "scan-side after the aggregate.  Emitted comma-joined (a real "
+    "feature-store export would keep the arrays; driver-facing final "
+    "schemas must stay flat — see oracle_utils."
+    "assert_driver_canon_compatible).",
 )
 def features_user_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1550,10 +1553,12 @@ def features_user_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return base.join(top, "user_id").select(
         "user_id",
-        F.array("n_events", "n_types", "n_days", "mean_value_micros").alias(
-            "features"
-        ),
-        onehot.alias("top_type_onehot"),
+        F.concat_ws(
+            ",", "n_events", "n_types", "n_days", "mean_value_micros"
+        ).alias("features"),
+        F.array_join(
+            F.transform(onehot, lambda x: x.cast("string")), ","
+        ).alias("top_type_onehot"),
     )
 
 

@@ -421,7 +421,8 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o.o_orderkey,
                count(*) AS n_lines,
-               list(l.l_linenumber ORDER BY l.l_linenumber) AS line_numbers,
+               string_agg(CAST(l.l_linenumber AS VARCHAR), ','
+                          ORDER BY l.l_linenumber) AS line_numbers,
                CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
                     AS BIGINT) AS total_cents
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -433,12 +434,16 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "turns a normalized star schema into self-contained records (the "
     "shape a JSON/parquet export or a feature-store snapshot wants): "
     "each order gathers its line numbers into a deterministically "
-    "ORDERED array (collect_list + array_sort — collect order is "
+    "ORDERED list (collect_list + array_sort — collect order is "
     "partition-dependent, the sort restores determinism) plus exact "
-    "integer totals.  One shuffle on the join/group key; at 100 TB "
-    "both sides bucketed by orderkey make it exchange-free.  The "
-    "orderkey < 1000 slice keeps the driver comparison small; the "
-    "plan is slice-independent.",
+    "integer totals.  The list is emitted as a comma-joined STRING: "
+    "the driver's pandas canonicalizer sort_values() cannot hash an "
+    "ArrayType cell (r10 driver err), so no registered query may put "
+    "an array/map/struct in its FINAL schema (guard: "
+    "tests/test_entry.py::test_no_nested_types_in_final_schemas).  "
+    "One shuffle on the join/group key; at 100 TB both sides bucketed "
+    "by orderkey make it exchange-free.  The orderkey < 1000 slice "
+    "keeps the driver comparison small; the plan is slice-independent.",
 )
 def orders_nested_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000).select("o_orderkey")
@@ -452,7 +457,13 @@ def orders_nested_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.array_sort(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("l_linenumber")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("line_numbers"),
             F.sum("cents").cast("bigint").alias("total_cents"),
         )
     )

@@ -637,7 +637,8 @@ def word_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT word,
                CAST(count(*) AS BIGINT) AS df,
                CAST(sum(f) AS BIGINT) AS total_tf,
-               list(doc_id ORDER BY doc_id) AS postings
+               string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY doc_id) AS postings
         FROM tf
         GROUP BY word
         HAVING count(*) >= 5
@@ -646,7 +647,9 @@ def word_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Inverted-index construction — the retrieval-side artifact of a "
     "text pipeline: per (word, doc) term frequencies, folded into one "
     "posting list per word (doc_ids sorted ascending, so the list is "
-    "delta-encodable on disk), document frequency and collection tf "
+    "delta-encodable on disk; emitted comma-joined — driver-facing "
+    "final schemas must stay flat, see oracle_utils."
+    "assert_driver_canon_compatible), document frequency and collection tf "
     "riding along.  Two two-phase aggregates, both shuffling 8-byte "
     "keyed rows; the df floor drops hapax noise; at 100 TB you additionally CAP "
     "df (or chunk posting lists) so a stopword cannot become a "
@@ -666,7 +669,13 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("df"),
             F.sum("f").alias("total_tf"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
         )
         .filter(F.col("df") >= 5)
     )

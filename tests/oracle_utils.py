@@ -43,8 +43,35 @@ def normalize(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def assert_driver_canon_compatible(spark_df) -> None:
+    """Registry-wide guard (VERDICT r10 task 1): the driver's pandas
+    canonicalizer does ``sort_values`` over ALL output columns, which
+    raises ``TypeError: unhashable type`` on any ArrayType/MapType cell
+    and cannot order StructType rows deterministically — exactly how
+    ``orders_nested_export`` went red in CORRECTNESS_r10 despite
+    value-correct output.  Every driver-facing FINAL schema must
+    therefore be flat (atomic columns only); nested types are fine in
+    intermediate plans.  Checked on the schema (cheap, pre-collect) for
+    every registered query via test_oracle.py's full-registry
+    parametrization."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    nested = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nested, (
+        f"driver-facing final schema has nested-type columns {nested}; "
+        "the driver's pandas canonicalizer (sort_values over all "
+        "columns) cannot hash them — emit array_join/to_json strings "
+        "instead (see orders_nested_export)"
+    )
+
+
 def compare_to_oracle(spark_df, duck, oracle_sql: str) -> None:
     """Assert the Spark result and the DuckDB oracle result match."""
+    assert_driver_canon_compatible(spark_df)
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
 

@@ -27,6 +27,29 @@ def test_queries_oracle_keys_align():
     assert set(os_) <= set(qs)
 
 
+def test_no_nested_types_in_final_schemas(spark, sf_dir):
+    """Mirror the driver's pandas canonicalizer on the query that broke
+    it in r10 (``orders_nested_export``, CORRECTNESS_r10 err:
+    ``unhashable type: 'list'`` inside ``sort_values``): collect to
+    pandas and run the same all-columns sort_values.  The registry-WIDE
+    schema guard is ``assert_driver_canon_compatible`` inside
+    tests/test_oracle.py's full parametrization (runs for all 450+
+    queries); this test pins the canonicalizer contract itself on the
+    fixed instance."""
+    import pandas as pd
+
+    from mincemeatpy_spark.registry import load_all_queries
+
+    df = load_all_queries()["orders_nested_export"].fn(spark, sf_dir)
+    pdf = pd.DataFrame(
+        [tuple(r) for r in df.collect()], columns=list(df.columns)
+    )
+    # The driver's _canon: sort by every column; raises on nested cells.
+    out = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+    assert len(out) == len(pdf)
+    assert out["line_numbers"].map(lambda s: isinstance(s, str)).all()
+
+
 def test_queries_prefix_spans_categories():
     """The correctness driver samples the first 50 queries() entries;
     the category-interleaved ordering must keep any such prefix
@@ -40,4 +63,31 @@ def test_queries_prefix_spans_categories():
     all_cats = {q.category for q in all_q.values()}
     assert cats_in_prefix == all_cats, (
         f"missing families in driver prefix: {all_cats - cats_in_prefix}"
+    )
+
+
+def test_queries_prefix_rotation_tiers():
+    """VERDICT r10 task 2 + task 5, enforced mechanically: (a) every
+    sampled-but-never-PASSED query (a recorded driver FAIL/err) must
+    re-enter the 50-query driver prefix — a failure's last driver word
+    must not stay FAIL while the rotation chases the never-sampled
+    tail; (b) the prefix must still carry ≥20 never-sampled queries
+    (or all that remain) so the tail keeps retiring."""
+    from mincemeatpy_spark.registry import load_all_queries
+
+    mod = _load_entry()
+    names = list(mod.queries())[:50]
+    last_pass, sampled = mod._certification_history()
+    all_q = load_all_queries()
+    failed = [n for n in all_q if n in sampled and n not in last_pass]
+    missing_failed = [n for n in failed if n not in names]
+    assert not missing_failed, (
+        f"previously-FAILED queries absent from driver prefix: {missing_failed}"
+    )
+    never = [n for n in names if n not in sampled]
+    remaining = [n for n in all_q if n not in sampled]
+    want = min(20, len(remaining))
+    assert len(never) >= want, (
+        f"only {len(never)} never-sampled queries in the driver prefix "
+        f"(target {want}); the certification tail stalls"
     )

@@ -10,7 +10,7 @@ from __future__ import annotations
 import pytest
 
 from mincemeatpy_spark.registry import load_all_queries
-from tests.oracle_utils import compare_to_oracle
+from tests.oracle_utils import assert_driver_canon_compatible, compare_to_oracle
 
 QUERIES = load_all_queries()
 
@@ -20,6 +20,7 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     q = QUERIES[name]
     df = q.fn(spark, sf_dir)
     if q.oracle is None:
+        assert_driver_canon_compatible(df)
         rows = df.collect()
         assert df.columns, f"{name}: empty schema"
         assert rows is not None

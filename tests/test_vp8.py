@@ -319,7 +319,7 @@ def test_decode_equals_independent_reconstruction(doc, w, h, qi, fl, sh):
         Y, U, V, qi=qi, filter_level=fl, sharpness=sh, mode_seed=doc,
         debug=dbg,
     )
-    m = decode_vp8_real(data, return_planes=True)
+    m = decode_vp8_real(data, return_planes=True, placeholder_tables_ok=True)
     ry, ru, rv = _independent_reconstruct(dbg, w, h, qi, fl, sh)
     assert (np.asarray(m["y_plane"]) == ry).all()
     assert (np.asarray(m["u_plane"]) == ru).all()
@@ -335,7 +335,7 @@ def test_roundtrip_error_bounds_across_rotation():
             Y, U, V, qi=qi, filter_level=(doc % 3) * 2,
             sharpness=(doc // 3) % 4, mode_seed=doc,
         )
-        m = decode_vp8_real(data)
+        m = decode_vp8_real(data, placeholder_tables_ok=True)
         per_px = 3 + qi // 3
         assert abs(m["sum_y"] - int(Y.astype("int64").sum())) <= per_px * w * h
         cw, ch = (w + 1) // 2, (h + 1) // 2
@@ -352,7 +352,7 @@ def test_skip_path_and_flat_frame_exact():
         flat, cf, cf, qi=4, fixed_modes=(_DC, _DC), debug=dbg
     )
     assert all(mb["skip"] for mb in dbg["mbs"])
-    m = decode_vp8_real(data)
+    m = decode_vp8_real(data, placeholder_tables_ok=True)
     assert m["sum_y"] == 128 * w * h
 
 
@@ -369,7 +369,7 @@ def test_mixed_skip_nonskip_context_tracking():
     data = encode_vp8_frame(Y, cf, cf, qi=2, fixed_modes=(_DC, _DC), debug=dbg)
     skips = [mb["skip"] for mb in dbg["mbs"]]
     assert True in skips and False in skips
-    m = decode_vp8_real(data)
+    m = decode_vp8_real(data, placeholder_tables_ok=True)
     assert abs(m["sum_y"] - int(Y.astype("int64").sum())) <= 3 * w * h
 
 
@@ -418,22 +418,22 @@ def test_gates_and_malformed():
     # segmentation gate: color(0), clamp(0), segmentation(1)
     data = _craft_header([(0, 128), (0, 128), (1, 128)])
     with pytest.raises(NotImplementedError, match="segmentation"):
-        decode_vp8_real(data)
+        decode_vp8_real(data, placeholder_tables_ok=True)
     # interframe gate
     Y, U, V = _planes(1, 16, 16)
     good = bytearray(encode_vp8_frame(Y, U, V))
     bad = bytearray(good)
     bad[0] |= 1
     with pytest.raises(NotImplementedError, match="interframe"):
-        decode_vp8_real(bytes(bad))
+        decode_vp8_real(bytes(bad), placeholder_tables_ok=True)
     # bad start code
     bad = bytearray(good)
     bad[3] = 0x9C
     with pytest.raises(ValueError, match="start code"):
-        decode_vp8_real(bytes(bad))
+        decode_vp8_real(bytes(bad), placeholder_tables_ok=True)
     # truncation
     with pytest.raises(ValueError):
-        decode_vp8_real(bytes(good[:8]))
+        decode_vp8_real(bytes(good[:8]), placeholder_tables_ok=True)
     # B_PRED gate: a header identical to the encoder's, with the first
     # MB coded non-skip + ymode=B_PRED (one bit 0 at prob 145)
     tables = _vp8_tables()
@@ -463,7 +463,63 @@ def test_gates_and_malformed():
     data = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
     data += b"\x9d\x01\x2a" + bytes([16, 0, 16, 0]) + header + b"\x00\x00"
     with pytest.raises(NotImplementedError, match="B_PRED"):
-        decode_vp8_real(data)
+        decode_vp8_real(data, placeholder_tables_ok=True)
+
+
+def test_external_lossy_webp_gate_fails_loud():
+    """ADVICE r10 (medium): while the token-probability tables are
+    placeholders, a lossy stream without the caller's self-encoded
+    provenance assertion must raise the honest gate — NOT mis-decode
+    into garbage.  The gate must fire on the direct decoder, the WebP
+    container dispatch, and the top-level image dispatch alike."""
+    import mincemeatpy_spark.multimodal.binary_ops as bo
+
+    Y, U, V = _planes(3, 16, 16)
+    frame = encode_vp8_frame(Y, U, V, qi=4, mode_seed=3)
+    with pytest.raises(NotImplementedError, match="placeholder"):
+        decode_vp8_real(frame)
+    payload = encode_webp_lossy(Y, U, V, qi=4, mode_seed=3)
+    with pytest.raises(NotImplementedError, match="placeholder"):
+        bo.decode_webp_real(payload)
+    with pytest.raises(NotImplementedError, match="placeholder"):
+        bo.decode_image_real(payload)
+
+
+def test_quantizer_delta_gate():
+    """ADVICE r10: a frame carrying per-plane quantizer deltas must
+    raise the named gate instead of silently dequantizing every plane
+    with the base qi (wrong reconstruction)."""
+    # header: color(0) clamp(0) seg(0) filter_type(0) level(0,6)
+    # sharpness(0,3) lf_adj(0) partitions(0,2) qi(4,7) then the FIRST
+    # delta-present flag set with a +1 delta (sign bit 0).
+    st = _vp8_be_init()
+    for bit in (0, 0, 0, 0):
+        _vp8_be_bool(st, bit, 128)
+    _vp8_be_literal(st, 0, 6)
+    _vp8_be_literal(st, 0, 3)
+    _vp8_be_bool(st, 0, 128)
+    _vp8_be_literal(st, 0, 2)
+    _vp8_be_literal(st, 4, 7)
+    _vp8_be_bool(st, 1, 128)      # y1dc delta present
+    _vp8_be_literal(st, 1, 4)     # magnitude 1
+    _vp8_be_bool(st, 0, 128)      # sign +
+    header = _vp8_be_finish(st)
+    tag = 0 | (1 << 4) | (len(header) << 5)
+    data = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+    data += b"\x9d\x01\x2a" + bytes([16, 0, 16, 0]) + header + b"\x00\x00"
+    with pytest.raises(NotImplementedError, match="quantizer delta"):
+        decode_vp8_real(data, placeholder_tables_ok=True)
+
+
+def test_empty_header_partition_rejected():
+    """ADVICE r10: first_size == 0 used to sail past the truncation
+    check (0 < 0 is false) and crash the bool decoder on an empty
+    buffer; it must be a named ValueError."""
+    tag = 0 | (1 << 4) | (0 << 5)
+    data = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+    data += b"\x9d\x01\x2a" + bytes([16, 0, 16, 0]) + b"\x00\x00"
+    with pytest.raises(ValueError, match="truncated VP8 partitions"):
+        decode_vp8_real(data, placeholder_tables_ok=True)
 
 
 def test_webp_container_dispatch():
@@ -473,7 +529,7 @@ def test_webp_container_dispatch():
     # route through decode_image_real -> decode_webp_real -> vp8
     import mincemeatpy_spark.multimodal.binary_ops as bo
 
-    m = bo.decode_image_real(payload)
+    m = bo.decode_image_real(payload, placeholder_vp8_ok=True)
     assert m["fmt"] == "webp-vp8"
     assert (m["width"], m["height"]) == (20, 12)
     assert abs(m["sum_y"] - int(Y.astype("int64").sum())) <= 4 * 20 * 12

@@ -157,7 +157,7 @@ def test_handmade_vp8_frame_decodes_exactly():
     frame = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
     frame += b"\x9d\x01\x2a" + bytes([16, 0, 16, 0]) + header + tokens
 
-    m = decode_vp8_real(frame, return_planes=True)
+    m = decode_vp8_real(frame, return_planes=True, placeholder_tables_ok=True)
     assert (m["width"], m["height"]) == (16, 16)
     # independent expectation: DC pred with no neighbors = 128;
     # y2 level 4 * y2dc(qi=0)=8 -> 32; IWHT spreads to (32+3)>>3 = 4
@@ -197,7 +197,7 @@ def test_handmade_vp8_all_skip_frame():
     tag = 0 | (1 << 4) | (len(header) << 5)
     frame = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
     frame += b"\x9d\x01\x2a" + bytes([16, 0, 16, 0]) + header + b"\x00\x00"
-    m = decode_vp8_real(frame, return_planes=True)
+    m = decode_vp8_real(frame, return_planes=True, placeholder_tables_ok=True)
     # TM with no neighbors: left 129 + above 127 - corner 127 = 129
     assert (np.asarray(m["y_plane"]) == 129).all()
     # V chroma with no above: rows of 127
