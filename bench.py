@@ -122,6 +122,25 @@ LOAD_FACTOR = 1.5  # mean loadavg > LOAD_FACTOR * cpus => contaminated
 # Quiet-host relative IQRs here run <0.1, so 1.0 is a 10x margin while
 # still catching the r9 contamination shape (which 2.0 would miss).
 RETRY_IQR_FACTOR = 1.0
+# r11 second retry trigger: the r11 quiet-window run caught a burst of
+# [15.4, 13.8, 2.3] (external load arriving mid-burst, load1 6.2->9.4)
+# whose relative IQR 0.47 slipped UNDER the 1.0 factor while its
+# median sat 5.9x above its best trial.  External load is strictly
+# additive, so on a quiet host median/best runs ~1.0-1.1; a spread
+# beyond this factor is contamination regardless of IQR shape.
+RETRY_SPREAD_FACTOR = 2.0
+# r11 (VERDICT r10 task 3): pre-trial load gate.  The r10 committed
+# records drifted +10-45% with per-trial telemetry showing external
+# load1 6-18 (co-tenant bursts); the IQR retry only catches spikes
+# landing MID-burst.  Before each burst, if the host 1-min loadavg
+# exceeds LOAD_GATE_LOAD1, wait (polling) up to LOAD_GATE_MAX_WAIT s
+# for it to drain, then proceed regardless; the wait and the
+# before/after load are recorded in the burst record so a still-loaded
+# measurement is self-describing.  8.0 = 0.25x the 32 local cores: an
+# idle JVM + OS floor is ~1-3 here, external contamination ran 6-18.
+LOAD_GATE_LOAD1 = 8.0
+LOAD_GATE_MAX_WAIT = 60.0
+LOAD_GATE_POLL = 5.0
 
 
 def _host_sample() -> dict:
@@ -138,44 +157,80 @@ def _host_sample() -> dict:
     return {"load1": load1, "nproc": nproc}
 
 
+def _await_quiet_host(host_sample) -> dict | None:
+    """Pre-burst load gate (r11): poll until load1 <= LOAD_GATE_LOAD1
+    or LOAD_GATE_MAX_WAIT elapses.  Returns a record of the wait when
+    one happened (None on an already-quiet host)."""
+    s0 = host_sample()
+    if s0.get("load1", -1.0) <= LOAD_GATE_LOAD1:
+        return None
+    waited = 0.0
+    s = s0
+    while s.get("load1", -1.0) > LOAD_GATE_LOAD1 and waited < LOAD_GATE_MAX_WAIT:
+        time.sleep(LOAD_GATE_POLL)
+        waited += LOAD_GATE_POLL
+        s = host_sample()
+    return {
+        "waited_s": round(waited, 1),
+        "load1_before": s0.get("load1"),
+        "load1_after": s.get("load1"),
+        "still_loaded": s.get("load1", -1.0) > LOAD_GATE_LOAD1,
+    }
+
+
 def _measure_one(run_once, trials: int, host_sample=None) -> dict:
     """One trial burst: stats over `trials` timed runs of run_once()."""
     host_sample = host_sample or _host_sample
+    gate = _await_quiet_host(host_sample)
     samples: list[float] = []
     host: list[dict] = []
     for _ in range(trials):
         host.append(host_sample())
         samples.append(run_once())
     host.append(host_sample())
-    return {
+    out = {
         "median": round(statistics.median(samples), 3),
         "iqr": round(_iqr(samples), 3),
         "best": round(min(samples), 3),
         "trials": [round(s, 3) for s in samples],
         "host": host,
     }
+    if gate is not None:
+        out["load_gate"] = gate
+    return out
 
 
 def _measure_with_retry(run_once, trials: int, host_sample=None) -> dict:
     """r9 judge task 7: re-trial a noise-contaminated burst once.
 
-    If the first burst's IQR exceeds RETRY_IQR_FACTOR x its median
-    (the signature of an external loadavg spike landing mid-burst —
-    quiet-host relative IQRs here run <0.1), run ONE more burst.  Both
-    attempts are recorded; the attempt with the lower relative IQR is
-    kept as the entry so committed medians are quiet-host by
-    construction, and the other rides along as `noisy_attempt`."""
+    If the first burst's IQR exceeds RETRY_IQR_FACTOR x its median, OR
+    its median exceeds RETRY_SPREAD_FACTOR x its best trial (two
+    signatures of an external loadavg spike landing mid-burst —
+    quiet-host relative IQRs here run <0.1 and median/best ~1.0-1.1),
+    run ONE more burst.  Both attempts are recorded; the attempt with
+    the LOWER MEDIAN is kept as the entry (external load is strictly
+    additive, so the lower median is always the closer estimate of the
+    code's true cost; the r10 lower-relative-IQR rule could keep a
+    uniformly-slowed burst), and the other rides along as
+    `noisy_attempt`."""
+
+    def _noisy(s: dict) -> bool:
+        m = max(s["median"], 1e-9)
+        return (
+            s["iqr"] > RETRY_IQR_FACTOR * m
+            or s["median"] > RETRY_SPREAD_FACTOR * max(s["best"], 1e-9)
+        )
+
     first = _measure_one(run_once, trials, host_sample)
-    if first["iqr"] <= RETRY_IQR_FACTOR * max(first["median"], 1e-9):
+    if not _noisy(first):
         return first
 
     second = _measure_one(run_once, trials, host_sample)
 
-    def rel(s: dict) -> float:
-        return s["iqr"] / max(s["median"], 1e-9)
-
     keep, other = (
-        (second, first) if rel(second) <= rel(first) else (first, second)
+        (second, first)
+        if second["median"] <= first["median"]
+        else (first, second)
     )
     keep = dict(keep)
     keep["retried"] = True

@@ -170,14 +170,68 @@ def test_iqr_retry_burst():
     assert s["noisy_attempt"]["median"] == 6.3
     assert s["noisy_attempt"]["trials"] == [25.9, 4.9, 6.3]
 
-    # both bursts noisy: exactly one retry, lower-relative-IQR kept
+    # both bursts noisy: exactly one retry, LOWER-MEDIAN kept (r11:
+    # external load is additive, so the lower median is closer to the
+    # code's true cost)
     seq2 = iter([25.0, 1.0, 6.0, 30.0, 1.0, 2.0])
     s = bench._measure_with_retry(lambda: next(seq2), 3, host)
     assert s["retried"] is True
-    rel = s["iqr"] / s["median"]
-    rel_other = s["noisy_attempt"]["iqr"] / s["noisy_attempt"]["median"]
-    assert rel <= rel_other
+    assert s["median"] == 2.0
+    assert s["noisy_attempt"]["median"] == 6.0
     import pytest
 
     with pytest.raises(StopIteration):  # no third burst ever
         next(seq2)
+
+
+def test_spread_retry_burst():
+    """r11: the spread trigger — a burst whose median exceeds
+    RETRY_SPREAD_FACTOR x its best re-trials even when its relative
+    IQR is under RETRY_IQR_FACTOR (the r11 webp shape: [15.4, 13.8,
+    2.3], rel IQR 0.47, median/best 5.9)."""
+    import bench
+
+    host = lambda: {"load1": 1.0, "nproc": 10}
+    seq = iter([15.372, 13.834, 2.338, 2.3, 2.4, 2.35])
+    s = bench._measure_with_retry(lambda: next(seq), 3, host)
+    assert s["retried"] is True
+    assert s["median"] == 2.35
+    assert s["noisy_attempt"]["median"] == 13.834
+
+    # quiet burst (median/best ~1.04): no retry
+    quiet = iter([2.4, 2.3, 2.35])
+    s2 = bench._measure_with_retry(lambda: next(quiet), 3, host)
+    assert "retried" not in s2
+
+
+def test_load_gate_waits_then_records(monkeypatch):
+    """r11 (VERDICT r10 task 3): a loaded host delays the burst and the
+    wait is recorded in the burst record; a quiet host adds nothing."""
+    import bench as B
+
+    monkeypatch.setattr(B.time, "sleep", lambda s: None)
+    loads = iter([12.0, 11.0, 3.0] + [1.0] * 10)
+    fake = lambda: {"load1": next(loads), "nproc": 100}
+    rec = B._measure_one(lambda: 0.5, trials=2, host_sample=fake)
+    gate = rec["load_gate"]
+    assert gate["load1_before"] == 12.0
+    assert gate["load1_after"] == 3.0
+    assert gate["waited_s"] == 2 * B.LOAD_GATE_POLL
+    assert gate["still_loaded"] is False
+
+    quiet = lambda: {"load1": 1.0, "nproc": 100}
+    rec2 = B._measure_one(lambda: 0.5, trials=2, host_sample=quiet)
+    assert "load_gate" not in rec2
+
+
+def test_load_gate_gives_up_and_proceeds(monkeypatch):
+    """The gate must never stall the bench: after LOAD_GATE_MAX_WAIT it
+    proceeds and marks the record still_loaded."""
+    import bench as B
+
+    monkeypatch.setattr(B.time, "sleep", lambda s: None)
+    fake = lambda: {"load1": 50.0, "nproc": 400}
+    rec = B._measure_one(lambda: 0.5, trials=1, host_sample=fake)
+    gate = rec["load_gate"]
+    assert gate["still_loaded"] is True
+    assert gate["waited_s"] >= B.LOAD_GATE_MAX_WAIT
