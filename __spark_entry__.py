@@ -180,6 +180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # schema) — re-submitted as a lead so its first driver word
         # after the fix is a green.
         "orders_nested_export",
+        # round-11 flagship: fractional-alpha animated-WebP blending
+        # (exact integer over-operator; closes the last anim-WebP gate).
+        "multimodal_decode_webp_anim_fralpha",
     ):
         out[name] = qs[name].fn
     for row in zip_longest(*(by_cat[c] for c in order)):
