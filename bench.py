@@ -144,7 +144,17 @@ LOAD_GATE_POLL = 5.0
 
 
 def _host_sample() -> dict:
-    """One telemetry sample: 1-min loadavg + running process count."""
+    """One telemetry sample: 1-min loadavg + running process count +
+    cumulative steal/total CPU ticks + a fixed-work CPU probe.
+
+    The r11 drift adjudication found bursts uniformly ~40% slower at
+    IDLE loadavg (run1 wordcount 0.42 s @ load1 0.8 vs run3 0.70 s @
+    load1 0.4) — co-tenant pressure on the physical host shows up as
+    hypervisor steal / frequency contention, which loadavg cannot see.
+    `cpu_probe_ms` times a fixed pure-Python spin: on a healthy host it
+    is constant across a session, so a burst whose probes run >25%
+    above the session floor is contaminated regardless of loadavg;
+    steal tick deltas across the burst corroborate."""
     try:
         with open("/proc/loadavg") as f:
             load1 = float(f.read().split()[0])
@@ -154,7 +164,26 @@ def _host_sample() -> dict:
         nproc = sum(1 for d in os.listdir("/proc") if d.isdigit())
     except OSError:
         nproc = -1
-    return {"load1": load1, "nproc": nproc}
+    steal = total = -1
+    try:
+        with open("/proc/stat") as f:
+            vals = list(map(int, f.readline().split()[1:]))
+        total = sum(vals)
+        steal = vals[7] if len(vals) > 7 else -1
+    except (OSError, ValueError, IndexError):
+        pass
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(100_000):  # ~5-10 ms of fixed interpreter work
+        acc += i * i
+    probe_ms = round((time.perf_counter() - t0) * 1000, 2)
+    return {
+        "load1": load1,
+        "nproc": nproc,
+        "steal_ticks": steal,
+        "total_ticks": total,
+        "cpu_probe_ms": probe_ms,
+    }
 
 
 def _await_quiet_host(host_sample) -> dict | None:
@@ -197,6 +226,18 @@ def _measure_one(run_once, trials: int, host_sample=None) -> dict:
     }
     if gate is not None:
         out["load_gate"] = gate
+    h0, h1 = host[0], host[-1]
+    if h0.get("total_ticks", -1) > 0 and h1.get("total_ticks", -1) > 0:
+        dt = h1["total_ticks"] - h0["total_ticks"]
+        ds = h1.get("steal_ticks", 0) - h0.get("steal_ticks", 0)
+        if dt > 0 and ds >= 0:
+            out["steal_pct"] = round(100.0 * ds / dt, 2)
+    probes = [
+        s["cpu_probe_ms"] for s in host if s.get("cpu_probe_ms", 0) > 0
+    ]
+    if probes:
+        out["cpu_probe_ms_min"] = min(probes)
+        out["cpu_probe_ms_max"] = max(probes)
     return out
 
 
