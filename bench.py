@@ -122,6 +122,14 @@ LOAD_FACTOR = 1.5  # mean loadavg > LOAD_FACTOR * cpus => contaminated
 # Quiet-host relative IQRs here run <0.1, so 1.0 is a 10x margin while
 # still catching the r9 contamination shape (which 2.0 would miss).
 RETRY_IQR_FACTOR = 1.0
+# r11 hypervisor-contention telemetry thresholds: the fixed-work CPU
+# probe (see _host_sample) runs ~5.1-5.3 ms on this host when healthy;
+# a burst whose QUIETEST probe exceeds 1.25x that floor, or that lost
+# >5% of CPU ticks to steal, is contaminated at the hypervisor level
+# even when loadavg reads idle.
+PROBE_FLOOR_MS = 5.1
+PROBE_INFLATION_FACTOR = 1.25
+STEAL_PCT_NOISE = 5.0
 # r11 second retry trigger: the r11 quiet-window run caught a burst of
 # [15.4, 13.8, 2.3] (external load arriving mid-burst, load1 6.2->9.4)
 # whose relative IQR 0.47 slipped UNDER the 1.0 factor while its
@@ -310,6 +318,16 @@ def classify(
     contaminated = bool(loads) and (
         sum(loads) / len(loads) > LOAD_FACTOR * cpus
     )
+    # r11: hypervisor-level contention shows up in the fixed-work CPU
+    # probe and the steal counters, not in loadavg (the r11 drift ran
+    # at load1 0.4).  A burst whose quietest probe sits >25% above the
+    # healthy floor, or that lost >5% of CPU to steal, cannot certify
+    # a move either way.
+    probe = cur.get("cpu_probe_ms_min")
+    if probe and probe > PROBE_INFLATION_FACTOR * PROBE_FLOOR_MS:
+        contaminated = True
+    if cur.get("steal_pct", 0) and cur["steal_pct"] > STEAL_PCT_NOISE:
+        contaminated = True
     if rel_iqr >= TIGHT_IQR or contaminated:
         return "NOISE"
     return "REGRESSION" if rel_move > 0 else "IMPROVEMENT"

@@ -235,3 +235,21 @@ def test_load_gate_gives_up_and_proceeds(monkeypatch):
     gate = rec["load_gate"]
     assert gate["still_loaded"] is True
     assert gate["waited_s"] >= B.LOAD_GATE_MAX_WAIT
+
+
+def test_probe_and_steal_contamination_downgrade():
+    """r11: hypervisor-level contention (inflated fixed-work probe or
+    steal >5%) downgrades a >15% move to NOISE even at idle loadavg
+    and tight IQR."""
+    import bench
+
+    base = {"median": 12.0, "iqr": 0.1, "host": [{"load1": 0.4}]}
+    # healthy probe, no steal: the move certifies as REGRESSION
+    cur = dict(base, cpu_probe_ms_min=bench.PROBE_FLOOR_MS, steal_pct=0.0)
+    assert bench.classify("q", cur, 10.0, 32) == "REGRESSION"
+    # inflated probe: NOISE
+    cur = dict(base, cpu_probe_ms_min=2 * bench.PROBE_FLOOR_MS, steal_pct=0.0)
+    assert bench.classify("q", cur, 10.0, 32) == "NOISE"
+    # heavy steal: NOISE
+    cur = dict(base, cpu_probe_ms_min=bench.PROBE_FLOOR_MS, steal_pct=9.0)
+    assert bench.classify("q", cur, 10.0, 32) == "NOISE"
