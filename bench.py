@@ -110,6 +110,8 @@ EXTENDED = [
     "multimodal_decode_gif_anim",
     "multimodal_decode_vp8x_real",
     "multimodal_decode_webp_anim",
+    # r11: fractional-alpha animated-WebP compositing
+    "multimodal_decode_webp_anim_fralpha",
 ]
 
 REGRESSION_PCT = 0.15  # median must move more than this ...
