@@ -68,19 +68,24 @@ _CATEGORY_PRIORITY = [
 ]
 
 
-def _certification_history() -> tuple[dict[str, int], set[str]]:
+def _certification_history() -> tuple[dict[str, int], set[str], set[str]]:
     """Scan CORRECTNESS_r*.json beside this file and return
-    ``(last_pass_round, ever_sampled)``:
+    ``(last_pass_round, ever_sampled, open_fail)``:
 
     * ``last_pass_round[name]`` — most recent round whose driver sample
       recorded a full PASS (rows+schema+hash all True, err None) for
       the query; absent = never driver-PASSED.
     * ``ever_sampled`` — names that appeared in ANY sample, pass or
       fail.
+    * ``open_fail`` — names whose MOST RECENT sample was a FAIL/err
+      (r12, ADVICE r11 item 2: tiering on never-passed let a
+      pass-then-regress query hide in tier 2; tiering on the latest
+      outcome guarantees any query whose last driver word is FAIL
+      re-enters the prefix, whether or not it ever passed).
 
     Used to rotate queries to the front WITHIN each category in three
-    tiers (VERDICT r10 task 2): sampled-but-never-passed FIRST (a
-    recorded driver FAIL must not hide behind the never-sampled queue —
+    tiers (VERDICT r10 task 2): latest-sample-FAILED first (a recorded
+    driver FAIL must not hide behind the never-sampled queue —
     ``percentiles_approx`` / ``hll_sketch_reaggregate`` sat on an r2
     ``no_oracle`` err for eight rounds), then never-sampled, then
     least-recently-passed — so the local-pass tail retires over rounds
@@ -91,6 +96,8 @@ def _certification_history() -> tuple[dict[str, int], set[str]]:
     import re
 
     last_pass: dict[str, int] = {}
+    last_seen: dict[str, int] = {}
+    last_seen_ok: dict[str, bool] = {}
     sampled: set[str] = set()
     for p in sorted(
         glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))
@@ -106,15 +113,20 @@ def _certification_history() -> tuple[dict[str, int], set[str]]:
             continue
         for n, rec in doc.items():
             sampled.add(n)
-            if (
+            ok = (
                 isinstance(rec, dict)
                 and rec.get("rows_match") is True
                 and rec.get("schema_match") is True
                 and rec.get("hash_match") is True
                 and not rec.get("err")
-            ):
+            )
+            if ok:
                 last_pass[n] = max(last_pass.get(n, 0), rnd)
-    return last_pass, sampled
+            if rnd >= last_seen.get(n, -1):
+                last_seen[n] = rnd
+                last_seen_ok[n] = ok
+    open_fail = {n for n, ok in last_seen_ok.items() if not ok}
+    return last_pass, sampled, open_fail
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -124,18 +136,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from itertools import zip_longest
 
     qs = load_all_queries()
-    last_pass, sampled = _certification_history()
+    last_pass, sampled, open_fail = _certification_history()
     by_cat: dict[str, list[str]] = {}
     for name, q in qs.items():
         by_cat.setdefault(q.category, []).append(name)
-    # Stable within-category rotation, three tiers (VERDICT r10 task
-    # 2): (0) sampled-but-never-PASSED — a recorded driver FAIL/err
-    # re-enters the sample before anything else; (1) never sampled;
-    # (2) by oldest PASS round.  Registration order breaks ties.
+    # Stable within-category rotation, three tiers (VERDICT r10 task 2,
+    # re-keyed per ADVICE r11 item 2): (0) latest driver sample was a
+    # FAIL/err — re-enters the sample before anything else, including
+    # a query that PASSED in an early round and regressed later; (1)
+    # never sampled; (2) latest sample passed, by oldest PASS round.
+    # Registration order breaks ties.
     def _tier(n: str) -> int:
-        if n in last_pass:
-            return 2
-        return 0 if n in sampled else 1
+        if n in open_fail:
+            return 0
+        return 2 if n in sampled else 1
 
     for names in by_cat.values():
         idx = {n: i for i, n in enumerate(names)}
@@ -163,26 +177,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Flagships are trimmed from the leads over rounds as they
         # accumulate driver certifications (r9 trimmed
         # dedup_incremental_lsh + word_pmi_collocations; r10 trimmed
-        # six 2+-cert entries; r11 trims dedup_prefix_filter_join,
-        # dedup_segments_bulk, corpus_dsir_weights, stats_ks_two_sample
-        # (3 certs each) and multimodal_decode_webp_real /
-        # multimodal_decode_vorbis_real (2 certs each) — freeing slots
-        # for the never-certified tail now that tier-0 re-certification
-        # also competes for the 50-query prefix).
-        # round-10 flagships (1 driver cert each — stay until 2+).
-        "multimodal_decode_vp8_real",
-        "multimodal_decode_mjpeg_real",
-        "pipeline_video_corpus",
-        "bpe_encode_corpus",
-        "multimodal_resize_real",
-        "multimodal_decode_gif_anim",
-        # round-11 headline fix: the r10 driver red (ArrayType final
-        # schema) — re-submitted as a lead so its first driver word
-        # after the fix is a green.
+        # six 2+-cert entries; r11 trimmed six 2-3-cert entries; r12
+        # trims the six round-10 flagships — vp8/mjpeg/video-corpus/
+        # bpe-encode/resize/gif-anim, 2 certs each (r10+r11) — to raise
+        # the never-sampled floor in the 50-prefix from 20 to 25+
+        # (VERDICT r11 task 4)).
+        # round-11 entries (1 driver cert each — stay until 2+).
         "orders_nested_export",
-        # round-11 flagship: fractional-alpha animated-WebP blending
-        # (exact integer over-operator; closes the last anim-WebP gate).
         "multimodal_decode_webp_anim_fralpha",
+        # round-12 flagships: web-document text extraction (the
+        # CommonCrawl WARC→HTML→text path, VERDICT r11 task 3) and
+        # BPE training at realistic depth (task 6).
+        "text_html_extract",
+        "pipeline_web_corpus",
+        "bpe_train_32merges",
     ):
         out[name] = qs[name].fn
     for row in zip_longest(*(by_cat[c] for c in order)):

@@ -129,6 +129,11 @@ RETRY_IQR_FACTOR = 1.0
 # a burst whose QUIETEST probe exceeds 1.25x that floor, or that lost
 # >5% of CPU ticks to steal, is contaminated at the hypervisor level
 # even when loadavg reads idle.
+# r12 (ADVICE r11 item 1): 5.1 is the FALLBACK only — each bench run
+# derives its own floor (min probe over a startup calibration burst,
+# tightened by every probe seen during the run via _session_floor), so
+# the gate self-calibrates on other hosts instead of marking every
+# move NOISE when the fixed-work probe naturally runs slower.
 PROBE_FLOOR_MS = 5.1
 PROBE_INFLATION_FACTOR = 1.25
 STEAL_PCT_NOISE = 5.0
@@ -199,22 +204,65 @@ def _host_sample() -> dict:
 def _await_quiet_host(host_sample) -> dict | None:
     """Pre-burst load gate (r11): poll until load1 <= LOAD_GATE_LOAD1
     or LOAD_GATE_MAX_WAIT elapses.  Returns a record of the wait when
-    one happened (None on an already-quiet host)."""
+    one happened (None on an already-quiet host).
+
+    r12 (ADVICE r11 item 4): the loop is bounded on BOTH the poll-count
+    accumulator and wall-clock ``time.monotonic()`` — when host_sample
+    itself crawls under the very load being waited out, the wall bound
+    stops the gate from overshooting LOAD_GATE_MAX_WAIT."""
     s0 = host_sample()
     if s0.get("load1", -1.0) <= LOAD_GATE_LOAD1:
         return None
     waited = 0.0
+    t0 = time.monotonic()
     s = s0
-    while s.get("load1", -1.0) > LOAD_GATE_LOAD1 and waited < LOAD_GATE_MAX_WAIT:
+    while (
+        s.get("load1", -1.0) > LOAD_GATE_LOAD1
+        and waited < LOAD_GATE_MAX_WAIT
+        and time.monotonic() - t0 < LOAD_GATE_MAX_WAIT
+    ):
         time.sleep(LOAD_GATE_POLL)
         waited += LOAD_GATE_POLL
         s = host_sample()
     return {
         "waited_s": round(waited, 1),
+        "elapsed_s": round(time.monotonic() - t0, 1),
         "load1_before": s0.get("load1"),
         "load1_after": s.get("load1"),
         "still_loaded": s.get("load1", -1.0) > LOAD_GATE_LOAD1,
     }
+
+
+# r12 (ADVICE r11 item 1 + VERDICT r11 task 8): the probe floor is a
+# SESSION measurement, not a constant.  A startup calibration burst
+# seeds it; every probe taken during the run can only TIGHTEN it (min).
+# PROBE_FLOOR_MS remains the fallback for artifact-only paths
+# (--compare on records that predate the floor field).
+_SESSION: dict = {"probe_floor_ms": None}
+
+
+def _probe_floor() -> float:
+    return _SESSION["probe_floor_ms"] or PROBE_FLOOR_MS
+
+
+def _calibrate_probe_floor(host_sample=None, n: int = 15) -> float:
+    """Seed the session probe floor: min fixed-work probe over n
+    back-to-back samples (~100 ms total).  The min is the right
+    estimator — contention only ever inflates the probe."""
+    host_sample = host_sample or _host_sample
+    floor = min(
+        s["cpu_probe_ms"]
+        for s in (host_sample() for _ in range(n))
+        if s.get("cpu_probe_ms", 0) > 0
+    )
+    _SESSION["probe_floor_ms"] = floor
+    return floor
+
+
+def _note_probe(ms: float) -> None:
+    cur = _SESSION["probe_floor_ms"]
+    if ms > 0 and (cur is None or ms < cur):
+        _SESSION["probe_floor_ms"] = ms
 
 
 def _measure_one(run_once, trials: int, host_sample=None) -> dict:
@@ -248,6 +296,16 @@ def _measure_one(run_once, trials: int, host_sample=None) -> dict:
     if probes:
         out["cpu_probe_ms_min"] = min(probes)
         out["cpu_probe_ms_max"] = max(probes)
+        _note_probe(min(probes))
+        # r12 probe certification (VERDICT r11 task 8): the burst is
+        # self-describing — probe_ok means its quietest probe sat
+        # within PROBE_INFLATION_FACTOR of the session floor, i.e. the
+        # host was demonstrably healthy while these trials ran.
+        out["probe_floor_ms"] = _probe_floor()
+        out["probe_ok"] = (
+            out["cpu_probe_ms_min"]
+            <= PROBE_INFLATION_FACTOR * out["probe_floor_ms"]
+        )
     return out
 
 
@@ -265,15 +323,24 @@ def _measure_with_retry(run_once, trials: int, host_sample=None) -> dict:
     uniformly-slowed burst), and the other rides along as
     `noisy_attempt`."""
 
-    def _noisy(s: dict) -> bool:
+    def _triggers(s: dict) -> list[str]:
         m = max(s["median"], 1e-9)
-        return (
-            s["iqr"] > RETRY_IQR_FACTOR * m
-            or s["median"] > RETRY_SPREAD_FACTOR * max(s["best"], 1e-9)
-        )
+        out = []
+        if s["iqr"] > RETRY_IQR_FACTOR * m:
+            out.append("iqr")
+        if s["median"] > RETRY_SPREAD_FACTOR * max(s["best"], 1e-9):
+            out.append("spread")
+        # r12 (VERDICT r11 task 8): an uncertified probe is a retry
+        # trigger too — a burst measured on a demonstrably-contended
+        # host gets one chance at a clean window before the record
+        # ships annotated.
+        if s.get("probe_ok") is False:
+            out.append("probe")
+        return out
 
     first = _measure_one(run_once, trials, host_sample)
-    if not _noisy(first):
+    trig = _triggers(first)
+    if not trig:
         return first
 
     second = _measure_one(run_once, trials, host_sample)
@@ -285,6 +352,11 @@ def _measure_with_retry(run_once, trials: int, host_sample=None) -> dict:
     )
     keep = dict(keep)
     keep["retried"] = True
+    # ADVICE r11 item 3: record WHICH rule selected this entry, so
+    # cross-round compares can tell min-selected medians from
+    # single-burst medians.
+    keep["retry_trigger"] = trig
+    keep["selected_by"] = "lower_median"
     keep["noisy_attempt"] = {
         k: other[k] for k in ("median", "iqr", "best", "trials", "host")
     }
@@ -325,8 +397,12 @@ def classify(
     # at load1 0.4).  A burst whose quietest probe sits >25% above the
     # healthy floor, or that lost >5% of CPU to steal, cannot certify
     # a move either way.
+    # r12 (ADVICE r11 item 1): prefer the floor recorded IN the
+    # artifact (per-session calibration) over the host-specific
+    # constant, so --compare stays meaningful on other hosts.
+    floor = cur.get("probe_floor_ms") or PROBE_FLOOR_MS
     probe = cur.get("cpu_probe_ms_min")
-    if probe and probe > PROBE_INFLATION_FACTOR * PROBE_FLOOR_MS:
+    if probe and probe > PROBE_INFLATION_FACTOR * floor:
         contaminated = True
     if cur.get("steal_pct", 0) and cur["steal_pct"] > STEAL_PCT_NOISE:
         contaminated = True
@@ -377,12 +453,26 @@ def _load_bench(path: str) -> dict[str, dict]:
             return _recover_from_tail(doc.get("tail") or "")
         doc = parsed
     out: dict[str, dict] = {}
-    for name, st in (doc.get("stats") or {}).items():
-        out[name] = {
+    _carry = (
+        "cpu_probe_ms_min",
+        "probe_floor_ms",
+        "probe_ok",
+        "steal_pct",
+    )
+
+    def _entry(st: dict) -> dict:
+        e = {
             "median": st["median"],
             "iqr": st.get("iqr"),
             "host": st.get("host", []),
         }
+        for k in _carry:
+            if k in st:
+                e[k] = st[k]
+        return e
+
+    for name, st in (doc.get("stats") or {}).items():
+        out[name] = _entry(st)
     # Compact-line medians (and pre-r8 best-of-k values, which the rule
     # treats as location estimates with unknown dispersion).
     for key in ("queries", "extended"):
@@ -403,11 +493,7 @@ def _load_bench(path: str) -> dict[str, dict]:
                     for name, st in (
                         json.load(f).get("stats") or {}
                     ).items():
-                        out[name] = {
-                            "median": st["median"],
-                            "iqr": st.get("iqr"),
-                            "host": st.get("host", []),
-                        }
+                        out[name] = _entry(st)
             except (OSError, ValueError):
                 pass
     return out
@@ -465,6 +551,9 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # Seed the session probe floor BEFORE the JVM spins up (quietest
+    # moment of the run); every later probe can only tighten it.
+    probe_floor = _calibrate_probe_floor()
     spark = get_spark("mincemeatpy-bench")
 
     queries = load_all_queries()
@@ -552,6 +641,19 @@ def main() -> None:
             "tight_iqr": TIGHT_IQR,
             "load_factor": LOAD_FACTOR,
         },
+        # r12 certification block (VERDICT r11 task 8): the committed
+        # record carries its own probe floor and a per-query list of
+        # bursts that could NOT be certified host-healthy even after
+        # the probe-triggered retry — the judge reads certification
+        # state off the artifact alone.
+        "probe_floor_ms": round(_probe_floor(), 3),
+        "probe_floor_calibration_ms": round(probe_floor, 3),
+        "probe_uncertified": sorted(
+            n for n, s in stats.items() if s.get("probe_ok") is False
+        ),
+        "probe_certified": all(
+            s.get("probe_ok") is not False for s in stats.values()
+        ),
         "stats": stats,
     }
     try:
@@ -579,6 +681,8 @@ def _compact_line(full_record: dict, full_out: str | None) -> str:
             "extended_total_sec",
             "best_total_sec",
             "trials",
+            "probe_floor_ms",
+            "probe_certified",
         )
         if k in full_record
     }

@@ -499,23 +499,117 @@ class _sized_state_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
-def run_to_completion(stream_df: DataFrame, query_name: str, mode: str | None = None) -> DataFrame:
-    """Drive a streaming DataFrame over the (finite) file source to
-    completion into an in-memory table; return it as a batch DataFrame."""
-    if mode is None:
-        mode = "complete" if _has_agg(stream_df) else "append"
-    with _sized_state_partitions(stream_df.sparkSession, stream_df):
-        q = (
-            stream_df.writeStream.outputMode(mode)
-            .format("memory")
-            .queryName(query_name)
-            .start()
+# r12 (VERDICT r11 task 1): markers of the Python stateful-worker
+# launch race observed under full-suite load — the transformWithState
+# path spins up an extra Python state-server worker, and under a
+# contended host the daemon handshake can time out before the worker
+# connects ("Python worker failed to connect back").  That is a launch
+# flake, not a wrong answer: the stream never produced a batch, so a
+# clean restart is safe.  Anything NOT matching these markers re-raises
+# immediately — a value/plan error must stay loud.
+_WORKER_LAUNCH_MARKERS = (
+    "Python worker failed to connect back",
+    "PYTHON_WORKER_FAILED_TO_CONNECT",
+    "Python worker exited unexpectedly",
+)
+
+
+def ensure_state_store_coordinator(spark: SparkSession) -> None:
+    """The ``statestore`` batch reader's tasks look up the driver-side
+    StateStoreCoordinator RPC endpoint, which Spark registers lazily on
+    the first streaming-query start in the session.  A session that
+    reads a checkpoint staged by a PREVIOUS session (fixture marker
+    present, so no stream ever starts here) hits
+    ``RpcEndpointNotFoundException`` → ``CANNOT_LOAD_STATE_STORE`` on
+    every task (r12 finding: ``source_statestore_reader`` red when run
+    first-in-session against a warm staging dir).  Touching
+    ``StreamingQueryManager.stateStoreCoordinator`` forces registration
+    — a driver-side Py4J call, no job, idempotent."""
+    import sys
+
+    try:
+        spark._jsparkSession.streams().stateStoreCoordinator()
+    except Exception as ex:  # noqa: BLE001 — reader itself stays loud
+        print(
+            f"[stream_ops] could not pre-register StateStoreCoordinator "
+            f"({type(ex).__name__}); statestore read may fail if no "
+            f"stream ran in this session",
+            file=sys.stderr,
         )
+
+
+def _is_worker_launch_flake(ex: BaseException) -> bool:
+    """True iff the exception chain carries a Python-worker launch-race
+    marker (bounded walk over __cause__/__context__ plus str(ex), which
+    for Py4J errors embeds the full JVM stack)."""
+    seen = 0
+    cur: BaseException | None = ex
+    while cur is not None and seen < 8:
+        text = str(cur)
+        if any(m in text for m in _WORKER_LAUNCH_MARKERS):
+            return True
+        cur = cur.__cause__ or cur.__context__
+        seen += 1
+    return False
+
+
+def _drive_to_completion_with_retry(spark: SparkSession, start_query, query_name: str, max_attempts: int = 2):
+    """Start a streaming query via ``start_query()`` and drive it with
+    ``processAllAvailable``; on a worker-launch flake (see
+    ``_is_worker_launch_flake``) stop, drop the partial memory table,
+    and retry ONCE (bounded, logged to stderr).  Second failure — or
+    any non-flake error — re-raises (fail loud; VERDICT r11 task 1)."""
+    import sys
+
+    for attempt in range(1, max_attempts + 1):
+        q = start_query()
         try:
             q.processAllAvailable()
+            return
+        except Exception as ex:  # noqa: BLE001 — classified below
+            if attempt >= max_attempts or not _is_worker_launch_flake(ex):
+                raise
+            print(
+                f"[stream_ops] worker-launch flake on {query_name!r} "
+                f"(attempt {attempt}/{max_attempts}): retrying once: "
+                f"{type(ex).__name__}",
+                file=sys.stderr,
+            )
+            # The failed attempt may have registered an (empty or
+            # partial) memory-sink table; drop it so the retry's sink
+            # starts clean in append mode too.
+            try:
+                spark.catalog.dropTempView(query_name)
+            except Exception:  # noqa: BLE001 — view may not exist
+                pass
         finally:
-            q.stop()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001 — already-dead query
+                pass
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str, mode: str | None = None) -> DataFrame:
+    """Drive a streaming DataFrame over the (finite) file source to
+    completion into an in-memory table; return it as a batch DataFrame.
+
+    Worker-launch flakes retry once via
+    ``_drive_to_completion_with_retry`` (VERDICT r11 task 1)."""
+    if mode is None:
+        mode = "complete" if _has_agg(stream_df) else "append"
+    spark = stream_df.sparkSession
+    with _sized_state_partitions(spark, stream_df):
+        _drive_to_completion_with_retry(
+            spark,
+            lambda: (
+                stream_df.writeStream.outputMode(mode)
+                .format("memory")
+                .queryName(query_name)
+                .start()
+            ),
+            query_name,
+        )
+    return spark.sql(f"SELECT * FROM {query_name}")
 
 
 def _has_agg(df: DataFrame) -> bool:
@@ -839,19 +933,22 @@ def run_with_restart(
         )
 
     def run_phase(name: str) -> None:
+        # Worker-launch flakes retry once; with the shared checkpoint
+        # the restart replays from the last committed offset, so the
+        # retry is exactly-once safe (VERDICT r11 task 1).
         with _sized_state_partitions(spark):
-            q = (
-                agg_query()
-                .writeStream.outputMode("complete")
-                .format("memory")
-                .queryName(name)
-                .option("checkpointLocation", str(ck))
-                .start()
+            _drive_to_completion_with_retry(
+                spark,
+                lambda: (
+                    agg_query()
+                    .writeStream.outputMode("complete")
+                    .format("memory")
+                    .queryName(name)
+                    .option("checkpointLocation", str(ck))
+                    .start()
+                ),
+                name,
             )
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
 
     try:
         shutil.copy2(files[0], src_dir / files[0].name)

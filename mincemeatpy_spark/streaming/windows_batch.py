@@ -1198,17 +1198,26 @@ def source_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        q = (
-            agg.writeStream.outputMode("update")
-            .format("noop")
-            .option("checkpointLocation", str(ck))
-            .start()
+        from mincemeatpy_spark.streaming.stream_ops import (
+            _drive_to_completion_with_retry,
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+
+        _drive_to_completion_with_retry(
+            spark,
+            lambda: (
+                agg.writeStream.outputMode("update")
+                .format("noop")
+                .option("checkpointLocation", str(ck))
+                .start()
+            ),
+            "statestore_read_agg",
+        )
         marker.touch()
+    from mincemeatpy_spark.streaming.stream_ops import (
+        ensure_state_store_coordinator,
+    )
+
+    ensure_state_store_coordinator(spark)
     return (
         spark.read.format("statestore")
         .load(str(ck))
@@ -1310,16 +1319,20 @@ def sink_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             snap.write.mode("overwrite").parquet(str(base / f"snap_v{bid}"))
 
-        q = (
-            events_stream_multibatch(spark, sf_dir)
-            .writeStream.foreachBatch(merge)
-            .option("checkpointLocation", str(base / "ck"))
-            .start()
+        from mincemeatpy_spark.streaming.stream_ops import (
+            _drive_to_completion_with_retry,
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+
+        _drive_to_completion_with_retry(
+            spark,
+            lambda: (
+                events_stream_multibatch(spark, sf_dir)
+                .writeStream.foreachBatch(merge)
+                .option("checkpointLocation", str(base / "ck"))
+                .start()
+            ),
+            "foreachbatch_merge",
+        )
         done.touch()
     vs = sorted(int(p.name[6:]) for p in base.glob("snap_v*"))
     return spark.read.parquet(str(base / f"snap_v{vs[-1]}"))
@@ -1553,18 +1566,29 @@ def source_statestore_tws_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker = ck / "_DONE"
     if not marker.exists():
         shutil.rmtree(ck, ignore_errors=True)
-        q = (
-            user_type_counts_mapstate(events_stream(spark, sf_dir))
-            .writeStream.outputMode("update")
-            .format("noop")
-            .option("checkpointLocation", str(ck))
-            .start()
+        from mincemeatpy_spark.streaming.stream_ops import (
+            _drive_to_completion_with_retry,
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+
+        # transformWithState launches the extra Python state-server
+        # worker — the site most exposed to the launch race.
+        _drive_to_completion_with_retry(
+            spark,
+            lambda: (
+                user_type_counts_mapstate(events_stream(spark, sf_dir))
+                .writeStream.outputMode("update")
+                .format("noop")
+                .option("checkpointLocation", str(ck))
+                .start()
+            ),
+            "mapstate_counts",
+        )
         marker.touch()
+    from mincemeatpy_spark.streaming.stream_ops import (
+        ensure_state_store_coordinator,
+    )
+
+    ensure_state_store_coordinator(spark)
     return (
         spark.read.format("statestore")
         .option("stateVarName", "by_type")

@@ -1597,15 +1597,22 @@ def _bpe_recurrence_ctes(iters: int) -> str:
     word with the trained table applied in rank order IS the training
     recurrence restricted to that word — so s{iters} is the per-word
     token table."""
+    # Every CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
+    # reference, and t{k} is referenced three times per round while
+    # depending on the whole chain below it — un-materialized, the
+    # unrolled plan re-evaluates the recurrence exponentially in
+    # `iters` (fine at 3, file-handle exhaustion at 32; r12 finding).
+    # Materialization evaluates each round exactly once, which is also
+    # what the Spark loop does (truncate_eager per step).
     sql = """
-        WITH wc AS (
+        WITH wc AS MATERIALIZED (
             SELECT word, count(*) AS cnt
             FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word
                   FROM documents)
             WHERE word <> ''
             GROUP BY word
         ),
-        s0 AS (
+        s0 AS MATERIALIZED (
             SELECT word, cnt, i AS pos, word[i] AS sym
             FROM (SELECT word, cnt,
                          unnest(generate_series(1, len(word))) AS i
@@ -1614,24 +1621,25 @@ def _bpe_recurrence_ctes(iters: int) -> str:
     for k in range(1, iters + 1):
         p = k - 1
         sql += f""",
-        n{k} AS (
+        n{k} AS MATERIALIZED (
             SELECT word, cnt, pos, sym,
                    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
             FROM s{p}
         ),
-        p{k} AS (
+        p{k} AS MATERIALIZED (
             SELECT sym AS a, nxt AS b, CAST(sum(cnt) AS BIGINT) AS c
             FROM n{k} WHERE nxt IS NOT NULL AND sym <> nxt
             GROUP BY sym, nxt
         ),
-        t{k} AS (SELECT a, b, c FROM p{k} ORDER BY c DESC, a, b LIMIT 1),
-        m{k} AS (
+        t{k} AS MATERIALIZED (
+            SELECT a, b, c FROM p{k} ORDER BY c DESC, a, b LIMIT 1),
+        m{k} AS MATERIALIZED (
             SELECT word, cnt, pos, sym,
                    (sym = (SELECT a FROM t{k})
                     AND nxt = (SELECT b FROM t{k})) AS mg
             FROM n{k}
         ),
-        s{k} AS (
+        s{k} AS MATERIALIZED (
             SELECT word, cnt,
                    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
                    CASE WHEN mg THEN sym || (SELECT b FROM t{k})
@@ -1683,6 +1691,34 @@ def _bpe_oracle_sql(iters: int) -> str:
     "iteration template, unrolled — engine and oracle cannot drift.",
 )
 def bpe_train_3merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bpe_train_stats(spark, sf_dir, iters=3)
+
+
+@register(
+    "bpe_train_32merges",
+    oracle=_bpe_oracle_sql(32),
+    category="text",
+    doc="BPE training at realistic depth (VERDICT r11 task 6): the "
+    "bpe_train_3merges recurrence run for 32 merge rounds — the same "
+    "in-plan broadcast-top-pair loop, lineage truncated eagerly each "
+    "round so the plan stays O(1) deep regardless of merge count (the "
+    "iterative-algorithm convention, like kmeans_loop).  Per-round "
+    "work is vocab-scale (distinct words × current symbols/word) and "
+    "SHRINKS as merges consume symbols; the driver does loop control "
+    "only — no data-bearing collect anywhere.  A production ~30k-merge "
+    "train is this exact loop; its cost is merges × (two vocab-scale "
+    "window passes + one broadcast), linear in merge count, "
+    "independent of corpus size after the first wc aggregation.  The "
+    "oracle is the SAME iteration template unrolled 32× — engine and "
+    "oracle cannot drift.",
+)
+def bpe_train_32merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bpe_train_stats(spark, sf_dir, iters=32)
+
+
+def _bpe_train_stats(
+    spark: SparkSession, sf_dir: str, iters: int
+) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     wc = (
         docs.select(F.explode(F.split("text", r"\s+")).alias("word"))
@@ -1703,7 +1739,7 @@ def bpe_train_3merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     per_word = Wn.partitionBy("word").orderBy("pos")
     out = []
-    for step in range(1, 4):
+    for step in range(1, iters + 1):
         n = sym.withColumn("nxt", F.lead("sym").over(per_word))
         pairs = (
             n.filter(F.col("nxt").isNotNull() & (F.col("sym") != F.col("nxt")))

@@ -1,0 +1,416 @@
+"""Web-document text extraction (VERDICT r11 task 3).
+
+The reference's anecdotal workload — "word frequency lists for many
+gigabytes of text" over lazily-read files (reference README.md:76,
+mincemeat.py:313-316) — is, in every real pipeline, CommonCrawl WARC →
+HTML → boilerplate-stripped text BEFORE any quality gate or dedup runs.
+The repo already ingests WARC records (sources/python_datasource.py:488)
+and runs every downstream corpus stage; this module adds the missing
+middle: an HTML→text extractor, and the fused WARC→extract→lang-id→
+quality-gate→dedup composite.
+
+Extraction rules (documented once, implemented twice — Spark built-ins
+here, DuckDB SQL in the oracles; both engines run the SAME regexes,
+which stay inside the Java-regex ∩ RE2 common subset: no lookaround,
+inline ``(?is)`` flags, ASCII ``\\s``):
+
+1. Remove ``<script>…</script>``, ``<style>…</style>`` and HTML
+   comments wholesale (dotall, case-insensitive).
+2. Split on block-level tags (``p div h1-6 ul ol li nav aside footer
+   header table tr th td br hr`` + document structure tags) — the
+   delimiters vanish; inline markup (``<a> <b> <span>``) stays inside
+   its block.
+3. Per block: count ``<a `` occurrences (link-density signal) on the
+   RAW block, then strip remaining tags, decode the six standard
+   entities (``&lt; &gt; &quot; &#39; &nbsp;`` then ``&amp;`` LAST),
+   collapse whitespace, trim.
+4. Keep a block iff it has ≥ 5 words AND links*5 < words (the
+   text-density/link-density boilerplate heuristic: nav items, footer
+   link rows, and headings drop; body paragraphs survive — the same
+   shape as jusText/trafilatura's density rules, reduced to a
+   deterministic two-signal form).
+5. The document body is the kept blocks joined by ``\\n``.
+
+Scale shape: extraction is a chain of JVM ``regexp_replace`` / array
+expressions inside whole-stage codegen — per-row CPU, no shuffle, no
+Python. At 100 TB it runs scan-side at wire speed; the only shuffle in
+the composite is the dedup hash-partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mincemeatpy_spark.registry import register
+from mincemeatpy_spark.tables import t
+
+# --- shared rule constants (Java regex ∩ RE2 common subset) -----------
+
+_RE_DROP = r"(?is)<(?:script|style)\b[^>]*>.*?</(?:script|style)>|<!--.*?-->"
+_RE_BLOCK = (
+    r"(?i)</?(?:html|head|body|title|p|div|h[1-6]|ul|ol|li|nav|aside"
+    r"|footer|header|table|tr|th|td|br|hr)\b[^>]*>"
+)
+_RE_TAG = r"<[^>]*>"
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST, so &amp;lt; decodes to &lt; not <
+)
+_MIN_WORDS = 5
+_LINK_FACTOR = 5
+
+# Deterministic in-plan HTML synthesis around each document's text —
+# the fixture generator for both queries (documents.parquet carries no
+# markup; verified corpus-wide: no '<', '&', CR/LF/TAB/VT in any text
+# at sf0.001/0.01/0.1).  One SQL fragment evaluated by BOTH engines
+# (Spark F.expr and the DuckDB oracle — `STRING` is a valid cast alias
+# in both), so the synthesized inputs are identical by construction.
+# Shape variation by doc_id exercises every rule: script (÷3), comment
+# (÷4), entity-bearing kept paragraph (÷5≡2), nav/aside link items,
+# link-dense footer.
+_HTML_SYNTH_SQL = (
+    "'<html><head><title>Doc ' || CAST(doc_id AS STRING) || '</title>"
+    "<style>body{margin:0;color:#222}</style>'"
+    " || CASE WHEN doc_id % 3 = 0 THEN "
+    "'<script type=\"text/javascript\">var t=1;function f(x){return x*t;}"
+    "</script>' ELSE '' END"
+    " || '</head><body>'"
+    " || CASE WHEN doc_id % 4 = 1 THEN "
+    "'<!-- build 20260101 rev ' || CAST(doc_id AS STRING) || ' -->' "
+    "ELSE '' END"
+    " || '<nav><ul><li><a href=\"/\">Home</a></li>"
+    "<li><a href=\"/about\">About</a></li>"
+    "<li><a href=\"/contact\">Contact</a></li></ul></nav>'"
+    " || '<div id=\"main\"><h1>Doc ' || CAST(doc_id AS STRING) || "
+    "'</h1><p>' || text || '</p>'"
+    " || CASE WHEN doc_id % 5 = 2 THEN "
+    "'<p>Tags &amp; entities &lt;escaped&gt; stay &quot;decoded&quot;"
+    "&nbsp;in the extracted body text.</p>' ELSE '' END"
+    " || '</div><aside><ul><li><a href=\"/t/1\">Trending topic one</a>"
+    "</li><li><a href=\"/t/2\">Trending topic two</a></li></ul></aside>'"
+    " || '<footer><p><a href=\"/tos\">Terms</a> | "
+    "<a href=\"/privacy\">Privacy</a> | copyright 2026</p></footer>"
+    "</body></html>'"
+)
+
+
+def extract_text_cols(html_col: F.Column) -> dict[str, F.Column]:
+    """HTML→text extraction as pure Spark built-ins (rules 1-5 above).
+    Returns {'body', 'n_blocks', 'n_words'} columns — composable into
+    any plan with zero shuffle and zero Python."""
+    cleaned = F.regexp_replace(html_col, _RE_DROP, "")
+    blocks = F.split(cleaned, _RE_BLOCK, -1)
+
+    def _block_struct(b: F.Column) -> F.Column:
+        txt = F.regexp_replace(b, _RE_TAG, "")
+        for ent, rep in _ENTITIES:
+            txt = F.replace(txt, F.lit(ent), F.lit(rep))
+        txt = F.trim(F.regexp_replace(txt, r"\s+", " "))
+        wc = (
+            F.when(txt == "", F.lit(0))
+            .otherwise(F.size(F.split(txt, " ", -1)))
+        )
+        links = F.size(F.split(b, "<a ", -1)) - F.lit(1)
+        return F.struct(
+            txt.alias("t"), wc.alias("wc"), links.alias("links")
+        )
+
+    structs = F.transform(blocks, _block_struct)
+    kept = F.filter(
+        structs,
+        lambda s: (s["wc"] >= _MIN_WORDS)
+        & (s["links"] * _LINK_FACTOR < s["wc"]),
+    )
+    return {
+        "body": F.array_join(F.transform(kept, lambda s: s["t"]), "\n"),
+        "n_blocks": F.size(kept).cast("bigint"),
+        "n_words": F.aggregate(
+            kept, F.lit(0), lambda a, s: a + s["wc"]
+        ).cast("bigint"),
+    }
+
+
+def _oracle_extract_cte(source_sql: str) -> str:
+    """DuckDB CTE chain implementing rules 1-5 over ``source_sql``
+    (must yield (doc_id, html)); ends with table ``extracted``
+    (doc_id, body, n_blocks, n_words)."""
+    # the entity-decode + tag-strip + collapse of ONE block
+    txt = (
+        "trim(regexp_replace("
+        "replace(replace(replace(replace(replace(replace("
+        f"regexp_replace(b, '{_RE_TAG}', '', 'g'),"
+        "'&lt;','<'),'&gt;','>'),'&quot;','\"'),'&#39;',''''),"
+        "'&nbsp;',' '),'&amp;','&'),"
+        "'\\s+', ' ', 'g'))"
+    )
+    return f"""
+        src AS ({source_sql}),
+        blocks AS (
+            SELECT doc_id,
+                   string_split_regex(
+                       regexp_replace(html, '{_RE_DROP}', '', 'g'),
+                       '{_RE_BLOCK}') AS bs
+            FROM src
+        ),
+        scored AS (
+            SELECT doc_id,
+                   list_transform(list_transform(bs,
+                       b -> {{'t': {txt},
+                              'links': len(string_split(b, '<a ')) - 1}}),
+                       s -> {{'t': s.t, 'links': s.links,
+                              'wc': CASE WHEN s.t = '' THEN 0
+                                    ELSE len(string_split(s.t, ' ')) END}})
+                       AS ss
+            FROM blocks
+        ),
+        kept AS (
+            SELECT doc_id,
+                   list_filter(ss, s -> s.wc >= {_MIN_WORDS}
+                                    AND s.links * {_LINK_FACTOR} < s.wc)
+                       AS ks
+            FROM scored
+        ),
+        extracted AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(ks, s -> s.t), chr(10))
+                       AS body,
+                   CAST(len(ks) AS BIGINT) AS n_blocks,
+                   CAST(coalesce(list_sum(list_transform(ks, s -> s.wc)), 0)
+                        AS BIGINT) AS n_words
+            FROM kept
+        )
+    """
+
+
+@register(
+    "text_html_extract",
+    oracle=f"""
+        WITH {_oracle_extract_cte(
+            f"SELECT doc_id, {_HTML_SYNTH_SQL} AS html FROM documents"
+        )}
+        SELECT doc_id, body, n_blocks, n_words FROM extracted
+        """,
+    category="text",
+    doc="HTML→text boilerplate removal — the step every CommonCrawl "
+    "pipeline runs between WARC and the quality gate (reference "
+    "README.md:76 generalized).  Deterministic synthetic HTML is built "
+    "in-plan around each document (script/style/comment blocks, "
+    "nav/aside link lists, a link-dense footer, an entity-bearing "
+    "paragraph), then extracted by tag-class regex removal, "
+    "block-level segmentation, per-block entity decoding, and a "
+    "two-signal text/link-density keep rule.  Everything is JVM "
+    "regexp/array codegen — per-row CPU, zero shuffle, zero Python: "
+    "at 100 TB this runs scan-side at wire speed.",
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_HTML_SYNTH_SQL).alias("html")
+    )
+    cols = extract_text_cols(F.col("html"))
+    return docs.select(
+        "doc_id",
+        cols["body"].alias("body"),
+        cols["n_blocks"].alias("n_blocks"),
+        cols["n_words"].alias("n_words"),
+    )
+
+
+# --- the fused CommonCrawl-shaped composite ----------------------------
+
+_WEB_CAP = 400  # staged records; bounded like source_warc_datasource
+_Q_GATE = 0.25  # quality floor, same composite score as text_quality_score
+_STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def _stage_web_warc(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Stage the first _WEB_CAP documents as a WARC file whose payloads
+    are the SYNTHESIZED HTML pages (fixture write, bounded by the
+    scan-pushed ``doc_id < 400`` filter — the _stage_warc pattern at
+    sources/python_datasource.py).  Returns (path, max record size)."""
+    import os
+
+    from mincemeatpy_spark.sources.readers import _scratch
+
+    path = _scratch(sf_dir, "docs_web_warc")
+    os.makedirs(path, exist_ok=True)
+    fpath = os.path.join(path, "web.warc")
+    if os.path.exists(fpath):
+        with open(fpath + ".maxrec") as f:
+            return fpath, int(f.read())
+    rows = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _WEB_CAP)
+        .select("doc_id", F.expr(_HTML_SYNTH_SQL).alias("html"))
+        .collect()
+    )
+    maxrec = 0
+    buf = bytearray()
+    for row in sorted(rows, key=lambda r: r.doc_id):
+        payload = row.html.encode("utf-8")
+        rec = (
+            b"WARC/1.0\r\n"
+            + f"WARC-Record-ID: {row.doc_id}\r\n".encode()
+            + f"Content-Length: {len(payload)}\r\n".encode()
+            + b"\r\n"
+            + payload
+            + b"\r\n\r\n"
+        )
+        maxrec = max(maxrec, len(rec))
+        buf += rec
+    tmp = fpath + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(buf)
+    with open(fpath + ".maxrec", "w") as f:
+        f.write(str(maxrec))
+    os.replace(tmp, fpath)
+    return fpath, maxrec
+
+
+@register(
+    "pipeline_web_corpus",
+    oracle=f"""
+        WITH {_oracle_extract_cte(
+            f"SELECT doc_id, {_HTML_SYNTH_SQL} AS html FROM documents "
+            f"WHERE doc_id < {_WEB_CAP}"
+        )},
+        lang AS (
+            SELECT doc_id, body, n_words,
+                   string_split(body, ' ') AS words
+            FROM extracted
+            WHERE n_words > 0
+        ),
+        scored2 AS (
+            SELECT doc_id, body, n_words,
+                   len(list_filter(words,
+                       w -> w IN ('the','a','and','of','to','in','is')))
+                       AS h_en,
+                   len(list_filter(words,
+                       w -> w IN ('le','la','et','de','un','une','est')))
+                       AS h_fr,
+                   len(list_filter(words,
+                       w -> w IN ('der','die','das','und','ein','ist','zu')))
+                       AS h_de,
+                   len(list_filter(words,
+                       w -> w IN ('the','a','and','of','to','in','is')))::DOUBLE
+                       / len(words) AS stop_ratio,
+                   len(list_distinct(words))::DOUBLE / len(words)
+                       AS uniq_ratio
+            FROM lang
+        ),
+        gated AS (
+            SELECT doc_id, body, n_words,
+                   CASE WHEN h_en >= h_fr AND h_en >= h_de THEN 'en'
+                        WHEN h_fr >= h_de THEN 'fr'
+                        ELSE 'de' END AS predicted_lang,
+                   round(0.5 * stop_ratio + 0.3 * uniq_ratio
+                         + 0.2 * least(n_words / 100.0, 1.0), 6)
+                       AS quality
+            FROM scored2
+        )
+        SELECT doc_id, predicted_lang, quality, n_words,
+               substring(sha256(body), 1, 16) AS body_sha
+        FROM gated
+        WHERE quality >= {_Q_GATE}
+        QUALIFY doc_id = min(doc_id)
+                             OVER (PARTITION BY sha256(body))
+        """,
+    category="text",
+    doc="The CommonCrawl composite, one fused plan: WARC byte-range "
+    "source (record-boundary resync, O(1) planning) → HTML→text "
+    "extraction (JVM regex codegen) → stopword lang-ID → composite "
+    "quality gate → exact dedup (sha256 of the extracted body, "
+    "min-doc_id winner via a partition-window min — ONE shuffle in "
+    "the whole pipeline, keyed on the 256-bit digest, so at 100 TB "
+    "the shuffle carries (doc_id, digest, 3 scalars), never the "
+    "bodies-squared of a naive self-join).  The oracle replays the "
+    "identical rules in DuckDB from the documents table.",
+)
+def pipeline_web_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mincemeatpy_spark.sources.python_datasource import (
+        _make_warc_source_class,
+    )
+
+    fpath, maxrec = _stage_web_warc(spark, sf_dir)
+    spark.dataSource.register(_make_warc_source_class())
+    pages = (
+        spark.read.format("mincemeat_warc")
+        .option("path", fpath)
+        .option("splits", "8")
+        .option("maxrec", str(maxrec))
+        .load()
+        .withColumnRenamed("text", "html")
+    )
+    cols = extract_text_cols(F.col("html"))
+    extracted = pages.select(
+        "doc_id",
+        cols["body"].alias("body"),
+        cols["n_words"].alias("n_words"),
+    ).filter(F.col("n_words") > 0)
+
+    words = F.split(F.col("body"), " ", -1)
+    hits = {
+        "h_en": F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS_EN))),
+        "h_fr": F.size(
+            F.filter(
+                words,
+                lambda w: w.isin("le", "la", "et", "de", "un", "une", "est"),
+            )
+        ),
+        "h_de": F.size(
+            F.filter(
+                words,
+                lambda w: w.isin(
+                    "der", "die", "das", "und", "ein", "ist", "zu"
+                ),
+            )
+        ),
+    }
+    n_words_d = F.size(words).cast("double")
+    scored = extracted.select(
+        "doc_id",
+        "body",
+        "n_words",
+        hits["h_en"].alias("h_en"),
+        hits["h_fr"].alias("h_fr"),
+        hits["h_de"].alias("h_de"),
+        (hits["h_en"].cast("double") / n_words_d).alias("stop_ratio"),
+        (
+            F.size(F.array_distinct(words)).cast("double") / n_words_d
+        ).alias("uniq_ratio"),
+    )
+    gated = scored.select(
+        "doc_id",
+        "body",
+        "n_words",
+        F.when(
+            (F.col("h_en") >= F.col("h_fr"))
+            & (F.col("h_en") >= F.col("h_de")),
+            "en",
+        )
+        .when(F.col("h_fr") >= F.col("h_de"), "fr")
+        .otherwise("de")
+        .alias("predicted_lang"),
+        F.round(
+            0.5 * F.col("stop_ratio")
+            + 0.3 * F.col("uniq_ratio")
+            + 0.2 * F.least(F.col("n_words") / 100.0, F.lit(1.0)),
+            6,
+        ).alias("quality"),
+    ).filter(F.col("quality") >= _Q_GATE)
+
+    sha = F.sha2(F.col("body"), 256)
+    w = Window.partitionBy(sha)
+    return (
+        gated.withColumn("body_sha", F.substring(sha, 1, 16))
+        .withColumn("min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .select(
+            "doc_id", "predicted_lang", "quality", "n_words", "body_sha"
+        )
+    )

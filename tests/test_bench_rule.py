@@ -253,3 +253,89 @@ def test_probe_and_steal_contamination_downgrade():
     # heavy steal: NOISE
     cur = dict(base, cpu_probe_ms_min=bench.PROBE_FLOOR_MS, steal_pct=9.0)
     assert bench.classify("q", cur, 10.0, 32) == "NOISE"
+
+
+def test_probe_floor_is_session_derived(monkeypatch):
+    """r12 (ADVICE r11 item 1): the probe floor self-calibrates per
+    session — seeded by the startup burst, tightened by every probe
+    seen — and PROBE_FLOOR_MS is only the artifact-fallback."""
+    import bench as B
+
+    monkeypatch.setitem(B._SESSION, "probe_floor_ms", None)
+    probes = iter([9.0, 8.6, 8.9, 9.4])
+    fake = lambda: {"load1": 0.5, "cpu_probe_ms": next(probes)}
+    floor = B._calibrate_probe_floor(host_sample=fake, n=4)
+    assert floor == 8.6 and B._probe_floor() == 8.6
+    # a quieter probe later in the run tightens the floor
+    B._note_probe(8.2)
+    assert B._probe_floor() == 8.2
+    # an inflated probe never loosens it
+    B._note_probe(12.0)
+    assert B._probe_floor() == 8.2
+
+
+def test_burst_records_probe_certification(monkeypatch):
+    """Every burst carries probe_floor_ms + probe_ok so the committed
+    record is self-describing (VERDICT r11 task 8)."""
+    import bench as B
+
+    monkeypatch.setitem(B._SESSION, "probe_floor_ms", 5.0)
+    healthy = lambda: {"load1": 0.5, "cpu_probe_ms": 5.2}
+    rec = B._measure_one(lambda: 1.0, trials=2, host_sample=healthy)
+    assert rec["probe_ok"] is True and rec["probe_floor_ms"] == 5.0
+
+    monkeypatch.setitem(B._SESSION, "probe_floor_ms", 5.0)
+    contended = lambda: {"load1": 0.5, "cpu_probe_ms": 9.0}
+    rec = B._measure_one(lambda: 1.0, trials=2, host_sample=contended)
+    assert rec["probe_ok"] is False
+
+
+def test_probe_trigger_retries_and_records_rule(monkeypatch):
+    """An uncertified burst retries once; the kept entry names the
+    trigger and the selection rule (ADVICE r11 item 3)."""
+    import bench as B
+
+    monkeypatch.setitem(B._SESSION, "probe_floor_ms", 5.0)
+    # 4 host samples per burst (load gate + per-trial + post):
+    # burst1 hot, burst2 cool
+    probes = iter([9.0, 9.1, 9.2, 9.0, 5.1, 5.2, 5.1, 5.2])
+    fake = lambda: {"load1": 0.5, "cpu_probe_ms": next(probes)}
+    vals = iter([2.0, 2.1, 1.0, 1.05])
+    s = B._measure_with_retry(lambda: next(vals), 2, fake)
+    assert s["retried"] is True
+    assert s["retry_trigger"] == ["probe"]
+    assert s["selected_by"] == "lower_median"
+    assert s["median"] == 1.025
+
+
+def test_classify_prefers_artifact_probe_floor():
+    """--compare on a record from a slower host: the floor recorded IN
+    the artifact governs, not this host's constant."""
+    import bench
+
+    cur = {
+        "median": 12.0,
+        "iqr": 0.1,
+        "host": [{"load1": 0.4}],
+        "cpu_probe_ms_min": 8.0,   # >1.25x the 5.1 constant...
+        "probe_floor_ms": 7.8,     # ...but healthy for ITS host
+    }
+    assert bench.classify("q", cur, 10.0, 32) == "REGRESSION"
+    cur2 = dict(cur, cpu_probe_ms_min=11.0)  # hot even for its host
+    assert bench.classify("q", cur2, 10.0, 32) == "NOISE"
+
+
+def test_load_gate_wall_clock_bound(monkeypatch):
+    """ADVICE r11 item 4: when host_sample itself is slow under load,
+    the monotonic wall bound stops the gate at LOAD_GATE_MAX_WAIT even
+    though the poll-count accumulator has barely advanced."""
+    import bench as B
+
+    monkeypatch.setattr(B.time, "sleep", lambda s: None)
+    clock = iter([0.0] + [i * 31.0 for i in range(1, 10)])
+    monkeypatch.setattr(B.time, "monotonic", lambda: next(clock))
+    fake = lambda: {"load1": 50.0, "nproc": 400}
+    gate = B._await_quiet_host(fake)
+    assert gate["still_loaded"] is True
+    # exited on the wall bound long before waited_s reached the max
+    assert gate["waited_s"] < B.LOAD_GATE_MAX_WAIT

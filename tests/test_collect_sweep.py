@@ -104,6 +104,12 @@ _ALLOWLIST = {
         1,
         "fixture write — doc_id < 500 by construction",
     ),
+    "text/html_extract.py::_stage_web_warc": (
+        1,
+        "fixture write — doc_id < 400 by construction (scan-pushed "
+        "filter); stages the synthesized-HTML WARC for "
+        "pipeline_web_corpus once per fixture",
+    ),
     "sources/readers.py::source_binaryfile": (
         1,
         "fixture write — 5-row region table by construction",

@@ -67,27 +67,64 @@ def test_queries_prefix_spans_categories():
 
 
 def test_queries_prefix_rotation_tiers():
-    """VERDICT r10 task 2 + task 5, enforced mechanically: (a) every
-    sampled-but-never-PASSED query (a recorded driver FAIL/err) must
-    re-enter the 50-query driver prefix — a failure's last driver word
-    must not stay FAIL while the rotation chases the never-sampled
-    tail; (b) the prefix must still carry ≥20 never-sampled queries
-    (or all that remain) so the tail keeps retiring."""
+    """VERDICT r10 task 2 + r11 task 4, enforced mechanically: (a)
+    every query whose LATEST driver sample was a FAIL/err must re-enter
+    the 50-query driver prefix — a failure's last driver word must not
+    stay FAIL while the rotation chases the never-sampled tail (ADVICE
+    r11: keyed on the latest outcome, so a pass-then-regress query
+    re-enters too); (b) the prefix must carry ≥25 never-sampled
+    queries (or all that remain) so the tail keeps retiring."""
     from mincemeatpy_spark.registry import load_all_queries
 
     mod = _load_entry()
     names = list(mod.queries())[:50]
-    last_pass, sampled = mod._certification_history()
+    last_pass, sampled, open_fail = mod._certification_history()
     all_q = load_all_queries()
-    failed = [n for n in all_q if n in sampled and n not in last_pass]
-    missing_failed = [n for n in failed if n not in names]
+    missing_failed = [n for n in open_fail if n in all_q and n not in names]
     assert not missing_failed, (
-        f"previously-FAILED queries absent from driver prefix: {missing_failed}"
+        f"latest-FAILED queries absent from driver prefix: {missing_failed}"
     )
     never = [n for n in names if n not in sampled]
     remaining = [n for n in all_q if n not in sampled]
-    want = min(20, len(remaining))
+    want = min(25, len(remaining))
     assert len(never) >= want, (
         f"only {len(never)} never-sampled queries in the driver prefix "
         f"(target {want}); the certification tail stalls"
     )
+
+
+def test_certification_history_tiering_on_latest_outcome(tmp_path):
+    """ADVICE r11 item 2, pinned mechanically: a query that PASSED in
+    an early round and FAILED in a later sample must be in open_fail
+    (tier 0); one that FAILED then PASSED must not."""
+    import json
+
+    mod = _load_entry()
+    # Redirect the history scan at a synthetic pair of rounds.
+    real_root = mod._REPO_ROOT
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "regressed": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+                "recovered": {"rows_match": False, "schema_match": True, "hash_match": False, "err": "boom"},
+            }
+        )
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps(
+            {
+                "regressed": {"rows_match": True, "schema_match": True, "hash_match": False, "err": None},
+                "recovered": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+            }
+        )
+    )
+    try:
+        mod._REPO_ROOT = str(tmp_path)
+        last_pass, sampled, open_fail = mod._certification_history()
+    finally:
+        mod._REPO_ROOT = real_root
+    assert sampled == {"regressed", "recovered"}
+    assert open_fail == {"regressed"}, (
+        "a pass-then-regress query must tier 0 on its latest outcome"
+    )
+    assert "recovered" in last_pass and "recovered" not in open_fail
