@@ -112,6 +112,11 @@ EXTENDED = [
     "multimodal_decode_webp_anim",
     # r11: fractional-alpha animated-WebP compositing
     "multimodal_decode_webp_anim_fralpha",
+    # r12: the CommonCrawl composite (WARC -> HTML extract -> lang-id
+    # -> quality gate -> dedup, one fused plan) and BPE training at
+    # realistic depth
+    "pipeline_web_corpus",
+    "bpe_train_32merges",
 ]
 
 REGRESSION_PCT = 0.15  # median must move more than this ...

@@ -87,6 +87,15 @@ _HTML_SYNTH_SQL = (
     "<li><a href=\"/contact\">Contact</a></li></ul></nav>'"
     " || '<div id=\"main\"><h1>Doc ' || CAST(doc_id AS STRING) || "
     "'</h1><p>' || text || '</p>'"
+    # cross-site related links: a link-dense block (dropped from the
+    # extracted body by rule 4) that gives every page 2 deterministic
+    # OUTLINKS for the link-graph query — site topology varies per doc.
+    " || '<p class=\"rel\">See <a href=\"http://site' || "
+    "CAST(doc_id % 7 AS STRING) || '.example/p/' || "
+    "CAST(doc_id % 13 AS STRING) || '\">related</a> and "
+    "<a href=\"http://site' || CAST((doc_id * 3) % 7 AS STRING) || "
+    "'.example/p/' || CAST(doc_id % 11 AS STRING) || "
+    "'\">more</a></p>'"
     " || CASE WHEN doc_id % 5 = 2 THEN "
     "'<p>Tags &amp; entities &lt;escaped&gt; stay &quot;decoded&quot;"
     "&nbsp;in the extracted body text.</p>' ELSE '' END"
@@ -231,13 +240,21 @@ def _stage_web_warc(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     are the SYNTHESIZED HTML pages (fixture write, bounded by the
     scan-pushed ``doc_id < 400`` filter — the _stage_warc pattern at
     sources/python_datasource.py).  Returns (path, max record size)."""
+    import hashlib
     import os
 
     from mincemeatpy_spark.sources.readers import _scratch
 
     path = _scratch(sf_dir, "docs_web_warc")
     os.makedirs(path, exist_ok=True)
-    fpath = os.path.join(path, "web.warc")
+    # Version the staged file by the synthesis rules: if the fragment
+    # changes in a later round, the staging must regenerate — a
+    # same-path stale fixture would silently feed old pages (the
+    # fixture-staleness rule stream_ops._stage_single_file pins).
+    ver = hashlib.sha256(
+        f"{_HTML_SYNTH_SQL}|{_WEB_CAP}".encode()
+    ).hexdigest()[:12]
+    fpath = os.path.join(path, f"web-{ver}.warc")
     if os.path.exists(fpath):
         with open(fpath + ".maxrec") as f:
             return fpath, int(f.read())
@@ -412,5 +429,53 @@ def pipeline_web_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("min_id"))
         .select(
             "doc_id", "predicted_lang", "quality", "n_words", "body_sha"
+        )
+    )
+
+
+@register(
+    "web_link_graph",
+    oracle=f"""
+        SELECT source AS src_site, u.dst AS dst_site,
+               CAST(count(*) AS BIGINT) AS n_links,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+        FROM (
+            SELECT doc_id, source,
+                   regexp_extract_all({_HTML_SYNTH_SQL},
+                       'href="http://([^"/]+)', 1) AS hosts
+            FROM documents
+        ), UNNEST(hosts) AS u(dst)
+        GROUP BY source, u.dst
+        """,
+    category="text",
+    doc="Outlink/link-graph extraction — the crawl-graph primitive every "
+    "web-corpus pipeline derives (PageRank seeds, host-level spam "
+    "scores, crawl frontier sizing): absolute hrefs parsed from the "
+    "synthesized pages with one JVM regexp_extract_all, exploded, and "
+    "rolled up to (source site, destination host) edge weights.  "
+    "Scan-side regex + one aggregation exchange on the edge key; at "
+    "100 TB the shuffle carries (src, dst, partial counts) only — the "
+    "map-side combine collapses per-page duplicate edges before the "
+    "wire.  The in-plan page synthesis plants two deterministic "
+    "cross-site links per page (doc_id mod arithmetic), so the edge "
+    "distribution is known and the oracle replays it exactly.",
+)
+def web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_HTML_SYNTH_SQL).alias("html")
+    )
+    hosts = F.expr(
+        "regexp_extract_all(html, 'href=\"http://([^\"/]+)', 1)"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.col("source").alias("src_site"),
+            F.explode(hosts).alias("dst_site"),
+        )
+        .groupBy("src_site", "dst_site")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_links"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_pages"),
         )
     )
