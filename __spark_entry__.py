@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_html_extract",
         "pipeline_web_corpus",
         "bpe_train_32merges",
+        "web_link_graph",
     ):
         out[name] = qs[name].fn
     for row in zip_longest(*(by_cat[c] for c in order)):

@@ -2369,3 +2369,121 @@ def vector_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(hit).cast("double") / 3, 6).alias("recall_at_3"),
         )
     )
+
+
+@register(
+    "embedding_triplet_mining",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS q_id, q.label AS q_label,
+                   c.vec_id AS c_id, c.label AS c_label,
+                   list_sum(list_transform(generate_series(1, len(q.e)),
+                        i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS cosine
+            FROM v q JOIN v c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+        ),
+        hard_neg AS (
+            SELECT q_id, q_label, c_id AS hard_neg_id, cosine AS neg_cos
+            FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY cosine DESC, c_id) AS rn
+                  FROM scored WHERE c_label <> q_label)
+            WHERE rn = 1
+        ),
+        hard_pos AS (
+            SELECT q_id, c_id AS hard_pos_id, cosine AS pos_cos
+            FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY cosine ASC, c_id) AS rn
+                  FROM scored WHERE c_label = q_label)
+            WHERE rn = 1
+        )
+        SELECT n.q_id, n.q_label,
+               n.hard_neg_id, round(n.neg_cos, 6) AS neg_cosine,
+               p.hard_pos_id, round(p.pos_cos, 6) AS pos_cosine,
+               round(n.neg_cos - p.pos_cos, 6) AS margin,
+               round(n.neg_cos, 6) > round(p.pos_cos, 6) - 0.2
+                   AS violates_margin
+        FROM hard_neg n JOIN hard_pos p USING (q_id)
+        """,
+    category="similarity",
+    doc="Triplet mining for contrastive training (r12): per anchor, the "
+    "HARDEST NEGATIVE (highest-cosine vector of a different label) and "
+    "HARDEST POSITIVE (lowest-cosine vector of the same label), plus "
+    "the triplet margin and a 0.2-margin violation flag — the batch "
+    "audit every metric-learning pipeline runs to decide whether its "
+    "sampler still finds informative triplets.  Shape: bounded anchor "
+    "batch broadcast (vec_id < 20 — the per-step mining batch), ONE "
+    "corpus scan, two per-anchor windows.  At 100 TB the anchor batch "
+    "stays batch-sized and the candidate side drops to IVF/nprobe "
+    "cells (similarity_ann_ivf's persisted postings) instead of the "
+    "full scan — the mining windows are unchanged.",
+)
+def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    v = e.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+        F.sqrt(sq).alias("nrm"),
+    )
+    q = F.broadcast(v.filter(F.col("vec_id") < 20).alias("q"))
+    c = v.alias("c")
+    cos = _dot(F.col("q.e"), F.col("c.e")) / (F.col("q.nrm") * F.col("c.nrm"))
+    scored = q.join(c, F.col("c.vec_id") != F.col("q.vec_id")).select(
+        F.col("q.vec_id").alias("q_id"),
+        F.col("q.label").alias("q_label"),
+        F.col("c.vec_id").alias("c_id"),
+        F.col("c.label").alias("c_label"),
+        cos.alias("cosine"),
+    )
+    w_neg = Wnd.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id")
+    )
+    w_pos = Wnd.partitionBy("q_id").orderBy(
+        F.col("cosine").asc(), F.col("c_id")
+    )
+    neg = (
+        scored.filter(F.col("c_label") != F.col("q_label"))
+        .withColumn("rn", F.row_number().over(w_neg))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_id",
+            "q_label",
+            F.col("c_id").alias("hard_neg_id"),
+            F.col("cosine").alias("neg_cos"),
+        )
+    )
+    pos = (
+        scored.filter(F.col("c_label") == F.col("q_label"))
+        .withColumn("rn", F.row_number().over(w_pos))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_id",
+            F.col("c_id").alias("hard_pos_id"),
+            F.col("cosine").alias("pos_cos"),
+        )
+    )
+    return neg.join(pos, "q_id").select(
+        "q_id",
+        "q_label",
+        "hard_neg_id",
+        F.round("neg_cos", 6).alias("neg_cosine"),
+        "hard_pos_id",
+        F.round("pos_cos", 6).alias("pos_cosine"),
+        F.round(F.col("neg_cos") - F.col("pos_cos"), 6).alias("margin"),
+        (
+            F.round("neg_cos", 6) > F.round("pos_cos", 6) - F.lit(0.2)
+        ).alias("violates_margin"),
+    )
