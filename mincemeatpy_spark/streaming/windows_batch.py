@@ -1703,3 +1703,79 @@ def stream_session_timeout_gss_e2e(
         "stream_session_gss_sink",
         mode="append",
     )
+
+
+def _web_stream_oracle() -> str:
+    from mincemeatpy_spark.text.html_extract import (
+        _HTML_SYNTH_SQL,
+        _oracle_extract_cte,
+    )
+
+    return f"""
+        WITH {_oracle_extract_cte(
+            f"SELECT doc_id, {_HTML_SYNTH_SQL} AS html FROM documents"
+        )},
+        j AS (
+            SELECT d.source, e.body, e.n_words
+            FROM extracted e JOIN documents d USING (doc_id)
+            WHERE e.n_words > 0
+        ),
+        u AS (SELECT DISTINCT source, body, n_words FROM j)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS total_words
+        FROM u GROUP BY source
+        """
+
+
+@register(
+    "stream_web_extract_dedup_e2e",
+    oracle=_web_stream_oracle(),
+    category="streaming",
+    doc="The r12 web-extraction path as CONTINUOUS INGEST under the "
+    "correctness gate: TWO document streams over the same fixture "
+    "union into one (every page arrives twice — the planted "
+    "duplication that makes the dedup observable), each page is "
+    "synthesized to HTML and extracted IN the stream (the same "
+    "scan-side regexp/array codegen as text_html_extract — stateless, "
+    "so the streaming plan is identical to batch), then state-store "
+    "dropDuplicates on (source, sha256(body)) keeps one copy per "
+    "distinct extracted body and the per-source doc/word totals must "
+    "hash-match the batch-DISTINCT oracle — without the dedup every "
+    "count doubles.  Dedup state is O(distinct digests), never "
+    "O(stream): exactly how a crawler's landing directory ingests "
+    "continuously at 100 TB instead of re-deduplicating per crawl.",
+)
+def stream_web_extract_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        documents_stream,
+        run_to_completion,
+    )
+    from mincemeatpy_spark.text.html_extract import (
+        _HTML_SYNTH_SQL,
+        extract_text_cols,
+    )
+
+    def side():
+        docs = documents_stream(spark, sf_dir).select(
+            "doc_id", "source", F.expr(_HTML_SYNTH_SQL).alias("html")
+        )
+        cols = extract_text_cols(F.col("html"))
+        return docs.select(
+            "source",
+            cols["body"].alias("body"),
+            cols["n_words"].alias("n_words"),
+        ).filter(F.col("n_words") > 0)
+
+    dd = (
+        side()
+        .unionAll(side())
+        .withColumn("body_sha", F.sha2(F.col("body"), 256))
+        .dropDuplicates(["source", "body_sha"])
+    )
+    agg = dd.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+    )
+    out = run_to_completion(agg, "stream_web_extract_dedup_sink")
+    return out.select("source", "n_docs", "total_words")
