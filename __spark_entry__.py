@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_web_corpus",
         "bpe_train_32merges",
         "web_link_graph",
+        "stream_web_extract_dedup_e2e",
+        "embedding_triplet_mining",
+        "embedding_triplet_mining_ivf",
     ):
         out[name] = qs[name].fn
     for row in zip_longest(*(by_cat[c] for c in order)):

@@ -443,13 +443,22 @@ def _recover_from_tail(tail: str) -> dict[str, dict]:
     return stats
 
 
-def _load_bench(path: str) -> dict[str, dict]:
+def _load_bench(path: str, avoid: set[str] | None = None) -> dict[str, dict]:
     """Load any bench artifact into ``{name: {median, iqr|None, host}}``.
 
     Accepts this script's compact stdout line, the full per-trial
     record (BENCH_full_r*.json), a pre-r8 best-of-k record, or the
     driver wrapper ``{tail, parsed}`` — including ``parsed: null``,
-    which degrades to tail recovery instead of crashing."""
+    which degrades to tail recovery instead of crashing.
+
+    ``avoid``: real paths the ``full`` pointer must NOT be chased into.
+    r12 fix: every compact line points at BENCH_full_latest.json, which
+    each new run OVERWRITES — so loading an OLD compact as PREV chased
+    its pointer into the CURRENT run's record and every compare row
+    read ``X -> X``.  run_compare passes CUR's resolved file(s) here
+    when loading PREV; the old compact then falls back to its own
+    embedded medians (dispersion-free, classified UNVERIFIED on big
+    moves — honest, instead of silently self-comparing)."""
     with open(path) as f:
         doc = json.load(f)
     if "parsed" in doc or "tail" in doc:
@@ -492,7 +501,9 @@ def _load_bench(path: str) -> dict[str, dict]:
             if os.path.isabs(full)
             else os.path.join(os.path.dirname(os.path.abspath(path)), full)
         )
-        if os.path.exists(cand):
+        if avoid and os.path.realpath(cand) in avoid:
+            cand = ""
+        if cand and os.path.exists(cand):
             try:
                 with open(cand) as f:
                     for name, st in (
@@ -524,8 +535,30 @@ def run_compare(argv: list[str], cpus: int) -> int:
             )
         )
     try:
-        prev = _load_bench(paths[0])
         cur = _load_bench(paths[1])
+        # PREV must never chase its `full` pointer into CUR's file(s)
+        # (BENCH_full_latest.json is overwritten per run — see
+        # _load_bench docstring).
+        avoid = {os.path.realpath(paths[1])}
+        try:
+            with open(paths[1]) as f:
+                _cur_doc = json.load(f)
+            _cur_doc = _cur_doc.get("parsed") or _cur_doc
+            full = (_cur_doc or {}).get("full")
+            if full:
+                avoid.add(
+                    os.path.realpath(
+                        full
+                        if os.path.isabs(full)
+                        else os.path.join(
+                            os.path.dirname(os.path.abspath(paths[1])),
+                            full,
+                        )
+                    )
+                )
+        except (OSError, ValueError):
+            pass
+        prev = _load_bench(paths[0], avoid=avoid)
     except (OSError, ValueError) as ex:
         print(f"cannot load bench artifact: {ex}", file=sys.stderr)
         return 2

@@ -339,3 +339,33 @@ def test_load_gate_wall_clock_bound(monkeypatch):
     assert gate["still_loaded"] is True
     # exited on the wall bound long before waited_s reached the max
     assert gate["waited_s"] < B.LOAD_GATE_MAX_WAIT
+
+
+def test_compare_prev_never_chases_into_cur_full(tmp_path, capsys):
+    """r12: an OLD compact line points `full` at BENCH_full_latest.json,
+    which the CURRENT run has overwritten — loading it as PREV must NOT
+    resolve into CUR's record (every row would read X -> X)."""
+    import json
+
+    import bench as B
+
+    full = tmp_path / "BENCH_full_latest.json"
+    full.write_text(
+        json.dumps({"stats": {"q": {"median": 9.0, "iqr": 0.1}}})
+    )
+    prev = tmp_path / "BENCH_r_old.json"
+    prev.write_text(
+        json.dumps(
+            {"queries": {"q": 1.0}, "full": "BENCH_full_latest.json"}
+        )
+    )
+    # direct load still chases the pointer (for CUR that is correct)
+    assert B._load_bench(str(prev))["q"]["median"] == 9.0
+    # run_compare must keep PREV's own median (1.0), so the move to 9.0
+    # is visible (classified UNVERIFIED: no dispersion data on a >15%
+    # move from a compact-only PREV... the iqr belongs to CUR, so it
+    # actually classifies REGRESSION)
+    rc = B.run_compare(["--compare", str(prev), str(full)], cpus=32)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "1.0 -> 9.0" in out, out
