@@ -1410,3 +1410,60 @@ def test_vp8_and_mjpeg_are_two_narrow_python_stages(spark, sf_dir):
         assert plan.count("MapInPandas") == 2, name
         assert "Join" not in plan, name
         assert "Exchange" in plan, name  # the parallelism repartition
+
+
+def test_html_extract_is_scan_side(spark, sf_dir):
+    """r12: the HTML→text extraction must be pure scan-side codegen —
+    ZERO exchanges (no shuffle, no Python) — and read only the two
+    columns the synthesis uses."""
+    plan = _plan("text_html_extract", spark, sf_dir)
+    assert "Exchange" not in plan, "extraction must not shuffle"
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_web_corpus_single_digest_exchange(spark, sf_dir):
+    """r12: the fused WARC→extract→lang-ID→gate→dedup composite's ONLY
+    exchange is the digest-keyed dedup hash partitioning (plus AQE's
+    final coalesce reading it) — the whole front of the pipeline is
+    map-only."""
+    import re
+
+    plan = _plan("pipeline_web_corpus", spark, sf_dir)
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(shuffles) == 1, f"expected 1 hash exchange, got {shuffles}"
+    assert "sha2" in shuffles[0] or "body_sha" in shuffles[0] or "_w" in shuffles[0], (
+        f"the one exchange must key on the body digest: {shuffles[0]}"
+    )
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_link_graph_two_phase_agg(spark, sf_dir):
+    """r12: web_link_graph must partial-aggregate map-side (per-page
+    duplicate edges collapse before the wire).  count(DISTINCT doc_id)
+    plans as Spark's canonical two-exchange distinct aggregate — one
+    exchange on (edge, doc_id), one on the edge key — and BOTH must
+    consume partially-aggregated rows, never raw exploded links."""
+    plan = _plan("web_link_graph", spark, sf_dir)
+    lines = plan.splitlines()
+    exchanges = [
+        i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l
+    ]
+    assert len(exchanges) == 2, f"expected the 2-exchange distinct-agg shape, got {len(exchanges)}"
+    for i in exchanges:
+        nxt = "".join(lines[i + 1 : i + 3])
+        assert "HashAggregate" in nxt and "partial" in nxt, (
+            "exchange must consume partial-aggregated edges:\n" + lines[i]
+        )
+    assert "EvalPython" not in plan
+
+
+def test_triplet_mining_broadcasts_anchor_batch(spark, sf_dir):
+    """r12: both triplet-mining twins broadcast the bounded anchor
+    batch — the corpus side must never be broadcast or cartesian."""
+    for q in ("embedding_triplet_mining", "embedding_triplet_mining_ivf"):
+        plan = _plan(q, spark, sf_dir)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, q
