@@ -116,6 +116,7 @@ EXTENDED = [
     # -> quality gate -> dedup, one fused plan) and BPE training at
     # realistic depth
     "pipeline_web_corpus",
+    "pipeline_web_corpus_inplan",
     "bpe_train_32merges",
 ]
 

@@ -287,12 +287,13 @@ def _stage_web_warc(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     return fpath, maxrec
 
 
-@register(
-    "pipeline_web_corpus",
-    oracle=f"""
+def _web_oracle(source_where: str) -> str:
+    """The composite's lang-ID → gate → dedup oracle over the extract
+    CTE chain; ``source_where`` bounds the document set ('' = all)."""
+    return f"""
         WITH {_oracle_extract_cte(
             f"SELECT doc_id, {_HTML_SYNTH_SQL} AS html FROM documents "
-            f"WHERE doc_id < {_WEB_CAP}"
+            + source_where
         )},
         lang AS (
             SELECT doc_id, body, n_words,
@@ -334,7 +335,12 @@ def _stage_web_warc(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
         WHERE quality >= {_Q_GATE}
         QUALIFY doc_id = min(doc_id)
                              OVER (PARTITION BY sha256(body))
-        """,
+        """
+
+
+@register(
+    "pipeline_web_corpus",
+    oracle=_web_oracle(f"WHERE doc_id < {_WEB_CAP}"),
     category="text",
     doc="The CommonCrawl composite, one fused plan: WARC byte-range "
     "source (record-boundary resync, O(1) planning) → HTML→text "
@@ -347,8 +353,6 @@ def _stage_web_warc(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     "identical rules in DuckDB from the documents table.",
 )
 def pipeline_web_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from mincemeatpy_spark.sources.python_datasource import (
         _make_warc_source_class,
     )
@@ -369,6 +373,38 @@ def pipeline_web_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols["body"].alias("body"),
         cols["n_words"].alias("n_words"),
     ).filter(F.col("n_words") > 0)
+    return _web_corpus_tail(extracted)
+
+
+@register(
+    "pipeline_web_corpus_inplan",
+    oracle=_web_oracle(""),
+    category="text",
+    doc="The composite's UNCAPPED twin: the identical lang-ID → gate → "
+    "dedup tail over in-plan synthesized pages for EVERY document (no "
+    "staged WARC, no row cap) — so the composite has a soak that "
+    "actually scales with the corpus (the WARC form stages a bounded "
+    "fixture, flat by design).  Same single digest-keyed shuffle; at "
+    "100 TB this plan shape and the WARC-sourced one are identical "
+    "from the extraction stage down.",
+)
+def pipeline_web_corpus_inplan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_HTML_SYNTH_SQL).alias("html")
+    )
+    cols = extract_text_cols(F.col("html"))
+    extracted = docs.select(
+        "doc_id",
+        cols["body"].alias("body"),
+        cols["n_words"].alias("n_words"),
+    ).filter(F.col("n_words") > 0)
+    return _web_corpus_tail(extracted)
+
+
+def _web_corpus_tail(extracted: DataFrame) -> DataFrame:
+    """lang-ID → quality gate → digest dedup over (doc_id, body,
+    n_words) — shared by the WARC-sourced and in-plan composites."""
+    from pyspark.sql import Window
 
     words = F.split(F.col("body"), " ", -1)
     hits = {
