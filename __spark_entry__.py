@@ -129,10 +129,43 @@ def _certification_history() -> tuple[dict[str, int], set[str], set[str]]:
     return last_pass, sampled, open_fail
 
 
+# True signature leads — the reference's canonical word count (its
+# example.py workload, both the Spark-native and MapReduce-compat
+# forms) and the TPC-H headline.  VERDICT r12 task 1: the 21-entry
+# flagship block (all driver-sampled by r12) crowded the never-sampled
+# tail out of the 50-prefix; leads are now only these standing
+# signatures plus the CURRENT round's never-sampled flagships (which
+# count toward the never-sampled floor, so they cost nothing).
+_SIGNATURE_LEADS = (
+    "wordcount",
+    "compat_mapreduce_wordcount",
+    "tpch_q1_pricing_summary",
+    # round-13 flagships (never driver-sampled → ride the prefix free).
+    "web_host_pagerank",
+    "text_quality_classifier",
+    "pipeline_web_corpus_classified",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2,
-    category-interleaved (see note above), least-recently-certified
-    first within each category."""
+    """One entry per implemented operator from SURVEY.md §2, ordered so
+    any driver prefix is (a) representative of every category and (b)
+    dominated by never-driver-sampled queries (VERDICT r12 task 1):
+
+    1. signature leads (``_SIGNATURE_LEADS``);
+    2. tier 0 — every query whose LATEST driver sample was a FAIL/err;
+    3. one representative per category in priority order (the driver's
+       50-prefix must span the whole operator surface) — never-sampled
+       member if the category has one, else its least-recently-passed;
+    4. ALL remaining never-sampled queries, round-robin over categories
+       by DESCENDING never-sampled depth (text/behavioral hold most of
+       the tail; exhausted categories hold no slots here at all);
+    5. everything else (already certified), category round-robin,
+       least-recently-passed first.
+
+    With 463 registered / 251 never-sampled this yields ≥35
+    never-sampled in the 50-prefix vs 18 under the old
+    one-slot-per-category-then-seconds scheme."""
     from itertools import zip_longest
 
     qs = load_all_queries()
@@ -140,11 +173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     by_cat: dict[str, list[str]] = {}
     for name, q in qs.items():
         by_cat.setdefault(q.category, []).append(name)
-    # Stable within-category rotation, three tiers (VERDICT r10 task 2,
-    # re-keyed per ADVICE r11 item 2): (0) latest driver sample was a
-    # FAIL/err — re-enters the sample before anything else, including
-    # a query that PASSED in an early round and regressed later; (1)
-    # never sampled; (2) latest sample passed, by oldest PASS round.
+    # Within-category rotation, three tiers (VERDICT r10 task 2, re-keyed
+    # per ADVICE r11 item 2): (0) latest driver sample was a FAIL/err;
+    # (1) never sampled; (2) latest sample passed, by oldest PASS round.
     # Registration order breaks ties.
     def _tier(n: str) -> int:
         if n in open_fail:
@@ -157,46 +188,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rank = {c: i for i, c in enumerate(_CATEGORY_PRIORITY)}
     order = sorted(by_cat, key=lambda c: (rank.get(c, len(rank)), c))
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # Signature queries lead regardless of category rotation.
-    for name in (
-        "wordcount",
-        "compat_mapreduce_wordcount",
-        "tpch_q1_pricing_summary",
-        "dedup_minhash_lsh",
-        "similarity_topk",
-        "pipeline_training_corpus",
-        "join_asof",
-        "window_session",
-        # round-4 flagships: semantic dedup, hybrid retrieval, iterative
-        # k-means with updated state, and the real streaming engine
-        # running inside the correctness gate.
-        "dedup_semdedup_clusters",
-        "search_hybrid_rrf",
-        "kmeans_loop_2iter",
-        "stream_tumbling_counts_e2e",
-        # Flagships are trimmed from the leads over rounds as they
-        # accumulate driver certifications (r9 trimmed
-        # dedup_incremental_lsh + word_pmi_collocations; r10 trimmed
-        # six 2+-cert entries; r11 trimmed six 2-3-cert entries; r12
-        # trims the six round-10 flagships — vp8/mjpeg/video-corpus/
-        # bpe-encode/resize/gif-anim, 2 certs each (r10+r11) — to raise
-        # the never-sampled floor in the 50-prefix from 20 to 25+
-        # (VERDICT r11 task 4)).
-        # round-11 entries (1 driver cert each — stay until 2+).
-        "orders_nested_export",
-        "multimodal_decode_webp_anim_fralpha",
-        # round-12 flagships: web-document text extraction (the
-        # CommonCrawl WARC→HTML→text path, VERDICT r11 task 3) and
-        # BPE training at realistic depth (task 6).
-        "text_html_extract",
-        "pipeline_web_corpus",
-        "bpe_train_32merges",
-        "web_link_graph",
-        "stream_web_extract_dedup_e2e",
-        "embedding_triplet_mining",
-        "embedding_triplet_mining_ivf",
-    ):
-        out[name] = qs[name].fn
+    for name in _SIGNATURE_LEADS:
+        if name in qs:
+            out[name] = qs[name].fn
+    # Tier 0: a recorded driver FAIL re-enters the sample before
+    # anything else.
+    for c in order:
+        for n in by_cat[c]:
+            if n in open_fail and n not in out:
+                out[n] = qs[n].fn
+    # One representative per category (span guarantee; tier-best, so a
+    # category with any never-sampled member spends a never-sampled one).
+    for c in order:
+        for n in by_cat[c]:
+            if n not in out:
+                out[n] = qs[n].fn
+                break
+    # Never-sampled fill: deepest tails first so they retire fastest.
+    never_by_cat = {
+        c: [n for n in by_cat[c] if n not in sampled and n not in out]
+        for c in order
+    }
+    depth_order = sorted(
+        order, key=lambda c: (-len(never_by_cat[c]), rank.get(c, len(rank)), c)
+    )
+    for row in zip_longest(*(never_by_cat[c] for c in depth_order)):
+        for name in row:
+            if name is not None and name not in out:
+                out[name] = qs[name].fn
+    # Certified remainder, least-recently-passed first per category.
     for row in zip_longest(*(by_cat[c] for c in order)):
         for name in row:
             if name is not None and name not in out:

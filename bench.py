@@ -254,13 +254,17 @@ def _probe_floor() -> float:
 def _calibrate_probe_floor(host_sample=None, n: int = 15) -> float:
     """Seed the session probe floor: min fixed-work probe over n
     back-to-back samples (~100 ms total).  The min is the right
-    estimator — contention only ever inflates the probe."""
+    estimator — contention only ever inflates the probe.  ADVICE r12:
+    if no sample yields a positive probe (only reachable with an
+    injected sampler), fall back to PROBE_FLOOR_MS instead of raising
+    on an empty min()."""
     host_sample = host_sample or _host_sample
-    floor = min(
+    probes = [
         s["cpu_probe_ms"]
         for s in (host_sample() for _ in range(n))
         if s.get("cpu_probe_ms", 0) > 0
-    )
+    ]
+    floor = min(probes) if probes else PROBE_FLOOR_MS
     _SESSION["probe_floor_ms"] = floor
     return floor
 
@@ -687,6 +691,12 @@ def main() -> None:
         # state off the artifact alone.
         "probe_floor_ms": round(_probe_floor(), 3),
         "probe_floor_calibration_ms": round(probe_floor, 3),
+        # ADVICE r12 item 2: a session whose calibrated floor sits far
+        # above the canonical-host fallback was contended from
+        # calibration onward — probe_ok then certifies against an
+        # inflated floor, so the record carries an explicit flag that
+        # distinguishes whole-session contamination from a slow host.
+        "probe_floor_suspect": _probe_floor() > 2 * PROBE_FLOOR_MS,
         "probe_uncertified": sorted(
             n for n, s in stats.items() if s.get("probe_ok") is False
         ),
@@ -722,6 +732,7 @@ def _compact_line(full_record: dict, full_out: str | None) -> str:
             "trials",
             "probe_floor_ms",
             "probe_certified",
+            "probe_floor_suspect",
         )
         if k in full_record
     }

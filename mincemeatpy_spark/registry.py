@@ -61,6 +61,7 @@ _QUERY_MODULES = (
     "mincemeatpy_spark.text.dedup",
     "mincemeatpy_spark.text.pipeline",
     "mincemeatpy_spark.text.html_extract",
+    "mincemeatpy_spark.text.classifier",
     "mincemeatpy_spark.similarity.ann",
     "mincemeatpy_spark.similarity.kmeans",
     "mincemeatpy_spark.multimodal.binary_ops",

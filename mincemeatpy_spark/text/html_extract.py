@@ -256,8 +256,14 @@ def _stage_web_warc(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     ).hexdigest()[:12]
     fpath = os.path.join(path, f"web-{ver}.warc")
     if os.path.exists(fpath):
-        with open(fpath + ".maxrec") as f:
-            return fpath, int(f.read())
+        # ADVICE r12: a missing or partially-written sidecar next to an
+        # existing WARC must restage, not raise — fall through to
+        # regeneration on any read/parse failure.
+        try:
+            with open(fpath + ".maxrec") as f:
+                return fpath, int(f.read())
+        except (OSError, ValueError):
+            pass
     rows = (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _WEB_CAP)
@@ -281,17 +287,25 @@ def _stage_web_warc(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     tmp = fpath + ".tmp"
     with open(tmp, "wb") as f:
         f.write(buf)
-    with open(fpath + ".maxrec", "w") as f:
+    # Sidecar FIRST and via tmp+rename (ADVICE r12): the WARC's own
+    # os.replace publishes the pair, so a reader that sees the WARC
+    # always sees a complete sidecar.
+    side_tmp = fpath + ".maxrec.tmp"
+    with open(side_tmp, "w") as f:
         f.write(str(maxrec))
+    os.replace(side_tmp, fpath + ".maxrec")
     os.replace(tmp, fpath)
     return fpath, maxrec
 
 
-def _web_oracle(source_where: str) -> str:
-    """The composite's lang-ID → gate → dedup oracle over the extract
-    CTE chain; ``source_where`` bounds the document set ('' = all)."""
+def _web_gated_ctes(source_where: str) -> str:
+    """CTE chain from the document source through extraction, lang-ID
+    and the quality gate, ending at ``gated`` (doc_id, body, n_words,
+    predicted_lang, quality — already quality-filtered); shared by the
+    composite oracles (``source_where`` bounds the document set,
+    '' = all)."""
     return f"""
-        WITH {_oracle_extract_cte(
+        {_oracle_extract_cte(
             f"SELECT doc_id, {_HTML_SYNTH_SQL} AS html FROM documents "
             + source_where
         )},
@@ -320,19 +334,27 @@ def _web_oracle(source_where: str) -> str:
             FROM lang
         ),
         gated AS (
-            SELECT doc_id, body, n_words,
-                   CASE WHEN h_en >= h_fr AND h_en >= h_de THEN 'en'
-                        WHEN h_fr >= h_de THEN 'fr'
-                        ELSE 'de' END AS predicted_lang,
-                   round(0.5 * stop_ratio + 0.3 * uniq_ratio
-                         + 0.2 * least(n_words / 100.0, 1.0), 6)
-                       AS quality
-            FROM scored2
-        )
+            SELECT * FROM (
+                SELECT doc_id, body, n_words,
+                       CASE WHEN h_en >= h_fr AND h_en >= h_de THEN 'en'
+                            WHEN h_fr >= h_de THEN 'fr'
+                            ELSE 'de' END AS predicted_lang,
+                       round(0.5 * stop_ratio + 0.3 * uniq_ratio
+                             + 0.2 * least(n_words / 100.0, 1.0), 6)
+                           AS quality
+                FROM scored2
+            ) WHERE quality >= {_Q_GATE}
+        )"""
+
+
+def _web_oracle(source_where: str) -> str:
+    """The composite's lang-ID → gate → dedup oracle over the extract
+    CTE chain; ``source_where`` bounds the document set ('' = all)."""
+    return f"""
+        WITH {_web_gated_ctes(source_where)}
         SELECT doc_id, predicted_lang, quality, n_words,
                substring(sha256(body), 1, 16) AS body_sha
         FROM gated
-        WHERE quality >= {_Q_GATE}
         QUALIFY doc_id = min(doc_id)
                              OVER (PARTITION BY sha256(body))
         """
@@ -404,8 +426,31 @@ def pipeline_web_corpus_inplan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _web_corpus_tail(extracted: DataFrame) -> DataFrame:
     """lang-ID → quality gate → digest dedup over (doc_id, body,
     n_words) — shared by the WARC-sourced and in-plan composites."""
+    return _web_dedup(_web_gated(extracted))
+
+
+def _web_dedup(gated: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Exact dedup on the body digest (min-doc_id winner via a
+    partition-window min — the composite's ONE shuffle, keyed on the
+    256-bit digest)."""
     from pyspark.sql import Window
 
+    sha = F.sha2(F.col("body"), 256)
+    w = Window.partitionBy(sha)
+    return (
+        gated.withColumn("body_sha", F.substring(sha, 1, 16))
+        .withColumn("min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .select(
+            "doc_id", "predicted_lang", "quality",
+            *extra_cols, "n_words", "body_sha",
+        )
+    )
+
+
+def _web_gated(extracted: DataFrame) -> DataFrame:
+    """lang-ID + quality gate over (doc_id, body, n_words): returns the
+    quality-filtered (doc_id, body, n_words, predicted_lang, quality)."""
     words = F.split(F.col("body"), " ", -1)
     hits = {
         "h_en": F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS_EN))),
@@ -437,7 +482,7 @@ def _web_corpus_tail(extracted: DataFrame) -> DataFrame:
             F.size(F.array_distinct(words)).cast("double") / n_words_d
         ).alias("uniq_ratio"),
     )
-    gated = scored.select(
+    return scored.select(
         "doc_id",
         "body",
         "n_words",
@@ -456,17 +501,6 @@ def _web_corpus_tail(extracted: DataFrame) -> DataFrame:
             6,
         ).alias("quality"),
     ).filter(F.col("quality") >= _Q_GATE)
-
-    sha = F.sha2(F.col("body"), 256)
-    w = Window.partitionBy(sha)
-    return (
-        gated.withColumn("body_sha", F.substring(sha, 1, 16))
-        .withColumn("min_id", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("min_id"))
-        .select(
-            "doc_id", "predicted_lang", "quality", "n_words", "body_sha"
-        )
-    )
 
 
 @register(
@@ -514,4 +548,186 @@ def web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_links"),
             F.countDistinct("doc_id").cast("bigint").alias("n_pages"),
         )
+    )
+
+
+# --- host-level crawl-graph PageRank (VERDICT r12 task 4) --------------
+
+# Fixed-point rank scale (integer 1e-12 units — float PageRank drifts by
+# summation order across engines; see operators/graph.py).
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+
+
+def _host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted host→host edge list from the synthesized pages: each
+    page lives on host ``site(doc_id mod 5).example`` (five crawled
+    hosts) and its absolute outlinks target ``site0-6.example`` — so
+    ``site5``/``site6`` receive links but host no crawled pages: the
+    DANGLING frontier hosts every real crawl graph has, exercising the
+    dangling-mass correction on real structure.  One scan-side
+    regexp_extract_all + one edge-key aggregation; at 100 TB the
+    shuffle carries (src, dst, partial count) only."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_HTML_SYNTH_SQL).alias("html")
+    )
+    hosts = F.expr(
+        "regexp_extract_all(html, 'href=\"http://([^\"/]+)', 1)"
+    )
+    return (
+        docs.select(
+            F.concat(
+                F.lit("site"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".example"),
+            ).alias("src"),
+            F.explode(hosts).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+
+
+def _host_pagerank_oracle(iters: int) -> str:
+    """Unrolled fixed-point weighted-PageRank recurrence (MATERIALIZED
+    per round, the bpe_train_32merges DuckDB lesson: plain CTEs inline
+    at each reference and re-evaluate exponentially in depth)."""
+    head = f"""
+        pages AS (
+            SELECT doc_id,
+                   'site' || CAST(doc_id % 5 AS VARCHAR) || '.example'
+                       AS src,
+                   regexp_extract_all({_HTML_SYNTH_SQL},
+                       'href="http://([^"/]+)', 1) AS hosts
+            FROM documents
+        ),
+        edges AS MATERIALIZED (
+            SELECT src, u.dst, CAST(count(*) AS BIGINT) AS w
+            FROM pages, UNNEST(hosts) AS u(dst)
+            GROUP BY src, u.dst
+        ),
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT h FROM (
+                SELECT src AS h FROM edges
+                UNION ALL SELECT dst FROM edges)
+        ),
+        nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+        outw AS MATERIALIZED (
+            SELECT src, sum(w) AS ow FROM edges GROUP BY src
+        ),
+        r_0 AS MATERIALIZED (
+            SELECT h, CAST({_PR_SCALE} // (SELECT n FROM nn) AS BIGINT)
+                       AS r
+            FROM nodes
+        )"""
+    rounds = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        rounds.append(f"""
+        contrib_{i} AS MATERIALIZED (
+            SELECT e.dst AS h, SUM((r.r * e.w) // o.ow) AS s
+            FROM edges e
+            JOIN outw o ON o.src = e.src
+            JOIN r_{p} r ON r.h = e.src
+            GROUP BY e.dst
+        ),
+        dang_{i} AS MATERIALIZED (
+            SELECT COALESCE(SUM(r), 0) AS d FROM r_{p}
+            WHERE h NOT IN (SELECT src FROM outw)
+        ),
+        r_{i} AS MATERIALIZED (
+            SELECT n.h,
+                   CAST((15 * ({_PR_SCALE} // (SELECT n FROM nn))) // 100
+                        + (85 * (COALESCE(c.s, 0)
+                                 + ((SELECT d FROM dang_{i})
+                                    // (SELECT n FROM nn)))) // 100
+                        AS BIGINT) AS r
+            FROM nodes n LEFT JOIN contrib_{i} c ON c.h = n.h
+        )""")
+    return (
+        "WITH "
+        + head
+        + ","
+        + ",".join(rounds)
+        + f" SELECT h AS host, r AS rank_scaled FROM r_{iters}"
+    )
+
+
+@register(
+    "web_host_pagerank",
+    oracle=_host_pagerank_oracle(_PR_ITERS),
+    category="graph",
+    doc="Host-level crawl-graph PageRank (VERDICT r12 task 4): the r12 "
+    "link-graph extraction FUSED with the iterative rank loop — "
+    "extract hrefs scan-side → roll up weighted (src host, dst host) "
+    "edges → three weighted power iterations with damping 0.85 and a "
+    "broadcast dangling-mass correction (frontier hosts ``site5``/"
+    "``site6`` receive rank but have no crawled pages; their mass "
+    "redistributes uniformly each round).  The host-spam / crawl-"
+    "prioritization step real web-corpus pipelines run between link "
+    "extraction and the quality gate.  Integer fixed-point (1e-12 "
+    "units, floor division) so all three iterations are bit-identical "
+    "to the oracle's unrolled MATERIALIZED-CTE recurrence.  Per "
+    "superstep: one edges⋈outw⋈ranks plan (rank side is node-scale — "
+    "AQE broadcasts it while it fits, else a keyed shuffle), one "
+    "inflow aggregation on dst, and a 1-row broadcast dangling "
+    "aggregate; lineage truncated eagerly between supersteps so the "
+    "plan stays O(1) deep (the kmeans_loop convention).  At 100 TB "
+    "the per-iteration shuffle carries (dst, partial contribution) "
+    "only — never bodies, never all-pairs.",
+)
+def web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.lineage import truncate_eager, truncate_lazy
+
+    edges = _host_edges(spark, sf_dir).transform(truncate_lazy)
+    nodes = (
+        edges.select(F.col("src").alias("h"))
+        .unionAll(edges.select(F.col("dst").alias("h")))
+        .distinct()
+        .transform(truncate_lazy)
+    )
+    # Node count rides IN-PLAN as a 1-row broadcast aggregate — no
+    # driver-side count job (the graph_pagerank_iter convention).
+    nb = F.broadcast(
+        nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    r0_col = F.expr(f"cast({_PR_SCALE} div n_nodes as bigint)")
+    tele_col = F.expr(
+        f"cast(15 * ({_PR_SCALE} div n_nodes) div 100 as bigint)"
+    )
+    ranks = nodes.crossJoin(nb).select("h", r0_col.alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(outw, "src")
+            .join(ranks, ranks.h == F.col("src"))
+            .select("dst", F.expr("(r * w) div ow").alias("c"))
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        # Dangling mass: rank held by hosts with no out-edges, as a
+        # 1-row broadcast (anti-join is node-scale, never edge-scale).
+        dang = F.broadcast(
+            ranks.join(outw, ranks.h == outw.src, "left_anti").agg(
+                F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("d")
+            )
+        )
+        ranks = (
+            nodes.join(inflow, nodes.h == inflow.dst, "left")
+            .crossJoin(nb)
+            .crossJoin(dang)
+            .select(
+                "h",
+                (
+                    tele_col
+                    + F.expr(
+                        "85 * (coalesce(s, 0) + (d div n_nodes)) div 100"
+                    )
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+            .transform(truncate_eager)
+        )
+    return ranks.select(
+        F.col("h").alias("host"), F.col("r").alias("rank_scaled")
     )

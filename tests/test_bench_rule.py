@@ -274,6 +274,36 @@ def test_probe_floor_is_session_derived(monkeypatch):
     assert B._probe_floor() == 8.2
 
 
+def test_probe_floor_calibration_guards_empty_sample(monkeypatch):
+    """ADVICE r12 item 3: an injected sampler that never yields a
+    positive probe must fall back to PROBE_FLOOR_MS, not crash main()
+    on min() of an empty sequence."""
+    import bench as B
+
+    monkeypatch.setitem(B._SESSION, "probe_floor_ms", None)
+    dead = lambda: {"load1": 0.5, "cpu_probe_ms": 0.0}
+    floor = B._calibrate_probe_floor(host_sample=dead, n=4)
+    assert floor == B.PROBE_FLOOR_MS
+    assert B._probe_floor() == B.PROBE_FLOOR_MS
+
+
+def test_record_flags_suspect_session_floor(monkeypatch):
+    """ADVICE r12 item 2: a session calibrated on a contended host
+    (floor > 2x the canonical fallback) must ship its record flagged
+    probe_floor_suspect, and the flag must ride the compact line."""
+    import bench as B
+
+    rec = {
+        "metric": "m", "value": 1.0, "unit": "sec", "queries": {},
+        "sf": 0.1, "probe_floor_ms": 12.0, "probe_certified": True,
+        "probe_floor_suspect": True,
+    }
+    import json as _json
+
+    line = _json.loads(B._compact_line(rec, None))
+    assert line["probe_floor_suspect"] is True
+
+
 def test_burst_records_probe_certification(monkeypatch):
     """Every burst carries probe_floor_ms + probe_ok so the committed
     record is self-describing (VERDICT r11 task 8)."""

@@ -44,6 +44,13 @@ _ALLOWLIST = {
         "fixture and broadcast to every encode task — the documented "
         "loop-control/model-artifact collect class",
     ),
+    "text/classifier.py::_clf_weights": (
+        1,
+        "model artifact, not data: the trained per-bucket weight "
+        "vector (<= _N_BUCKETS rows at any corpus size) collected "
+        "once per fixture and broadcast to every inference task — "
+        "the _bpe_merge_table pattern",
+    ),
     "compat.py::mapreduce": (
         1,
         "compat contract — the reference returns a driver dict "

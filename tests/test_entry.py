@@ -67,13 +67,18 @@ def test_queries_prefix_spans_categories():
 
 
 def test_queries_prefix_rotation_tiers():
-    """VERDICT r10 task 2 + r11 task 4, enforced mechanically: (a)
-    every query whose LATEST driver sample was a FAIL/err must re-enter
-    the 50-query driver prefix — a failure's last driver word must not
-    stay FAIL while the rotation chases the never-sampled tail (ADVICE
-    r11: keyed on the latest outcome, so a pass-then-regress query
-    re-enters too); (b) the prefix must carry ≥25 never-sampled
-    queries (or all that remain) so the tail keeps retiring."""
+    """VERDICT r10 task 2 + r11 task 4 + r12 task 1, enforced
+    mechanically: (a) every query whose LATEST driver sample was a
+    FAIL/err must re-enter the 50-query driver prefix — a failure's
+    last driver word must not stay FAIL while the rotation chases the
+    never-sampled tail (ADVICE r11: keyed on the latest outcome, so a
+    pass-then-regress query re-enters too); (b) the prefix must carry
+    ≥25 never-sampled queries, bounded by what the geometry allows —
+    the floor shrinks by the prefix slots that MUST hold sampled
+    queries (sampled signature leads, sampled open-fails, and the one
+    span-guarantee representative of each category whose members are
+    all sampled) so a landing CORRECTNESS_r*.json can never redden the
+    suite (the r12 epoch-dependent red)."""
     from mincemeatpy_spark.registry import load_all_queries
 
     mod = _load_entry()
@@ -86,10 +91,21 @@ def test_queries_prefix_rotation_tiers():
     )
     never = [n for n in names if n not in sampled]
     remaining = [n for n in all_q if n not in sampled]
-    want = min(25, len(remaining))
+    # Slots the ordering is FORCED to spend on already-sampled queries.
+    forced = {n for n in mod._SIGNATURE_LEADS if n in all_q and n in sampled}
+    forced |= {n for n in open_fail if n in all_q}
+    by_cat: dict[str, list[str]] = {}
+    for n, q in all_q.items():
+        by_cat.setdefault(q.category, []).append(n)
+    for cat, members in by_cat.items():
+        if all(m in sampled for m in members) and not (set(members) & forced):
+            forced.add(members[0])  # span-guarantee rep, any member
+    achievable = 50 - len(forced)
+    want = min(25, len(remaining), achievable)
     assert len(never) >= want, (
         f"only {len(never)} never-sampled queries in the driver prefix "
-        f"(target {want}); the certification tail stalls"
+        f"(target {want} = min(25, {len(remaining)} remaining, "
+        f"{achievable} achievable)); the certification tail stalls"
     )
 
 
