@@ -118,6 +118,21 @@ EXTENDED = [
     "pipeline_web_corpus",
     "pipeline_web_corpus_inplan",
     "bpe_train_32merges",
+    # r13: host-graph PageRank over the extracted link graph, and the
+    # learned-classifier gate (solo inference + wired into the web
+    # composite)
+    "web_host_pagerank",
+    "text_quality_classifier",
+    "pipeline_web_corpus_classified",
+    # r13: anchor text, segment-rewrite dedup, CCNet buckets, SQ8 ANN,
+    # bitext mining, and the in-stream learned gate
+    "web_anchor_text",
+    "dedup_segments_rewrite",
+    "ccnet_perplexity_buckets",
+    "similarity_ann_sq8",
+    "similarity_sq8_recall",
+    "bitext_margin_mining",
+    "stream_web_classified_gate_e2e",
 ]
 
 REGRESSION_PCT = 0.15  # median must move more than this ...

@@ -2675,3 +2675,384 @@ def embedding_triplet_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pos_cos", 6).alias("pos_cosine"),
         F.round(F.col("neg_cos") - F.col("pos_cos"), 6).alias("margin"),
     )
+
+
+# --- scalar quantization (SQ8) -----------------------------------------
+
+def _sq8_stats(e: DataFrame) -> tuple[list[int], list[int]]:
+    """Per-dimension (min, span) of the micro-unit corpus — the SQ8
+    'codebook', a 2x64-int model artifact (bounded collect regardless
+    of corpus size; at 100 TB it comes from the same one-pass agg)."""
+    micro = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
+    )
+    rows = (
+        e.select(F.posexplode(micro).alias("pos", "m"))
+        .groupBy("pos")
+        .agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
+        .collect()
+    )
+    mn = [0] * _DIM
+    span = [0] * _DIM
+    for r in rows:
+        mn[int(r.pos)] = int(r.mn)
+        span[int(r.pos)] = int(r.mx) - int(r.mn)
+    return mn, span
+
+
+_SQ8_ORACLE_CTES = """
+        q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                       AS e
+            FROM embeddings
+        ),
+        stats AS (
+            SELECT ds.d, min(e[ds.d]) AS mn,
+                   max(e[ds.d]) - min(e[ds.d]) AS span
+            FROM q, (SELECT unnest(generate_series(1, 64)) AS d) ds
+            GROUP BY ds.d
+        ),
+        recon AS (
+            SELECT v.vec_id, s.d,
+                   s.mn + (CASE WHEN s.span = 0 THEN 0
+                                ELSE ((v.e[s.d] - s.mn) * 255) // s.span
+                           END * s.span) // 255 AS r
+            FROM q v, stats s
+        ),
+        queries AS (SELECT vec_id AS query_id, e FROM q
+                    WHERE vec_id % 97 = 0 AND vec_id < 97000),
+        qd AS (
+            SELECT qu.query_id, r.vec_id,
+                   CAST(sum((qu.e[r.d] - r.r) * (qu.e[r.d] - r.r))
+                        AS BIGINT) AS adc_dist
+            FROM queries qu JOIN recon r ON r.vec_id <> qu.query_id
+            GROUP BY qu.query_id, r.vec_id
+        )"""
+
+
+@register(
+    "similarity_ann_sq8",
+    oracle=f"""
+        WITH {_SQ8_ORACLE_CTES}
+        SELECT query_id, vec_id AS neighbor_id, adc_dist,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT query_id, vec_id, adc_dist,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY adc_dist, vec_id) AS rnk
+              FROM qd)
+        WHERE rnk <= 3
+        """,
+    category="similarity",
+    doc="Scalar-quantization ANN (FAISS SQ8, the fourth index family "
+    "next to LSH / IVF / PQ): each of the 64 dims is affine-quantized "
+    "to an 8-bit code against the corpus per-dimension (min, span) — "
+    "code = ((x-min)*255) // span — so the index stores 64 bytes/"
+    "vector (vs 256 raw, vs PQ's 8 with far higher distortion); "
+    "queries score by asymmetric distance to the integer "
+    "RECONSTRUCTION min + (code*span)//255.  All arithmetic is int64 "
+    "micro-units with floor division, so assignment, reconstruction "
+    "and ranking are exactly oracle-checked.  At 100 TB: the (min, "
+    "span) stats are one posexplode aggregate (64 groups) collected "
+    "as a 2x64 model artifact and broadcast; encode+score is one "
+    "numpy pass per Arrow batch (the PQ kernel pattern); top-3 per "
+    "query via WindowGroupLimit, no global sort.",
+)
+def similarity_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mn, span = _sq8_stats(e)
+    qrows = _pq_queries(e).collect()  # <= _PQ_QCAP rows at any corpus size
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = _q6_i64([r["embedding"] for r in qrows])
+    bc = spark.sparkContext.broadcast(
+        (q_ids, q_mat, np.array(mn, dtype=np.int64),
+         np.array(span, dtype=np.int64))
+    )
+
+    def sq_adc(batches):
+        import numpy as np  # self-contained: closure ships by value
+
+        qi, qm, mnv, spv = bc.value
+        safe = np.where(spv > 0, spv, 1)
+        qq_sq = (qm * qm).sum(axis=1)
+        for batch in batches:
+            ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            flat = batch.column("embedding").flatten().to_numpy(
+                zero_copy_only=False
+            )
+            y = flat.astype(np.float64).reshape(-1, 64) * 1_000_000.0
+            mat = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+            codes = np.where(spv > 0, ((mat - mnv) * 255) // safe, 0)
+            recon = mnv + (codes * spv) // 255
+            d = (
+                qq_sq[:, None]
+                - 2 * (qm @ recon.T)
+                + (recon * recon).sum(axis=1)[None, :]
+            )
+            qq, vv = np.meshgrid(
+                np.arange(len(qi)), np.arange(len(ids)), indexing="ij"
+            )
+            qq, vv = qq.ravel(), vv.ravel()
+            keep = qi[qq] != ids[vv]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qi[qq][keep], type=pa.int64()),
+                    pa.array(ids[vv][keep], type=pa.int64()),
+                    pa.array(d[qq, vv][keep], type=pa.int64()),
+                ],
+                ["query_id", "neighbor_id", "adc_dist"],
+            )
+
+    pairs = e.mapInArrow(
+        sq_adc, "query_id long, neighbor_id long, adc_dist long"
+    )
+    w = Wnd.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "similarity_sq8_recall",
+    oracle=f"""
+        WITH {_SQ8_ORACLE_CTES},
+        sq_top AS (
+            SELECT query_id, vec_id
+            FROM (SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY adc_dist, vec_id) AS rnk
+                  FROM qd)
+            WHERE rnk <= 3
+        ),
+        exact_top AS (
+            SELECT query_id, vec_id
+            FROM (SELECT qu.query_id, v.vec_id,
+                         row_number() OVER (PARTITION BY qu.query_id ORDER BY
+                             list_sum(list_transform(generate_series(1, 64),
+                                 d -> (qu.e[d] - v.e[d]) * (qu.e[d] - v.e[d]))),
+                             v.vec_id) AS rnk
+                  FROM queries qu CROSS JOIN q v
+                  WHERE v.vec_id <> qu.query_id)
+            WHERE rnk <= 3
+        )
+        SELECT e.query_id,
+               CAST(count(p.vec_id) AS BIGINT) AS n_hits,
+               round(CAST(count(p.vec_id) AS DOUBLE) / 3, 6) AS recall_at_3
+        FROM exact_top e
+        LEFT JOIN sq_top p
+          ON p.query_id = e.query_id AND p.vec_id = e.vec_id
+        GROUP BY e.query_id
+        """,
+    category="similarity",
+    doc="Recall@3 of the SQ8 index against exact integer-L2 brute "
+    "force — completes the per-family eval harness (IVF: "
+    "similarity_ann_recall, PQ: similarity_pq_recall).  SQ8's "
+    "distortion is per-dimension rounding only, so its recall sits "
+    "between raw exact search and PQ's subspace quantization — the "
+    "measurement that justifies picking 64 B/vector SQ8 over 8 B/"
+    "vector PQ when memory allows.  Deterministic int64 rankings on "
+    "both sides make the eval itself hash-exact; the brute-force "
+    "ground truth is the only quadratic piece, which is why it runs "
+    "on the bounded query sample, never corpus x corpus.",
+)
+def similarity_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    sq_top = similarity_ann_sq8(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = _pq_queries(e).collect()  # <= _PQ_QCAP rows at any corpus size
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = _q6_i64([r["embedding"] for r in qrows])
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def exact_dists(batches):
+        import numpy as np  # self-contained: closure ships by value
+
+        qi, qm = bc.value
+        for batch in batches:
+            ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            flat = batch.column("embedding").flatten().to_numpy(
+                zero_copy_only=False
+            )
+            y = flat.astype(np.float64).reshape(-1, 64) * 1_000_000.0
+            mat = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+            d = (
+                (qm * qm).sum(axis=1)[:, None]
+                - 2 * (qm @ mat.T)
+                + (mat * mat).sum(axis=1)[None, :]
+            )
+            qq, vv = np.meshgrid(
+                np.arange(len(qi)), np.arange(len(ids)), indexing="ij"
+            )
+            qq, vv = qq.ravel(), vv.ravel()
+            keep = qi[qq] != ids[vv]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qi[qq][keep], type=pa.int64()),
+                    pa.array(ids[vv][keep], type=pa.int64()),
+                    pa.array(d[qq, vv][keep], type=pa.int64()),
+                ],
+                ["query_id", "vec_id", "dist"],
+            )
+
+    exact = e.mapInArrow(exact_dists, "query_id long, vec_id long, dist long")
+    w = Wnd.partitionBy("query_id").orderBy("dist", "vec_id")
+    exact_top = (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "vec_id")
+    )
+    joined = exact_top.join(
+        sq_top,
+        (sq_top.query_id == exact_top.query_id)
+        & (sq_top.neighbor_id == exact_top.vec_id),
+        "left",
+    )
+    return joined.groupBy(exact_top.query_id).agg(
+        F.count(sq_top.neighbor_id).cast("bigint").alias("n_hits"),
+        F.round(
+            F.count(sq_top.neighbor_id).cast("double") / 3, 6
+        ).alias("recall_at_3"),
+    )
+
+
+@register(
+    "bitext_margin_mining",
+    oracle="""
+        WITH el AS (
+            SELECT e.vec_id, d.lang,
+                   list_transform(e.embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                       AS v
+            FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        ),
+        a AS (SELECT vec_id AS src_id, v FROM el
+              WHERE lang = 'en' AND vec_id % 3 = 0),
+        b AS (SELECT vec_id AS dst_id, v FROM el WHERE lang = 'fr'),
+        pairs AS (
+            SELECT a.src_id, b.dst_id,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                        i -> a.v[i] * b.v[i])) AS BIGINT) AS dot
+            FROM a CROSS JOIN b
+        ),
+        rnk AS (
+            SELECT src_id, dst_id, dot,
+                   row_number() OVER (PARTITION BY src_id
+                                      ORDER BY dot DESC, dst_id) AS rx,
+                   row_number() OVER (PARTITION BY dst_id
+                                      ORDER BY dot DESC, src_id) AS ry
+            FROM pairs
+        ),
+        sums AS (
+            SELECT src_id, dst_id, dot,
+                   sum(CASE WHEN rx <= 4 THEN dot END)
+                       OVER (PARTITION BY src_id) AS sumx,
+                   sum(CASE WHEN ry <= 4 THEN dot END)
+                       OVER (PARTITION BY dst_id) AS sumy
+            FROM rnk
+        ),
+        scored AS (
+            SELECT src_id, dst_id, dot,
+                   8 * dot - sumx - sumy AS margin,
+                   row_number() OVER (PARTITION BY src_id
+                       ORDER BY 8 * dot - sumx - sumy DESC, dst_id) AS ra,
+                   row_number() OVER (PARTITION BY dst_id
+                       ORDER BY 8 * dot - sumx - sumy DESC, src_id) AS rb
+            FROM sums
+        )
+        SELECT src_id, dst_id, CAST(dot AS BIGINT) AS dot_milli,
+               CAST(margin AS BIGINT) AS margin_scaled,
+               rb = 1 AS is_mutual
+        FROM scored WHERE ra = 1
+        """,
+    category="similarity",
+    doc="Bitext mining with the margin criterion (Artetxe & Schwenk "
+    "2019; the CCMatrix/LASER pipeline that harvests parallel "
+    "sentence pairs from comparable web corpora): for a bounded "
+    "sample of English anchors, score every French candidate by the "
+    "DIFFERENCE margin — dot(x,y) minus the mean of each side's "
+    "k=4-NN dots (scaled by 2k so the whole criterion is one int64 "
+    "expression: 2k*dot - sum(top-k of x) - sum(top-k of y); the "
+    "ratio margin needs a division, the difference margin ranks "
+    "identically per the paper and stays integer-exact) — and emit "
+    "each anchor's best pair with its FORWARD-BACKWARD consistency "
+    "flag (is_mutual: the pair is also the candidate's best anchor, "
+    "the filter CCMatrix applies before training on mined pairs).  "
+    "Milli-unit integer dots make every rank and sum hash-exact "
+    "cross-engine.  Plan: the bounded anchor side broadcasts against "
+    "the candidate-language scan (dot products in JVM zip_with/"
+    "aggregate codegen, no Python); two window exchanges (src-keyed, "
+    "dst-keyed) compute k-NN sums and both direction ranks.  At "
+    "100 TB the all-pairs candidate side swaps for IVF posting-list "
+    "pruning exactly as embedding_triplet_mining_ivf implements; the "
+    "margin algebra is unchanged.",
+)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    milli = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("bigint"),
+    )
+    el = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "vec_id", "lang", milli.alias("v")
+    )
+    a = (
+        el.filter((F.col("lang") == "en") & (F.col("vec_id") % 3 == 0))
+        .select(F.col("vec_id").alias("src_id"), F.col("v").alias("sv"))
+    )
+    b = el.filter(F.col("lang") == "fr").select(
+        F.col("vec_id").alias("dst_id"), F.col("v").alias("dv")
+    )
+    pairs = b.crossJoin(F.broadcast(a)).select(
+        "src_id",
+        "dst_id",
+        F.expr(
+            "aggregate(zip_with(sv, dv, (x, y) -> x * y), 0L,"
+            " (acc, p) -> acc + p)"
+        ).alias("dot"),
+    )
+    wx = Wnd.partitionBy("src_id").orderBy(F.col("dot").desc(), "dst_id")
+    wy = Wnd.partitionBy("dst_id").orderBy(F.col("dot").desc(), "src_id")
+    rnk = pairs.select(
+        "src_id", "dst_id", "dot",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    sums = rnk.select(
+        "src_id", "dst_id", "dot",
+        F.sum(F.when(F.col("rx") <= 4, F.col("dot"))).over(
+            Wnd.partitionBy("src_id")
+        ).alias("sumx"),
+        F.sum(F.when(F.col("ry") <= 4, F.col("dot"))).over(
+            Wnd.partitionBy("dst_id")
+        ).alias("sumy"),
+    )
+    margin = (F.lit(8) * F.col("dot") - F.col("sumx") - F.col("sumy"))
+    wa = Wnd.partitionBy("src_id").orderBy(
+        margin.desc(), F.col("dst_id")
+    )
+    wb = Wnd.partitionBy("dst_id").orderBy(
+        margin.desc(), F.col("src_id")
+    )
+    scored = sums.select(
+        "src_id", "dst_id",
+        F.col("dot").cast("bigint").alias("dot_milli"),
+        margin.cast("bigint").alias("margin_scaled"),
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    return scored.filter(F.col("ra") == 1).select(
+        "src_id", "dst_id", "dot_milli", "margin_scaled",
+        (F.col("rb") == 1).alias("is_mutual"),
+    )

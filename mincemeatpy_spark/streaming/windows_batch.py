@@ -1779,3 +1779,117 @@ def stream_web_extract_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_completion(agg, "stream_web_extract_dedup_sink")
     return out.select("source", "n_docs", "total_words")
+
+
+def _web_stream_classified_oracle() -> str:
+    from mincemeatpy_spark.text.classifier import (
+        _ORACLE_TRAIN_CTES,
+        _oracle_feat_cte,
+        _oracle_score_cte,
+    )
+    from mincemeatpy_spark.text.html_extract import (
+        _HTML_SYNTH_SQL,
+        _oracle_extract_cte,
+    )
+
+    return f"""
+        WITH {_oracle_extract_cte(
+            f"SELECT doc_id, {_HTML_SYNTH_SQL} AS html FROM documents"
+        )},
+        j AS (
+            SELECT d.source, e.body, e.n_words
+            FROM extracted e JOIN documents d USING (doc_id)
+            WHERE e.n_words > 0
+        ),
+        u AS (SELECT DISTINCT source, body, n_words FROM j),
+        bodies AS (SELECT DISTINCT body FROM u),
+        {_ORACLE_TRAIN_CTES},
+        {_oracle_feat_cte("body_feats", "bodies", "body", "body")},
+        {_oracle_score_cte("clf_scored", "body_feats")}
+        SELECT u.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(u.n_words) AS BIGINT) AS total_words,
+               CAST(sum(s.score_scaled) AS BIGINT) AS sum_clf_scaled
+        FROM u JOIN clf_scored s ON s.fid = u.body
+        WHERE s.score_scaled >= 0
+        GROUP BY u.source
+        """
+
+
+@register(
+    "stream_web_classified_gate_e2e",
+    oracle=_web_stream_classified_oracle(),
+    category="streaming",
+    doc="The learned quality gate SERVING in a stream — the production "
+    "deployment shape for text_quality_classifier: weights train in "
+    "BATCH before the stream starts (the bounded model artifact) and "
+    "ship into the continuous ingest plan as a broadcast in-plan "
+    "vector; pages stream in doubled (two unioned sides — the "
+    "planted duplication), are synthesized/extracted in-stream "
+    "(stateless codegen), state-store-dedup'd on (source, "
+    "sha256(body)), and only THEN classifier-scored — the dedup-"
+    "then-score commutation pipeline_web_corpus_classified "
+    "establishes (identical bodies score identically), which in a "
+    "stream also means the state store, not the model, absorbs the "
+    "duplicate mass: each distinct body is featurized and scored "
+    "exactly once across the stream's lifetime.  Model-kept docs "
+    "roll into per-source doc/word/score totals that must hash-match "
+    "the batch DISTINCT+score oracle.  Dedup state is O(distinct "
+    "digests); scoring is stateless scan-side codegen between the "
+    "two stateful operators.",
+)
+def stream_web_classified_gate_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mincemeatpy_spark.streaming.stream_ops import (
+        documents_stream,
+        run_to_completion,
+    )
+    from mincemeatpy_spark.text.classifier import (
+        _BIGRAM_EXPR,
+        _clf_weights,
+        _feature_cols,
+        _score_cols,
+    )
+    from mincemeatpy_spark.text.html_extract import (
+        _HTML_SYNTH_SQL,
+        extract_text_cols,
+    )
+
+    weights = _clf_weights(spark, sf_dir)  # batch-trained, pre-stream
+
+    def side():
+        docs = documents_stream(spark, sf_dir).select(
+            "doc_id", "source", F.expr(_HTML_SYNTH_SQL).alias("html")
+        )
+        cols = extract_text_cols(F.col("html"))
+        return docs.select(
+            "source",
+            cols["body"].alias("body"),
+            cols["n_words"].alias("n_words"),
+        ).filter(F.col("n_words") > 0)
+
+    dd = (
+        side()
+        .unionAll(side())
+        .withColumn("body_sha", F.sha2(F.col("body"), 256))
+        .dropDuplicates(["source", "body_sha"])
+    )
+    featd = dd.select(
+        "source", "n_words", _feature_cols(F.col("body")).alias("toks")
+    ).select(
+        "source",
+        "n_words",
+        F.concat(F.col("toks"), F.expr(_BIGRAM_EXPR)).alias("feats"),
+    )
+    sc = _score_cols(F.col("feats"), weights)
+    kept = featd.select(
+        "source", "n_words", sc["score_scaled"].alias("clf")
+    ).filter(F.col("clf") >= 0)
+    agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("clf").cast("bigint").alias("sum_clf_scaled"),
+    )
+    out = run_to_completion(agg, "stream_web_classified_gate_sink")
+    return out.select("source", "n_docs", "total_words", "sum_clf_scaled")

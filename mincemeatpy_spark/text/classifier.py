@@ -307,20 +307,28 @@ def _classified_oracle() -> str:
     category="text",
     doc="The CommonCrawl composite with the LEARNED gate wired in "
     "(VERDICT r12 task 5's composite twin): extract → lang-ID → "
-    "rule-based quality gate → hashed-ngram linear-classifier score "
-    "over the EXTRACTED body (weights trained once on the corpus, "
-    "shipped as a broadcast in-plan vector) → keep docs the model "
-    "scores positive (integer-exact decision) → sha256 exact dedup.  "
-    "One fused plan; the classifier adds zero shuffles (scan-side "
-    "codegen between the gate and the digest exchange), so the "
-    "composite's shuffle count stays at ONE at any scale.",
+    "rule-based quality gate → sha256 exact dedup → hashed-ngram "
+    "linear-classifier score over the UNIQUE extracted bodies "
+    "(weights trained once on the corpus, shipped as a broadcast "
+    "in-plan vector) → keep docs the model scores positive "
+    "(integer-exact decision).  The classifier is a pure function of "
+    "the body, so it commutes with the digest dedup — scoring runs "
+    "AFTER the exchange, which (a) scores each unique document once "
+    "instead of once per duplicate and (b) materializes the body "
+    "column at the shuffle boundary so Catalyst cannot re-inline the "
+    "extraction expression tree into the per-feature scoring lambda "
+    "(the pre-restructure plan re-derived the body regex pipeline "
+    "inside the scoring projection — ~60x the per-row cost at any "
+    "scale).  Shuffle count stays at ONE; the oracle keeps the "
+    "filter-then-dedup spelling, identical by the commutation.",
 )
 def pipeline_web_corpus_classified(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from pyspark.sql import Window
+
     from mincemeatpy_spark.text.html_extract import (
         _HTML_SYNTH_SQL,
-        _web_dedup,
         _web_gated,
         extract_text_cols,
     )
@@ -336,14 +344,31 @@ def pipeline_web_corpus_classified(
         cols["n_words"].alias("n_words"),
     ).filter(F.col("n_words") > 0)
     gated = _web_gated(extracted)
-    keep = ["doc_id", "body", "n_words", "predicted_lang", "quality"]
-    featd = gated.select(
+    # Digest dedup FIRST (the composite's one shuffle) — identical
+    # bodies get identical classifier scores, so dedup-then-score
+    # equals the oracle's score-then-dedup while touching each unique
+    # body exactly once.
+    sha = F.sha2(F.col("body"), 256)
+    w = Window.partitionBy(sha)
+    uniq = (
+        gated.withColumn("body_sha", F.substring(sha, 1, 16))
+        .withColumn("min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("min_id"))
+    )
+    keep = ["doc_id", "predicted_lang", "quality", "n_words", "body_sha"]
+    featd = uniq.select(
         *keep, _feature_cols(F.col("body")).alias("toks")
     ).select(
         *keep, F.concat(F.col("toks"), F.expr(_BIGRAM_EXPR)).alias("feats")
     )
     sc = _score_cols(F.col("feats"), weights)
-    scored = featd.select(
-        *keep, sc["score_scaled"].alias("clf_score_scaled")
-    ).filter(F.col("clf_score_scaled") >= 0)
-    return _web_dedup(scored, extra_cols=("clf_score_scaled",))
+    return (
+        featd.select(
+            *keep, sc["score_scaled"].alias("clf_score_scaled")
+        )
+        .filter(F.col("clf_score_scaled") >= 0)
+        .select(
+            "doc_id", "predicted_lang", "quality",
+            "clf_score_scaled", "n_words", "body_sha",
+        )
+    )

@@ -3264,3 +3264,98 @@ def dedup_segments_bulk_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_chars"),
         )
     )
+
+
+@register(
+    "dedup_segments_rewrite",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(text, '\\s+') AS w
+            FROM documents
+        ),
+        segs AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS seg_id,
+                   array_to_string(w[(i*10 + 1):(i*10 + 10)], ' ') AS seg
+            FROM toks,
+                 UNNEST(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS u(i)
+            WHERE len(w) > 0
+        ),
+        keyed AS (
+            SELECT doc_id, seg_id, seg,
+                   min(doc_id * 100000 + seg_id)
+                       OVER (PARTITION BY seg) AS first_key
+            FROM segs
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_segs,
+               CAST(sum(CASE WHEN doc_id * 100000 + seg_id = first_key
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               string_agg(CASE WHEN doc_id * 100000 + seg_id = first_key
+                               THEN seg END, ' ' ORDER BY seg_id)
+                   AS text_out
+        FROM keyed
+        GROUP BY doc_id
+        HAVING CAST(sum(CASE WHEN doc_id * 100000 + seg_id = first_key
+                             THEN 1 ELSE 0 END) AS BIGINT) > 0
+        """,
+    category="dedup",
+    doc="CCNet/C4 segment dedup with document REASSEMBLY — "
+    "dedup_segments_bulk reports per-doc survival counts; this twin "
+    "produces the actual edited corpus the next pipeline stage "
+    "consumes (C4 §2.2 removes any three-sentence span seen before "
+    "and keeps the REWRITTEN page; same rule here over fixed "
+    "10-token segments, global first instance wins).  Plan: the "
+    "same codegen segmentation and window-min-over-digest first-"
+    "instance rule (one shuffle keyed on xxhash64(segment) — the "
+    "segment TEXT rides this exchange because the survivors' text "
+    "is the output, the same bytes any rewriting dedup must move), "
+    "then one doc-keyed regroup where the surviving segments are "
+    "collected, ordered by position (array_sort over (seg_id, seg) "
+    "structs), and joined back into the rewritten text.  Docs whose "
+    "every segment was seen before disappear (n_kept = 0 ⇒ C4 drops "
+    "the page).  Two shuffles total at any scale; the oracle "
+    "re-derives the rewrite from raw segment text, verifying the "
+    "digest shortcut end-to-end.",
+)
+def dedup_segments_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", r"\s+").alias("w")
+    )
+    nseg = F.ceil(F.size("w") / F.lit(10.0)).cast("int")
+    segarr = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.concat_ws(" ", F.slice("w", i * 10 + 1, 10)),
+    )
+    segs = (
+        docs.filter(F.size("w") > 0)
+        .select("doc_id", F.posexplode(segarr).alias("seg_id", "seg"))
+        .select(
+            "doc_id",
+            F.col("seg_id").cast("bigint").alias("seg_id"),
+            "seg",
+            F.xxhash64("seg").alias("dig"),
+            (F.col("doc_id") * 100000 + F.col("seg_id")).alias("inst_key"),
+        )
+    )
+    wd = W.partitionBy("dig")
+    kept = F.col("inst_key") == F.col("first_key")
+    return (
+        segs.withColumn("first_key", F.min("inst_key").over(wd))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segs"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct("seg_id", "seg"))
+                        )
+                    ),
+                    lambda x: x["seg"],
+                ),
+            ).alias("text_out"),
+        )
+        .filter(F.col("n_kept") > 0)
+    )

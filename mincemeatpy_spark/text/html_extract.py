@@ -731,3 +731,84 @@ def web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("h").alias("host"), F.col("r").alias("rank_scaled")
     )
+
+
+# --- anchor-text corpus ------------------------------------------------
+
+# Whole <a href="http://...">text</a> elements; host and anchor are
+# re-extracted per element (regexp_extract_all yields one group per
+# match, so paired captures need the two-step form in BOTH engines).
+_RE_ANCHOR_ELEM = '(<a href="http://[^"]*"[^>]*>[^<]*</a>)'
+_RE_ANCHOR_HOST = 'http://([^"/]+)'
+_RE_ANCHOR_TEXT = ">([^<]*)<"
+
+
+@register(
+    "web_anchor_text",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT doc_id,
+                   list_transform(
+                       regexp_extract_all({_HTML_SYNTH_SQL},
+                           '{_RE_ANCHOR_ELEM}', 1),
+                       a -> {{'host': regexp_extract(a,
+                                 '{_RE_ANCHOR_HOST}', 1),
+                              'anchor': regexp_extract(a,
+                                 '{_RE_ANCHOR_TEXT}', 1)}}) AS links
+            FROM documents
+        ),
+        rolled AS (
+            SELECT u.l.host AS dst_site, u.l.anchor AS anchor,
+                   CAST(count(*) AS BIGINT) AS n_links,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+            FROM pairs, UNNEST(links) AS u(l)
+            GROUP BY u.l.host, u.l.anchor
+        )
+        SELECT dst_site, anchor, n_links, n_pages,
+               CAST(row_number() OVER (
+                   PARTITION BY dst_site
+                   ORDER BY n_links DESC, anchor) AS BIGINT) AS anchor_rank
+        FROM rolled
+        """,
+    category="text",
+    doc="Anchor-text corpus extraction — the training signal every "
+    "web-scale search/embedding pipeline harvests (the linking page's "
+    "anchor words describe the TARGET document; anchor corpora train "
+    "retrieval models and seed host descriptions).  Whole <a> "
+    "elements are matched scan-side with one JVM regexp_extract_all, "
+    "then host and anchor re-extracted per element inside a transform "
+    "(paired capture groups need the two-step form — "
+    "regexp_extract_all yields one group per match — and the oracle "
+    "replays the identical two steps in DuckDB).  Rolled up to "
+    "(destination host, anchor phrase) link/page counts with a "
+    "per-host frequency rank.  Relative links carry no host and drop "
+    "out by construction.  At 100 TB: per-row regex CPU, one "
+    "edge-key aggregation exchange, one host-partitioned window — "
+    "the shuffle carries (host, anchor, partial counts) only.",
+)
+def web_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_HTML_SYNTH_SQL).alias("html")
+    )
+    elems = F.expr(
+        f"regexp_extract_all(html, '{_RE_ANCHOR_ELEM}', 1)"
+    )
+    pairs = docs.select(
+        "doc_id", F.explode(elems).alias("a")
+    ).select(
+        "doc_id",
+        F.regexp_extract(F.col("a"), _RE_ANCHOR_HOST, 1).alias("dst_site"),
+        F.regexp_extract(F.col("a"), _RE_ANCHOR_TEXT, 1).alias("anchor"),
+    )
+    rolled = pairs.groupBy("dst_site", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_links"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_pages"),
+    )
+    w = Window.partitionBy("dst_site").orderBy(
+        F.col("n_links").desc(), "anchor"
+    )
+    return rolled.withColumn(
+        "anchor_rank", F.row_number().over(w).cast("bigint")
+    )

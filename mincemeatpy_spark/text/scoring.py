@@ -718,3 +718,106 @@ def lm_kn_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_ppm"),
         )
     )
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+        WITH {_KN_MODEL_SQL},
+        scores AS (
+            SELECT d.doc_id,
+                   CAST(sum(m.p_ppm) // count(*) AS BIGINT) AS mean_ppm
+            FROM db d JOIN model m USING (w1, w2)
+            GROUP BY d.doc_id
+        ),
+        sl AS (
+            SELECT s.doc_id, doc.lang, s.mean_ppm
+            FROM scores s JOIN documents doc USING (doc_id)
+        ),
+        hist AS (
+            SELECT lang, mean_ppm, CAST(count(*) AS BIGINT) AS c
+            FROM sl GROUP BY lang, mean_ppm
+        ),
+        cuts AS (
+            SELECT lang, mean_ppm,
+                   COALESCE(sum(c) OVER (
+                       PARTITION BY lang ORDER BY mean_ppm DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cum_excl,
+                   sum(c) OVER (PARTITION BY lang) AS n_lang
+            FROM hist
+        )
+        SELECT sl.doc_id, sl.lang, sl.mean_ppm,
+               CASE least((3 * cum_excl) // n_lang, 2)
+                    WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM sl JOIN cuts USING (lang, mean_ppm)
+        """,
+    category="quality",
+    doc="CCNet head/middle/tail perplexity bucketing (Wenzek et al. "
+    "2020 §4.4): every scored document is assigned to the top / "
+    "middle / bottom third of its LANGUAGE's LM-score distribution "
+    "(higher mean KN bigram probability = lower perplexity = 'head'; "
+    "the buckets real pipelines keep, downsample, and drop "
+    "respectively).  Scale shape is the two-phase form CCNet itself "
+    "uses: per-doc scores (the lm_doc_score_kn joins) roll up to a "
+    "per-(lang, score) HISTOGRAM, the tercile cutoffs come from a "
+    "running sum over that tiny distinct-value table (a window over "
+    "histogram rows, never a corpus-scale per-lang sort — ntile "
+    "over 100 TB of docs with 5 langs would be 5 giant sort "
+    "partitions), and docs get their bucket back via a join on "
+    "(lang, score) — unhinted per rule 13: the cutoff table is "
+    "value-range-bounded, not provably tiny, so AQE broadcasts the "
+    "actually-histogram-sized table at runtime.  Ties share a "
+    "bucket by construction "
+    "(value-cutoff semantics, the CCNet behavior) and the exclusive "
+    "cumulative count makes the boundary rule exact and "
+    "engine-replayable: bucket = min(3*cum_excl // n_lang, 2).",
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _doc_bigrams(spark, sf_dir)
+    model = _kn_bigram_model(spark, sf_dir).select("w1", "w2", "p_ppm")
+    scores = (
+        db.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(sum(p_ppm) div count(1) AS BIGINT)").alias(
+                "mean_ppm"
+            )
+        )
+    )
+    langd = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    sl = scores.join(langd, "doc_id").select("doc_id", "lang", "mean_ppm")
+    hist = sl.groupBy("lang", "mean_ppm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("mean_ppm").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("lang")
+    cuts = hist.select(
+        "lang",
+        "mean_ppm",
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("cum_excl"),
+        F.sum("c").over(w_all).alias("n_lang"),
+    ).select(
+        "lang",
+        "mean_ppm",
+        F.least(
+            F.expr("(3 * cum_excl) div n_lang"), F.lit(2).cast("bigint")
+        ).alias("bidx"),
+    )
+    # No broadcast HINT on the cutoff table (rule 13): it is bounded by
+    # the (lang, ppm-value) range, not provably tiny — AQE broadcasts
+    # the actually-histogram-sized table at runtime.
+    return sl.join(cuts, ["lang", "mean_ppm"]).select(
+        "doc_id",
+        "lang",
+        "mean_ppm",
+        F.when(F.col("bidx") == 0, "head")
+        .when(F.col("bidx") == 1, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )

@@ -85,6 +85,19 @@ _ALLOWLIST = {
         1,
         "pure-predicate cap — queries _PQ_QMOD/_PQ_QCAP",
     ),
+    "similarity/ann.py::_sq8_stats": (
+        1,
+        "aggregate bound — posexplode groupBy(pos) yields exactly "
+        "_DIM (64) rows at any corpus size (the SQ8 codebook artifact)",
+    ),
+    "similarity/ann.py::similarity_ann_sq8": (
+        1,
+        "pure-predicate cap — queries _PQ_QMOD/_PQ_QCAP",
+    ),
+    "similarity/ann.py::similarity_sq8_recall": (
+        1,
+        "pure-predicate cap — queries _PQ_QMOD/_PQ_QCAP",
+    ),
     "similarity/ann.py::similarity_ann_ivfpq": (
         2,
         "pure-predicate cap — coarse centroids vec_id < K; queries "
