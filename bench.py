@@ -133,6 +133,9 @@ EXTENDED = [
     "similarity_sq8_recall",
     "bitext_margin_mining",
     "stream_web_classified_gate_e2e",
+    "web_frontier_priority",
+    "web_hits_scores",
+    "site_template_blocks",
 ]
 
 REGRESSION_PCT = 0.15  # median must move more than this ...

@@ -588,10 +588,13 @@ def _host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _host_pagerank_oracle(iters: int) -> str:
+def _host_pagerank_oracle(iters: int, tail: str | None = None) -> str:
     """Unrolled fixed-point weighted-PageRank recurrence (MATERIALIZED
     per round, the bpe_train_32merges DuckDB lesson: plain CTEs inline
-    at each reference and re-evaluate exponentially in depth)."""
+    at each reference and re-evaluate exponentially in depth).
+    ``tail`` overrides the final SELECT (default: the rank table) so
+    derived queries — the frontier prioritizer — reuse the identical
+    recurrence."""
     head = f"""
         pages AS (
             SELECT doc_id,
@@ -649,7 +652,8 @@ def _host_pagerank_oracle(iters: int) -> str:
         + head
         + ","
         + ",".join(rounds)
-        + f" SELECT h AS host, r AS rank_scaled FROM r_{iters}"
+        + " "
+        + (tail or f"SELECT h AS host, r AS rank_scaled FROM r_{iters}")
     )
 
 
@@ -812,3 +816,329 @@ def web_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.withColumn(
         "anchor_rank", F.row_number().over(w).cast("bigint")
     )
+
+
+# --- crawl-frontier prioritization -------------------------------------
+
+_FRONTIER_TAIL = f"""
+        , fprio AS (
+            SELECT e.dst AS h,
+                   SUM((r.r * e.w) // o.ow) AS p,
+                   COUNT(DISTINCT e.src) AS nref
+            FROM edges e
+            JOIN outw o ON o.src = e.src
+            JOIN r_{_PR_ITERS} r ON r.h = e.src
+            WHERE e.dst NOT IN (SELECT src FROM outw)
+            GROUP BY e.dst
+        )
+        SELECT h AS host, CAST(p AS BIGINT) AS priority_scaled,
+               CAST(nref AS BIGINT) AS n_referrers
+        FROM fprio"""
+
+
+@register(
+    "web_frontier_priority",
+    oracle=_host_pagerank_oracle(_PR_ITERS, tail=_FRONTIER_TAIL),
+    category="graph",
+    doc="Crawl-frontier prioritization — the scheduling step a crawler "
+    "runs after ranking: FRONTIER hosts (linked-to but never crawled, "
+    "i.e. no outgoing edges because no page of theirs is in the "
+    "corpus) are scored by the PageRank mass that WOULD flow to them "
+    "next iteration — sum over in-edges of (linker's converged rank × "
+    "edge weight) / linker out-weight — plus a distinct-referrer "
+    "count (the spam-resistance signal: one host linking 1000× ranks "
+    "below 10 hosts linking once).  This is OPIC/backlink-count crawl "
+    "ordering with PageRank mass (Cho & Garcia-Molina's crawl-"
+    "ordering family), the exact decision function for 'which "
+    "discovered-but-unfetched hosts do we spend the next crawl budget "
+    "on'.  Reuses the web_host_pagerank recurrence verbatim (same "
+    "unrolled MATERIALIZED-CTE oracle, tail swapped); the frontier "
+    "restriction is a node-scale anti-join (never edge-scale) and the "
+    "priority rollup is one dst-keyed aggregation.  At 100 TB: same "
+    "per-superstep shape as PageRank + one final (dst, partial-sum, "
+    "partial-distinct) exchange.",
+)
+def web_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.lineage import truncate_lazy
+
+    ranks = web_host_pagerank(spark, sf_dir).select(
+        F.col("host").alias("h"), F.col("rank_scaled").alias("r")
+    ).transform(truncate_lazy)
+    edges = _host_edges(spark, sf_dir).transform(truncate_lazy)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    frontier_edges = edges.join(
+        outw.select(F.col("src").alias("dst_src")),
+        edges.dst == F.col("dst_src"),
+        "left_anti",
+    )
+    return (
+        frontier_edges.join(outw, "src")
+        .join(ranks, ranks.h == F.col("src"))
+        .select("dst", "src", F.expr("(r * w) div ow").alias("c"))
+        .groupBy("dst")
+        .agg(
+            F.sum("c").cast("bigint").alias("priority_scaled"),
+            F.countDistinct("src").cast("bigint").alias("n_referrers"),
+        )
+        .select(
+            F.col("dst").alias("host"), "priority_scaled", "n_referrers"
+        )
+    )
+
+
+# --- HITS hubs & authorities -------------------------------------------
+
+_HITS_ROUNDS = 2
+
+
+def _hits_oracle(rounds: int) -> str:
+    """Unrolled integer HITS recurrence: L1-normalized to _PR_SCALE via
+    divide-the-total-first (a // max(A // SCALE, 1)) so every
+    intermediate stays in int64 — a*SCALE would overflow."""
+    head = f"""
+        pages AS (
+            SELECT doc_id,
+                   'site' || CAST(doc_id % 5 AS VARCHAR) || '.example'
+                       AS src,
+                   regexp_extract_all({_HTML_SYNTH_SQL},
+                       'href="http://([^"/]+)', 1) AS hosts
+            FROM documents
+        ),
+        edges AS MATERIALIZED (
+            SELECT src, u.dst, CAST(count(*) AS BIGINT) AS w
+            FROM pages, UNNEST(hosts) AS u(dst)
+            GROUP BY src, u.dst
+        ),
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT h FROM (
+                SELECT src AS h FROM edges
+                UNION ALL SELECT dst FROM edges)
+        ),
+        h_0 AS MATERIALIZED (
+            SELECT h, CAST({_PR_SCALE} AS BIGINT) AS v FROM nodes
+        )"""
+    parts = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""
+        araw_{i} AS MATERIALIZED (
+            SELECT e.dst AS h, SUM(hp.v * e.w) AS s
+            FROM edges e JOIN h_{p} hp ON hp.h = e.src
+            GROUP BY e.dst
+        ),
+        a_{i} AS MATERIALIZED (
+            SELECT n.h,
+                   CAST(COALESCE(ar.s, 0)
+                        // greatest((SELECT SUM(s) FROM araw_{i})
+                                    // {_PR_SCALE}, 1) AS BIGINT) AS v
+            FROM nodes n LEFT JOIN araw_{i} ar ON ar.h = n.h
+        ),
+        hraw_{i} AS MATERIALIZED (
+            SELECT e.src AS h, SUM(a.v * e.w) AS s
+            FROM edges e JOIN a_{i} a ON a.h = e.dst
+            GROUP BY e.src
+        ),
+        h_{i} AS MATERIALIZED (
+            SELECT n.h,
+                   CAST(COALESCE(hr.s, 0)
+                        // greatest((SELECT SUM(s) FROM hraw_{i})
+                                    // {_PR_SCALE}, 1) AS BIGINT) AS v
+            FROM nodes n LEFT JOIN hraw_{i} hr ON hr.h = n.h
+        )""")
+    return (
+        "WITH "
+        + head
+        + ","
+        + ",".join(parts)
+        + f"""
+        SELECT n.h AS host, a.v AS auth_scaled, hh.v AS hub_scaled
+        FROM nodes n
+        JOIN a_{rounds} a ON a.h = n.h
+        JOIN h_{rounds} hh ON hh.h = n.h"""
+    )
+
+
+@register(
+    "web_hits_scores",
+    oracle=_hits_oracle(_HITS_ROUNDS),
+    category="graph",
+    doc="HITS hubs & authorities over the crawl host graph (Kleinberg "
+    "1999) — the complement to web_host_pagerank a link-analysis "
+    "stage computes on the same edges: authorities (hosts good pages "
+    "point AT — frontier hosts site5/site6 score here despite zero "
+    "crawled pages) vs hubs (hosts whose pages point at good "
+    "authorities).  Two full mutual-reinforcement rounds, weighted by "
+    "link counts, L1-normalized each half-step to the 1e-12 fixed "
+    "point by DIVIDING THE TOTAL FIRST (x // max(total // SCALE, 1) — "
+    "x*SCALE would overflow int64 at corpus edge weights), so every "
+    "value is bit-identical to the unrolled MATERIALIZED-CTE oracle.  "
+    "Per half-step: one edge⋈score join keyed on the score side, one "
+    "dst- (or src-) keyed aggregation, and a 1-row broadcast "
+    "normalizer — the per-superstep shuffle carries (host, partial "
+    "sum) only; lineage truncated between rounds (kmeans convention).",
+)
+def web_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mincemeatpy_spark.lineage import truncate_eager, truncate_lazy
+
+    edges = _host_edges(spark, sf_dir).transform(truncate_lazy)
+    nodes = (
+        edges.select(F.col("src").alias("h"))
+        .unionAll(edges.select(F.col("dst").alias("h")))
+        .distinct()
+        .transform(truncate_lazy)
+    )
+    hub = nodes.select("h", F.lit(_PR_SCALE).cast("bigint").alias("v"))
+    auth = None
+    for _ in range(_HITS_ROUNDS):
+        araw = (
+            edges.join(hub.withColumnRenamed("h", "sh"),
+                       F.col("sh") == F.col("src"))
+            .select("dst", F.expr("v * w").alias("x"))
+            .groupBy("dst")
+            .agg(F.sum("x").alias("s"))
+        )
+        anorm = F.broadcast(
+            araw.agg(
+                F.greatest(
+                    F.expr(f"sum(s) div {_PR_SCALE}"), F.lit(1)
+                ).cast("bigint").alias("dn")
+            )
+        )
+        auth = (
+            nodes.join(araw, nodes.h == araw.dst, "left")
+            .crossJoin(anorm)
+            .select(
+                "h",
+                F.expr("coalesce(s, 0) div dn").cast("bigint").alias("v"),
+            )
+            .transform(truncate_eager)
+        )
+        hraw = (
+            edges.join(auth.withColumnRenamed("h", "dh"),
+                       F.col("dh") == F.col("dst"))
+            .select("src", F.expr("v * w").alias("x"))
+            .groupBy("src")
+            .agg(F.sum("x").alias("s"))
+        )
+        hnorm = F.broadcast(
+            hraw.agg(
+                F.greatest(
+                    F.expr(f"sum(s) div {_PR_SCALE}"), F.lit(1)
+                ).cast("bigint").alias("dn")
+            )
+        )
+        hub = (
+            nodes.join(hraw, nodes.h == hraw.src, "left")
+            .crossJoin(hnorm)
+            .select(
+                "h",
+                F.expr("coalesce(s, 0) div dn").cast("bigint").alias("v"),
+            )
+            .transform(truncate_eager)
+        )
+    return (
+        nodes.join(auth.withColumnRenamed("v", "auth_scaled"), "h")
+        .join(hub.withColumnRenamed("v", "hub_scaled"), "h")
+        .select(
+            F.col("h").alias("host"), "auth_scaled", "hub_scaled"
+        )
+    )
+
+
+# --- site-level template/boilerplate mining ----------------------------
+
+# Entity-decode + tag-strip + collapse of one block (DuckDB spelling,
+# identical to _oracle_extract_cte's `txt` fragment).
+_ORACLE_BLOCK_TXT = (
+    "trim(regexp_replace("
+    "replace(replace(replace(replace(replace(replace("
+    f"regexp_replace(b, '{_RE_TAG}', '', 'g'),"
+    "'&lt;','<'),'&gt;','>'),'&quot;','\"'),'&#39;',''''),"
+    "'&nbsp;',' '),'&amp;','&'),"
+    "'\\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "site_template_blocks",
+    oracle=f"""
+        WITH pb AS (
+            SELECT doc_id, source AS site,
+                   list_distinct(list_filter(list_transform(
+                       string_split_regex(
+                           regexp_replace({_HTML_SYNTH_SQL},
+                               '{_RE_DROP}', '', 'g'),
+                           '{_RE_BLOCK}'),
+                       b -> {_ORACLE_BLOCK_TXT}), x -> x <> '')) AS bs
+            FROM documents
+        ),
+        per AS (
+            SELECT site, u.b AS block,
+                   CAST(count(*) AS BIGINT) AS n_pages
+            FROM pb, UNNEST(bs) AS u(b)
+            GROUP BY site, u.b
+        ),
+        sp AS (
+            SELECT source AS site, CAST(count(*) AS BIGINT) AS site_pages
+            FROM documents GROUP BY source
+        )
+        SELECT per.site, per.block, per.n_pages, sp.site_pages
+        FROM per JOIN sp USING (site)
+        WHERE 2 * per.n_pages >= sp.site_pages
+        """,
+    category="text",
+    doc="Site-level template/boilerplate mining — the frequency-based "
+    "detector behind jusText/boilerpipe-class extractors and CCNet's "
+    "per-site dedup intuition: a block whose text appears on ≥ 50% of "
+    "a SITE's pages is template (nav items, footers, trending "
+    "sidebars), not content.  Per page: the SAME rule-1/2/3 block "
+    "segmentation + normalization as text_html_extract (shared regex "
+    "constants, so the two ops cannot drift), deduplicated WITHIN the "
+    "page (array_distinct — a block repeated on one page is one "
+    "vote), then rolled up to (site, block) page counts and gated "
+    "against the site's page count.  On the synthesized corpus this "
+    "provably recovers the planted chrome (Home/About/Contact nav "
+    "items, trending sidebar, Terms|Privacy footer) while the per-doc "
+    "title/body paragraphs stay below threshold — the oracle replays "
+    "it exactly.  Scale shape: scan-side segmentation; ONE exchange "
+    "keyed on (site, block text) with map-side combine (the shuffle "
+    "carries the candidate template strings — bounded by distinct "
+    "block texts, the table a production run materializes anyway); "
+    "the per-site page count is a tiny agg joined back (AQE "
+    "broadcasts at runtime, unhinted per rule 13).  The output IS the "
+    "site-template table the extraction stage subtracts on the next "
+    "crawl pass.",
+)
+def site_template_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_HTML_SYNTH_SQL).alias("html")
+    )
+    cleaned = F.regexp_replace(F.col("html"), _RE_DROP, "")
+    blocks = F.split(cleaned, _RE_BLOCK, -1)
+
+    def _block_text(b: F.Column) -> F.Column:
+        txt = F.regexp_replace(b, _RE_TAG, "")
+        for ent, rep in _ENTITIES:
+            txt = F.replace(txt, F.lit(ent), F.lit(rep))
+        return F.trim(F.regexp_replace(txt, r"\s+", " "))
+
+    page_blocks = F.array_distinct(
+        F.filter(F.transform(blocks, _block_text), lambda x: x != "")
+    )
+    per = (
+        docs.select(
+            "doc_id",
+            F.col("source").alias("site"),
+            F.explode(page_blocks).alias("block"),
+        )
+        .groupBy("site", "block")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pages"))
+    )
+    sp = (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.col("source").alias("site"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("site_pages"))
+    )
+    return per.join(sp, "site").filter(
+        2 * F.col("n_pages") >= F.col("site_pages")
+    ).select("site", "block", "n_pages", "site_pages")
