@@ -2679,6 +2679,23 @@ def embedding_triplet_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- scalar quantization (SQ8) -----------------------------------------
 
+# SQ8 scores queries by a brute-force nq x corpus kernel (no posting-
+# list pruning to hide behind), so its eval sample is capped TIGHTER
+# than _PQ_QCAP: the r13 sf1 soak measured 35x on 10x data with the
+# 1000-cap still unsaturated (the sample itself grew 52 -> 515).  128
+# queries keep the kernel linear in the corpus beyond ~12k vectors;
+# every fixture scale (<= 5000 vectors) passes the cap unchanged.
+_SQ8_QCAP = 128
+
+
+def _sq8_queries(e: DataFrame) -> DataFrame:
+    """The bounded SQ8 query sample (<= _SQ8_QCAP rows at any scale)."""
+    return e.filter(
+        (F.col("vec_id") % _PQ_QMOD == 0)
+        & (F.col("vec_id") < _PQ_QMOD * _SQ8_QCAP)
+    )
+
+
 def _sq8_stats(e: DataFrame) -> tuple[list[int], list[int]]:
     """Per-dimension (min, span) of the micro-unit corpus — the SQ8
     'codebook', a 2x64-int model artifact (bounded collect regardless
@@ -2723,7 +2740,7 @@ _SQ8_ORACLE_CTES = """
             FROM q v, stats s
         ),
         queries AS (SELECT vec_id AS query_id, e FROM q
-                    WHERE vec_id % 97 = 0 AND vec_id < 97000),
+                    WHERE vec_id % 97 = 0 AND vec_id < 12416),
         qd AS (
             SELECT qu.query_id, r.vec_id,
                    CAST(sum((qu.e[r.d] - r.r) * (qu.e[r.d] - r.r))
@@ -2757,7 +2774,10 @@ _SQ8_ORACLE_CTES = """
     "and ranking are exactly oracle-checked.  At 100 TB: the (min, "
     "span) stats are one posexplode aggregate (64 groups) collected "
     "as a 2x64 model artifact and broadcast; encode+score is one "
-    "numpy pass per Arrow batch (the PQ kernel pattern); top-3 per "
+    "numpy pass per Arrow batch (the PQ kernel pattern) against a "
+    "query sample HARD-capped at _SQ8_QCAP=128 — tighter than PQ's "
+    "1000 cap because the brute nq x corpus kernel has no posting-"
+    "list pruning to hide behind (r13 soak lesson); top-3 per "
     "query via WindowGroupLimit, no global sort.",
 )
 def similarity_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2766,7 +2786,7 @@ def similarity_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     mn, span = _sq8_stats(e)
-    qrows = _pq_queries(e).collect()  # <= _PQ_QCAP rows at any corpus size
+    qrows = _sq8_queries(e).collect()  # <= _SQ8_QCAP rows at any scale
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = _q6_i64([r["embedding"] for r in qrows])
     bc = spark.sparkContext.broadcast(
@@ -2794,16 +2814,23 @@ def similarity_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - 2 * (qm @ recon.T)
                 + (recon * recon).sum(axis=1)[None, :]
             )
-            qq, vv = np.meshgrid(
-                np.arange(len(qi)), np.arange(len(ids)), indexing="ij"
-            )
-            qq, vv = qq.ravel(), vv.ravel()
-            keep = qi[qq] != ids[vv]
+            # Per-batch top-3 per query (ties to lowest neighbor_id) —
+            # an exact superset of each query's global top-3 members
+            # from this batch, so the downstream window sees nq*3 rows
+            # per batch instead of nq*batch (the TakeOrdered pushdown).
+            oq, on, od = [], [], []
+            for qrow in range(len(qi)):
+                mask = ids != qi[qrow]
+                cid, cd = ids[mask], d[qrow][mask]
+                sel = np.lexsort((cid, cd))[:3]
+                oq.extend([qi[qrow]] * len(sel))
+                on.extend(cid[sel])
+                od.extend(cd[sel])
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(qi[qq][keep], type=pa.int64()),
-                    pa.array(ids[vv][keep], type=pa.int64()),
-                    pa.array(d[qq, vv][keep], type=pa.int64()),
+                    pa.array(np.array(oq, dtype=np.int64), type=pa.int64()),
+                    pa.array(np.array(on, dtype=np.int64), type=pa.int64()),
+                    pa.array(np.array(od, dtype=np.int64), type=pa.int64()),
                 ],
                 ["query_id", "neighbor_id", "adc_dist"],
             )
@@ -2870,7 +2897,7 @@ def similarity_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    qrows = _pq_queries(e).collect()  # <= _PQ_QCAP rows at any corpus size
+    qrows = _sq8_queries(e).collect()  # <= _SQ8_QCAP rows at any scale
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = _q6_i64([r["embedding"] for r in qrows])
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
@@ -2891,16 +2918,20 @@ def similarity_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - 2 * (qm @ mat.T)
                 + (mat * mat).sum(axis=1)[None, :]
             )
-            qq, vv = np.meshgrid(
-                np.arange(len(qi)), np.arange(len(ids)), indexing="ij"
-            )
-            qq, vv = qq.ravel(), vv.ravel()
-            keep = qi[qq] != ids[vv]
+            # per-batch top-3 pushdown (see sq_adc) — exact
+            oq, on, od = [], [], []
+            for qrow in range(len(qi)):
+                mask = ids != qi[qrow]
+                cid, cd = ids[mask], d[qrow][mask]
+                sel = np.lexsort((cid, cd))[:3]
+                oq.extend([qi[qrow]] * len(sel))
+                on.extend(cid[sel])
+                od.extend(cd[sel])
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(qi[qq][keep], type=pa.int64()),
-                    pa.array(ids[vv][keep], type=pa.int64()),
-                    pa.array(d[qq, vv][keep], type=pa.int64()),
+                    pa.array(np.array(oq, dtype=np.int64), type=pa.int64()),
+                    pa.array(np.array(on, dtype=np.int64), type=pa.int64()),
+                    pa.array(np.array(od, dtype=np.int64), type=pa.int64()),
                 ],
                 ["query_id", "vec_id", "dist"],
             )
@@ -2937,7 +2968,7 @@ def similarity_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
         ),
         a AS (SELECT vec_id AS src_id, v FROM el
-              WHERE lang = 'en' AND vec_id % 3 = 0),
+              WHERE lang = 'en' AND vec_id % 3 = 0 AND vec_id < 3072),
         b AS (SELECT vec_id AS dst_id, v FROM el WHERE lang = 'fr'),
         pairs AS (
             SELECT a.src_id, b.dst_id,
@@ -2992,7 +3023,9 @@ def similarity_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cross-engine.  Plan: the bounded anchor side broadcasts against "
     "the candidate-language scan (dot products in JVM zip_with/"
     "aggregate codegen, no Python); two window exchanges (src-keyed, "
-    "dst-keyed) compute k-NN sums and both direction ranks.  At "
+    "dst-keyed) compute k-NN sums and both direction ranks.  The "
+    "anchor sample is HARD-capped (<= 1024 ids; unbounded anchors "
+    "made the pair kernel quadratic — 18.7x on the 10x soak).  At "
     "100 TB the all-pairs candidate side swaps for IVF posting-list "
     "pruning exactly as embedding_triplet_mining_ivf implements; the "
     "margin algebra is unchanged.",
@@ -3007,8 +3040,17 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     el = emb.join(docs, emb.vec_id == docs.doc_id).select(
         "vec_id", "lang", milli.alias("v")
     )
+    # Bounded anchor sample (the embedding_triplet_mining discipline:
+    # the r13 sf1 soak measured 18.7x on 10x data with UNBOUNDED
+    # anchors — both sides grew linearly, the pair kernel
+    # quadratically).  <= 1024 candidate ids at any corpus size; every
+    # fixture scale below 3072 vectors passes unchanged.
     a = (
-        el.filter((F.col("lang") == "en") & (F.col("vec_id") % 3 == 0))
+        el.filter(
+            (F.col("lang") == "en")
+            & (F.col("vec_id") % 3 == 0)
+            & (F.col("vec_id") < 3 * 1024)
+        )
         .select(F.col("vec_id").alias("src_id"), F.col("v").alias("sv"))
     )
     b = el.filter(F.col("lang") == "fr").select(
