@@ -132,7 +132,9 @@ EXTENDED = [
     "similarity_ann_sq8",
     "similarity_sq8_recall",
     "bitext_margin_mining",
-    "stream_web_classified_gate_e2e",
+    # stream_web_classified_gate_e2e is NOT here (r12 precedent: the
+    # stream web twins are trigger-latency-dominated and cost ~42 s at
+    # sf0.1; their per-round record is the BENCH_sf1 soak section)
     "web_frontier_priority",
     "web_hits_scores",
     "site_template_blocks",
