@@ -130,12 +130,20 @@ def maparrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mincemeatpy_spark.tables import fan_out
 
     def count_tokens(batches):
+        # r13 optimization round (guide §4.2): the token count runs as
+        # ONE vectorized pyarrow.compute kernel per batch — counting
+        # non-overlapping \S+ matches IS the nonempty-token count of a
+        # whitespace split (the oracle's list_filter(string_split_regex)
+        # spelling) — instead of to_pylist() + a per-row Python loop.
+        import pyarrow.compute as pc
+
         for batch in batches:
-            langs = batch.column("lang")
-            texts = batch.column("text").to_pylist()
-            counts = [len(t.split()) if t else 0 for t in texts]
+            counts = pc.coalesce(
+                pc.count_substring_regex(batch.column("text"), r"\S+"),
+                pa.scalar(0, pa.int32()),
+            )
             yield pa.RecordBatch.from_arrays(
-                [langs, pa.array(counts, type=pa.int64())],
+                [batch.column("lang"), pc.cast(counts, pa.int64())],
                 ["lang", "n_tokens"],
             )
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _reliable_dir(df: DataFrame) -> str | None:
@@ -56,3 +56,39 @@ def truncate_eager(df: DataFrame) -> DataFrame:
 def truncate_lazy(df: DataFrame) -> DataFrame:
     """Truncate lineage at first materialization (reuse-once convention)."""
     return _truncate(df, eager=False)
+
+
+def fenced_filter(df: DataFrame, cond: Column) -> DataFrame:
+    """Filter WITHOUT predicate pushdown below the projection that
+    computes the condition's inputs (optimization guide §4.4, r13).
+
+    Catalyst pushes a filter through a Project by SUBSTITUTING each
+    referenced alias's full expression into the predicate.  For a cheap
+    predicate over an expensive derived column (the HTML-extraction
+    array tree, a hashed-feature classifier score) that plants a second
+    complete copy of the expensive expression in the scan-side Filter —
+    per predicate — on top of the projection's own copy; higher-order
+    array functions evaluate interpreted, so no common-subexpression
+    elimination rescues it at runtime (measured 3 copies in the web
+    composites' scan Filter + 1 in the Project = ~4x the per-row
+    extraction cost at any scale).
+
+    The fence: project a ``monotonically_increasing_id()`` column and
+    reference it in the condition as a tautology (the id is
+    (partition_id << 33) + row_counter — always >= 0).  A projection
+    carrying a nondeterministic field may not have filters pushed
+    through it (SPARK-13473: nondeterministic expressions are
+    stateful, their evaluation count is part of the observable
+    semantics), so the filter stays put and evaluates against the
+    MATERIALIZED columns.  Row set and output schema are unchanged —
+    this is the built-in-expression analogue of the guide's
+    ``udf.asNondeterministic()`` fix for duplicated UDF evaluation.
+
+    Batch-only: monotonically_increasing_id is not available in
+    streaming plans (the streaming twins keep their plain filters).
+    """
+    return (
+        df.withColumn("_fence", F.monotonically_increasing_id())
+        .filter(cond & (F.col("_fence") >= 0))
+        .drop("_fence")
+    )

@@ -341,7 +341,13 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier_rows = nxt.count()
         if frontier_rows == 0:
             break
-        dist = dist.unionAll(nxt).transform(truncate_eager)
+        # r13 optimization round: no re-checkpoint of the accumulated
+        # distance table — both union sides are already materialized
+        # RDDs (the seed literal and each hop's checkpointed frontier),
+        # so the union is a flat plan of cached scans; the old eager
+        # truncate re-copied ALL distances every hop (O(hops x nodes)
+        # extra materialization for a plan that was already O(1) deep).
+        dist = dist.unionAll(nxt)
         frontier = nxt
     labeled = dist.select(
         "d",

@@ -127,34 +127,64 @@ def _clf_weights(
     return _cache[key]
 
 
-def _score_cols(feats: Column, weights: list[int]) -> dict[str, Column]:
-    """Inference columns over a feature-array column: integer weight
-    sum via an in-plan broadcast weight-vector literal (element_at is
-    1-indexed), sigmoid probability, integer-exact decision."""
+def _score_expr(feats: Column, weights: list[int]) -> Column:
+    """The integer feature-weight sum over a feature-array column: an
+    in-plan broadcast weight-vector literal (element_at is 1-indexed),
+    md5 bucket hash per feature.  This is the EXPENSIVE inference
+    expression — materialize it as its own projection column and derive
+    everything else from the attribute (see _derived_cols)."""
     warr = F.lit(weights)
-    ssum = F.aggregate(
+    return F.aggregate(
         feats,
         F.lit(0).cast("bigint"),
         lambda acc, f: acc + F.element_at(warr, (_bucket(f) + 1).cast("int")),
     )
-    n = F.size(feats)
+
+
+def _derived_cols(score: Column, n_feats: Column) -> dict[str, Column]:
+    """Sigmoid probability + integer-exact decision from MATERIALIZED
+    score/n_feats columns — cheap scalar math, safe to embed
+    repeatedly."""
     return {
-        "n_feats": n.cast("bigint"),
-        "score_scaled": ssum,
         "prob": F.round(
             F.lit(1.0)
             / (
                 F.lit(1.0)
                 + F.exp(
                     -(
-                        ssum.cast("double")
-                        / (n.cast("double") * F.lit(float(_W_SCALE)))
+                        score.cast("double")
+                        / (
+                            n_feats.cast("double")
+                            * F.lit(float(_W_SCALE))
+                        )
                     )
                 )
             ),
             6,
         ),
-        "predicted_en": ssum >= 0,
+        "predicted_en": score >= 0,
+    }
+
+
+def _score_cols(feats: Column, weights: list[int]) -> dict[str, Column]:
+    """Inference columns over a feature-array column: integer weight
+    sum via an in-plan broadcast weight-vector literal (element_at is
+    1-indexed), sigmoid probability, integer-exact decision.
+
+    NOTE (r13 optimization round): every returned column embeds the
+    full scoring aggregate, so selecting several re-evaluates the
+    md5-per-feature sum per column (no runtime CSE for higher-order
+    functions).  Batch consumers should materialize ``_score_expr`` as
+    one projection column and use ``_derived_cols`` over the attribute;
+    this dict form remains for single-column (streaming) consumers."""
+    ssum = _score_expr(feats, weights)
+    n = F.size(feats)
+    derived = _derived_cols(ssum, n)
+    return {
+        "n_feats": n.cast("bigint"),
+        "score_scaled": ssum,
+        "prob": derived["prob"],
+        "predicted_en": derived["predicted_en"],
     }
 
 
@@ -272,14 +302,25 @@ def _oracle_score_cte(name: str, feats_cte: str) -> str:
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = _clf_weights(spark, sf_dir)
     feats = _featurized(spark, sf_dir)
-    cols = _score_cols(F.col("feats"), weights)
-    return feats.select(
+    # r13 optimization round: materialize the scoring aggregate ONCE
+    # per row and derive prob/predicted_en from the attribute — the old
+    # single-select form embedded the md5-per-feature sum in all three
+    # columns (3x the per-row inference cost; guide §4.4's duplicated-
+    # evaluation class, built-in-expression variant).
+    scored = feats.select(
         "doc_id",
         "lang",
-        cols["n_feats"].alias("n_feats"),
-        cols["score_scaled"].alias("score_scaled"),
-        cols["prob"].alias("prob"),
-        cols["predicted_en"].alias("predicted_en"),
+        F.size("feats").cast("bigint").alias("n_feats"),
+        _score_expr(F.col("feats"), weights).alias("score_scaled"),
+    )
+    derived = _derived_cols(F.col("score_scaled"), F.col("n_feats"))
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_feats",
+        "score_scaled",
+        derived["prob"].alias("prob"),
+        derived["predicted_en"].alias("predicted_en"),
     )
 
 
@@ -327,31 +368,30 @@ def pipeline_web_corpus_classified(
 ) -> DataFrame:
     from pyspark.sql import Window
 
+    from mincemeatpy_spark.lineage import fenced_filter
     from mincemeatpy_spark.text.html_extract import (
         _HTML_SYNTH_SQL,
         _web_gated,
-        extract_text_cols,
+        extracted_df,
     )
 
     weights = _clf_weights(spark, sf_dir)
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_HTML_SYNTH_SQL).alias("html")
     )
-    cols = extract_text_cols(F.col("html"))
-    extracted = docs.select(
-        "doc_id",
-        cols["body"].alias("body"),
-        cols["n_words"].alias("n_words"),
-    ).filter(F.col("n_words") > 0)
+    # r13 optimization round: one extraction tree per row (extracted_df)
+    # and the n_words > 0 pre-filter rides in _web_gated's fenced gate.
+    extracted = extracted_df(docs).drop("n_blocks")
     gated = _web_gated(extracted)
     # Digest dedup FIRST (the composite's one shuffle) — identical
     # bodies get identical classifier scores, so dedup-then-score
     # equals the oracle's score-then-dedup while touching each unique
-    # body exactly once.
-    sha = F.sha2(F.col("body"), 256)
-    w = Window.partitionBy(sha)
+    # body exactly once.  The digest materializes once (window key +
+    # body_sha prefix share the column).
+    hashed = gated.withColumn("_sha", F.sha2(F.col("body"), 256))
+    w = Window.partitionBy("_sha")
     uniq = (
-        gated.withColumn("body_sha", F.substring(sha, 1, 16))
+        hashed.withColumn("body_sha", F.substring(F.col("_sha"), 1, 16))
         .withColumn("min_id", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("min_id"))
     )
@@ -361,14 +401,16 @@ def pipeline_web_corpus_classified(
     ).select(
         *keep, F.concat(F.col("toks"), F.expr(_BIGRAM_EXPR)).alias("feats")
     )
-    sc = _score_cols(F.col("feats"), weights)
-    return (
-        featd.select(
-            *keep, sc["score_scaled"].alias("clf_score_scaled")
-        )
-        .filter(F.col("clf_score_scaled") >= 0)
-        .select(
-            "doc_id", "predicted_lang", "quality",
-            "clf_score_scaled", "n_words", "body_sha",
-        )
+    # Score ONCE per unique body, then gate through a pushdown fence —
+    # the old shape's plain filter pushed below the projection and
+    # re-evaluated the full scoring aggregate in the Filter on top of
+    # the Project's own copy (2x per surviving document).
+    scored = featd.select(
+        *keep, _score_expr(F.col("feats"), weights).alias("clf_score_scaled")
+    )
+    return fenced_filter(
+        scored, F.col("clf_score_scaled") >= 0
+    ).select(
+        "doc_id", "predicted_lang", "quality",
+        "clf_score_scaled", "n_words", "body_sha",
     )

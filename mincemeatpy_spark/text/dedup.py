@@ -248,7 +248,17 @@ def _minhash_band_rows(
     bands = minh.selectExpr(
         "doc_id", "n", f"stack({n_bands}, {stack_args}) AS (band, sig)"
     )
-    return based, bands
+    # r13 optimization round: every consumer references the band table
+    # at least twice (the candidate self-join; the capped twin adds the
+    # bucket-count rollup), and each reference re-ran the 16-way min
+    # aggregation over the hashed shingles.  Truncating here
+    # materializes the minhash pass ONCE per query; the band table is
+    # (doc_id, n, band, sig) — 4 narrow columns, vocab-scale, cheap to
+    # hold (guide §2.4: share one computation instead of re-deriving it
+    # per branch).
+    from mincemeatpy_spark.lineage import truncate_lazy
+
+    return based, bands.transform(truncate_lazy)
 
 
 def _lsh_verify_candidates(based: DataFrame, cand: DataFrame) -> DataFrame:
@@ -708,6 +718,13 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
             .groupBy(F.col("u").alias("nu"))
             .agg(F.min("vlabel").alias("nlabel"))
         )
+        # r13 optimization round: the convergence signal is computed IN
+        # the label-update projection (new label vs old label, both on
+        # the row already) and checkpointed with it — the old shape ran
+        # a separate labels⋈new_labels join job per round just to
+        # detect change.  One cheap filter-count over the cached
+        # checkpoint replaces that join; the emitted (u, label) rows
+        # are identical.
         new_labels = (
             labels.join(neighbor_min, F.col("u") == F.col("nu"), "left_outer")
             .select(
@@ -715,17 +732,18 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nlabel"), F.col("label")),
+                    )
+                    != F.col("label")
+                ).alias("_changed"),
             )
             .transform(truncate_eager)
         )
-        changed = (
-            new_labels.select(F.col("u").alias("cu"), F.col("label").alias("clabel"))
-            .join(labels, F.col("cu") == F.col("u"))
-            .filter(F.col("clabel") != F.col("label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.select("u", "label")
         if changed == 0:
             converged = True
             break
@@ -2889,13 +2907,30 @@ def text_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("off") + F.col("li")).alias("gidx"),
             )
         )
-        ranks = idx.groupBy("r1", "r2").agg(F.min("gidx").alias("new_rank"))
+        # r13 optimization round: the early-termination signal is
+        # computed IN the rank rollup — (r1, r2) groups ARE the new
+        # rank groups (minima of disjoint gidx sets are distinct), so
+        # group size and max suffix length ride the same aggregation
+        # and the per-round convergence check becomes a cheap filter
+        # over the checkpoint instead of its own groupBy+exchange job.
+        ranks = idx.groupBy("r1", "r2").agg(
+            F.min("gidx").alias("new_rank"),
+            F.count(F.lit(1)).alias("_c"),
+            F.max("slen").alias("_ml"),
+        )
+        nk = k * 2  # the unresolved rule compares against the NEXT width
         r = (
             idx.join(ranks, ["r1", "r2"])
-            .select("d", "p", "slen", F.col("new_rank").alias("rank"))
+            .select(
+                "d",
+                "p",
+                "slen",
+                F.col("new_rank").alias("rank"),
+                ((F.col("_c") > 1) & (F.col("_ml") > nk)).alias("_unres"),
+            )
             .transform(truncate_eager)
         )
-        k *= 2
+        k = nk
         # Early termination (r8 judge task 6): all-ranks-distinct never
         # happens on real corpora — byte-identical suffixes ACROSS docs
         # (common short endings, duplicate documents) tie forever.  The
@@ -2907,13 +2942,8 @@ def text_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         # member longer than k.  At sf0.1 this ends after round 5-6 of
         # the fixed 10-round log(maxlen) schedule; the saving is the
         # same log-factor at corpus scale.
-        unresolved = (
-            r.groupBy("rank")
-            .agg(F.count(F.lit(1)).alias("c"), F.max("slen").alias("ml"))
-            .filter((F.col("c") > 1) & (F.col("ml") > k))
-            .limit(1)
-            .count()
-        )
+        unresolved = r.filter(F.col("_unres")).limit(1).count()
+        r = r.select("d", "p", "slen", "rank")
         if unresolved == 0:
             break
 

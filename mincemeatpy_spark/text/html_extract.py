@@ -107,10 +107,11 @@ _HTML_SYNTH_SQL = (
 )
 
 
-def extract_text_cols(html_col: F.Column) -> dict[str, F.Column]:
-    """HTML→text extraction as pure Spark built-ins (rules 1-5 above).
-    Returns {'body', 'n_blocks', 'n_words'} columns — composable into
-    any plan with zero shuffle and zero Python."""
+def _kept_blocks(html_col: F.Column) -> F.Column:
+    """The expensive half of the extraction (rules 1-4): the kept-block
+    struct array ``array<struct<t,wc,links>>``.  One evaluation of this
+    tree does ALL the regex work; everything downstream is cheap array
+    access over it."""
     cleaned = F.regexp_replace(html_col, _RE_DROP, "")
     blocks = F.split(cleaned, _RE_BLOCK, -1)
 
@@ -129,11 +130,17 @@ def extract_text_cols(html_col: F.Column) -> dict[str, F.Column]:
         )
 
     structs = F.transform(blocks, _block_struct)
-    kept = F.filter(
+    return F.filter(
         structs,
         lambda s: (s["wc"] >= _MIN_WORDS)
         & (s["links"] * _LINK_FACTOR < s["wc"]),
     )
+
+
+def _body_cols_from(kept: F.Column) -> dict[str, F.Column]:
+    """Rule-5 output columns over a kept-blocks array column — cheap
+    array ops, intended to run over a MATERIALIZED ``_kept_blocks``
+    projection column."""
     return {
         "body": F.array_join(F.transform(kept, lambda s: s["t"]), "\n"),
         "n_blocks": F.size(kept).cast("bigint"),
@@ -141,6 +148,44 @@ def extract_text_cols(html_col: F.Column) -> dict[str, F.Column]:
             kept, F.lit(0), lambda a, s: a + s["wc"]
         ).cast("bigint"),
     }
+
+
+def extract_text_cols(html_col: F.Column) -> dict[str, F.Column]:
+    """HTML→text extraction as pure Spark built-ins (rules 1-5 above).
+    Returns {'body', 'n_blocks', 'n_words'} columns — composable into
+    any plan with zero shuffle and zero Python.
+
+    NOTE (r13 optimization round): each returned column embeds the FULL
+    extraction tree, so selecting several of them — or filtering on one
+    — re-evaluates the regex pipeline per column/predicate (higher-order
+    functions run interpreted; no runtime CSE).  Batch consumers should
+    use :func:`extracted_df`, which materializes the kept-block array as
+    its own projection and derives the outputs from it (one tree per
+    row, measured ~4x less per-row CPU on the web composites).  This
+    column form remains for single-column and STREAMING consumers."""
+    kept = _kept_blocks(html_col)
+    return _body_cols_from(kept)
+
+
+def extracted_df(
+    docs: DataFrame, keep: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """(keep..., body, n_blocks, n_words) from a DataFrame with an
+    ``html`` column, with the extraction tree evaluated ONCE per row:
+    projection 1 materializes the kept-block array, projection 2
+    derives the three outputs from that column (cost-aware
+    CollapseProject keeps the two apart because the array column is
+    non-cheap and referenced three times).  Guide §1.2: fix the
+    per-task work — the old shape evaluated the tree once per output
+    column and once per pushed-down gate predicate."""
+    kept = docs.select(*keep, _kept_blocks(F.col("html")).alias("_kept"))
+    cols = _body_cols_from(F.col("_kept"))
+    return kept.select(
+        *keep,
+        cols["body"].alias("body"),
+        cols["n_blocks"].alias("n_blocks"),
+        cols["n_words"].alias("n_words"),
+    )
 
 
 def _oracle_extract_cte(source_sql: str) -> str:
@@ -219,13 +264,9 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_HTML_SYNTH_SQL).alias("html")
     )
-    cols = extract_text_cols(F.col("html"))
-    return docs.select(
-        "doc_id",
-        cols["body"].alias("body"),
-        cols["n_blocks"].alias("n_blocks"),
-        cols["n_words"].alias("n_words"),
-    )
+    # r13 optimization round: one extraction tree per row (the old
+    # single-select form embedded it once per output column = 3x).
+    return extracted_df(docs)
 
 
 # --- the fused CommonCrawl-shaped composite ----------------------------
@@ -389,12 +430,9 @@ def pipeline_web_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .withColumnRenamed("text", "html")
     )
-    cols = extract_text_cols(F.col("html"))
-    extracted = pages.select(
-        "doc_id",
-        cols["body"].alias("body"),
-        cols["n_words"].alias("n_words"),
-    ).filter(F.col("n_words") > 0)
+    # r13: one extraction tree per row; the n_words > 0 pre-filter now
+    # rides inside _web_gated's fenced gate (equivalent conjunction).
+    extracted = extracted_df(pages).drop("n_blocks")
     return _web_corpus_tail(extracted)
 
 
@@ -414,12 +452,8 @@ def pipeline_web_corpus_inplan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_HTML_SYNTH_SQL).alias("html")
     )
-    cols = extract_text_cols(F.col("html"))
-    extracted = docs.select(
-        "doc_id",
-        cols["body"].alias("body"),
-        cols["n_words"].alias("n_words"),
-    ).filter(F.col("n_words") > 0)
+    # r13: one extraction tree per row; n_words > 0 rides in the gate.
+    extracted = extracted_df(docs).drop("n_blocks")
     return _web_corpus_tail(extracted)
 
 
@@ -435,10 +469,13 @@ def _web_dedup(gated: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     256-bit digest)."""
     from pyspark.sql import Window
 
-    sha = F.sha2(F.col("body"), 256)
-    w = Window.partitionBy(sha)
+    # r13: hash once — the digest materializes as one column used for
+    # both the window key and the body_sha prefix (the old shape
+    # evaluated sha2(body) twice per row).
+    hashed = gated.withColumn("_sha", F.sha2(F.col("body"), 256))
+    w = Window.partitionBy("_sha")
     return (
-        gated.withColumn("body_sha", F.substring(sha, 1, 16))
+        hashed.withColumn("body_sha", F.substring(F.col("_sha"), 1, 16))
         .withColumn("min_id", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("min_id"))
         .select(
@@ -449,40 +486,59 @@ def _web_dedup(gated: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
 
 
 def _web_gated(extracted: DataFrame) -> DataFrame:
-    """lang-ID + quality gate over (doc_id, body, n_words): returns the
-    quality-filtered (doc_id, body, n_words, predicted_lang, quality)."""
-    words = F.split(F.col("body"), " ", -1)
-    hits = {
-        "h_en": F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS_EN))),
-        "h_fr": F.size(
-            F.filter(
-                words,
-                lambda w: w.isin("le", "la", "et", "de", "un", "une", "est"),
-            )
-        ),
-        "h_de": F.size(
-            F.filter(
-                words,
-                lambda w: w.isin(
-                    "der", "die", "das", "und", "ein", "ist", "zu"
-                ),
-            )
-        ),
-    }
-    n_words_d = F.size(words).cast("double")
-    scored = extracted.select(
+    """lang-ID + quality gate over (doc_id, body, n_words) — the input
+    may still carry n_words = 0 rows; the gate filter drops them (the
+    old shape pre-filtered, an equivalent conjunction).  Returns the
+    quality-filtered (doc_id, body, n_words, predicted_lang, quality).
+
+    r13 optimization-round restructure (identical rows and columns):
+    the word array materializes as its own projection (the old shape
+    re-split the body five times — three stopword filters + two size
+    calls), the hit counts/ratios and the score chain as further
+    projections, and the gate runs through ``fenced_filter`` so
+    Catalyst cannot push it down and re-inline the body-extraction +
+    scoring trees into a scan-side predicate (measured: the composite's
+    scan Filter carried THREE full copies of the extraction tree)."""
+    from mincemeatpy_spark.lineage import fenced_filter
+
+    wd = extracted.withColumn("_words", F.split(F.col("body"), " ", -1))
+    w = F.col("_words")
+    n_words_d = F.size(w).cast("double")
+    counted = wd.select(
         "doc_id",
         "body",
         "n_words",
-        hits["h_en"].alias("h_en"),
-        hits["h_fr"].alias("h_fr"),
-        hits["h_de"].alias("h_de"),
-        (hits["h_en"].cast("double") / n_words_d).alias("stop_ratio"),
-        (
-            F.size(F.array_distinct(words)).cast("double") / n_words_d
-        ).alias("uniq_ratio"),
+        F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS_EN))).alias("h_en"),
+        F.size(
+            F.filter(
+                w,
+                lambda x: x.isin("le", "la", "et", "de", "un", "une", "est"),
+            )
+        ).alias("h_fr"),
+        F.size(
+            F.filter(
+                w,
+                lambda x: x.isin(
+                    "der", "die", "das", "und", "ein", "ist", "zu"
+                ),
+            )
+        ).alias("h_de"),
+        (F.size(F.array_distinct(w)).cast("double") / n_words_d).alias(
+            "uniq_ratio"
+        ),
+        n_words_d.alias("_nw_d"),
     )
-    return scored.select(
+    scored = counted.select(
+        "doc_id",
+        "body",
+        "n_words",
+        "h_en",
+        "h_fr",
+        "h_de",
+        (F.col("h_en").cast("double") / F.col("_nw_d")).alias("stop_ratio"),
+        "uniq_ratio",
+    )
+    gated = scored.select(
         "doc_id",
         "body",
         "n_words",
@@ -500,7 +556,11 @@ def _web_gated(extracted: DataFrame) -> DataFrame:
             + 0.2 * F.least(F.col("n_words") / 100.0, F.lit(1.0)),
             6,
         ).alias("quality"),
-    ).filter(F.col("quality") >= _Q_GATE)
+    )
+    return fenced_filter(
+        gated,
+        (F.col("n_words") > 0) & (F.col("quality") >= _Q_GATE),
+    )
 
 
 @register(

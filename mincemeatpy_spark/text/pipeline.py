@@ -64,15 +64,28 @@ _PIPELINE_SELECT = """
 
 
 def _quality_and_exact_kept(spark: SparkSession, sf_dir: str):
+    from mincemeatpy_spark.lineage import fenced_filter
+
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", "text", tokens(F.col("text")).alias("words")
     )
     n_tokens = F.size("words")
     uniq_ratio = F.size(F.array_distinct("words")).cast("double") / n_tokens
-    quality = (
-        docs.filter(n_tokens > 0)
-        .select("doc_id", "text", n_tokens.alias("n_tokens"), uniq_ratio.alias("uniq_ratio"))
-        .filter((F.col("n_tokens") >= 5) & (F.col("uniq_ratio") >= 0.3))
+    # r13 optimization round: same rows, fenced gate.  The old shape's
+    # two plain filters pushed below the projection and re-tokenized the
+    # document once per predicate (the scan Filter carried FOUR split()
+    # copies); the fenced filter evaluates against the materialized
+    # stats columns.  n_tokens >= 5 subsumes the old n_tokens > 0
+    # pre-filter (and 0-token rows yield uniq_ratio = 0/0 = NaN, which
+    # fails >= 0.3), so the conjunction keeps the identical row set.
+    quality = fenced_filter(
+        docs.select(
+            "doc_id",
+            "text",
+            n_tokens.alias("n_tokens"),
+            uniq_ratio.alias("uniq_ratio"),
+        ),
+        (F.col("n_tokens") >= 5) & (F.col("uniq_ratio") >= 0.3),
     )
     # Keeper is the min doc_id within each digest group over the FULL
     # corpus (a quality-rejected keeper still shadows its duplicates) —

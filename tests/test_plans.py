@@ -1433,9 +1433,15 @@ def test_web_corpus_single_digest_exchange(spark, sf_dir):
     plan = _plan("pipeline_web_corpus", spark, sf_dir)
     shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert len(shuffles) == 1, f"expected 1 hash exchange, got {shuffles}"
-    assert "sha2" in shuffles[0] or "body_sha" in shuffles[0] or "_w" in shuffles[0], (
-        f"the one exchange must key on the body digest: {shuffles[0]}"
-    )
+    # r13 optimization round: the digest now materializes once as the
+    # `_sha` column (window key + body_sha prefix share it), so the
+    # exchange keys on that attribute instead of an inline sha2(...).
+    assert (
+        "sha2" in shuffles[0]
+        or "body_sha" in shuffles[0]
+        or "_sha" in shuffles[0]
+        or "_w" in shuffles[0]
+    ), f"the one exchange must key on the body digest: {shuffles[0]}"
     assert "Exchange rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
 
