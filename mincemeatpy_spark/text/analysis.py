@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mincemeatpy_spark.lineage import truncate_eager, truncate_lazy
 from mincemeatpy_spark.registry import register
-from mincemeatpy_spark.tables import t
+from mincemeatpy_spark.tables import fan_out, t
 
 # Python-regex & Java-regex compatible; mirrors str.split() in the
 # reference's mapfn (example.py:13).
@@ -43,6 +43,11 @@ def tokens(col) -> F.Column:
     "→ final agg.  The reference's entire dataflow in one declarative plan.",
 )
 def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 optimization round: a fan_out repartition was MEASURED here
+    # and reverted — the explode + partial aggregate on the fixture's
+    # single-row-group scan costs ~0.17 s single-core vs ~0.38 s with
+    # the shuffle (A/B in one session); the shuffle exceeds the compute
+    # it parallelizes at this row weight.
     docs = t(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(tokens(F.col("text"))).alias("word"))
@@ -1733,25 +1738,40 @@ def _bpe_train_stats(
             F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
         ).alias("pos0", "sym"),
     ).select("word", "cnt", (F.col("pos0") + 1).alias("pos"), "sym")
-    sym = sym.transform(truncate_eager)
 
     from pyspark.sql import Window as Wn
 
     per_word = Wn.partitionBy("word").orderBy("pos")
+    # r13 optimization round: the checkpoint carries ``nxt`` (the lead)
+    # precomputed — the old loop re-ran a full per-word window pass at
+    # the top of every round just to rebuild it, once in the broadcast-
+    # top build and once in the rewrite input (probes/r13/
+    # bpe_round_decomp.json: the pairs+top job alone was ~half the
+    # measured ~0.5 s/round).  The lead for the NEXT round rides the
+    # SAME Window operator as the rewrite's row_number (identical
+    # partition/order spec), so it costs no extra pass; the pair count
+    # then reads the checkpoint directly with no window at all.
+    sym = sym.withColumn("nxt", F.lead("sym").over(per_word)).transform(
+        truncate_eager
+    )
     out = []
     for step in range(1, iters + 1):
-        n = sym.withColumn("nxt", F.lead("sym").over(per_word))
         pairs = (
-            n.filter(F.col("nxt").isNotNull() & (F.col("sym") != F.col("nxt")))
+            sym.filter(
+                F.col("nxt").isNotNull() & (F.col("sym") != F.col("nxt"))
+            )
             .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
             .agg(F.sum("cnt").cast("bigint").alias("c"))
         )
         top = F.broadcast(
             pairs.orderBy(F.col("c").desc(), "a", "b").limit(1)
         )
-        marked = n.crossJoin(top).withColumn(
+        marked = sym.crossJoin(top).withColumn(
             "mg", (F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b"))
         )
+        new_sym = F.when(
+            F.col("mg"), F.concat(F.col("sym"), F.col("b"))
+        ).otherwise(F.col("sym"))
         sym = (
             marked.withColumn("prev_mg", F.lag("mg").over(per_word))
             .filter(~F.coalesce(F.col("prev_mg"), F.lit(False)))
@@ -1759,19 +1779,16 @@ def _bpe_train_stats(
                 "word",
                 "cnt",
                 F.row_number().over(per_word).alias("pos"),
-                F.when(F.col("mg"), F.concat(F.col("sym"), F.col("b")))
-                .otherwise(F.col("sym"))
-                .alias("sym"),
+                new_sym.alias("sym"),
+                F.lead(new_sym).over(per_word).alias("nxt"),
                 "a",
                 "b",
                 "c",
             )
             .transform(truncate_eager)
         )
-        stats = F.broadcast(
-            sym.groupBy("a", "b", "c").agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_symbols_after")
-            )
+        stats = sym.groupBy("a", "b", "c").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_symbols_after")
         )
         out.append(
             stats.select(
@@ -1782,7 +1799,7 @@ def _bpe_train_stats(
                 "n_symbols_after",
             )
         )
-        sym = sym.select("word", "cnt", "pos", "sym")
+        sym = sym.select("word", "cnt", "pos", "sym", "nxt")
     res = out[0]
     for o in out[1:]:
         res = res.unionAll(o)

@@ -77,9 +77,17 @@ _BIGRAM_EXPR = (
 
 
 def _featurized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lang, feats) for every document."""
+    """(doc_id, lang, feats) for every document.  fan_out (r13): the
+    single-row-group fixture scan otherwise serializes tokenization +
+    bigram building on one core; no-op on wide scans at scale."""
+    from mincemeatpy_spark.tables import fan_out
+
     return (
-        t(spark, sf_dir, "documents")
+        fan_out(
+            spark,
+            t(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+            sf_dir,
+        )
         .select("doc_id", "lang", _feature_cols(F.col("text")).alias("toks"))
         .select(
             "doc_id",
@@ -375,10 +383,15 @@ def pipeline_web_corpus_classified(
         extracted_df,
     )
 
+    from mincemeatpy_spark.tables import fan_out
+
     weights = _clf_weights(spark, sf_dir)
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_HTML_SYNTH_SQL).alias("html")
-    )
+    # fan_out (r13): parallelize synthesis+extraction off the
+    # single-row-group fixture scan (the measured win on the inplan
+    # twin; no-op on wide scans at scale).
+    docs = fan_out(
+        spark, t(spark, sf_dir, "documents").select("doc_id", "text"), sf_dir
+    ).select("doc_id", F.expr(_HTML_SYNTH_SQL).alias("html"))
     # r13 optimization round: one extraction tree per row (extracted_df)
     # and the n_words > 0 pre-filter rides in _web_gated's fenced gate.
     extracted = extracted_df(docs).drop("n_blocks")

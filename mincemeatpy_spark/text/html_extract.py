@@ -261,9 +261,16 @@ def _oracle_extract_cte(source_sql: str) -> str:
     "at 100 TB this runs scan-side at wire speed.",
 )
 def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_HTML_SYNTH_SQL).alias("html")
-    )
+    # fan_out (r13 optimization round): the sf0.1 fixture is ONE parquet
+    # row group, so the whole regex extraction otherwise runs as a
+    # single task; the round-robin repartition of the narrow (doc_id,
+    # text) scan unlocks every core and is a no-op on wide scans at
+    # production scale (guide §2.5/§6 input-split rule).
+    from mincemeatpy_spark.tables import fan_out
+
+    docs = fan_out(
+        spark, t(spark, sf_dir, "documents").select("doc_id", "text"), sf_dir
+    ).select("doc_id", F.expr(_HTML_SYNTH_SQL).alias("html"))
     # r13 optimization round: one extraction tree per row (the old
     # single-select form embedded it once per output column = 3x).
     return extracted_df(docs)
@@ -449,9 +456,13 @@ def pipeline_web_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "from the extraction stage down.",
 )
 def pipeline_web_corpus_inplan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_HTML_SYNTH_SQL).alias("html")
-    )
+    from mincemeatpy_spark.tables import fan_out
+
+    # fan_out: parallelize synthesis+extraction off the single-row-group
+    # fixture scan (no-op on wide scans; see text_html_extract).
+    docs = fan_out(
+        spark, t(spark, sf_dir, "documents").select("doc_id", "text"), sf_dir
+    ).select("doc_id", F.expr(_HTML_SYNTH_SQL).alias("html"))
     # r13: one extraction tree per row; n_words > 0 rides in the gate.
     extracted = extracted_df(docs).drop("n_blocks")
     return _web_corpus_tail(extracted)
@@ -591,6 +602,8 @@ def _web_gated(extracted: DataFrame) -> DataFrame:
     "distribution is known and the oracle replays it exactly.",
 )
 def web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (r13: a fan_out here was A/B-measured 0.40 s -> 0.61 s and
+    # reverted — one regexp_extract_all does not dominate the shuffle.)
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", "source", F.expr(_HTML_SYNTH_SQL).alias("html")
     )
@@ -628,6 +641,8 @@ def _host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     dangling-mass correction on real structure.  One scan-side
     regexp_extract_all + one edge-key aggregation; at 100 TB the
     shuffle carries (src, dst, partial count) only."""
+    # (r13: fan_out reverted here for the same A/B reason as
+    # web_link_graph — the single regex is lighter than the shuffle.)
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_HTML_SYNTH_SQL).alias("html")
     )
@@ -853,6 +868,8 @@ _RE_ANCHOR_TEXT = ">([^<]*)<"
 def web_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    # (r13: a fan_out here was measured 0.49 s -> 0.87 s and reverted —
+    # the per-element regexes are lighter than the added shuffle.)
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_HTML_SYNTH_SQL).alias("html")
     )
@@ -1170,9 +1187,13 @@ _ORACLE_BLOCK_TXT = (
     "crawl pass.",
 )
 def site_template_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.expr(_HTML_SYNTH_SQL).alias("html")
-    )
+    from mincemeatpy_spark.tables import fan_out
+
+    docs = fan_out(
+        spark,
+        t(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        sf_dir,
+    ).select("doc_id", "source", F.expr(_HTML_SYNTH_SQL).alias("html"))
     cleaned = F.regexp_replace(F.col("html"), _RE_DROP, "")
     blocks = F.split(cleaned, _RE_BLOCK, -1)
 

@@ -787,7 +787,18 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     langd = t(spark, sf_dir, "documents").select("doc_id", "lang")
-    sl = scores.join(langd, "doc_id").select("doc_id", "lang", "mean_ppm")
+    # r13 optimization round: ``sl`` feeds BOTH the histogram/cutoff
+    # branch and the final bucket-assignment join — un-truncated, each
+    # branch re-ran the whole KN-model scoring chain (the expensive
+    # half of the query).  Materialized once; 3 narrow doc-scale
+    # columns (guide §2.4: share one computation across branches).
+    from mincemeatpy_spark.lineage import truncate_lazy
+
+    sl = (
+        scores.join(langd, "doc_id")
+        .select("doc_id", "lang", "mean_ppm")
+        .transform(truncate_lazy)
+    )
     hist = sl.groupBy("lang", "mean_ppm").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )

