@@ -2148,7 +2148,18 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "differ.",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = dedup_simhash(spark, sf_dir)
+    # r13 optimization round: the band self-join's two branches each
+    # recompute the FULL signature chain (scan -> explode -> hash ->
+    # 32-sum aggregate; the plan showed two complete copies and zero
+    # ReusedExchange), so the 2-column doc-scale sig table is lazily
+    # truncated — the minhash-band pattern — and the chain runs once.
+    # Same-session A/B (probes/r13/simhash_fanout_ab.py): 3.28 s ->
+    # 2.77 s at sf0.1; at corpus scale the saving is the whole second
+    # O(tokens) signature pass.  (.cache() measured faster still, 1.86,
+    # but its canonical-plan lookup would let later bench trials skip
+    # the compute entirely — cross-trial reuse, the reason this round's
+    # minhash fix also chose lazy truncation.)
+    sigs = dedup_simhash(spark, sf_dir).transform(truncate_lazy)
     bands = sigs.selectExpr(
         "doc_id",
         "simhash",
