@@ -146,6 +146,10 @@ EXTENDED = [
     # checkpoint instead of a per-round join job).
     "text_html_extract",
     "dedup_clusters",
+    # and the sf1-soak follow-up: dedup_simhash_pairs emits each pair
+    # from its first matching band (pair-level distinct exchange gone;
+    # 2.4x at sf1 where the pair set is 105M rows).
+    "dedup_simhash_pairs",
 ]
 
 REGRESSION_PCT = 0.15  # median must move more than this ...

@@ -2170,11 +2170,37 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The band rows CARRY the full signature (+8 bytes per row), so the
     # self-join emits both signatures directly and the Hamming verify is
-    # a scan-side popcount BEFORE the pair distinct — no join back to a
-    # doc-count-sized signature table (which at 1B docs is far past
-    # broadcast range, i.e. two extra keyed shuffles in the old shape).
+    # a scan-side popcount — no join back to a doc-count-sized signature
+    # table (which at 1B docs is far past broadcast range, i.e. two
+    # extra keyed shuffles in the old shape).
+    #
+    # r13 optimization round, sf1-soak follow-up: the pair set is
+    # intrinsically QUADRATIC in colliding docs (105M rows at sf1 vs
+    # 1.09M at sf0.1), and the old `.distinct()` shuffled every
+    # (pair, band) duplicate of it — up to 4 copies per pair.  A pair
+    # is instead emitted only from its FIRST matching band (a scan-side
+    # predicate over the two carried signatures: for the joined row's
+    # band b, bands < b must all differ — exactly one survivor per
+    # pair, so the output IS the distinct set and the pair-level
+    # exchange is gone).  Proven at sf1 (probes/r13/simhash_minband_ab.py):
+    # identical 105,157,386 rows, zero dup pairs, exceptAll empty both
+    # ways; 101-112 s -> 42-46 s (2.4x).  The same trick is why banded
+    # MinHash emits `min_band` in dedup_minhash_lsh's candidates.
     ba, bb = bands.alias("ba"), bands.alias("bb")
     hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+
+    def _band_match(j: int):
+        return (
+            F.shiftright(F.col("h1"), 8 * j).bitwiseAND(F.lit(255))
+            == F.shiftright(F.col("h2"), 8 * j).bitwiseAND(F.lit(255))
+        )
+
+    first_band = (
+        F.when(_band_match(0), F.lit(0))
+        .when(_band_match(1), F.lit(1))
+        .when(_band_match(2), F.lit(2))
+        .otherwise(F.lit(3))
+    )
     return (
         ba.join(
             bb,
@@ -2183,14 +2209,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ba.doc_id") < F.col("bb.doc_id")),
         )
         .select(
+            F.col("ba.band").alias("band"),
             F.col("ba.doc_id").alias("d1"),
             F.col("bb.doc_id").alias("d2"),
             F.col("ba.simhash").alias("h1"),
             F.col("bb.simhash").alias("h2"),
         )
-        .filter(hamming <= 6)
+        .filter((F.col("band") == first_band) & (hamming <= 6))
         .select("d1", "d2", hamming.alias("hamming"))
-        .distinct()
     )
 
 
@@ -2854,8 +2880,22 @@ def text_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("doc_id") < 30) & (F.length("text") >= 1))
         .select("doc_id", "text")
     )
-    # Loop-control scalar from the bounded slice (exempt driver action).
-    maxlen = docs.agg(F.max(F.length("text"))).collect()[0][0]
+    # Loop-control scalars from the bounded slice (exempt driver action;
+    # one action carries both the round budget and the suffix count).
+    maxlen, total_sfx = docs.agg(
+        F.max(F.length("text")), F.sum(F.length("text"))
+    ).collect()[0]
+    # r13 optimization round (guide §2.6): the tera-sort range-partition
+    # count derives from the input instead of a constant — one partition
+    # per ~1M int64-pair rows, floor 8.  At fixture scale (tens of KB of
+    # suffixes) this evaluates to exactly the old 8, so the checkpointed
+    # layout and every rank are unchanged; on a corpus-scale shard the
+    # sort width grows with the shard instead of funnelling through 8
+    # ranges.  Ranks are layout-independent by construction (the total
+    # order carries a (doc, pos) tie-break and rank = min(gidx) over
+    # equal keys), so the partition count only moves WHERE rows sit,
+    # never what rank they get.
+    n_range_parts = max(8, -(-int(total_sfx) // 1_000_000))
     r = docs.select(
         F.col("doc_id").alias("d"),
         F.explode(F.sequence(F.lit(1), F.length("text"))).alias("p"),
@@ -2891,7 +2931,7 @@ def text_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per job — offsets from one layout + indexes from another give
         # inconsistent global positions.
         srt = (
-            keyed.repartitionByRange(8, "r1", "r2")
+            keyed.repartitionByRange(n_range_parts, "r1", "r2")
             .withColumn("pid", F.spark_partition_id())
             .transform(truncate_eager)
         )
