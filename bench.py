@@ -45,6 +45,15 @@ its `tail` instead of crashing).  A per-query delta is
 
 The rule is deliberately dumb and stated here so the classification is
 reproducible from the two JSON files alone — no narrative required.
+
+Round-14 change (VERDICT r13 "what's wrong" #1): every trial (and every
+--all entry) starts with spark.catalog.clearCache(), outside the timed
+region, so Spark's CacheManager can never satisfy a later trial from an
+earlier trial's InMemoryRelation (ten queries .cache() an intermediate
+for within-query alias reuse and never unpersist; canonical-plan
+matching made trials 2..k skip that compute).  Medians for the caching
+queries are therefore honest cold-run numbers from r14 on — expect a
+one-time upward step vs r13 records for the minhash/shingle family.
 """
 
 from __future__ import annotations
@@ -641,6 +650,7 @@ def main() -> None:
         ).mode("overwrite").save()
         times = {}
         for name, q in queries.items():
+            spark.catalog.clearCache()  # r14: same trial isolation as measure()
             t0 = time.perf_counter()
             try:
                 q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -667,6 +677,17 @@ def main() -> None:
             q = queries[name]
 
             def run_once(fn=q.fn):
+                # r14 (VERDICT r13 "what's wrong" #1): isolate trials
+                # from Spark's CacheManager.  Ten queries legitimately
+                # .cache() an intermediate for within-query alias reuse
+                # but never unpersist; CacheManager matches by canonical
+                # plan, so trials 2..k (and later queries over the same
+                # intermediate) would silently substitute trial 1's
+                # InMemoryRelation and skip the compute.  Clearing
+                # OUTSIDE the timed region makes every trial pay the
+                # full cold compute while the within-trial reuse (the
+                # legitimate intent of those caches) still works.
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 return time.perf_counter() - t0

@@ -122,7 +122,11 @@ def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conversion at all, Arrow columns in and out).  The Python stage "
     "emits one (lang, n_tokens) row per doc; the reduction stays JVM "
     "-side.  Completes the UDF matrix: row UDF, pandas scalar, grouped "
-    "agg, grouped map, mapInPandas, mapPartitions, UDTF, mapInArrow.",
+    "agg, grouped map, mapInPandas, mapPartitions, UDTF, mapInArrow.  "
+    "Tokenization semantics (ADVICE r13, intentional): RE2 \\S+ — ASCII "
+    "whitespace boundaries, matching the DuckDB oracle's RE2 \\s+ split "
+    "exactly; documents containing Unicode whitespace (\\x0b, \\xa0) "
+    "tokenize differently than Python str.split() would.",
 )
 def maparrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa

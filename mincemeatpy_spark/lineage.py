@@ -86,9 +86,22 @@ def fenced_filter(df: DataFrame, cond: Column) -> DataFrame:
 
     Batch-only: monotonically_increasing_id is not available in
     streaming plans (the streaming twins keep their plain filters).
+
+    ADVICE r13: the fence column name is collision-safe (withColumn on
+    an existing name would silently REPLACE the caller's column), and
+    tests/test_plans.py carries a plan-shape regression test asserting
+    the gate predicate stays above the expensive projection — the
+    SPARK-13473 behavior this helper relies on is undocumented, so a
+    Spark upgrade that changes PushDownPredicates must fail CI loudly,
+    not degrade silently back to duplicated evaluation.
     """
+    fence = "_fence"
+    i = 0
+    while fence in df.columns:
+        i += 1
+        fence = f"_fence{i}"
     return (
-        df.withColumn("_fence", F.monotonically_increasing_id())
-        .filter(cond & (F.col("_fence") >= 0))
-        .drop("_fence")
+        df.withColumn(fence, F.monotonically_increasing_id())
+        .filter(cond & (F.col(fence) >= 0))
+        .drop(fence)
     )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mincemeatpy_spark.lineage import truncate_eager, truncate_lazy
 from mincemeatpy_spark.registry import register
-from mincemeatpy_spark.tables import fan_out, t
+from mincemeatpy_spark.tables import t
 
 # Python-regex & Java-regex compatible; mirrors str.split() in the
 # reference's mapfn (example.py:13).

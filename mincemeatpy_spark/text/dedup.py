@@ -598,7 +598,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = np.argsort(ids, kind="stable")
     ids, mat = ids[order], mat[order]
     nrm = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
-    bc = spark.sparkContext.broadcast((ids, mat, nrm))
+    # r14 (guide §4.2): the broadcast side ships as float64 so the Gram
+    # matmul runs through BLAS — numpy has no BLAS kernel for int64 and
+    # falls back to a slow naive loop.  EXACTNESS IS PRESERVED: every
+    # quantized value is an integer with |v| <= 1e6, so each product is
+    # <= 1e12 and each 64-term dot <= 6.4e13 — every partial sum is an
+    # integer below 2^53, represented exactly in float64 regardless of
+    # accumulation order.  The float64 Gram is bit-identical to the
+    # int64 one (probes/r14/embedding_cosine_probe.py verifies
+    # array_equal on the fixture).
+    bc = spark.sparkContext.broadcast((ids, mat.astype(np.float64), nrm))
 
     def pairs(batches):
         import numpy as np  # self-contained: closure ships by value
@@ -615,8 +624,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             a_mat = q6(flat.astype(np.float64).reshape(-1, 64))
             a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1).astype(np.float64))
-            gram = a_mat @ b_mat.T  # exact int64
-            cos = gram.astype(np.float64) / np.outer(a_nrm, b_nrm)
+            # float64 BLAS matmul of exact integers — bit-identical to
+            # the int64 product (dot <= 6.4e13 < 2^53; see driver-side
+            # comment), and orders faster than numpy's non-BLAS int64
+            # fallback loop.
+            gram = a_mat.astype(np.float64) @ b_mat.T
+            cos = gram / np.outer(a_nrm, b_nrm)
             ii, jj = np.nonzero((cos >= 0.4) & (a_ids[:, None] < b_ids[None, :]))
             if len(ii):
                 yield pa.RecordBatch.from_arrays(

@@ -39,6 +39,44 @@ from mincemeatpy_spark.tables import TABLES
 
 SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# r14 (VERDICT r13 task 2): the full suite (~1,400 tests, ~31 min)
+# exceeds the driver's verify window, so VERIFY_r13 recorded
+# tests_ok:false on a run that was cut off, not red.  Multi-minute
+# suites are marked @pytest.mark.slow and SKIPPED by default; the full
+# suite stays runnable with --runslow or SPARK_GRAFT_FULL_TESTS=1
+# (record one full pass per round in NOTES).
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="also run tests marked slow (full ~30 min suite)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute suite, skipped by default; enable with "
+        "--runslow or SPARK_GRAFT_FULL_TESTS=1",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if (
+        config.getoption("--runslow")
+        or os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1"
+    ):
+        return
+    skip_slow = pytest.mark.skip(
+        reason="slow lane: --runslow or SPARK_GRAFT_FULL_TESTS=1"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+
 
 @pytest.fixture(scope="session")
 def sf_dir() -> str:

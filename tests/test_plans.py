@@ -1430,9 +1430,17 @@ def test_html_extract_is_scan_side(spark, sf_dir):
     # single-row-group fixture scan; a no-op at production scale) — the
     # multimodal codec queries' precedent.  Still no KEYED shuffle and
     # no Python anywhere in the extraction.
-    assert "Exchange hashpartitioning" not in plan, "extraction must not shuffle by key"
-    assert "Exchange rangepartitioning" not in plan
-    assert "Exchange SinglePartition" not in plan
+    # ADVICE r13 item 4: assert the positive shape (exactly one
+    # Exchange, and it is round-robin) instead of deny-listing exchange
+    # kinds — a future unexpected exchange type must FAIL, not pass
+    # silently.
+    import re as _re
+
+    exchanges = _re.findall(r"Exchange (\w+)", plan)
+    assert exchanges == ["RoundRobinPartitioning"], (
+        f"extraction must carry exactly one round-robin exchange "
+        f"(the fan_out), got {exchanges}"
+    )
     assert "EvalPython" not in plan and "InPandas" not in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "lang" not in read_schema and "source" not in read_schema
@@ -1488,3 +1496,58 @@ def test_triplet_mining_broadcasts_anchor_batch(spark, sf_dir):
         plan = _plan(q, spark, sf_dir)
         assert "CartesianProduct" not in plan, q
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, q
+
+
+def test_fenced_filter_blocks_pushdown(spark, sf_dir):
+    """ADVICE r13 item 2: the plans/r13 dumps are snapshots, not guards —
+    this test IS the guard.  fenced_filter relies on SPARK-13473
+    (PushDownPredicates may not push a filter through a projection that
+    carries a nondeterministic field).  If a Spark upgrade changes that
+    rule, the fence silently degrades back to duplicated evaluation of
+    the expensive derived column — the Filter would then carry its own
+    substituted copy of the expression.  Assert the expensive expression
+    appears in exactly ONE operator (its Project), and the gate Filter
+    references the materialized attribute only."""
+    from pyspark.sql import functions as F
+
+    from mincemeatpy_spark.lineage import fenced_filter
+    from mincemeatpy_spark.tables import t as tbl
+
+    docs = tbl(spark, sf_dir, "documents")
+    # Stand-in for the HTML-extraction tree: expensive, NOT cheap under
+    # CollapseProject's cost model (regexp_replace chain).
+    expensive = F.length(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), r"<[^>]*>", " "), r"\s+", " "
+        )
+    )
+    df = docs.select("doc_id", expensive.alias("clean_len"))
+    gated = fenced_filter(df, F.col("clean_len") > 10)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_replace") == 2, (
+        "expensive expression must be evaluated in exactly one operator "
+        "(2 regexp_replace nodes of the one chain); pushdown through the "
+        "fence would duplicate them into the scan Filter:\n" + plan
+    )
+    # The fence column itself must not leak into the output schema.
+    assert not [c for c in gated.columns if c.startswith("_fence")]
+    # And it still filters: the gate predicate survives in the plan.
+    assert "clean_len" in plan
+
+
+def test_fenced_filter_collision_safe(spark, sf_dir):
+    """ADVICE r13 item 2 (collision half): a pre-existing _fence column
+    must survive fenced_filter untouched (the helper picks a fresh
+    name instead of overwriting)."""
+    from pyspark.sql import functions as F
+
+    from mincemeatpy_spark.lineage import fenced_filter
+    from mincemeatpy_spark.tables import t as tbl
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.lit(-7).alias("_fence")
+    )
+    out = fenced_filter(docs, F.col("doc_id") >= 0)
+    assert out.columns == ["doc_id", "_fence"]
+    vals = {r["_fence"] for r in out.limit(5).collect()}
+    assert vals == {-7}, f"user _fence column was clobbered: {vals}"

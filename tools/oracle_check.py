@@ -57,6 +57,15 @@ def main() -> int:
         rel = con.execute(q.oracle)
         d_cols = [c[0] for c in rel.description]
         d_rows = [tuple(r) for r in rel.fetchall()]
+        # ADVICE r13 item 5 (verified): the sorted-name schema check is
+        # sufficient BECAUSE _value_hash is column-order canonical —
+        # tests/oracle_utils.normalize reorders every row's values by
+        # sorted column name before hashing, mirroring the driver's own
+        # canonicalizer.  Column order is not part of the contract;
+        # values-per-name are.  Duplicate column names would defeat that
+        # canonicalization, so they are rejected loudly here.
+        assert len(set(s_cols)) == len(s_cols), f"{name}: duplicate spark columns {s_cols}"
+        assert len(set(d_cols)) == len(d_cols), f"{name}: duplicate oracle columns {d_cols}"
         ok = (
             len(s_rows) == len(d_rows)
             and sorted(s_cols) == sorted(d_cols)

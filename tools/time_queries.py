@@ -37,6 +37,9 @@ def main() -> None:
         q = queries[name]
         trials = []
         for _ in range(k):
+            # r14: same trial isolation as bench.py — no cross-trial
+            # reuse of cached intermediates via canonical-plan match.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             trials.append(time.perf_counter() - t0)
