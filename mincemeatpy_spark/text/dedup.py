@@ -929,9 +929,19 @@ def text_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
+    # r14 (guide §2.4, the r13 simhash/minhash pattern): ``g`` feeds BOTH
+    # the duplicate test (groupBy h) and the hits semi-join left side;
+    # without truncation each consumer re-runs the whole scan → split →
+    # 10-token-slice md5 → explode chain (the query's dominant per-row
+    # cost) — the before-plan shows two complete gram-hash subtrees and
+    # zero reuse.  The materialized table is 5 narrow columns at
+    # gram-scale (linear in corpus tokens), the same trade the band/
+    # signature tables make.
     g = sized.select(
         "doc_id", "lang", "n", F.explode(gram).alias("ph")
-    ).select("doc_id", "lang", "n", F.col("ph.pos").alias("pos"), F.col("ph.h").alias("h"))
+    ).select(
+        "doc_id", "lang", "n", F.col("ph.pos").alias("pos"), F.col("ph.h").alias("h")
+    ).transform(truncate_lazy)
     dup = (
         g.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))

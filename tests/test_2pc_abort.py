@@ -18,7 +18,16 @@ master form, which the shared test session does not use, so each probe
 runs in a subprocess with its own session.
 """
 
+
 from __future__ import annotations
+
+import pytest
+
+
+# r14 slow lane (VERDICT r13 task 2): 2PC abort/retry e2e suite (~93 s); the default
+# `pytest tests/` run must fit the driver verify window — run with
+# --runslow or SPARK_GRAFT_FULL_TESTS=1.
+pytestmark = pytest.mark.slow
 
 import os
 import re

@@ -13,7 +13,16 @@ Runs in a subprocess: statistics live in the session catalog
 planning — the shared test session keeps its own config.
 """
 
+
 from __future__ import annotations
+
+import pytest
+
+
+# r14 slow lane (VERDICT r13 task 2): CBO statistics/join-reorder suite (~86 s); the default
+# `pytest tests/` run must fit the driver verify window — run with
+# --runslow or SPARK_GRAFT_FULL_TESTS=1.
+pytestmark = pytest.mark.slow
 
 import os
 import subprocess

@@ -11,6 +11,12 @@ from __future__ import annotations
 
 import pytest
 
+
+# r14 slow lane (VERDICT r13 task 2): shuffle-partition invariance sweep (~210 s); the default
+# `pytest tests/` run must fit the driver verify window — run with
+# --runslow or SPARK_GRAFT_FULL_TESTS=1.
+pytestmark = pytest.mark.slow
+
 from mincemeatpy_spark.registry import load_all_queries
 
 QUERIES = load_all_queries()

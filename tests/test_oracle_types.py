@@ -20,6 +20,12 @@ from __future__ import annotations
 
 import pytest
 
+
+# r14 slow lane (VERDICT r13 task 2): type-compat shadow of test_oracle (~260 s); the default
+# `pytest tests/` run must fit the driver verify window — run with
+# --runslow or SPARK_GRAFT_FULL_TESTS=1.
+pytestmark = pytest.mark.slow
+
 from mincemeatpy_spark.registry import load_all_queries
 
 _SPARK_INT = {"tinyint", "smallint", "int", "bigint"}

@@ -823,6 +823,7 @@ def all_plans(spark, sf_dir):
     return plans
 
 
+@pytest.mark.slow  # r14: full-registry plan sweep (shared ~4-5 min fixture)
 def test_no_single_partition_exchange_over_raw_data_anywhere(all_plans):
     """Repo-wide enforcement of SCALE.md rule 11: in EVERY registered
     query's physical plan, an Exchange SinglePartition may only consume
@@ -842,6 +843,7 @@ def test_no_single_partition_exchange_over_raw_data_anywhere(all_plans):
     assert not offenders, f"single-partition exchanges over raw data: {offenders}"
 
 
+@pytest.mark.slow  # r14: full-registry plan sweep (shared ~4-5 min fixture)
 def test_no_row_at_a_time_python_anywhere(all_plans):
     """Repo-wide: BatchEvalPython (row-at-a-time pickled UDF execution)
     must not appear in ANY registered query's plan.  Python stages are
@@ -852,6 +854,7 @@ def test_no_row_at_a_time_python_anywhere(all_plans):
     assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
 
 
+@pytest.mark.slow  # r14: full-registry plan sweep (shared ~4-5 min fixture)
 def test_no_shuffle_cartesian_anywhere(all_plans):
     """Repo-wide: CartesianProduct (the shuffle-based big-big cross
     product) must never appear — every cross join in the registry is a
@@ -941,6 +944,7 @@ def all_hinted_subtrees(spark, sf_dir):
     return subtrees, skipped
 
 
+@pytest.mark.slow  # r14: full-registry plan sweep (shared ~4-5 min fixture)
 def test_rule13_sweep_covers_every_query(all_hinted_subtrees):
     """A query that cannot even build its plan is invisible to the
     rule-13 sweep — require the skip list to be empty so a broken build
