@@ -159,6 +159,14 @@ EXTENDED = [
     # from its first matching band (pair-level distinct exchange gone;
     # 2.4x at sf1 where the pair set is 105M rows).
     "dedup_simhash_pairs",
+    # r14 OPTIMIZATION round additions (entries only added, never
+    # removed/renamed): the round's two code wins, recorded so the
+    # driver's --compare watches them — dedup_embedding_cosine (Gram
+    # matmul through float64 BLAS, bit-exact, ~2.9x) and
+    # text_substring_dup_spans (gram-hash table shared between the
+    # duplicate test and the hits semi-join; 2 md5 subtrees -> 1).
+    "dedup_embedding_cosine",
+    "text_substring_dup_spans",
 ]
 
 REGRESSION_PCT = 0.15  # median must move more than this ...
