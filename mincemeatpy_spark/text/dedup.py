@@ -1437,9 +1437,13 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("in_index", F.lit(1))
     )
+    # r14 (guide §2.4): ``batch`` feeds the keeper aggregate AND the
+    # triage join — truncating hashes the ingest batch once instead of
+    # twice (the batch is the thing that can be huge at scale; the
+    # materialized table is (doc_id, fp), 24 bytes/row).
     batch = d.filter(F.col("doc_id") % 10 == 0).select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
-    )
+    ).transform(truncate_lazy)
     keeper = batch.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
     status = (
         F.when(F.col("in_index").isNotNull(), "dup_of_index")

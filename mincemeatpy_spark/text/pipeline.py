@@ -652,10 +652,18 @@ def pipeline_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_tokens = F.size("words")
     uniq_ratio = F.size(F.array_distinct("words")).cast("double") / n_tokens
+    # r14 (guide §2.4, the r13 duplicated-evaluation class): each stage
+    # feeds BOTH its own funnel count and the final-corpus leg, so
+    # without truncation every expensive chain ran twice — the quality
+    # tokenization (scan Filter carried the split chain per count leg)
+    # and, worst, the whole quadratic ngram-jaccard loser pipeline.
+    # The truncated intermediates are doc-scale single columns; plan
+    # md5/split node count drops ~4x (plans/r14/pipeline_stage_counts_*).
     quality = (
         docs.filter(n_tokens > 0)
         .filter((n_tokens >= 5) & (uniq_ratio >= 0.3))
         .select("doc_id")
+        .transform(truncate_lazy)
     )
     exact_kept = (
         t(spark, sf_dir, "documents")
@@ -663,9 +671,13 @@ def pipeline_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.min("doc_id").alias("kept_id"))
         .select(F.col("kept_id").alias("doc_id"))
+        .transform(truncate_lazy)
     )
     losers = (
-        dedup_ngram_jaccard(spark, sf_dir).select(F.col("d2").alias("doc_id")).distinct()
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+        .transform(truncate_lazy)
     )
     final = (
         quality.join(exact_kept, "doc_id", "left_semi")
@@ -909,10 +921,16 @@ def pipeline_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "fp"
     )
     w = F.split("text", r"\s+")
+    # r14 (guide §2.4): ``quality`` feeds THREE consumers (its funnel
+    # count, the keeper aggregate, and the triage join) and ``triage``
+    # feeds three verdict counts — without truncation each leg re-ran
+    # the fingerprint join + tokenization chain from the scan (plan
+    # carried 34 md5 nodes).  Both intermediates are narrow doc-scale
+    # (doc_id, fp[, verdict]); text never materializes.
     quality = to_process.withColumn("w", w).filter(
         (F.size("w") >= 5)
         & (F.size(F.array_distinct("w")).cast("double") / F.size("w") >= 0.3)
-    ).select("doc_id", "fp")
+    ).select("doc_id", "fp").transform(truncate_lazy)
     index_side = (
         diff.filter(F.col("status") == "unchanged")
         .select("fp")
@@ -929,6 +947,7 @@ def pipeline_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("doc_id") != F.col("k"), "dup_in_batch")
             .otherwise("unique_new"),
         )
+        .transform(truncate_lazy)
     )
 
     def stage(name, df):
@@ -1462,13 +1481,19 @@ def corpus_split_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(h < 97, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+    # r14 (guide §2.4): ``sh`` is consumed four ways (ss→a, ss→b,
+    # ss→a2, and the doc-level leak join) — without truncation the
+    # scan→shingle→md5 chain ran once per consumer.  Both truncated
+    # tables are narrow (3 / 2 columns, shingle-scale — linear in
+    # corpus tokens, the usual trade).
     sh = (
         _shingle_df(spark, sf_dir)
         .select("doc_id", _hash60(F.col("s")).alias("sh"))
         .withColumn("split", split)
         .distinct()
+        .transform(truncate_lazy)
     )
-    ss = sh.select("split", "sh").distinct()
+    ss = sh.select("split", "sh").distinct().transform(truncate_lazy)
     a, b = ss.alias("a"), ss.alias("b")
     shared = (
         a.join(
