@@ -167,6 +167,9 @@ EXTENDED = [
     # duplicate test and the hits semi-join; 2 md5 subtrees -> 1).
     "dedup_embedding_cosine",
     "text_substring_dup_spans",
+    # and the funnel-composite fixes (shared expensive chains):
+    "pipeline_stage_counts",
+    "corpus_split_leakage_matrix",
 ]
 
 REGRESSION_PCT = 0.15  # median must move more than this ...
